@@ -1,0 +1,98 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+/** End-to-end model pipeline runner: parse → resolve → plan → execute —
+  * the Spark re-expression of the reference's ModelExecutor + CLI run
+  * loop (src/framework/executor.py:52-190, cli.py:50-180).
+  *
+  * Models are SQL strings (typically loaded from .sql files) using the
+  * SqlTemplate surface. Execution walks topological levels; models inside
+  * a level are submitted concurrently (Scala Futures → concurrent Spark
+  * jobs, the cluster analogue of dependency.py's asyncio batches — the
+  * scheduler interleaves their stages across executors).
+  */
+final class ModelRunner(
+    wh: Warehouse,
+    sources: Map[(String, String), String], // (source, table) -> relation
+    parallelism: Int = 4) {
+
+  private val mat = new Materializer(wh)
+  private var modelSql = Map.empty[String, String]
+  private var modelCfg = Map.empty[String, ModelConfig]
+
+  def addModel(name: String, sql: String): Unit = synchronized {
+    modelSql += name -> sql
+    modelCfg += name -> ModelConfig.fromSql(name, sql)
+  }
+
+  def addModelsFromDir(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.endsWith(".sql"))
+      .foreach { p =>
+        val name = p.getFileName.toString.stripSuffix(".sql")
+        addModel(name, java.nio.file.Files.readString(p))
+      }
+  }
+
+  def config(name: String): ModelConfig = modelCfg(name)
+
+  def graph: DependencyGraph = {
+    val g = new DependencyGraph
+    modelSql.foreach { case (name, sql) =>
+      g.addModel(name, SqlTemplate.extractRefs(sql) ++ modelCfg(name).dependsOn)
+    }
+    g
+  }
+
+  /** Render a model's SQL against the warehouse namespace. */
+  def render(name: String, variables: Map[String, String] = Map.empty): String = {
+    val incremental = modelCfg(name).isIncremental && wh.exists(name)
+    SqlTemplate.render(
+      modelSql(name), name,
+      resolveRef = m => wh.relation(m),
+      resolveSource = (s, t) => sources.getOrElse((s, t),
+        throw new IllegalArgumentException(s"unknown source $s.$t")),
+      isIncremental = incremental,
+      variables = variables)
+  }
+
+  def executeModel(
+      name: String,
+      variables: Map[String, String] = Map.empty,
+      batchTs: String = "1970-01-01 00:00:00"): MaterializeResult = {
+    val cfg = modelCfg(name)
+    val df = wh.spark.sql(render(name, variables))
+    val result = mat.materialize(cfg, df, batchTs)
+    val now = java.time.Instant.now().toString
+    wh.state.markExecution(name, success = true, now)
+    wh.state.setHashes(name,
+      StateStore.sha256(modelSql(name)), StateStore.sha256(cfg.toString))
+    result
+  }
+
+  /** Run models (targets + transitive deps, or all) level-by-level. */
+  def run(
+      targets: Option[Seq[String]] = None,
+      variables: Map[String, String] = Map.empty,
+      batchTs: String = "1970-01-01 00:00:00"): Seq[MaterializeResult] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val levels = graph.executionOrder(targets)
+      levels.flatMap { level =>
+        val runnable = level.filter(m => modelSql.contains(m) && modelCfg(m).enabled)
+        val futs = runnable.map(m => Future(executeModel(m, variables, batchTs)))
+        futs.map(f => Await.result(f, Duration.Inf))
+      }
+    } finally pool.shutdown()
+  }
+
+  def readModel(name: String): DataFrame =
+    wh.spark.table(wh.relation(name))
+}
+
+object ModelRunner

@@ -1,0 +1,78 @@
+package graft.model
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
+
+/** Parquet-backed model storage with versioned directories and an atomic
+  * current-version pointer (kept in the StateStore).
+  *
+  * This replaces the reference's warehouse-side CREATE OR REPLACE TABLE /
+  * staging-table dance (materialization.py, cdc_polars.py) with the
+  * pattern that scales on a data lake: each rewrite lands in a fresh
+  * `v<N>` directory and becomes visible only when the pointer flips, so
+  * readers never observe a half-written table and Spark never reads a
+  * directory it is concurrently overwriting. Physical `append` (for
+  * append/time-incremental strategies) adds files to the current version
+  * directory — O(batch), not O(table), per batch.
+  */
+final class Warehouse(
+    val spark: SparkSession,
+    root: String,
+    val state: StateStore) {
+
+  Files.createDirectories(Paths.get(root))
+
+  /** Relation name a model is visible under for spark.sql. */
+  def relation(model: String): String = s"graft_$model"
+
+  private def versionDir(model: String, v: Long): Path =
+    Paths.get(root, model, s"v$v")
+
+  def currentVersion(model: String): Option[Long] =
+    state.get(model).map(_.currentVersion).filter(_ > 0)
+
+  def exists(model: String): Boolean =
+    currentVersion(model).exists(v => Files.exists(versionDir(model, v)))
+
+  def currentPath(model: String): Option[String] =
+    currentVersion(model).map(v => versionDir(model, v).toString)
+
+  def read(model: String): DataFrame =
+    spark.read.parquet(currentPath(model).getOrElse(
+      throw new IllegalStateException(s"model '$model' not materialized")))
+
+  /** Write a full new version and flip the pointer. Partitioning columns
+    * (e.g. a date column for incremental models) keep scans prunable at
+    * scale. */
+  def writeVersion(
+      model: String,
+      df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val next = currentVersion(model).getOrElse(0L) + 1
+    val dir = versionDir(model, next)
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir.toString)
+    state.update(model)(_.copy(currentVersion = next))
+    refreshView(model)
+    // Old versions are retained for time-travel/debug; a production
+    // deployment would vacuum versions older than a retention window.
+  }
+
+  /** Append files into the current version (no pointer flip). */
+  def append(model: String, df: DataFrame): Unit = {
+    val dir = currentPath(model).getOrElse(
+      throw new IllegalStateException(s"cannot append to missing model '$model'"))
+    df.write.mode(SaveMode.Append).parquet(dir)
+    refreshView(model)
+  }
+
+  /** (Re)register the model's relation as a temp view over its current
+    * version. */
+  def refreshView(model: String): Unit =
+    read(model).createOrReplaceTempView(relation(model))
+
+  /** Register a logical (lazy) view — the `view` materialization. */
+  def registerView(model: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(relation(model))
+}

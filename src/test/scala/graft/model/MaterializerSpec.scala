@@ -1,0 +1,134 @@
+package graft.model
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Spark-backed tests for materialization strategies and lineage. */
+class MaterializerSpec extends SparkSpec {
+
+  private def freshWh(): Warehouse = {
+    val dir = Files.createTempDirectory("graft_wh_").toString
+    new Warehouse(spark, dir, StateStore(dir + "/state"))
+  }
+
+  import spark.implicits._
+
+  test("view materialization is lazy; table writes versions and flips pointer") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val df = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    mat.materialize(ModelConfig("mv", materialized = "view"), df)
+    assert(spark.table(wh.relation("mv")).count() == 2)
+
+    mat.materialize(ModelConfig("mt", materialized = "table"), df)
+    assert(wh.currentVersion("mt").contains(1L))
+    mat.materialize(ModelConfig("mt", materialized = "table"),
+      Seq((3, "c")).toDF("id", "v"))
+    assert(wh.currentVersion("mt").contains(2L))
+    assert(wh.read("mt").count() == 1) // replaced, old version retained on disk
+  }
+
+  test("unique_key merge replaces batch keys and keeps the rest") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("mk", materialized = "incremental",
+      incrementalStrategy = Some("unique_key"), uniqueKey = Some("id"))
+    mat.materialize(cfg, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    mat.materialize(cfg, Seq((2, "B"), (3, "C")).toDF("id", "v"))
+    val got = wh.read("mk").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "a"), (2, "B"), (3, "C")))
+  }
+
+  test("time incremental skips rows at or before the watermark") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("ti", materialized = "incremental",
+      incrementalStrategy = Some("time"), timeColumn = Some("ts"))
+    def ts(s: String) = to_timestamp(lit(s))
+    val d1 = Seq("2024-01-01 00:00:00", "2024-01-02 00:00:00").toDF("raw")
+      .select(to_timestamp(col("raw")).as("ts"), lit("old").as("v"))
+    mat.materialize(cfg, d1)
+    // second batch re-sends day 2 (boundary) plus day 3
+    val d2 = Seq("2024-01-02 00:00:00", "2024-01-03 00:00:00").toDF("raw")
+      .select(to_timestamp(col("raw")).as("ts"), lit("new").as("v"))
+    mat.materialize(cfg, d2)
+    val rows = wh.read("ti").select(col("ts").cast("string"), col("v"))
+      .as[(String, String)].collect().toSet
+    assert(rows == Set(
+      ("2024-01-01 00:00:00", "old"), ("2024-01-02 00:00:00", "old"),
+      ("2024-01-03 00:00:00", "new")))
+  }
+
+  test("cdc snapshot handles missing op column as upsert and E like D in scd2") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("cs", materialized = "cdc", uniqueKey = Some("id"))
+    mat.materialize(cfg, Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    // batch without op column: plain upsert semantics
+    mat.materialize(cfg, Seq((2, "B2"), (9, "N")).toDF("id", "v"))
+    assert(wh.read("cs").as[(Int, String)].collect().toSet ==
+      Set((1, "a"), (2, "B2"), (9, "N")))
+
+    val cfg2 = ModelConfig("scd", materialized = "cdc_scd2", uniqueKey = Some("id"))
+    mat.materialize(cfg2, Seq((1, "a"), (2, "b")).toDF("id", "v"), "2024-01-01 00:00:00")
+    val batch = Seq((1, "a", "E")).toDF("id", "v", "__cdc_operation")
+    mat.materialize(cfg2, batch, "2024-02-01 00:00:00")
+    val hist = wh.read("scd")
+    // key 1 retired by 'E' (expired), no new version; key 2 untouched
+    assert(hist.filter(col("id") === 1 && col(Materializer.ObsoleteDateCol).isNotNull)
+      .count() == 1)
+    assert(hist.filter(col("id") === 1).count() == 1)
+    assert(hist.filter(col("id") === 2 && col(Materializer.ObsoleteDateCol).isNull)
+      .count() == 1)
+  }
+
+  test("unknown materialization and strategy are rejected") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val df = Seq((1, "a")).toDF("id", "v")
+    assertThrows[IllegalArgumentException](
+      mat.materialize(ModelConfig("x", materialized = "nope"), df))
+    assertThrows[IllegalArgumentException](
+      mat.materialize(ModelConfig("x", materialized = "incremental",
+        incrementalStrategy = Some("nope")), df))
+  }
+
+  test("quality checks count failures per rule") {
+    val df = Seq(
+      (1, Some("F"), 10.0), (1, Some("O"), 20.0),
+      (2, None, -5.0), (3, Some("Z"), 999.0)).toDF("id", "status", "amt")
+    val results = Quality.run(df, Seq(
+      Quality.Unique("id"),
+      Quality.NotNull("status"),
+      Quality.AcceptedValues("status", Seq("F", "O", "P")),
+      Quality.RangeCheck("amt", 0.0, 100.0))).map(r => r.check -> r.failures).toMap
+    assert(results("unique_id") == 1)       // id=1 duplicated once
+    assert(results("not_null_status") == 1)
+    assert(results("accepted_values_status") == 2) // null + 'Z'
+    assert(results("range_amt") == 2)       // -5 and 999
+  }
+
+  test("lineage maps projected and aggregated columns to base columns") {
+    val df = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("dbl"))
+    val lin = Lineage.of(df).map(l => l.column -> l).toMap
+    assert(lin("dbl").sources.exists(_.endsWith("o_totalprice")))
+    assert(lin("o_orderkey").sources.exists(_.endsWith("o_orderkey")))
+
+    val agg = graft.Tables.load(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("total"))
+    val lin2 = Lineage.of(agg).map(l => l.column -> l).toMap
+    assert(lin2("total").sources.exists(_.endsWith("o_totalprice")))
+    assert(lin2("total").transformations.contains("sum"))
+  }
+
+  test("macros: silverClean dedupes, goldAggregate groups, bronzeLoad stamps") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val cleaned = Macros.silverClean(ev, Seq("user_id"),
+      Seq(col("ts").desc, col("event_id").desc))
+    assert(cleaned.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+
+    val gold = Macros.goldAggregate(ev, Seq("event_type"),
+      Seq("n" -> count(lit(1)), "avg_v" -> avg(col("value"))))
+    assert(gold.columns.toSeq == Seq("event_type", "n", "avg_v"))
+
+    val bronze = Macros.bronzeLoad(ev, filter = Some(col("value") > 0))
+    assert(bronze.columns.contains("load_timestamp") && bronze.columns.contains("layer"))
+  }
+}
