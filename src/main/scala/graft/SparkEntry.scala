@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, FrameworkQueries}
+import graft.queries.{CoreQueries, FrameworkQueries, LlmOpsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,7 @@ import graft.queries.{CoreQueries, FrameworkQueries}
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    CoreQueries, FrameworkQueries)
+    CoreQueries, FrameworkQueries, LlmOpsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact (hash groupBy),
+  * MinHash+LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale posture: every stage is expressed as explode → hash-partitioned
+  * aggregation — no driver-side collection, no N² pair enumeration except
+  * *within* an LSH bucket (which is the entire point of banding: the
+  * candidate set is bucket-local). Hashes are md5-based so results are
+  * engine-portable and seed-stable across runs and executors.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint: one row per distinct normalized
+    * text, keeping the smallest id. Output: idCol, fingerprint, n_copies. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(col(idCol), col("fingerprint"), col("n_copies"))
+
+  /** Word n-gram shingles of the normalized text, one row per
+    * (id, shingle), deduplicated per document (set semantics). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    // shingle i = tokens[i..i+n-1] joined by ' ' — built with native
+    // higher-order functions (transform/slice), fully codegen'd. Docs
+    // shorter than n tokens yield no shingles (empty sequence).
+    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
+    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
+
+  /** MinHash signatures: numHashes md5-derived min-hashes per document.
+    * Hash j of shingle s is md5("j:" + s); the signature component is the
+    * lexicographic min — string min is engine-portable, and min() has a
+    * map-side partial aggregate so the shuffle carries one row per
+    * (doc, j), not per shingle. Output: idCol, h0..h{numHashes-1}. */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val mins = (0 until numHashes).map { j =>
+      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH candidate pairs: documents sharing any band signature.
+    * Bands are concatenations of `bandSize` consecutive signature
+    * components; a self-join per band keyed on the band value yields the
+    * candidates (a < b). The join is hash-partitioned on the band value —
+    * work is proportional to bucket sizes, never N². */
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
+    val numBands = numHashes / bandSize
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        concat_ws("|", (0 until bandSize).map(k => col(s"h${b * bandSize + k}")): _*)
+          .as("sig"))
+    }
+    val banded = signatures
+      .select(col(idCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(idCol), col("band.band_id"), col("band.sig"))
+    val left = banded.select(col("band_id"), col("sig"), col(idCol).as("a"))
+    val right = banded.select(col("band_id"), col("sig"), col(idCol).as("b"))
+    left.join(right, Seq("band_id", "sig"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** End-to-end MinHash LSH near-dup candidates. */
+  def minHashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    lshCandidatePairs(
+      minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bandSize)
+
+  /** SimHash (60-bit, sign-safe): per token, take 15 hex chars of md5 as
+    * a 60-bit integer; each bit votes +1/-1; the fingerprint sets bits
+    * with positive vote sums. Expressed as explode(token) ×
+    * explode(bit) → two hash-partitioned aggregations. Output: idCol,
+    * simhash (long). */
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col(idCol),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val bits = tok
+      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
+      .withColumn("vote",
+        when(expr("shiftright(h, CAST(b AS INT)) & 1") === 1, 1).otherwise(-1))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("vote")).as("v"))
+    bits.groupBy(col(idCol))
+      .agg(sum(when(col("v") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Hamming-banded SimHash near-dup candidates: split the 60 bits into
+    * `numBands` chunks; docs sharing any chunk are candidates (catches
+    * all pairs with hamming distance < numBands). */
+  def simHashCandidates(sims: DataFrame, idCol: String, numBands: Int = 4): DataFrame = {
+    val chunkBits = 60 / numBands
+    val mask = (1L << chunkBits) - 1
+    val chunks = (0 until numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask).as("sig"))
+    }
+    val banded = sims.select(col(idCol), explode(array(chunks: _*)).as("c"))
+      .select(col(idCol), col("c.band_id"), col("c.sig"))
+    banded.as("l").join(banded.as("r"), Seq("band_id", "sig"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()
+  }
+
+  /** Exact pairwise n-gram Jaccard similarity for a candidate id set —
+    * the verification stage after LSH. Output: a, b, inter, union_n,
+    * jaccard. Intersections come from a shingle-keyed self-join (shuffle
+    * on shingle), set sizes from one aggregation — no N² scan. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col(idCol).as("a"))
+      .join(sh.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+      .withColumn("union_n", col("sza") + col("szb") - col("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / col("union_n").cast("double"))
+      .select(col("a"), col("b"), col("inter"), col("union_n"), col("jaccard"))
+  }
+}

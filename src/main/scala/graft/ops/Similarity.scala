@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (Array[Float]).
+  *
+  * Brute-force cosine top-k is the correctness baseline: a broadcast of
+  * the (small) query set against a full scan of candidates — one
+  * map-side pass + a per-query top-k, no shuffle of the candidate table.
+  * The scale path is random-hyperplane LSH bucketing: at 100 TB you
+  * pre-bucket candidates once, then probe only matching buckets.
+  *
+  * All arithmetic uses native higher-order functions (zip_with /
+  * aggregate) — sequential left-to-right folds, so results are
+  * deterministic and codegen-compatible, with no UDF serialization in
+  * the hot path.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns (sequential fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    *
+    * @param queries    small DataFrame (queryIdCol, vecCol) — broadcast
+    * @param candidates large DataFrame (candIdCol, vecCol) — scanned once
+    * Output: query_id, rank (1-based), neighbor_id, cosine_sim.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame,
+      queryIdCol: String, candIdCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val c = candidates.select(col(candIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p,
+    * dim d): a hash-derived value in [-0.5, 0.5). Seedless and
+    * engine-stable — every executor computes the same planes without any
+    * broadcast of random state. */
+  private def planeComponent(p: Int, d: Column): Column =
+    (conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)) - lit(0.5)
+
+  /** Random-hyperplane LSH bucket signature: one bit per plane — the
+    * sign of the projection onto a deterministic pseudo-random
+    * hyperplane. Cosine-similar vectors collide with high probability.
+    * Output: original columns + `bucket` (long, numPlanes bits). */
+  def lshBuckets(
+      df: DataFrame, vecCol: String, numPlanes: Int = 12): DataFrame = {
+    val v = asDouble(col(vecCol))
+    // projection_p = sum_d v[d] * plane(p, d): a fold over
+    // (value, dim-index) pairs via zip_with against the dim-index array.
+    val dims = sequence(lit(0), size(v) - 1)
+    val bucket = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, dims, (x, d) => x * planeComponent(p, d)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Bucketed ANN: probe only candidates sharing the query's LSH bucket,
+    * then rank within the (much smaller) collision set. Recall is tuned
+    * by numPlanes (fewer planes → bigger buckets → higher recall). */
+  def lshTopK(
+      queries: DataFrame, candidates: DataFrame,
+      queryIdCol: String, candIdCol: String, vecCol: String,
+      k: Int, numPlanes: Int = 8): DataFrame = {
+    val qb = lshBuckets(
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol)), vecCol, numPlanes)
+      .select(col("query_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
+    val cb = lshBuckets(
+      candidates.select(col(candIdCol).as("neighbor_id"), col(vecCol)), vecCol, numPlanes)
+      .select(col("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * restricted to LSH-bucket collisions (the scalable formulation of
+    * "all pairs with cosine > t"). */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(df.select(col(idCol), col(vecCol)), vecCol, numPlanes)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"), col("bucket"))
+    b.select(col("bucket"), col(idCol).as("a"), col("v").as("va"))
+      .join(b.select(col("bucket"), col(idCol).as("b"), col("v").as("vb")),
+        Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine_sim", cosine(col("va"), col("vb")))
+      .filter(col("cosine_sim") > threshold)
+      .select(col("a"), col("b"), col("cosine_sim")).distinct()
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization counts, quality scoring, language ID, fingerprinting.
+  *
+  * All of these are compositions of codegen'd native functions (no UDFs):
+  * per-row, shuffle-free, and safe to run over 100 TB of documents as a
+  * single map stage fused into the parquet scan.
+  */
+object TextOps {
+
+  /** Lowercased, whitespace-collapsed canonical text. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Whitespace token array of the normalized text. */
+  def tokens(text: Column): Column = split(normalized(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-ish token count: runs of letters, runs of digits,
+    * and single other non-space characters each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Content fingerprint: md5 of the normalized text — the distributed
+    * equivalent of a rolling content hash for exact-dup detection. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit-ish (60-bit, sign-safe) numeric fingerprint, usable as a
+    * cheap shard/bucket key. */
+  def fingerprint60(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 15), 16, 10).cast("long")
+
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[.,;:!?'\"()\\-]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Ratio of tokens that are common-English stopwords. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopwordRatio(text: Column): Column = {
+    val hits = size(array_intersect(tokens(text),
+      array(EnglishStopwords.map(lit): _*)))
+    // array_intersect counts distinct hits; good enough as a signal and
+    // identical across engines.
+    hits.cast("double") / greatest(tokenCount(text), lit(1)).cast("double")
+  }
+
+  /** Mean token length over whitespace tokens. */
+  def avgTokenLength(text: Column): Column =
+    length(regexp_replace(normalized(text), " ", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite document-quality score in [0, 1]: rewards mid-length
+    * documents with word-like tokens and some stopword mass — the usual
+    * cheap pre-filter before expensive model-based scoring. */
+  def qualityScore(text: Column): Column = {
+    // Integer point sum with one final division: exact and identical
+    // across engines (float literal addition is not — DuckDB types 0.4
+    // as DECIMAL, Spark as double).
+    val nTok = tokenCount(text).cast("double")
+    val lengthOk = when(nTok >= 10.0 && nTok <= 100000.0, 4).otherwise(0)
+    val tokenShape = when(avgTokenLength(text) >= 2.0 && avgTokenLength(text) <= 12.0, 3)
+      .otherwise(0)
+    val stopMass = when(stopwordRatio(text) >= 0.01, 2).otherwise(0)
+    val punctOk = when(punctRatio(text) <= 0.2, 1).otherwise(0)
+    (lengthOk + tokenShape + stopMass + punctOk).cast("double") / lit(10.0)
+  }
+
+  /** Tiny per-language marker vocabularies for heuristic language ID.
+    * A real deployment would use char-ngram profiles; the shape of the
+    * computation (per-row argmax over marker hit counts) is the same. */
+  val LanguageMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"),
+    "it" -> Seq("il", "la", "di", "che", "e", "per", "un", "del", "con", "non"))
+
+  /** Heuristic language ID: argmax of marker hits, alphabetical
+    * tie-break, "und" (undetermined) when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = LanguageMarkers.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((lang, markers), i) =>
+        struct(
+          size(array_intersect(toks, array(markers.map(lit): _*))).as("hits"),
+          lit(-i).as("neg_rank"), // struct compare: max hits, then lowest
+          lit(lang).as("lang"))   // alphabetical index wins ties
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Enrich a documents table with all text-analysis columns. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_re_tokens", regexTokenCount(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("avg_token_len", avgTokenLength(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("lang_pred", langId(t))
+  }
+}

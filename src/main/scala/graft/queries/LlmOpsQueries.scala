@@ -1,0 +1,275 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data pipeline operators (SURVEY.md §2 C1–C11) as
+  * driver-checkable queries over documents/embeddings.
+  *
+  * The DuckDB oracles re-derive the same md5-based hashes, shingles, and
+  * ratios token-for-token, so these check full value-level semantics of
+  * the dedup/text stack, not just row counts. q_ann_lsh and q_lang_id's
+  * bucketing internals are Spark-only; everything else hash-matches.
+  */
+object LlmOpsQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  // DuckDB twins of TextOps.normalized / tokens.
+  private val sqlNorm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val sqlToks = s"string_split($sqlNorm, ' ')"
+
+  // ------------------------------------------------------ C1: exact dedup
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val qDedupExactSql =
+    s"""SELECT MIN(doc_id) AS doc_id, fp AS fingerprint, COUNT(*) AS n_copies
+       |FROM (SELECT doc_id, md5($sqlNorm) AS fp FROM documents)
+       |GROUP BY fp ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- C2: MinHash LSH pairs
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val BandSize = 2
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(s, dir), "doc_id", "text", ShingleN, NumHashes, BandSize)
+      .orderBy("a", "b")
+
+  private val qDedupMinhashSql = {
+    val minhashes = (0 until NumHashes)
+      .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val sig = (0 until BandSize).map(k => s"h${b * BandSize + k}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${ShingleN - 1}], ' ')
+       |      for i in range(1, len(toks) - ${ShingleN - 2})]) AS s
+       |    FROM norm WHERE len(toks) >= $ShingleN)),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minhashes
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.sig = r.sig
+       |WHERE l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ------------------------------------------------------- C3: SimHash
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
+
+  private val qDedupSimhashSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM toks WHERE len(tok) > 0),
+       |bits AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, (SELECT UNNEST(range(60)) AS b) bb
+       |  GROUP BY doc_id, bb.b)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+       |           ELSE 0 END) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- C4: n-gram Jaccard
+  private def qJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2)
+      .filter(col("jaccard") >= 0.02)
+      .orderBy("a", "b")
+
+  private val qJaccardSql =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id < 40),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+1], ' ')
+       |      for i in range(1, len(toks))]) AS s
+       |    FROM norm WHERE len(toks) >= 2)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh l JOIN sh r ON l.s = r.s
+       |  WHERE l.doc_id < r.doc_id GROUP BY l.doc_id, r.doc_id)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_n,
+       |  CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.02
+       |ORDER BY a, b""".stripMargin
+
+  // ------------------------------------------- C5: brute-force cosine ANN
+  private def qAnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val qAnnBruteforceSql =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+      |    list_cosine_similarity(q.qe, e.embedding) AS sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rnk
+      |  FROM scored)
+      |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  // --------------------------------------------- C6: LSH ANN (rows-only)
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.lshTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
+      k = 10, numPlanes = 6)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cosine_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ------------------------------------------------- C7: token counting
+  private def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+      TextOps.regexTokenCount(col("text")).as("n_re_tokens"),
+      length(col("text")).as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  private val qTextTokensSql =
+    s"""SELECT doc_id,
+       |  CAST(len($sqlToks) AS INTEGER) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_re_tokens,
+       |  CAST(length(text) AS INTEGER) AS n_chars_actual
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- C8: quality scoring
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.punctRatio(col("text")).as("punct_ratio"),
+      TextOps.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextOps.avgTokenLength(col("text")).as("avg_token_len"),
+      TextOps.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  private val qTextQualitySql = {
+    val stop = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val nTok = s"greatest(len($sqlToks), 1)"
+    val stopRatio =
+      s"CAST(len(list_intersect($sqlToks, [$stop])) AS DOUBLE) / CAST($nTok AS DOUBLE)"
+    val avgLen =
+      s"CAST(length(replace($sqlNorm, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE)"
+    val punct =
+      s"""CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\-]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    s"""SELECT doc_id,
+       |  $punct AS punct_ratio,
+       |  $stopRatio AS stopword_ratio,
+       |  $avgLen AS avg_token_len,
+       |  CAST(CASE WHEN CAST(len($sqlToks) AS DOUBLE) >= 10.0
+       |         AND CAST(len($sqlToks) AS DOUBLE) <= 100000.0 THEN 4 ELSE 0 END
+       |   + CASE WHEN $avgLen >= 2.0 AND $avgLen <= 12.0 THEN 3 ELSE 0 END
+       |   + CASE WHEN $stopRatio >= 0.01 THEN 2 ELSE 0 END
+       |   + CASE WHEN $punct <= 0.2 THEN 1 ELSE 0 END AS DOUBLE) / 10.0 AS quality_score
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- C9: language ID
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val qLangIdSql = {
+    val langs = TextOps.LanguageMarkers.toSeq.sortBy(_._1)
+    val hitExprs = langs.map { case (lang, markers) =>
+      val lst = markers.map(w => s"'$w'").mkString(", ")
+      lang -> s"len(list_intersect($sqlToks, [$lst]))"
+    }
+    val withHits = hitExprs.map { case (l, e) => s"$e AS h_$l" }.mkString(",\n  ")
+    val mx = s"greatest(${langs.map(l => s"h_${l._1}").mkString(", ")})"
+    val cases = langs.map { case (l, _) =>
+      s"WHEN h_$l = $mx THEN '$l'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id,
+       |  CASE WHEN $mx = 0 THEN 'und'
+       |    $cases
+       |  END AS lang_pred
+       |FROM (SELECT doc_id, $withHits FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------- C10: fingerprinting
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fingerprint"),
+      TextOps.fingerprint60(col("text")).as("fingerprint60"))
+      .orderBy("doc_id")
+
+  private val qFingerprintSql =
+    s"""SELECT doc_id, md5($sqlNorm) AS fingerprint,
+       |  CAST('0x' || substr(md5($sqlNorm), 1, 15) AS BIGINT) AS fingerprint60
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------- C11: multimodal meta
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = docs(s, dir)
+      .withColumn("payload", Multimodal.asPayload(col("text")))
+    Multimodal.payloadMeta(withPayload, "doc_id", "payload").orderBy("doc_id")
+  }
+
+  private val qMultimodalMetaSql =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------------------
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> qDedupExact _,
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_simhash" -> qDedupSimhash _,
+    "q_jaccard" -> qJaccard _,
+    "q_ann_bruteforce" -> qAnnBruteforce _,
+    "q_ann_lsh" -> qAnnLsh _,
+    "q_text_tokens" -> qTextTokens _,
+    "q_text_quality" -> qTextQuality _,
+    "q_lang_id" -> qLangId _,
+    "q_fingerprint" -> qFingerprint _,
+    "q_multimodal_meta" -> qMultimodalMeta _)
+
+  override val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> qDedupExactSql,
+    "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_simhash" -> qDedupSimhashSql,
+    "q_jaccard" -> qJaccardSql,
+    "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_text_tokens" -> qTextTokensSql,
+    "q_text_quality" -> qTextQualitySql,
+    "q_lang_id" -> qLangIdSql,
+    "q_fingerprint" -> qFingerprintSql,
+    "q_multimodal_meta" -> qMultimodalMetaSql)
+    // q_ann_lsh: rows-only (bucketing internals are engine-specific)
+}

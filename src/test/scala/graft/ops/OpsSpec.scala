@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents").cache()
+
+  test("exact dedup identifies verbatim copies") {
+    val df = Seq(
+      (1L, "hello  world"), (2L, "Hello world"), (3L, "different text"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+    // normalization (lower + whitespace collapse) makes 1 and 2 equal
+    assert(out.length == 2)
+    val kept = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_copies")).toMap
+    assert(kept(1L) == 2 && kept(3L) == 1)
+  }
+
+  test("shingles produce n-grams with set semantics and honor short docs") {
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "a b c d a b c d a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == 2) // "a b c", "b c d"
+    assert(!sh.contains(2L)) // too short for 3-grams
+    assert(sh(3L) == 4) // {a b c, b c d, c d a, d a b} — repeats deduplicated
+  }
+
+  test("minhash LSH finds near-duplicates and skips unrelated docs") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely unrelated content talking about spark query engines at scale"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLsh(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely unrelated content talking about spark query engines at scale"
+    val df = Seq((1L, near1), (2L, near2), (3L, far)).toDF("doc_id", "text")
+    val sims = Dedup.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sims(1L), sims(2L)) < hamming(sims(1L), sims(3L)))
+    val cands = Dedup.simHashCandidates(
+      Dedup.simHash(df, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+  }
+
+  test("jaccard pairs compute exact set similarity") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    // tokens{1}= {a,b,c,d}, tokens{2}={a,b,c,e}: inter 3, union 5
+    assert(math.abs(pairs((1L, 2L)) - 0.6) < 1e-12)
+    assert(!pairs.contains((1L, 3L))) // no shared shingles -> no pair row
+  }
+
+  test("brute-force ANN: nearest neighbor of a vector is its near-copy") {
+    val v1 = Array(1.0f, 0.0f, 0.0f)
+    val v2 = Array(0.99f, 0.1f, 0.0f) // nearly v1
+    val v3 = Array(0.0f, 1.0f, 0.0f)
+    val v4 = Array(0.0f, 0.0f, 1.0f)
+    val df = Seq((0L, v1), (1L, v2), (2L, v3), (3L, v4)).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      df.filter($"vec_id" === 0), df, "vec_id", "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("neighbor_id") == 1L)
+    assert(top(0).getAs[Double]("cosine_sim") > 0.99)
+  }
+
+  test("LSH ANN returns a subset consistent with brute force at high recall") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 3)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2 planes -> 4 buckets -> ~25% of candidates colliding: decent recall
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", 5, numPlanes = 2)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("near-dup pairs by embedding cosine with bucket restriction") {
+    val v = Array(1.0f, 0.0f, 0.0f)
+    val df = Seq((0L, v), (1L, v.map(x => x * 2)), (2L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99, numPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // same direction -> cosine 1
+  }
+
+  test("text ops: token counts, ratios, langid, fingerprint stability") {
+    val df = Seq(
+      (1L, "The cat and the dog, in the house!"),
+      (2L, "der hund und die katze ist nicht hier"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextOps.analyze(df).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_tokens") == 8)
+    assert(out(1L).getAs[String]("lang_pred") == "en")
+    assert(out(2L).getAs[String]("lang_pred") == "de")
+    assert(out(3L).getAs[String]("lang_pred") == "und")
+    assert(out(1L).getAs[Double]("punct_ratio") > 0)
+    assert(out(1L).getAs[String]("fingerprint").length == 32)
+    // fingerprint invariant to case/whitespace
+    val fp2 = TextOps.analyze(Seq((9L, "the CAT and the dog,  in the house!"))
+      .toDF("doc_id", "text")).head().getAs[String]("fingerprint")
+    assert(fp2 == out(1L).getAs[String]("fingerprint"))
+  }
+
+  test("quality score rewards real text over junk") {
+    val real = "the engine reads parquet files and runs declarative queries with " +
+      "pushdown for every operator in the plan and this is a reasonable document"
+    val junk = "x"
+    val df = Seq((1L, real), (2L, junk)).toDF("doc_id", "text")
+    val scores = df.select($"doc_id", TextOps.qualityScore($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores(1L) > scores(2L))
+    assert(scores(1L) == 1.0)
+  }
+
+  test("multimodal: payload decode plumbing preserves rows and derives metadata") {
+    val withPayload = docs.limit(50)
+      .withColumn("payload", Multimodal.asPayload($"text"))
+    val decoded = Multimodal.decode(withPayload, "payload")
+    assert(decoded.count() == 50)
+    val row = decoded.select("asset.n_bytes", "asset.format", "asset.width").head()
+    assert(row.getLong(0) > 0)
+    assert(Seq("jpeg", "png", "webp").contains(row.getString(1)))
+    assert(row.getInt(2) >= 64)
+    // deterministic: same payload -> same stub metadata
+    val again = Multimodal.decode(withPayload, "payload")
+      .select("asset.format").collect().map(_.getString(0)).toSeq
+    val first = decoded.select("asset.format").collect().map(_.getString(0)).toSeq
+    assert(again == first)
+  }
+
+  test("frame sampling picks evenly spaced indices") {
+    val idx = spark.range(1).select(
+      Multimodal.sampleFrameIndices(lit(100L), 4).as("f")).head()
+      .getSeq[Long](0)
+    assert(idx.toSeq == Seq(0L, 25L, 50L, 75L))
+  }
+}
