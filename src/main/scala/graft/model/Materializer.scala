@@ -119,13 +119,14 @@ final class Materializer(wh: Warehouse) {
     val opCol = cfg.changeTypeColumn
     val withOp = normalizeOp(batch, opCol)
     if (!wh.exists(cfg.name)) {
-      wh.writeVersion(cfg.name, withOp.filter(col(opCol) =!= "D").drop(opCol))
+      wh.writeVersion(cfg.name,
+        dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key))
       MaterializeResult(cfg.name, "cdc", status = "initial_load")
     } else {
       val existing = wh.read(cfg.name)
       val touched = withOp.select(col(key)).distinct()
       val survivors = existing.join(touched, Seq(key), "left_anti")
-      val upserts = withOp.filter(col(opCol) =!= "D").drop(opCol)
+      val upserts = dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key)
       wh.writeVersion(cfg.name, survivors.unionByName(upserts))
       MaterializeResult(cfg.name, "cdc", status = "merged")
     }
@@ -177,6 +178,18 @@ final class Materializer(wh: Warehouse) {
     if (df.columns.contains(opCol))
       df.withColumn(opCol, coalesce(col(opCol), lit("U"))) // cdc default, macros.py:44
     else df.withColumn(opCol, lit("U"))
+
+  /** One row per key within a batch (the reference dedupes CDC chunks by
+    * unique key, cdc_polars.py:425-445). The survivor is the max over the
+    * remaining columns — deterministic under any partitioning/shuffle
+    * order, unlike "keep last seen". */
+  private def dedupeByKey(df: DataFrame, key: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key).map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(struct(others: _*).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }
 
 object Materializer {

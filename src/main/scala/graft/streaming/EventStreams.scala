@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.{ExactAgg => X}
+import graft.model.{Materializer, ModelConfig, Warehouse}
+
+/** Structured Streaming surface: the streaming twins of the batch
+  * operators (SURVEY.md §2 C12).
+  *
+  * The reference framework is batch-scheduled (its watcher re-runs models
+  * on file change); on Spark the native continuous formulation is
+  * readStream → event-time watermark → windowed aggregate /
+  * flatMapGroupsWithState, with `foreachBatch` bridging micro-batches
+  * into the same Materializer used by batch models — one merge
+  * implementation for both arrival modes.
+  */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, session_start_us: Long,
+      session_end_us: Long, n_events: Int)
+
+  /** File-based event stream over a parquet directory (the lake-ingest
+    * shape: new files land, Spark discovers them incrementally). */
+  def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling-window counts with a 10-minute watermark: late events past
+    * the watermark are dropped, state is bounded — the streaming twin of
+    * CoreQueries.q_stream_window (identical output columns). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), X.dsum(col("value")).as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionizer over flatMapGroupsWithState: sessions close
+    * when 30 minutes pass without an event for the user. Sessions that
+    * close inside a batch are emitted immediately; the open session stays
+    * in (bounded, per-user O(1)) state. The batch twin is
+    * CoreQueries.q_sessionize. */
+  def sessionize(events: Dataset[Event],
+      gapMinutes: Long = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    // java.sql.Timestamp.getTime is millis; recover full microseconds
+    // from the nanos field so results line up with unix_micros().
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = evs.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      var out = List.empty[Session]
+      var st = state.getOption.orNull
+      sorted.foreach { e =>
+        val us = micros(e.ts)
+        st match {
+          case null => st = SessionState(us, us, 1)
+          case s if us - s.last > gapUs =>
+            out ::= Session(userId, s.start, s.last, s.n)
+            st = SessionState(us, us, 1)
+          case s => st = SessionState(s.start, us, s.n + 1)
+        }
+      }
+      if (st != null) state.update(st)
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Bridge a CDC change stream into the batch Materializer: every
+    * micro-batch applies one distributed merge — the streaming path and
+    * the batch path share the exact same merge semantics. */
+  def cdcStream(
+      changes: DataFrame,
+      wh: Warehouse,
+      cfg: ModelConfig,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val mat = new Materializer(wh)
+    changes.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mat.materialize(cfg, batch,
+          batchTs = java.time.Instant.ofEpochSecond(batchId).toString)
+        ()
+      }
+      .start()
+  }
+}

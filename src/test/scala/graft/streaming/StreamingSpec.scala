@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{SparkSpec, Tables}
+import graft.model.{ModelConfig, StateStore, Warehouse}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  /** Stage the events table as a streaming source directory. */
+  private def stageEvents(): String = {
+    val dir = Files.createTempDirectory("graft_stream_src_").toString
+    Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming windowed counts equal the batch twin") {
+    val src = stageEvents()
+    val out = windowedCounts(eventStream(spark, src))
+    val q = out.writeStream
+      .format("memory").queryName("win_counts")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // Append mode only emits windows the watermark has passed; the last
+    // hour stays open. Compare against the batch result minus open windows.
+    val streamed = spark.table("win_counts")
+      .select("window_start_us", "event_type", "n", "total_value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.queries.CoreQueries.queries("q_stream_window")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed.subsetOf(batch), "streamed windows must match batch values")
+    // everything except possibly the final open hour per type must be emitted
+    val openCutoff = batch.map(_._1).max
+    val closed = batch.filter(_._1 < openCutoff)
+    assert(closed.subsetOf(streamed),
+      s"closed windows missing: ${(closed -- streamed).take(3)}")
+  }
+
+  test("stateful sessionizer emits closed sessions matching the batch twin") {
+    val src = stageEvents()
+    val events = eventStream(spark, src).as[Event]
+    val q = sessionize(events).writeStream
+      .format("memory").queryName("sessions")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions")
+      .select("user_id", "session_start_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+
+    // Batch twin: all sessions; the stream keeps each user's last session
+    // open in state, so streamed == batch minus last-session-per-user.
+    val batch = graft.queries.CoreQueries.queries("q_sessionize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("n_events"), r.getAs[Long]("session_start_us")))
+    val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expectClosed = batch.filter(s => s._2 != lastPerUser(s._1))
+      .map(s => (s._1, s._4, s._3)).toSet
+    assert(streamed == expectClosed)
+  }
+
+  test("cdc stream applies micro-batches through the shared materializer") {
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    val cfg = ModelConfig("stream_snapshot", materialized = "cdc",
+      uniqueKey = Some("user_id"))
+
+    // stream of per-user latest events as upserts (no op column -> 'U')
+    val src = Files.createTempDirectory("graft_cdc_src_").toString
+    Tables.load(spark, sfDir, "events")
+      .select($"user_id", $"event_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(src)
+    val changes = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+
+    val q = EventStreams.cdcStream(changes, wh, cfg,
+      Files.createTempDirectory("graft_ckpt_").toString)
+    q.processAllAvailable()
+    q.stop()
+
+    val snap = wh.read("stream_snapshot")
+    // one row per user after the upsert merge
+    assert(snap.groupBy("user_id").count().filter($"count" > 1).count() == 0)
+    assert(snap.count() == Tables.load(spark, sfDir, "events")
+      .select("user_id").distinct().count())
+  }
+}
