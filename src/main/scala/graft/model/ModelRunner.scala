@@ -39,6 +39,8 @@ final class ModelRunner(
   }
 
   def config(name: String): ModelConfig = modelCfg(name)
+  def modelSqlMap: Map[String, String] = modelSql
+  def configMap: Map[String, ModelConfig] = modelCfg
 
   def graph: DependencyGraph = {
     val g = new DependencyGraph
