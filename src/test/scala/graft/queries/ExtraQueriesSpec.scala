@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkSpec
+
+class ExtraQueriesSpec extends SparkSpec {
+
+  test("rollup emits subtotal and grand-total rows") {
+    val rows = ExtraQueries.queries("q_rollup")(spark, sfDir).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    val subtotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    assert(subtotals.length == 3) // one per returnflag
+    assert(grand.head.getAs[Long]("n") == rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+      .map(_.getAs[Long]("n")).sum)
+  }
+
+  test("cube emits all grouping combinations") {
+    val rows = ExtraQueries.queries("q_cube")(spark, sfDir).collect()
+    // 3 statuses x 5 priorities + 3 + 5 + 1 grand total
+    assert(rows.length == 24)
+  }
+
+  test("approx distinct stays within the configured error bound") {
+    val rows = ExtraQueries.queries("q_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("percentiles are actual data values and ordered") {
+    val rows = ExtraQueries.queries("q_percentiles")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (q25, q50, q90) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(q25 <= q50 && q50 <= q90)
+      assert(q25 == math.floor(q25)) // quantities are integral doubles
+    }
+  }
+}
