@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{MinHashSigExpr, SimHash60Expr}
+
+/** Session extensions registering graft's native Catalyst expressions as
+  * SQL functions (usable from `spark.sql` text and via
+  * `functions.call_function`). Wired by
+  * `spark.sql.extensions=graft.GraftExtensions` — included in
+  * [[Tables.sessionConfigs]] so every graft session has them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60(tokens) takes one argument")
+        SimHash60Expr(args.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "minhash_sig(shingles, numHashes) takes two arguments")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numHashes must be an integer literal, got $other")
+        }
+        MinHashSigExpr(args.head, n)
+      }))
+  }
+}

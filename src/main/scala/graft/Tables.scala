@@ -37,7 +37,8 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true")
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** Register all tables as temp views for SQL access. Idempotent. */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** CPU-heavy per-row stages want full-core parallelism even when the
+    * source has few splits (a single parquet row group reads as one
+    * partition). One cheap round-robin shuffle of the raw rows buys
+    * cluster-wide fan-out; skipped when the scan is already parallel
+    * enough (the 100 TB case — thousands of row groups). */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+
   /** Exact dedup by content fingerprint: one row per distinct normalized
     * text, keeping the smallest id. Output: idCol, fingerprint, n_copies. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -23,32 +33,41 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
       .select(col(idCol), col("fingerprint"), col("n_copies"))
 
-  /** Word n-gram shingles of the normalized text, one row per
-    * (id, shingle), deduplicated per document (set semantics). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  /** Word n-gram shingle array of the normalized text (may repeat;
+    * consumers needing set semantics dedupe or are order/dup-invariant
+    * like min). Shingle i = tokens[i..i+n-1] joined by ' ' — built with
+    * native higher-order functions (transform/slice), fully codegen'd.
+    * Docs shorter than n tokens yield an empty array. */
+  def shingleArray(textCol: String, n: Int): Column = {
     val toks = TextOps.tokens(col(textCol))
-    // shingle i = tokens[i..i+n-1] joined by ' ' — built with native
-    // higher-order functions (transform/slice), fully codegen'd. Docs
-    // shorter than n tokens yield no shingles (empty sequence).
     val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
       .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
-    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+    transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))
   }
+
+  /** One row per (id, shingle), deduplicated per document. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol), explode(shingleArray(textCol, n)).as("shingle")).distinct()
 
   /** MinHash signatures: numHashes md5-derived min-hashes per document.
     * Hash j of shingle s is md5("j:" + s); the signature component is the
-    * lexicographic min — string min is engine-portable, and min() has a
-    * map-side partial aggregate so the shuffle carries one row per
-    * (doc, j), not per shingle. Output: idCol, h0..h{numHashes-1}. */
+    * lexicographic min — string min is engine-portable. Computed by the
+    * native MinHashSigExpr (codegen, see functions/HashExprs.scala): one
+    * map-side pass over the shingle array, no explode, no shuffle at all.
+    * Output: idCol, h0..h{numHashes-1}. */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
-    val mins = (0 until numHashes).map { j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")
-    }
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    val sig = graft.functions.HashExprs
+      .minhashSig(shingleArray(textCol, shingleSize), numHashes)
+    // explode(array(sig)) is a generator barrier: the signature expression
+    // is evaluated exactly once per row, and the h_j extractions reference
+    // the generator's output attribute. Without it, projection collapsing
+    // would inline the (expensive) hash computation into every h_j.
+    fanOut(df).select(col(idCol), explode(array(sig)).as("__sig"))
+      .filter(size(col("__sig")) > 0) // docs too short for any shingle
+      .select(col(idCol) +:
+        (0 until numHashes).map(j => col("__sig")(j).as(s"h$j")): _*)
   }
 
   /** LSH candidate pairs: documents sharing any band signature.
@@ -86,25 +105,14 @@ object Dedup {
 
   /** SimHash (60-bit, sign-safe): per token, take 15 hex chars of md5 as
     * a 60-bit integer; each bit votes +1/-1; the fingerprint sets bits
-    * with positive vote sums. Expressed as explode(token) ×
-    * explode(bit) → two hash-partitioned aggregations. Output: idCol,
+    * with positive vote sums. Computed by the native SimHash60Expr
+    * (codegen, see functions/HashExprs.scala): a single map-side pass —
+    * no token explode, no 60× bit explosion, no shuffles. Output: idCol,
     * simhash (long). */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .select(col(idCol),
-        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
-    val bits = tok
-      .select(col(idCol), col("h"), explode(sequence(lit(0), lit(59))).as("b"))
-      .withColumn("vote",
-        when(expr("shiftright(h, CAST(b AS INT)) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("vote")).as("v"))
-    bits.groupBy(col(idCol))
-      .agg(sum(when(col("v") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-        .otherwise(0L)).as("simhash"))
-  }
+  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(df).select(col(idCol),
+      graft.functions.HashExprs.simhash60(TextOps.tokens(col(textCol)))
+        .as("simhash"))
 
   /** Hamming-banded SimHash near-dup candidates: split the 60 bits into
     * `numBands` chunks; docs sharing any chunk are candidates (catches

@@ -146,6 +146,25 @@ class OpsSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("native hash expressions match their md5 definitions") {
+    // md5 of "abc" is a published constant; pins HashImpl.md5Hex.
+    assert(graft.functions.HashImpl.md5Hex("abc".getBytes("UTF-8")) ==
+      "900150983cd24fb0d6963f7d28e17f72")
+    // simhash60 via SQL function == value computed from Spark's own md5
+    val df = Seq((1L, "the quick brown fox")).toDF("id", "text")
+    df.createOrReplaceTempView("hash_pin")
+    val viaExpr = spark.sql(
+      "SELECT simhash60(split(text, ' ')) AS s FROM hash_pin").head().getLong(0)
+    val viaSql = spark.sql(
+      """SELECT SUM(IF(v > 0, CAST(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) AS BIGINT), 0L)) FROM (
+        |  SELECT b, SUM(IF((shiftright(h, CAST(b AS INT)) & 1) = 1, 1, -1)) AS v FROM (
+        |    SELECT CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT) AS h
+        |    FROM (SELECT explode(split(text, ' ')) AS tok FROM hash_pin))
+        |  LATERAL VIEW explode(sequence(0, 59)) AS b GROUP BY b)""".stripMargin)
+      .head().getLong(0)
+    assert(viaExpr == viaSql)
+  }
+
   test("frame sampling picks evenly spaced indices") {
     val idx = spark.range(1).select(
       Multimodal.sampleFrameIndices(lit(100L), 4).as("f")).head()
