@@ -31,7 +31,8 @@ final class Materializer(wh: Warehouse) {
       case "view" =>
         wh.registerView(cfg.name, df); MaterializeResult(cfg.name, "view")
       case "table" =>
-        wh.writeVersion(cfg.name, df); MaterializeResult(cfg.name, "table")
+        wh.writeVersion(cfg.name, df, partitionCols(cfg))
+        MaterializeResult(cfg.name, "table")
       case "temp_table" =>
         // Session-scoped eager table: cache + force, like CREATE TEMP TABLE.
         val cached = df.cache()
@@ -64,7 +65,7 @@ final class Materializer(wh: Warehouse) {
   private def timeIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult = {
     val tc = cfg.timeColumn.get
     if (!wh.exists(cfg.name)) {
-      wh.writeVersion(cfg.name, df)
+      wh.writeVersion(cfg.name, df, partitionCols(cfg))
       advanceWatermark(cfg.name, tc, df)
       MaterializeResult(cfg.name, "incremental_time", status = "initial_load")
     } else {
@@ -173,6 +174,12 @@ final class Materializer(wh: Warehouse) {
       MaterializeResult(cfg.name, "cdc_scd2", status = "merged")
     }
   }
+
+  /** `-- config: partition_by=col1;col2` → directory-partitioned writes
+    * (prunable scans for downstream date/range filters at scale). */
+  private def partitionCols(cfg: ModelConfig): Seq[String] =
+    cfg.meta.get("partition_by").toSeq.flatMap(_.split(";")).map(_.trim)
+      .filter(_.nonEmpty)
 
   private def normalizeOp(df: DataFrame, opCol: String): DataFrame =
     if (df.columns.contains(opCol))

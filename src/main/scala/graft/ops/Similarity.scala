@@ -106,6 +106,73 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
   }
 
+  /** IVF-flat ANN: partition candidates into Voronoi cells around K
+    * centroids (deterministically seeded: lowest-id vectors, optionally
+    * refined by a few Lloyd iterations); queries probe only the nProbe
+    * nearest cells. The inverted-list scan is the 100 TB path: cell
+    * assignment is one broadcast-compare map pass, and a probe touches
+    * ~nProbe/K of the corpus instead of all of it.
+    */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      queryIdCol: String, candIdCol: String, vecCol: String,
+      k: Int, numCells: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2): DataFrame = {
+    val spark = candidates.sparkSession
+    val c = candidates.select(col(candIdCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("cv"))
+
+    // Seed centroids: lowest-id vectors (deterministic); refine with a
+    // few Lloyd iterations (mean of assigned vectors, computed
+    // distributed, collected — K vectors only — for broadcast).
+    var centroids: Array[(Int, List[Double])] = c
+      .orderBy(col("neighbor_id")).limit(numCells).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toList) }
+    for (_ <- 1 to lloydIters) {
+      val assigned = assignCells(c, centroids, "cv")
+      centroids = assigned.groupBy(col("cell"))
+        .agg(collect_list(col("cv")).as("vs"))
+        .collect().map { r =>
+          val vs = r.getSeq[scala.collection.Seq[Double]](1)
+          val dim = vs.head.length
+          val mean = (0 until dim).map(d => vs.map(_(d)).sum / vs.length).toList
+          (r.getInt(0), mean)
+        }.sortBy(_._1)
+    }
+
+    val cells = assignCells(c, centroids, "cv") // neighbor_id, cv, cell
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      asDouble(col(vecCol)).as("qv"))
+    val qCells = assignCells(q, centroids, "qv", topN = nProbe)
+
+    val scored = cells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
+  /** Assign each row's vector to its nearest centroid(s) by cosine.
+    * Centroids ride along as literal arrays (they are tiny), so this is a
+    * pure map stage. topN > 1 multi-probes. */
+  private def assignCells(
+      df: DataFrame, centroids: Array[(Int, List[Double])],
+      vc: String, topN: Int = 1): DataFrame = {
+    val scoredCells = array(centroids.map { case (i, vec) =>
+      val cvec = array(vec.map(lit): _*)
+      struct(cosine(col(vc), cvec).as("sim"), lit(i).as("cell"))
+    }: _*)
+    val top = reverse(array_sort(scoredCells))
+    if (topN == 1)
+      df.withColumn("cell", top.getItem(0).getField("cell"))
+    else
+      df.withColumn("cell",
+        explode(transform(slice(top, 1, topN), s => s.getField("cell"))))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to LSH-bucket collisions (the scalable formulation of
     * "all pairs with cosine > t"). */
