@@ -77,18 +77,39 @@ final class ModelRunner(
   }
 
   /** Run models (targets + transitive deps, or all) level-by-level. */
+  /** Run models level-by-level. With `continueOnError` (the reference's
+    * graceful-degradation posture — its executor logs failures and keeps
+    * going, executor.py:153-190), a failed model is recorded in state as
+    * a failure, its transitive dependents are skipped (their inputs are
+    * missing/stale), and every other model still runs. */
   def run(
       targets: Option[Seq[String]] = None,
       variables: Map[String, String] = Map.empty,
-      batchTs: String = "1970-01-01 00:00:00"): Seq[MaterializeResult] = {
+      batchTs: String = "1970-01-01 00:00:00",
+      continueOnError: Boolean = false): Seq[MaterializeResult] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    val g = graph
+    val skipped = scala.collection.mutable.Set.empty[String]
     try {
-      val levels = graph.executionOrder(targets)
+      val levels = g.executionOrder(targets)
       levels.flatMap { level =>
-        val runnable = level.filter(m => modelSql.contains(m) && modelCfg(m).enabled)
-        val futs = runnable.map(m => Future(executeModel(m, variables, batchTs)))
-        futs.map(f => Await.result(f, Duration.Inf))
+        val runnable = level.filter(m =>
+          modelSql.contains(m) && modelCfg(m).enabled && !skipped.contains(m))
+        val futs = runnable.map { m =>
+          Future(scala.util.Try(executeModel(m, variables, batchTs)).toEither
+            .left.map(e => (m, e)))
+        }
+        futs.map(f => Await.result(f, Duration.Inf)).flatMap {
+          case Right(r) => Some(r)
+          case Left((m, e)) if continueOnError =>
+            wh.state.markExecution(m, success = false,
+              java.time.Instant.now().toString)
+            skipped ++= g.allDependents(m) + m
+            Some(MaterializeResult(m, modelCfg(m).materialized,
+              status = s"failed: ${e.getMessage}"))
+          case Left((_, e)) => throw e
+        }
       }
     } finally pool.shutdown()
   }

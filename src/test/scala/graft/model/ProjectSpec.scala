@@ -1,0 +1,109 @@
+package graft.model
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSpec, Tables}
+
+class ProjectConfigSpec extends AnyFunSuite {
+
+  private def project(): java.nio.file.Path = {
+    val dir = Files.createTempDirectory("graft_cfg_")
+    val cfg = dir.resolve("config")
+    Files.createDirectories(cfg)
+    Files.writeString(cfg.resolve("profiles.yml"),
+      """default:
+        |  target: prod
+        |  outputs:
+        |    dev:
+        |      warehouse_dir: /tmp/dev_wh
+        |    prod:
+        |      warehouse_dir: ${GRAFT_WH:-/tmp/prod_wh}
+        |      secret: ${GRAFT_SECRET:-none}""".stripMargin)
+    Files.writeString(cfg.resolve("environments.yml"),
+      """dev:
+        |  vars:
+        |    min_price: "10"
+        |prod:
+        |  vars:
+        |    min_price: "1000"""".stripMargin)
+    Files.writeString(cfg.resolve("sources.yml"),
+      """sources:
+        |  - name: raw
+        |    path: /data/raw
+        |    tables:
+        |      - name: orders
+        |      - name: customers
+        |        identifier: cust_v2""".stripMargin)
+    dir
+  }
+
+  test("profiles load with target and env-var substitution defaults") {
+    val c = new ProjectConfig(project())
+    assert(c.currentTarget == "prod")
+    assert(c.connectionConfig() == Map(
+      "warehouse_dir" -> "/tmp/prod_wh", "secret" -> "none"))
+    assert(c.connectionConfig(Some("dev"))("warehouse_dir") == "/tmp/dev_wh")
+  }
+
+  test("env vars override defaults; missing without default throws") {
+    val c = new ProjectConfig(project(), env = Map("GRAFT_WH" -> "/mnt/wh"))
+    assert(c.connectionConfig()("warehouse_dir") == "/mnt/wh")
+    assertThrows[IllegalArgumentException](
+      c.substituteEnvVars("x: ${DEFINITELY_NOT_SET}"))
+  }
+
+  test("environment vars and source table mapping") {
+    val c = new ProjectConfig(project())
+    assert(c.environmentVars("prod") == Map("min_price" -> "1000"))
+    assert(c.environmentVars("dev") == Map("min_price" -> "10"))
+    assert(c.sourceTableMap == Map(
+      ("raw", "orders") -> "/data/raw/orders",
+      ("raw", "customers") -> "cust_v2"))
+  }
+
+  test("missing config files mean empty maps, not failures") {
+    val c = new ProjectConfig(Files.createTempDirectory("graft_empty_"))
+    assert(c.profiles.isEmpty && c.currentTarget == "dev")
+    assert(c.sourceTableMap.isEmpty)
+  }
+}
+
+class ResilienceSpec extends SparkSpec {
+
+  test("continueOnError records failure, skips dependents, runs the rest") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val state = StateStore(whDir + "/state")
+    val wh = new Warehouse(spark, whDir, state)
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+    runner.addModel("ok_model",
+      "-- config: materialized=table\nSELECT COUNT(*) AS n FROM {{ source('raw', 'orders') }}")
+    runner.addModel("broken",
+      "-- config: materialized=table\nSELECT no_such_column FROM {{ source('raw', 'orders') }}")
+    runner.addModel("downstream_of_broken",
+      "-- config: materialized=table\nSELECT * FROM {{ ref('broken') }}")
+
+    val results = runner.run(continueOnError = true)
+    val byName = results.map(r => r.modelName -> r.status).toMap
+    assert(byName("ok_model") == "success")
+    assert(byName("broken").startsWith("failed"))
+    assert(!byName.contains("downstream_of_broken")) // skipped
+    assert(state.get("broken").exists(_.failureCount == 1))
+    assert(wh.exists("ok_model"))
+
+    // fail-fast mode still throws
+    assertThrows[Exception](runner.run())
+  }
+
+  test("result formatter emits json, csv, and table") {
+    val df = Tables.load(spark, sfDir, "region")
+    val json = ResultFormatter.format(df, "json")
+    assert(json.startsWith("[{") && json.contains("\"r_name\""))
+    val csv = ResultFormatter.format(df, "csv")
+    assert(csv.linesIterator.next() == "r_regionkey,r_name")
+    assert(csv.linesIterator.size == 6) // header + 5 regions
+    val table = ResultFormatter.format(df, "table")
+    assert(table.contains("| r_name") && table.contains("ASIA"))
+    assertThrows[IllegalArgumentException](ResultFormatter.format(df, "xml"))
+  }
+}
