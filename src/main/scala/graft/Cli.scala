@@ -78,10 +78,14 @@ object Cli {
   }
 
   private def openProject(spark: SparkSession, dir: Path): (Warehouse, ModelRunner) = {
-    val whDir = dir.resolve("warehouse").toString
-    val state = StateStore(whDir + "/state")
+    val cfg = new ProjectConfig(dir)
+    // config/ may override the warehouse location and add source mappings;
+    // the testdata tables stay available under source('raw', ...).
+    val whDir = cfg.connectionConfig().get("warehouse_dir").map(_.toString)
+      .getOrElse(dir.resolve("warehouse").toString)
+    val state = StateStore(whDir + "/state", cfg.currentTarget)
     val wh = new Warehouse(spark, whDir, state)
-    val sources = Tables.names.map(t => ("raw", t) -> t).toMap
+    val sources = Tables.names.map(t => ("raw", t) -> t).toMap ++ cfg.sourceTableMap
     val runner = new ModelRunner(wh, sources)
     val modelsDir = dir.resolve("models")
     if (Files.isDirectory(modelsDir)) runner.addModelsFromDir(modelsDir)

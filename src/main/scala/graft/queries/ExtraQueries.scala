@@ -58,6 +58,32 @@ object ExtraQueries extends QueryModule {
       |  quantile_disc(l_quantity, 0.9) AS q90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ------------------------------------------------- A26: set operations
+  // INTERSECT/EXCEPT between customers who placed F-status orders and
+  // customers in the BUILDING segment.
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val fCust = Tables.load(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val bCust = Tables.load(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    fCust.intersect(bCust).withColumn("op", lit("both"))
+      .unionByName(fCust.except(bCust).withColumn("op", lit("f_only")))
+      .orderBy("op", "custkey")
+  }
+
+  private val qSetOpsSql =
+    """WITH f_cust AS (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+      |b_cust AS (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |SELECT custkey, op FROM (
+      |  SELECT custkey, 'both' AS op FROM (SELECT custkey FROM f_cust INTERSECT SELECT custkey FROM b_cust)
+      |  UNION ALL
+      |  SELECT custkey, 'f_only' AS op FROM (SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM b_cust))
+      |ORDER BY op, custkey""".stripMargin
+
   // ------------------------------------- A25: approx distinct (rows-only)
   // HLL sketches are engine-specific; the query returns approx + exact so
   // the spec can assert the error bound, and the driver rows-checks it.
@@ -73,11 +99,13 @@ object ExtraQueries extends QueryModule {
     "q_rollup" -> qRollup _,
     "q_cube" -> qCube _,
     "q_percentiles" -> qPercentiles _,
+    "q_set_ops" -> qSetOps _,
     "q_approx_distinct" -> qApproxDistinct _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
-    "q_percentiles" -> qPercentilesSql)
+    "q_percentiles" -> qPercentilesSql,
+    "q_set_ops" -> qSetOpsSql)
     // q_approx_distinct: rows-only (sketch internals are engine-specific)
 }

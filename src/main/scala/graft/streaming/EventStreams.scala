@@ -91,6 +91,15 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming exact dedup: drop events already seen within the
+    * watermark horizon, keyed by content identity — the streaming twin of
+    * Dedup.exact. State is bounded by the watermark (old keys age out),
+    * which is the only formulation that survives an unbounded stream. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicates(keyCols :+ "ts")
+
   /** Bridge a CDC change stream into the batch Materializer: every
     * micro-batch applies one distributed merge — the streaming path and
     * the batch path share the exact same merge semantics. */

@@ -75,6 +75,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expectClosed)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    // stage events twice (simulating at-least-once replay)
+    val dir = Files.createTempDirectory("graft_dup_src_").toString
+    val ev = Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+    ev.write.mode("overwrite").parquet(dir)
+    ev.write.mode("append").parquet(dir)
+
+    val q = dedupStream(eventStream(spark, dir), Seq("event_id")).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() == ev.count())
+  }
+
   test("cdc stream applies micro-batches through the shared materializer") {
     val whDir = Files.createTempDirectory("graft_wh_").toString
     val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
