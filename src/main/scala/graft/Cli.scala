@@ -57,6 +57,24 @@ object Cli {
           }
         case "deps" =>
           println(runner.graph.toDot)
+        case "lineage" =>
+          val model = rest.headOption.getOrElse(
+            sys.error("usage: lineage <model>"))
+          // Hydrate upstream relations (materialized versions where they
+          // exist, rendered views otherwise) so analysis can resolve refs.
+          runner.graph.executionOrder(Some(Seq(model))).flatten
+            .filter(m => m != model && runner.modelSqlMap.contains(m))
+            .foreach { m =>
+              if (wh.exists(m)) wh.refreshView(m)
+              else wh.registerView(m,
+                spark.sql(runner.render(m, dummyVars(runner, m))))
+            }
+          val df = spark.sql(runner.render(model, dummyVars(runner, model)))
+          Lineage.of(df).foreach { l =>
+            val fns = if (l.transformations.isEmpty) ""
+              else l.transformations.toSeq.sorted.mkString(" [", ", ", "]")
+            println(s"${l.column} <- ${l.sources.toSeq.sorted.mkString(", ")}$fns")
+          }
         case "validate" =>
           var ok = true
           runner.configMap.foreach { case (name, cfg) =>

@@ -19,8 +19,12 @@ object SparkEntry {
     CoreQueries.queries("q_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    modules.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = modules.flatMap(_.queries)
+    val dupes = all.groupBy(_._1).filter(_._2.size > 1).keys
+    require(dupes.isEmpty, s"duplicate query keys across modules: $dupes")
+    all.toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

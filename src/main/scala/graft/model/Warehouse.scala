@@ -1,6 +1,7 @@
 package graft.model
 
 import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession, SaveMode}
 
 /** Parquet-backed model storage with versioned directories and an atomic
@@ -71,6 +72,26 @@ final class Warehouse(
     * version. */
   def refreshView(model: String): Unit =
     read(model).createOrReplaceTempView(relation(model))
+
+  /** Drop version directories older than the newest `keep` (the pointer's
+    * version is always retained). Returns the number of versions removed.
+    * The production analogue of a retention-window vacuum. */
+  def vacuum(model: String, keep: Int = 1): Int = {
+    require(keep >= 1, "must keep at least the current version")
+    val current = currentVersion(model).getOrElse(return 0)
+    val modelDir = Paths.get(root, model)
+    if (!Files.isDirectory(modelDir)) return 0
+    val versions = Files.list(modelDir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("v\\d+"))
+      .map(p => p.getFileName.toString.drop(1).toLong)
+      .toSeq.sorted
+    val toDrop = versions.filter(_ <= current).dropRight(keep)
+    toDrop.foreach { v =>
+      val dir = versionDir(model, v)
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    toDrop.size
+  }
 
   /** Register a logical (lazy) view — the `view` materialization. */
   def registerView(model: String, df: DataFrame): Unit =

@@ -79,6 +79,32 @@ class MaterializerSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("empty batches are no-ops, not failures") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("em", materialized = "incremental",
+      incrementalStrategy = Some("unique_key"), uniqueKey = Some("id"))
+    val d1 = Seq((1, "a")).toDF("id", "v")
+    mat.materialize(cfg, d1)
+    mat.materialize(cfg, d1.filter(col("id") > 100)) // empty merge batch
+    assert(wh.read("em").count() == 1)
+
+    val cfg2 = ModelConfig("ec", materialized = "cdc", uniqueKey = Some("id"))
+    mat.materialize(cfg2, d1)
+    mat.materialize(cfg2, d1.filter(col("id") > 100))
+    assert(wh.read("ec").count() == 1)
+  }
+
+  test("vacuum drops old versions but keeps the current pointer") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("vt", materialized = "table")
+    (1 to 4).foreach(i => mat.materialize(cfg, Seq((i, "x")).toDF("id", "v")))
+    assert(wh.currentVersion("vt").contains(4L))
+    val dropped = wh.vacuum("vt", keep = 2)
+    assert(dropped == 2)
+    assert(wh.read("vt").head().getInt(0) == 4) // current still readable
+    assert(wh.vacuum("vt", keep = 2) == 0)      // idempotent
+  }
+
   test("unknown materialization and strategy are rejected") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val df = Seq((1, "a")).toDF("id", "v")
