@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, ExtraQueries, FrameworkQueries, LlmOpsQueries}
+import graft.queries.{CoreQueries, ExtraQueries, FrameworkQueries, LlmOpsQueries, TemporalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,7 +12,8 @@ import graft.queries.{CoreQueries, ExtraQueries, FrameworkQueries, LlmOpsQueries
 object SparkEntry {
 
   private val modules: Seq[QueryModule] = Seq(
-    CoreQueries, FrameworkQueries, LlmOpsQueries, ExtraQueries)
+    CoreQueries, FrameworkQueries, LlmOpsQueries, ExtraQueries,
+    TemporalQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
