@@ -16,10 +16,17 @@ import graft.model._
   */
 object FrameworkQueries extends QueryModule {
 
-  /** Fresh throwaway warehouse + runner with testdata sources mapped. */
+  /** Fresh throwaway warehouse + runner with testdata sources mapped.
+    * Prefers a RAM-backed tmpfs for the throwaway warehouse: these
+    * queries measure engine semantics (merge/retire/watermark logic),
+    * not the disk, and shared-disk contention would otherwise dominate
+    * the benchmark. */
   private def freshRunner(s: SparkSession, dir: String): (Warehouse, ModelRunner) = {
     Tables.registerAll(s, dir)
-    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val base = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
+      .map(java.nio.file.Paths.get(_))
+      .find(p => Files.isDirectory(p) && Files.isWritable(p)).get
+    val whDir = Files.createTempDirectory(base, "graft_wh_").toString
     val state = StateStore(whDir + "/state")
     val wh = new Warehouse(s, whDir, state)
     val sources = Tables.names.map(t => ("raw", t) -> t).toMap
