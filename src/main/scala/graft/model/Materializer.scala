@@ -31,7 +31,12 @@ final class Materializer(wh: Warehouse) {
       case "view" =>
         wh.registerView(cfg.name, df); MaterializeResult(cfg.name, "view")
       case "table" =>
-        wh.writeVersion(cfg.name, df, partitionCols(cfg))
+        // `-- config: sort_by=c1;c2` clusters files for min/max pruning.
+        val sorted = sortCols(cfg) match {
+          case Nil => df
+          case cols => df.sortWithinPartitions(cols.map(col): _*)
+        }
+        wh.writeVersion(cfg.name, sorted, partitionCols(cfg))
         MaterializeResult(cfg.name, "table")
       case "temp_table" =>
         // Session-scoped eager table: cache + force, like CREATE TEMP TABLE.
@@ -179,6 +184,10 @@ final class Materializer(wh: Warehouse) {
     * (prunable scans for downstream date/range filters at scale). */
   private def partitionCols(cfg: ModelConfig): Seq[String] =
     cfg.meta.get("partition_by").toSeq.flatMap(_.split(";")).map(_.trim)
+      .filter(_.nonEmpty)
+
+  private def sortCols(cfg: ModelConfig): Seq[String] =
+    cfg.meta.get("sort_by").toSeq.flatMap(_.split(";")).map(_.trim)
       .filter(_.nonEmpty)
 
   private def normalizeOp(df: DataFrame, opCol: String): DataFrame =

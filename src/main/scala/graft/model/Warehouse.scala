@@ -73,6 +73,26 @@ final class Warehouse(
   def refreshView(model: String): Unit =
     read(model).createOrReplaceTempView(relation(model))
 
+  /** Rewrite the current version into a new one with `targetFileCount`
+    * output files — the compaction pass that keeps append-heavy models
+    * (incremental time/append land one file per batch) from degrading
+    * into a small-file swamp. Optional sort columns give the rewrite
+    * clustering (better column locality + min/max pruning downstream).
+    */
+  def compact(
+      model: String,
+      targetFileCount: Int = 0,
+      sortBy: Seq[String] = Nil): Unit = {
+    val df0 = read(model)
+    val parts = if (targetFileCount > 0) targetFileCount
+      else math.max(1, spark.sparkContext.defaultParallelism / 4)
+    val df = if (sortBy.nonEmpty)
+      df0.repartition(parts).sortWithinPartitions(sortBy.map(
+        org.apache.spark.sql.functions.col): _*)
+    else df0.coalesce(parts)
+    writeVersion(model, df)
+  }
+
   /** Drop version directories older than the newest `keep` (the pointer's
     * version is always retained). Returns the number of versions removed.
     * The production analogue of a retention-window vacuum. */

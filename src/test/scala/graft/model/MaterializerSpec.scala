@@ -105,6 +105,35 @@ class MaterializerSpec extends SparkSpec {
     assert(wh.vacuum("vt", keep = 2) == 0)      // idempotent
   }
 
+  test("compaction collapses per-batch files without changing data") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("ap", materialized = "incremental",
+      incrementalStrategy = Some("append"))
+    (1 to 5).foreach { i =>
+      mat.materialize(cfg, Seq((i, s"v$i")).toDF("id", "v").repartition(2))
+    }
+    def files(model: String) =
+      new java.io.File(wh.currentPath(model).get).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    val before = files("ap")
+    assert(before >= 5) // one-plus file per appended batch
+    val dataBefore = wh.read("ap").as[(Int, String)].collect().toSet
+    wh.compact("ap", targetFileCount = 1, sortBy = Seq("id"))
+    assert(files("ap") == 1)
+    assert(wh.read("ap").as[(Int, String)].collect().toSet == dataBefore)
+    assert(wh.currentVersion("ap").contains(2L)) // compaction is a new version
+  }
+
+  test("sort_by config clusters table files") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("st", materialized = "table",
+      meta = Map("sort_by" -> "id"))
+    val df = Seq(3, 1, 2, 5, 4).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1)
+    mat.materialize(cfg, df)
+    val ids = wh.read("st").select("id").collect().map(_.getInt(0)).toSeq
+    assert(ids == ids.sorted)
+  }
+
   test("unknown materialization and strategy are rejected") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val df = Seq((1, "a")).toDF("id", "v")
