@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinHashSigExpr, SimHash60Expr}
+import graft.functions.{MinHashSigExpr, SimHash60Expr, TopKByScore}
 
 /** Session extensions registering graft's native Catalyst expressions as
   * SQL functions (usable from `spark.sql` text and via
@@ -35,6 +35,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig numHashes must be an integer literal, got $other")
         }
         MinHashSigExpr(args.head, n)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by_score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "topk_by_score(score, id, k) takes three arguments")
+        val k = args(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"topk_by_score k must be an integer literal, got $other")
+        }
+        TopKByScore(args(0), args(1), k).toAggregateExpression()
       }))
   }
 }

@@ -32,6 +32,30 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Per-query top-k of a scored candidate set via the custom bounded
+    * TopKByScore aggregate (functions/TopKAgg.scala): partial aggregation
+    * ships ≤ k rows per query through the shuffle, vs the window
+    * formulation shuffling every candidate. Output: query_id, rank,
+    * neighbor_id, cosine_sim — identical ordering/tie-break semantics
+    * ((score desc, id asc)) to Window+row_number. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        col("cosine_sim"), col("neighbor_id"), lit(k)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("neighbor_id"), col("e.score").as("cosine_sim"))
+
+  /** Window-based top-k — the formulation TopKByScore replaces; retained
+    * as the differential-testing twin. */
+  private[ops] def topKPerQueryWindow(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+  }
+
   /** Exact top-k neighbors by cosine for each query vector.
     *
     * @param queries    small DataFrame (queryIdCol, vecCol) — broadcast
@@ -49,11 +73,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p,
@@ -99,11 +119,7 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF-flat ANN: partition candidates into Voronoi cells around K
@@ -148,11 +164,7 @@ object Similarity {
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine_sim"))
+    topKPerQuery(scored, k)
   }
 
   /** Assign each row's vector to its nearest centroid(s) by cosine.

@@ -92,6 +92,29 @@ class OpsSpec extends SparkSpec {
     assert(recall > 0.2, s"recall=$recall")
   }
 
+  test("bounded top-k aggregate equals the window formulation exactly") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 8)
+    // public API now routes through TopKByScore; rebuild the scored set
+    // and compare against the retained window twin.
+    val viaAgg = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val scored = {
+      import org.apache.spark.sql.DataFrame
+      val qq = q.select($"vec_id".as("query_id"),
+        transform($"embedding", x => x.cast("double")).as("qv"))
+      val cc = e.select($"vec_id".as("neighbor_id"),
+        transform($"embedding", x => x.cast("double")).as("cv"))
+      cc.crossJoin(broadcast(qq))
+        .filter($"neighbor_id" =!= $"query_id")
+        .withColumn("cosine_sim", Similarity.cosine($"qv", $"cv"))
+    }
+    val viaWindow = Similarity.topKPerQueryWindow(scored, 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.nonEmpty)
+  }
+
   test("near-dup pairs by embedding cosine with bucket restriction") {
     val v = Array(1.0f, 0.0f, 0.0f)
     val df = Seq((0L, v), (1L, v.map(x => x * 2)), (2L, Array(0.0f, 1.0f, 0.0f)))
