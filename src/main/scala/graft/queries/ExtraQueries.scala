@@ -84,6 +84,94 @@ object ExtraQueries extends QueryModule {
       |  SELECT custkey, 'f_only' AS op FROM (SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM b_cust))
       |ORDER BY op, custkey""".stripMargin
 
+  // ------------------------------------------------- A27: pivot
+  // Orders count by year pivoted on status — Spark's relational pivot
+  // operator; the oracle states the same contract as conditional aggs.
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_year")
+
+  private val qPivotSql =
+    """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS "F",
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS "O",
+      |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
+      |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  // ------------------------------------------------- A28: window navigation
+  private def qWindowNav(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("o_orderkey"), 1).over(w).as("next_order"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qWindowNavSql =
+    """SELECT o_custkey, o_orderkey,
+      |  LAG(o_orderkey, 1) OVER w AS prev_order,
+      |  LEAD(o_orderkey, 1) OVER w AS next_order,
+      |  FIRST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+      |  LAST_VALUE(o_orderkey) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+      |FROM orders WHERE o_custkey < 50
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ------------------------------------------------- A29: string aggregation
+  // Sorted concat makes collect_list order-independent (required both for
+  // the oracle and for determinism under shuffles).
+  private def qStringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+
+  private val qStringAggSql =
+    """SELECT n_regionkey,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ------------------------------------------------- A30: RANGE window frame
+  // Exact 7-day trailing order count per customer (range frame over days).
+  private def qWindowRange(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_day"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < 50)
+      .withColumn("o_day",
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")))
+      .withColumn("orders_trailing_7d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_day"),
+        col("orders_trailing_7d"))
+      .orderBy("o_custkey", "o_day", "o_orderkey")
+  }
+
+  private val qWindowRangeSql =
+    """SELECT o_custkey, o_orderkey, o_day,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS orders_trailing_7d
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS o_day
+      |  FROM orders WHERE o_custkey < 50)
+      |ORDER BY o_custkey, o_day, o_orderkey""".stripMargin
+
   // ------------------------------------- A25: approx distinct (rows-only)
   // HLL sketches are engine-specific; the query returns approx + exact so
   // the spec can assert the error bound, and the driver rows-checks it.
@@ -100,12 +188,20 @@ object ExtraQueries extends QueryModule {
     "q_cube" -> qCube _,
     "q_percentiles" -> qPercentiles _,
     "q_set_ops" -> qSetOps _,
+    "q_pivot" -> qPivot _,
+    "q_window_nav" -> qWindowNav _,
+    "q_string_agg" -> qStringAgg _,
+    "q_window_range" -> qWindowRange _,
     "q_approx_distinct" -> qApproxDistinct _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
     "q_percentiles" -> qPercentilesSql,
-    "q_set_ops" -> qSetOpsSql)
+    "q_set_ops" -> qSetOpsSql,
+    "q_pivot" -> qPivotSql,
+    "q_window_nav" -> qWindowNavSql,
+    "q_string_agg" -> qStringAggSql,
+    "q_window_range" -> qWindowRangeSql)
     // q_approx_distinct: rows-only (sketch internals are engine-specific)
 }
