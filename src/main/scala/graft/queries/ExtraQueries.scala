@@ -84,6 +84,21 @@ object ExtraQueries extends QueryModule {
       |  SELECT custkey, 'f_only' AS op FROM (SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM b_cust))
       |ORDER BY op, custkey""".stripMargin
 
+  // ------------------------------------------------- A31: correlated subquery
+  // Orders 1.5x above their own customer's exact average — exercises
+  // Catalyst's subquery decorrelation (rewritten to an aggregate+join).
+  private val correlatedSql =
+    s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+       |WHERE o_totalprice > (
+       |  SELECT 1.5 * ${X.sqlAvg("o2.o_totalprice")}
+       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+       |ORDER BY o_orderkey""".stripMargin
+
+  private def qCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(correlatedSql)
+  }
+
   // ------------------------------------------------- A27: pivot
   // Orders count by year pivoted on status — Spark's relational pivot
   // operator; the oracle states the same contract as conditional aggs.
@@ -192,6 +207,7 @@ object ExtraQueries extends QueryModule {
     "q_window_nav" -> qWindowNav _,
     "q_string_agg" -> qStringAgg _,
     "q_window_range" -> qWindowRange _,
+    "q_correlated" -> qCorrelated _,
     "q_approx_distinct" -> qApproxDistinct _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -202,6 +218,7 @@ object ExtraQueries extends QueryModule {
     "q_pivot" -> qPivotSql,
     "q_window_nav" -> qWindowNavSql,
     "q_string_agg" -> qStringAggSql,
-    "q_window_range" -> qWindowRangeSql)
+    "q_window_range" -> qWindowRangeSql,
+    "q_correlated" -> correlatedSql)
     // q_approx_distinct: rows-only (sketch internals are engine-specific)
 }
