@@ -1,0 +1,5 @@
+-- config: materialized=table, sort_by=c_mktsegment
+-- tags: gold, orders
+SELECT c_mktsegment, COUNT(*) AS n_orders, SUM(o_totalprice) AS revenue
+FROM {{ ref('silver_cust_orders') }}
+GROUP BY c_mktsegment

@@ -42,9 +42,10 @@ object Cli {
       val (wh, runner) = openProject(spark, projectDir)
       command match {
         case "run" =>
-          val (models, vars) = parseRunArgs(rest)
-          val results = runner.run(
-            if (models.isEmpty) None else Some(models), vars)
+          val (models, vars, tag) = parseRunArgs(rest)
+          val targets = tag.map(runner.modelsByTag)
+            .orElse(if (models.isEmpty) None else Some(models))
+          val results = runner.run(targets, vars)
           results.foreach(r => println(s"${r.modelName}: ${r.materialization} ${r.status}"))
         case "plan" =>
           val p = Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph, wh.state)
@@ -110,13 +111,18 @@ object Cli {
     (wh, runner)
   }
 
-  private def parseRunArgs(rest: Seq[String]): (Seq[String], Map[String, String]) = {
-    val (varArgs, models) = rest.partition(_.startsWith("--var"))
+  private def parseRunArgs(
+      rest: Seq[String]): (Seq[String], Map[String, String], Option[String]) = {
     val vars = rest.sliding(2).collect {
       case Seq("--var", kv) if kv.contains("=") =>
         val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
-    (models.filterNot(_.contains("=")).filterNot(_ == "--var"), vars)
+    val tag = rest.sliding(2).collectFirst { case Seq("--tag", t) => t }
+    val models = rest.zipWithIndex.filter { case (a, i) =>
+      !a.startsWith("--") && a.nonEmpty && !a.contains("=") &&
+        (i == 0 || !rest(i - 1).startsWith("--"))
+    }.map(_._1)
+    (models, vars, tag)
   }
 
   private def dummyVars(runner: ModelRunner, name: String): Map[String, String] =

@@ -13,6 +13,7 @@ final case class ModelConfig(
     changeTypeColumn: String = "__cdc_operation",
     enabled: Boolean = true,
     dependsOn: Set[String] = Set.empty,
+    tags: Set[String] = Set.empty,
     meta: Map[String, String] = Map.empty) {
 
   def isIncremental: Boolean = materialized == "incremental"
@@ -38,6 +39,7 @@ object ModelConfig {
 
   private val ConfigLine = """(?m)^\s*--\s*config:\s*(.+?)\s*$""".r
   private val DependsLine = """(?m)^\s*--\s*depends_on:\s*(.+?)\s*$""".r
+  private val TagsLine = """(?m)^\s*--\s*tags:\s*(.+?)\s*$""".r
 
   /** Parse `-- config: key=value, key2=value2` and `-- depends_on: a, b`
     * comment headers out of a model's SQL text.
@@ -52,6 +54,8 @@ object ModelConfig {
       }
     }.toMap
     val deps: Set[String] = DependsLine.findAllMatchIn(sql)
+      .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    val tags: Set[String] = TagsLine.findAllMatchIn(sql)
       .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
 
     val known = Set("materialized", "incremental_strategy", "time_column",
@@ -68,6 +72,7 @@ object ModelConfig {
       changeTypeColumn = kvs.getOrElse("change_type_column", "__cdc_operation"),
       enabled = kvs.get("enabled").forall(_.toBoolean),
       dependsOn = deps,
+      tags = tags,
       meta = kvs.filterNot { case (k, _) => known.contains(k) })
   }
 }

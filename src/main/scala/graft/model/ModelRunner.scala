@@ -42,6 +42,10 @@ final class ModelRunner(
   def modelSqlMap: Map[String, String] = modelSql
   def configMap: Map[String, ModelConfig] = modelCfg
 
+  /** Models carrying a tag (model.py:get_models_by_tag). */
+  def modelsByTag(tag: String): Seq[String] =
+    modelCfg.collect { case (n, c) if c.tags.contains(tag) => n }.toSeq.sorted
+
   def graph: DependencyGraph = {
     val g = new DependencyGraph
     modelSql.foreach { case (name, sql) =>
