@@ -234,6 +234,18 @@ object LlmOpsQueries extends QueryModule {
        |  CAST('0x' || substr(md5($sqlNorm), 1, 15) AS BIGINT) AS fingerprint60
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- C21: deterministic sampling
+  private def qSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.deterministicSample(docs(s, dir), "doc_id", 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("source")
+
+  private val qSampleSql =
+    """SELECT source, COUNT(*) AS n_sampled FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+      |GROUP BY source ORDER BY source""".stripMargin
+
   // ------------------------------------------------- C11: multimodal meta
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val withPayload = docs(s, dir)
@@ -258,6 +270,7 @@ object LlmOpsQueries extends QueryModule {
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
     "q_fingerprint" -> qFingerprint _,
+    "q_sample" -> qSample _,
     "q_multimodal_meta" -> qMultimodalMeta _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -270,6 +283,7 @@ object LlmOpsQueries extends QueryModule {
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
+    "q_sample" -> qSampleSql,
     "q_multimodal_meta" -> qMultimodalMetaSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }

@@ -66,6 +66,26 @@ class ScaleOpsSpec extends SparkSpec {
       Sources.read(spark, "/tmp/x", "avro", Some(ev.schema)))
   }
 
+  test("deterministic sampling is reproducible, nested, and roughly sized") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val s10 = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10again = Sampling.deterministicSample(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s30 = Sampling.deterministicSample(docs, "doc_id", 30)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s10 == s10again)          // reproducible
+    assert(s10.subsetOf(s30))        // nested
+    val n = docs.count().toDouble
+    assert(math.abs(s10.size / n - 0.10) < 0.05)
+    assert(math.abs(s30.size / n - 0.30) < 0.07)
+
+    val strat = Sampling.deterministicStratified(docs, "doc_id", "lang",
+      Map("en" -> 50, "de" -> 10))
+    val langs = strat.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "de"))) // unlisted strata dropped
+  }
+
   test("partition_by config produces directory-partitioned model tables") {
     import graft.model._
     val whDir = Files.createTempDirectory("graft_wh_").toString
