@@ -84,6 +84,50 @@ object ExtraQueries extends QueryModule {
       |  SELECT custkey, 'f_only' AS op FROM (SELECT custkey FROM f_cust EXCEPT SELECT custkey FROM b_cust))
       |ORDER BY op, custkey""".stripMargin
 
+  // ------------------------------------------------- A32: bag set operations
+  // EXCEPT ALL keeps multiplicity: lineitem suppkeys minus one occurrence
+  // per matching orders-derived key.
+  private def qSetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 200)
+      .select(col("l_suppkey").as("k"))
+    val b = Tables.load(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+      .select(col("l_suppkey").as("k"))
+    a.exceptAll(b).groupBy(col("k")).agg(count(lit(1)).as("n")).orderBy("k")
+  }
+
+  private val qSetOpsAllSql =
+    """SELECT k, COUNT(*) AS n FROM (
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 200
+      |  EXCEPT ALL
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_orderkey < 100)
+      |GROUP BY k ORDER BY k""".stripMargin
+
+  // ------------------------------------------------- A33: null-safe equality
+  // Join lag-derived nullable keys with <=> (IS NOT DISTINCT FROM):
+  // null <=> null is TRUE, unlike plain equality.
+  private def qNullSafe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+    // count transitions, treating the leading null as its own category
+    ev.groupBy(col("event_type"), col("prev_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("prev_type").isNull <=> lit(true) ||
+        col("prev_type") === col("event_type"))
+      .orderBy(col("event_type"), col("prev_type").asc_nulls_first)
+  }
+
+  private val qNullSafeSql =
+    """SELECT event_type, prev_type, COUNT(*) AS n FROM (
+      |  SELECT event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |GROUP BY event_type, prev_type
+      |HAVING (prev_type IS NULL) IS NOT DISTINCT FROM TRUE
+      |    OR prev_type = event_type
+      |ORDER BY event_type, prev_type ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------- A31: correlated subquery
   // Orders 1.5x above their own customer's exact average — exercises
   // Catalyst's subquery decorrelation (rewritten to an aggregate+join).
@@ -208,6 +252,8 @@ object ExtraQueries extends QueryModule {
     "q_string_agg" -> qStringAgg _,
     "q_window_range" -> qWindowRange _,
     "q_correlated" -> qCorrelated _,
+    "q_set_ops_all" -> qSetOpsAll _,
+    "q_null_safe" -> qNullSafe _,
     "q_approx_distinct" -> qApproxDistinct _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -219,6 +265,8 @@ object ExtraQueries extends QueryModule {
     "q_window_nav" -> qWindowNavSql,
     "q_string_agg" -> qStringAggSql,
     "q_window_range" -> qWindowRangeSql,
-    "q_correlated" -> correlatedSql)
+    "q_correlated" -> correlatedSql,
+    "q_set_ops_all" -> qSetOpsAllSql,
+    "q_null_safe" -> qNullSafeSql)
     // q_approx_distinct: rows-only (sketch internals are engine-specific)
 }
