@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries.CoreQueries
+
+/** Mechanical plan-shape invariants: the performance properties PERF_NOTES
+  * claims are asserted here so a regression (lost pushdown, broadcast
+  * degrading to shuffle join, an operator growing an extra exchange)
+  * fails CI instead of silently shipping.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def exchanges(p: String): Int =
+    "(?m)^.*Exchange".r.findAllIn(p).size
+
+  test("q_filter_project pushes filters and prunes columns at the scan") {
+    val p = plan(CoreQueries.queries("q_filter_project")(spark, sfDir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("PushedFilters: [IsNotNull(l_quantity)"))
+    // projection pruning: untouched columns never leave the scan
+    assert(!p.contains("l_returnflag"))
+    assert(!p.contains("l_comment"))
+  }
+
+  test("q_join_agg broadcasts the filtered dimension side") {
+    val p = plan(CoreQueries.queries("q_join_agg")(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q_multi_join keeps all dimension joins broadcast") {
+    val p = plan(CoreQueries.queries("q_multi_join")(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("simhash plan never key-shuffles (round-robin fan-out only)") {
+    val df = ops.Dedup.simHash(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text")
+    val p = plan(df)
+    assert(exchanges(p) <= 1, p)           // at most the adaptive fan-out
+    assert(!p.contains("hashpartitioning"), p) // and it is never a key shuffle
+  }
+
+  test("minhash signatures never key-shuffle (round-robin fan-out only)") {
+    val df = ops.Dedup.minHashSignatures(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3, 8)
+    val p = plan(df)
+    assert(exchanges(p) <= 1, p)
+    assert(!p.contains("hashpartitioning"), p)
+  }
+
+  test("bounded top-k runs as partial + final object aggregate") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val df = ops.Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < 3), e, "vec_id", "vec_id", "embedding", 5)
+    val p = plan(df)
+    assert(p.contains("topk_by_score"))
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2 ||
+      "SortAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
+
+  test("exact aggregation combines map-side before its shuffle") {
+    val p = plan(CoreQueries.queries("q_agg")(spark, sfDir))
+    assert(p.contains("partial_sum"), p) // partial aggregate below the exchange
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    // exactly one key shuffle (agg) + one range exchange (final sort)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+}
