@@ -66,13 +66,19 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame,
       queryIdCol: String, candIdCol: String, vecCol: String,
       k: Int): DataFrame = {
+    // Norms are precomputed once per row (numerically identical to
+    // inlining them: same expression tree per value), so each of the
+    // N x Q pair evaluations folds one array, not three.
     val q = queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val c = candidates.select(col(candIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -113,12 +119,15 @@ object Similarity {
     val qb = lshBuckets(
       queries.select(col(queryIdCol).as("query_id"), col(vecCol)), vecCol, numPlanes)
       .select(col("query_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
+      .withColumn("qn", norm(col("qv")))
     val cb = lshBuckets(
       candidates.select(col(candIdCol).as("neighbor_id"), col(vecCol)), vecCol, numPlanes)
       .select(col("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("bucket"))
+      .withColumn("cn", norm(col("cv")))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -137,6 +146,7 @@ object Similarity {
     val spark = candidates.sparkSession
     val c = candidates.select(col(candIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", norm(col("cv")))
 
     // Seed centroids: lowest-id vectors (deterministic); refine with a
     // few Lloyd iterations (mean of assigned vectors, computed
@@ -159,11 +169,13 @@ object Similarity {
     val cells = assignCells(c, centroids, "cv") // neighbor_id, cv, cell
     val q = queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
     val qCells = assignCells(q, centroids, "qv", topN = nProbe)
 
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("qv"), col("cv")))
+      .withColumn("cosine_sim",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k)
   }
 
