@@ -246,6 +246,62 @@ object LlmOpsQueries extends QueryModule {
       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------------------- C22: vocabulary build
+  // Token frequency table (the first step of tokenizer training):
+  // explode -> hash-partitioned count -> global top-100 with
+  // deterministic tie-break.
+  private def qVocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(100)
+
+  private val qVocabSql =
+    s"""SELECT tok, COUNT(*) AS n FROM (
+       |  SELECT UNNEST($sqlToks) AS tok FROM documents)
+       |WHERE len(tok) > 0
+       |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin
+
+  // ------------------------------------------------- C23: n-gram LM counts
+  // Bigram counts with conditional probability (per-row exact division).
+  private def qNgramCounts(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(explode(Dedup.shingleArray("text", 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+    val firsts = docs(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w1"))
+      .filter(length(col("w1")) > 0)
+      .groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    grams
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .join(firsts, Seq("w1"))
+      .withColumn("cond_p", col("n").cast("double") / col("n1").cast("double"))
+      .filter(col("n") >= 20)
+      .select(col("bigram"), col("n"), col("cond_p"))
+      .orderBy(col("n").desc, col("bigram"))
+  }
+
+  private val qNgramCountsSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |grams AS (
+       |  SELECT g AS bigram, COUNT(*) AS n FROM (
+       |    SELECT UNNEST([array_to_string(toks[i:i+1], ' ')
+       |      for i in range(1, len(toks))]) AS g
+       |    FROM norm WHERE len(toks) >= 2)
+       |  GROUP BY g),
+       |firsts AS (
+       |  SELECT tok AS w1, COUNT(*) AS n1 FROM (
+       |    SELECT UNNEST(toks) AS tok FROM norm)
+       |  WHERE len(tok) > 0 GROUP BY tok)
+       |SELECT bigram, CAST(n AS BIGINT) AS n,
+       |  CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE) AS cond_p
+       |FROM grams JOIN firsts ON string_split(bigram, ' ')[1] = w1
+       |WHERE n >= 20
+       |ORDER BY n DESC, bigram""".stripMargin
+
   // ------------------------------------------------- C11: multimodal meta
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame = {
     val withPayload = docs(s, dir)
@@ -271,6 +327,8 @@ object LlmOpsQueries extends QueryModule {
     "q_lang_id" -> qLangId _,
     "q_fingerprint" -> qFingerprint _,
     "q_sample" -> qSample _,
+    "q_vocab" -> qVocab _,
+    "q_ngram_counts" -> qNgramCounts _,
     "q_multimodal_meta" -> qMultimodalMeta _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -284,6 +342,8 @@ object LlmOpsQueries extends QueryModule {
     "q_lang_id" -> qLangIdSql,
     "q_fingerprint" -> qFingerprintSql,
     "q_sample" -> qSampleSql,
+    "q_vocab" -> qVocabSql,
+    "q_ngram_counts" -> qNgramCountsSql,
     "q_multimodal_meta" -> qMultimodalMetaSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }
