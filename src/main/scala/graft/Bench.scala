@@ -16,7 +16,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => () }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Optional args: query names to bench (default: all).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
+    val ordered = selected.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

@@ -70,14 +70,44 @@ object Dedup {
         (0 until numHashes).map(j => col("__sig")(j).as(s"h$j")): _*)
   }
 
+  /** Bound LSH bucket sizes before a bucket-keyed self-join. On real web
+    * corpora one degenerate bucket (empty-ish/boilerplate docs sharing a
+    * signature) turns the self-join quadratic — a bucket of B rows emits
+    * B² pairs, and at 100 TB a single hot bucket emits trillions. Rows in
+    * buckets larger than `maxBucketSize` are dropped before the join
+    * (standard web-dedup practice: such buckets are near-certain
+    * boilerplate, handled by exact dedup instead). The count is a window
+    * aggregate partitioned on the bucket key — the same hash partitioning
+    * the join needs, so AQE reuses the exchange. Use [[hotBuckets]] to
+    * surface what was dropped. */
+  def boundBuckets(
+      banded: DataFrame, bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy(bucketKeys.map(col): _*)
+    banded.withColumn("__bucket_n", count(lit(1)).over(w))
+      .filter(col("__bucket_n") <= maxBucketSize)
+      .drop("__bucket_n")
+  }
+
+  /** Monitoring companion to [[boundBuckets]]: one row per dropped (hot)
+    * bucket with its size, largest first. */
+  def hotBuckets(
+      banded: DataFrame, bucketKeys: Seq[String], maxBucketSize: Int): DataFrame =
+    banded.groupBy(bucketKeys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucketSize)
+      .orderBy(col("bucket_n").desc)
+
   /** LSH candidate pairs: documents sharing any band signature.
     * Bands are concatenations of `bandSize` consecutive signature
     * components; a self-join per band keyed on the band value yields the
     * candidates (a < b). The join is hash-partitioned on the band value —
-    * work is proportional to bucket sizes, never N². */
+    * work is proportional to bucket sizes, never N². `maxBucketSize`
+    * bounds the per-bucket fan-out (see [[boundBuckets]]); pass
+    * Int.MaxValue for exhaustive candidates. */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
-      numHashes: Int, bandSize: Int): DataFrame = {
+      numHashes: Int, bandSize: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
     val bandCols = (0 until numBands).map { b =>
@@ -85,9 +115,12 @@ object Dedup {
         concat_ws("|", (0 until bandSize).map(k => col(s"h${b * bandSize + k}")): _*)
           .as("sig"))
     }
-    val banded = signatures
+    val banded0 = signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.sig"))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else boundBuckets(banded0, Seq("band_id", "sig"), maxBucketSize)
     val left = banded.select(col("band_id"), col("sig"), col(idCol).as("a"))
     val right = banded.select(col("band_id"), col("sig"), col(idCol).as("b"))
     left.join(right, Seq("band_id", "sig"))
@@ -98,10 +131,11 @@ object Dedup {
   /** End-to-end MinHash LSH near-dup candidates. */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
     lshCandidatePairs(
       minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
-      idCol, numHashes, bandSize)
+      idCol, numHashes, bandSize, maxBucketSize)
 
   /** SimHash (60-bit, sign-safe): per token, take 15 hex chars of md5 as
     * a 60-bit integer; each bit votes +1/-1; the fingerprint sets bits
@@ -116,16 +150,22 @@ object Dedup {
 
   /** Hamming-banded SimHash near-dup candidates: split the 60 bits into
     * `numBands` chunks; docs sharing any chunk are candidates (catches
-    * all pairs with hamming distance < numBands). */
-  def simHashCandidates(sims: DataFrame, idCol: String, numBands: Int = 4): DataFrame = {
+    * all pairs with hamming distance < numBands). `maxBucketSize` bounds
+    * per-bucket fan-out as in [[boundBuckets]]. */
+  def simHashCandidates(
+      sims: DataFrame, idCol: String, numBands: Int = 4,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val chunkBits = 60 / numBands
     val mask = (1L << chunkBits) - 1
     val chunks = (0 until numBands).map { b =>
       struct(lit(b).as("band_id"),
         shiftright(col("simhash"), b * chunkBits).bitwiseAND(mask).as("sig"))
     }
-    val banded = sims.select(col(idCol), explode(array(chunks: _*)).as("c"))
+    val banded0 = sims.select(col(idCol), explode(array(chunks: _*)).as("c"))
       .select(col(idCol), col("c.band_id"), col("c.sig"))
+    val banded =
+      if (maxBucketSize == Int.MaxValue) banded0
+      else boundBuckets(banded0, Seq("band_id", "sig"), maxBucketSize)
     banded.as("l").join(banded.as("r"), Seq("band_id", "sig"))
       .filter(col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()

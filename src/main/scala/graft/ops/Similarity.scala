@@ -95,39 +95,72 @@ object Similarity {
     * hyperplane. Cosine-similar vectors collide with high probability.
     * Output: original columns + `bucket` (long, numPlanes bits). */
   def lshBuckets(
-      df: DataFrame, vecCol: String, numPlanes: Int = 12): DataFrame = {
-    val v = asDouble(col(vecCol))
+      df: DataFrame, vecCol: String, numPlanes: Int = 12): DataFrame =
+    df.withColumn("bucket", planeSignature(col(vecCol), 0, numPlanes))
+
+  /** numPlanes sign-bits of the projection onto the planes of plane-set
+    * `band` (plane indices are namespaced by band so every band uses an
+    * independent set of hyperplanes). */
+  private def planeSignature(vec: Column, band: Int, numPlanes: Int): Column = {
+    val v = asDouble(vec)
     // projection_p = sum_d v[d] * plane(p, d): a fold over
     // (value, dim-index) pairs via zip_with against the dim-index array.
     val dims = sequence(lit(0), size(v) - 1)
-    val bucket = (0 until numPlanes).map { p =>
+    (0 until numPlanes).map { p =>
       val proj = aggregate(
-        zip_with(v, dims, (x, d) => x * planeComponent(p, d)),
+        zip_with(v, dims, (x, d) => x * planeComponent(band * numPlanes + p, d)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
-    df.withColumn("bucket", bucket)
   }
 
-  /** Bucketed ANN: probe only candidates sharing the query's LSH bucket,
-    * then rank within the (much smaller) collision set. Recall is tuned
-    * by numPlanes (fewer planes → bigger buckets → higher recall). */
+  /** Multi-band hyperplane LSH (the MinHash-banding structure applied to
+    * hyperplane signatures): `numBands` independent plane-sets of
+    * `planesPerBand` planes each. A vector lands in one bucket per band —
+    * output is exploded to one row per (band_id, bucket). Bucket space is
+    * numBands·2^planesPerBand and grows with planesPerBand (pruning),
+    * while recall is recovered by matching in ANY band (numBands knobs),
+    * instead of a single fixed 2^8 space. */
+  def lshBandBuckets(
+      df: DataFrame, vecCol: String,
+      numBands: Int, planesPerBand: Int): DataFrame = {
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band_id"),
+        planeSignature(col(vecCol), b, planesPerBand).as("bucket"))
+    }
+    df.select(col("*"), explode(array(bands: _*)).as("__band"))
+      .select(col("*"), col("__band.band_id"), col("__band.bucket"))
+      .drop("__band")
+  }
+
+  /** Bucketed ANN: probe only candidates sharing one of the query's LSH
+    * band buckets, then rank within the (much smaller) collision set.
+    * planesPerBand controls pruning (bucket count 2^b per band); numBands
+    * controls recall (a true neighbor is found if it collides in ANY
+    * band). A pair colliding in several bands is deduplicated before
+    * scoring. */
   def lshTopK(
       queries: DataFrame, candidates: DataFrame,
       queryIdCol: String, candIdCol: String, vecCol: String,
-      k: Int, numPlanes: Int = 8): DataFrame = {
-    val qb = lshBuckets(
-      queries.select(col(queryIdCol).as("query_id"), col(vecCol)), vecCol, numPlanes)
-      .select(col("query_id"), asDouble(col(vecCol)).as("qv"), col("bucket"))
+      k: Int, numBands: Int = 4, planesPerBand: Int = 8): DataFrame = {
+    val qb = lshBandBuckets(
+      queries.select(col(queryIdCol).as("query_id"), col(vecCol)),
+      vecCol, numBands, planesPerBand)
+      .select(col("query_id"), asDouble(col(vecCol)).as("qv"),
+        col("band_id"), col("bucket"))
       .withColumn("qn", norm(col("qv")))
-    val cb = lshBuckets(
-      candidates.select(col(candIdCol).as("neighbor_id"), col(vecCol)), vecCol, numPlanes)
-      .select(col("neighbor_id"), asDouble(col(vecCol)).as("cv"), col("bucket"))
+    val cb = lshBandBuckets(
+      candidates.select(col(candIdCol).as("neighbor_id"), col(vecCol)),
+      vecCol, numBands, planesPerBand)
+      .select(col("neighbor_id"), asDouble(col(vecCol)).as("cv"),
+        col("band_id"), col("bucket"))
       .withColumn("cn", norm(col("cv")))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
+    val collided = cb.join(broadcast(qb), Seq("band_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim",
-        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      // same pair via several bands → score once
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = collided.withColumn("cosine_sim",
+      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     topKPerQuery(scored, k)
   }
 
@@ -149,21 +182,27 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
 
     // Seed centroids: lowest-id vectors (deterministic); refine with a
-    // few Lloyd iterations (mean of assigned vectors, computed
-    // distributed, collected — K vectors only — for broadcast).
+    // few Lloyd iterations. The mean of each cell is computed fully
+    // distributed — posexplode to (cell, dim, value), partial-aggregated
+    // sums per (cell, dim) — so the driver only ever receives K×dim
+    // scalars (the centroids themselves), never candidate vectors.
     var centroids: Array[(Int, List[Double])] = c
       .orderBy(col("neighbor_id")).limit(numCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toList) }
     for (_ <- 1 to lloydIters) {
       val assigned = assignCells(c, centroids, "cv")
-      centroids = assigned.groupBy(col("cell"))
-        .agg(collect_list(col("cv")).as("vs"))
-        .collect().map { r =>
-          val vs = r.getSeq[scala.collection.Seq[Double]](1)
-          val dim = vs.head.length
-          val mean = (0 until dim).map(d => vs.map(_(d)).sum / vs.length).toList
-          (r.getInt(0), mean)
-        }.sortBy(_._1)
+      val means = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(map_from_arrays(
+          collect_list(col("dim")), collect_list(col("m"))).as("mm"))
+        .collect()
+      centroids = means.map { r =>
+        val mm = r.getMap[Int, Double](1)
+        (r.getInt(0), (0 until mm.size).map(mm).toList)
+      }.sortBy(_._1)
     }
 
     val cells = assignCells(c, centroids, "cv") // neighbor_id, cv, cell
@@ -198,19 +237,31 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * restricted to LSH-bucket collisions (the scalable formulation of
-    * "all pairs with cosine > t"). */
+    * restricted to multi-band LSH-bucket collisions (the scalable
+    * formulation of "all pairs with cosine > t"). planesPerBand sets the
+    * per-band bucket count (2^b — pruning grows with it), numBands sets
+    * recall, and maxBucketSize bounds the per-bucket self-join fan-out so
+    * one degenerate bucket (e.g. a spike of near-zero vectors) can't go
+    * quadratic (see [[Dedup.boundBuckets]]). */
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numPlanes: Int = 8): DataFrame = {
-    val b = lshBuckets(df.select(col(idCol), col(vecCol)), vecCol, numPlanes)
-      .select(col(idCol), asDouble(col(vecCol)).as("v"), col("bucket"))
-    b.select(col("bucket"), col(idCol).as("a"), col("v").as("va"))
-      .join(b.select(col("bucket"), col(idCol).as("b"), col("v").as("vb")),
-        Seq("bucket"))
+      threshold: Double, numBands: Int = 4, planesPerBand: Int = 8,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val b0 = lshBandBuckets(df.select(col(idCol), col(vecCol)),
+      vecCol, numBands, planesPerBand)
+      .select(col(idCol), asDouble(col(vecCol)).as("v"),
+        col("band_id"), col("bucket"))
+    val b =
+      if (maxBucketSize == Int.MaxValue) b0
+      else Dedup.boundBuckets(b0, Seq("band_id", "bucket"), maxBucketSize)
+    b.select(col("band_id"), col("bucket"), col(idCol).as("a"), col("v").as("va"))
+      .join(
+        b.select(col("band_id"), col("bucket"), col(idCol).as("b"), col("v").as("vb")),
+        Seq("band_id", "bucket"))
       .filter(col("a") < col("b"))
+      .dropDuplicates("a", "b") // same pair via several bands → score once
       .withColumn("cosine_sim", cosine(col("va"), col("vb")))
       .filter(col("cosine_sim") > threshold)
-      .select(col("a"), col("b"), col("cosine_sim")).distinct()
+      .select(col("a"), col("b"), col("cosine_sim"))
   }
 }

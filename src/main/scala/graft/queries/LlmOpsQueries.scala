@@ -144,7 +144,7 @@ object LlmOpsQueries extends QueryModule {
     val e = embs(s, dir)
     Similarity.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
-      k = 10, numPlanes = 6)
+      k = 10, numBands = 2, planesPerBand = 3)
       .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
         col("cosine_sim"))
       .orderBy("query_id", "rnk")

@@ -1,0 +1,285 @@
+package graft.queries
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{QueryModule, Tables}
+import graft.model.{Materializer, ModelConfig, StateStore, Warehouse}
+import graft.ops.{Dedup, Sampling, Similarity, Skew}
+import graft.sources.Sources
+import graft.streaming.EventStreams
+
+/** Scale-path operators promoted into driver-checkable queries
+  * (SURVEY.md §2 C13–C15, C12/C17, C21 stratified, B21, B22): bucket-capped
+  * LSH dedup, IVF ANN, embedding near-dup pairs, skew-salted joins,
+  * stratified sampling, Structured Streaming sessionization, CSV source
+  * round-trip, and partition-pruned model reads.
+  *
+  * Each oracle re-derives the full value-level semantics in DuckDB
+  * (including the md5-derived hyperplanes of the vector LSH), so the
+  * driver's hash compare pins behavior, not just row counts.
+  */
+object ScaleQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** RAM-backed scratch dir (see FrameworkQueries: these queries measure
+    * engine semantics, not shared-disk contention). */
+  private def scratchDir(prefix: String): String = {
+    val base = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
+      .map(java.nio.file.Paths.get(_))
+      .find(p => Files.isDirectory(p) && Files.isWritable(p)).get
+    Files.createTempDirectory(base, prefix).toString
+  }
+
+  // DuckDB twins of TextOps.normalized / tokens (see LlmOpsQueries).
+  private val sqlNorm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private val sqlToks = s"string_split($sqlNorm, ' ')"
+
+  // ------------------------------------ C2 (capped): bounded-bucket LSH
+  // Same pipeline as q_dedup_minhash with maxBucketSize=2: the 100 TB
+  // formulation where degenerate (boilerplate) buckets are dropped before
+  // the band self-join instead of going quadratic.
+  private val ShingleN = 3
+  private val NumHashes = 8
+  private val BandSize = 2
+  private val MaxBucket = 2
+
+  private def qDedupMinhashCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(docs(s, dir), "doc_id", "text",
+      ShingleN, NumHashes, BandSize, maxBucketSize = MaxBucket)
+      .orderBy("a", "b")
+
+  private val qDedupMinhashCappedSql = {
+    val minhashes = (0 until NumHashes)
+      .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val sig = (0 until BandSize).map(k => s"h${b * BandSize + k}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${ShingleN - 1}], ' ')
+       |      for i in range(1, len(toks) - ${ShingleN - 2})]) AS s
+       |    FROM norm WHERE len(toks) >= $ShingleN)),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $minhashes
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |bounded AS (
+       |  SELECT doc_id, band_id, sig FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_id, sig) <= $MaxBucket)
+       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |FROM bounded l JOIN bounded r ON l.band_id = r.band_id AND l.sig = r.sig
+       |WHERE l.doc_id < r.doc_id
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // --------------------------------------------- C15: IVF ANN (rows-only)
+  // Cell assignment / Lloyd refinement is engine-internal (floating-point
+  // centroid means), so like q_ann_lsh this is a rows-only entry; the
+  // recall property is pinned by ScaleOpsSpec.
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    Similarity.ivfTopK(
+      e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
+      k = 10, numCells = 8, nProbe = 4)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
+        col("cosine_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // ------------------------------------- C13: embedding near-dup pairs
+  // Multi-band hyperplane LSH collision pairs above a cosine threshold.
+  // The DuckDB oracle re-derives the md5-seeded hyperplanes, per-band
+  // sign-bit buckets, and the bucket-restricted pair set value-for-value.
+  private val NdBands = 2
+  private val NdPlanes = 4
+  private val NdThreshold = 0.35
+
+  private def qNeardupPairs(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding",
+      NdThreshold, numBands = NdBands, planesPerBand = NdPlanes)
+      .select("a", "b")
+      .orderBy("a", "b")
+
+  private val qNeardupPairsSql = {
+    // plane(i, d) = conv(md5('plane{i}:{d}')[0:6], 16, 10)/2^24 - 0.5,
+    // identical to Similarity.planeComponent. j is DuckDB's 1-based
+    // lambda index, so dim d = j-1.
+    def proj(globalPlane: Int): String =
+      s"""list_sum(list_transform(v, (x, j) -> x *
+         |      ((CAST('0x' || substr(md5('plane$globalPlane:' || CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+         |        / 16777216.0) - 0.5)))""".stripMargin
+    val bandSelects = (0 until NdBands).map { b =>
+      val bucket = (0 until NdPlanes).map { p =>
+        s"(CASE WHEN ${proj(b * NdPlanes + p)} > 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"SELECT vec_id, v, $b AS band_id,\n    $bucket AS bucket FROM v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |buckets AS (
+       |  $bandSelects)
+       |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+       |FROM buckets l JOIN buckets r
+       |  ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+       |WHERE list_cosine_similarity(l.v, r.v) > $NdThreshold
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // ------------------------------------------------- C14: skew-salted join
+  // Salted fact↔dim equi-join; results must equal the plain join (the
+  // oracle), proving salting changes the shuffle layout, not the answer.
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val facts = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val dims = Seq(("click", 1), ("view", 2), ("purchase", 3), ("signup", 4))
+      .toDF("event_type", "weight")
+    Skew.saltedJoin(facts, dims, "event_type", saltFactor = 8)
+      .groupBy(col("event_type"), col("weight"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  private val qSkewJoinSql =
+    """SELECT e.event_type, d.weight, COUNT(*) AS n
+      |FROM events e
+      |JOIN (VALUES ('click', 1), ('view', 2), ('purchase', 3), ('signup', 4))
+      |  AS d(event_type, weight)
+      |  ON e.event_type = d.event_type
+      |GROUP BY e.event_type, d.weight
+      |ORDER BY e.event_type""".stripMargin
+
+  // --------------------------------------- C21: stratified hash sampling
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.deterministicStratified(docs(s, dir), "doc_id", "lang",
+      Map("en" -> 50, "de" -> 10))
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
+  private val qSampleStratifiedSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 <
+      |  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 10 ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- C12/C17: streaming sessionization
+  // Runs the real Structured Streaming sessionizer (file source →
+  // flatMapGroupsWithState → memory sink, Trigger.AvailableNow) over the
+  // events table. Emitted sessions are the CLOSED ones — every session
+  // except each user's still-open last — which the oracle re-derives
+  // from the batch sessionization with a QUALIFY filter.
+  private val streamRun = new AtomicInteger(0)
+
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val inDir = scratchDir("graft_stream_in_")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode("overwrite").parquet(inDir)
+    val sink = s"graft_sessions_${streamRun.incrementAndGet()}"
+    val q = EventStreams.sessionize(
+      EventStreams.eventStream(s, inDir).as[EventStreams.Event])
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("user_id", "session_start_us")
+  }
+
+  private val qStreamSessionizeSql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ordered),
+      |numbered AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_num, MIN(us) AS session_start_us,
+      |    MAX(us) AS session_end_us, COUNT(*) AS n
+      |  FROM numbered GROUP BY user_id, session_num)
+      |SELECT user_id, session_start_us, session_end_us, CAST(n AS INTEGER) AS n_events
+      |FROM sessions
+      |QUALIFY session_num < MAX(session_num) OVER (PARTITION BY user_id)
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ------------------------------------------- B21: CSV source round-trip
+  private def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val out = scratchDir("graft_csv_") + "/events_csv"
+    Sources.write(ev, out, "csv")
+    Sources.read(s, out, "csv", Some(ev.schema)).orderBy("event_id")
+  }
+
+  private val qSourceCsvSql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id % 7 = 0
+      |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------- B22: partition-pruned model read
+  // Materializes a partition_by model, then reads one partition back; the
+  // pruned-scan plan shape is pinned by PlanShapeSpec.
+  private def qPartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    val whDir = scratchDir("graft_wh_part_")
+    val wh = new Warehouse(s, whDir, StateStore(whDir + "/state"))
+    val mat = new Materializer(wh)
+    val df = Tables.load(s, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("event_date"))
+    mat.materialize(ModelConfig("ev_part", materialized = "table",
+      meta = Map("partition_by" -> "event_date")), df)
+    wh.read("ev_part")
+      .filter(col("event_date") === lit("2024-01-05").cast("date"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("event_date"))
+      .orderBy("event_id")
+  }
+
+  private val qPartitionPruneSql =
+    """SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS event_date
+      |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+      |ORDER BY event_id""".stripMargin
+
+  // ----------------------------------------------------------------------
+  override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash_capped" -> qDedupMinhashCapped _,
+    "q_ann_ivf" -> qAnnIvf _,
+    "q_neardup_pairs" -> qNeardupPairs _,
+    "q_skew_join" -> qSkewJoin _,
+    "q_sample_stratified" -> qSampleStratified _,
+    "q_stream_sessionize" -> qStreamSessionize _,
+    "q_source_csv" -> qSourceCsv _,
+    "q_partition_prune" -> qPartitionPrune _)
+
+  override val oracleSql: Map[String, String] = Map(
+    "q_dedup_minhash_capped" -> qDedupMinhashCappedSql,
+    "q_neardup_pairs" -> qNeardupPairsSql,
+    "q_skew_join" -> qSkewJoinSql,
+    "q_sample_stratified" -> qSampleStratifiedSql,
+    "q_stream_sessionize" -> qStreamSessionizeSql,
+    "q_source_csv" -> qSourceCsvSql,
+    "q_partition_prune" -> qPartitionPruneSql)
+    // q_ann_ivf: rows-only (centroid means are engine-internal floats)
+}

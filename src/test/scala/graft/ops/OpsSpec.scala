@@ -55,6 +55,42 @@ class OpsSpec extends SparkSpec {
     assert(cands.contains((1L, 2L)))
   }
 
+  test("bucket cap bounds LSH fan-out on adversarial duplicate-heavy input") {
+    // 300 boilerplate copies share every band signature: one hot bucket
+    // per band. Uncapped, the self-join goes quadratic (C(300,2) pairs);
+    // capped, hot buckets are dropped and only the benign near-dup pair
+    // survives.
+    val boiler = (1L to 300L).map(i => (i, "lorem ipsum dolor sit amet boilerplate footer text"))
+    val near = Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1002L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val uncapped = Dedup.minHashLsh(df, "doc_id", "text").count()
+    assert(uncapped >= 300L * 299L / 2) // quadratic blowup demonstrated
+    val capped = Dedup.minHashLsh(df, "doc_id", "text", maxBucketSize = 16)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1001L, 1002L))) // bounded: only the benign pair
+    // dropped buckets are observable for monitoring
+    val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 3, 8)
+    val banded = sigs.select($"doc_id",
+      explode(array((0 until 4).map(b => struct(lit(b).as("band_id"),
+        concat_ws("|", col(s"h${b * 2}"), col(s"h${b * 2 + 1}")).as("sig"))): _*)).as("band"))
+      .select($"doc_id", $"band.band_id", $"band.sig")
+    val hot = Dedup.hotBuckets(banded, Seq("band_id", "sig"), 16).collect()
+    assert(hot.length == 4 && hot.forall(_.getAs[Long]("bucket_n") == 300L))
+  }
+
+  test("capped simhash candidates drop hot buckets only") {
+    val boiler = (1L to 100L).map(i => (i, "identical boilerplate page footer"))
+    val near = Seq(
+      (1001L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1002L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
+    val sims = Dedup.simHash((boiler ++ near).toDF("doc_id", "text"), "doc_id", "text")
+    val capped = Dedup.simHashCandidates(sims, "doc_id", maxBucketSize = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1001L, 1002L)))
+  }
+
   test("jaccard pairs compute exact set similarity") {
     val df = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y z w")).toDF("doc_id", "text")
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 1)
@@ -83,13 +119,37 @@ class OpsSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 5)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // 2 planes -> 4 buckets -> ~25% of candidates colliding: decent recall
-    val lsh = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", 5, numPlanes = 2)
+    // 2 bands of 2 planes: 4 buckets/band, match-any-band -> decent recall
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", 5,
+      numBands = 2, planesPerBand = 2)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.nonEmpty)
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall > 0.2, s"recall=$recall")
+  }
+
+  test("multi-band LSH beats a single band at equal probe cost; buckets scale") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val q = e.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(numBands: Int, planesPerBand: Int): Double = {
+      val got = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding", 5,
+        numBands, planesPerBand)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    // 6 total plane evaluations both ways; match-any-band recovers recall
+    assert(recallOf(3, 2) >= recallOf(1, 6))
+    // bucket space grows with planesPerBand (pruning is a real index,
+    // not a fixed constant)
+    def nBuckets(planes: Int): Long =
+      Similarity.lshBandBuckets(e, "embedding", 1, planes)
+        .select("bucket").distinct().count()
+    assert(nBuckets(8) > nBuckets(4))
   }
 
   test("bounded top-k aggregate equals the window formulation exactly") {
@@ -119,7 +179,8 @@ class OpsSpec extends SparkSpec {
     val v = Array(1.0f, 0.0f, 0.0f)
     val df = Seq((0L, v), (1L, v.map(x => x * 2)), (2L, Array(0.0f, 1.0f, 0.0f)))
       .toDF("vec_id", "embedding")
-    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99, numPlanes = 2)
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.99,
+      numBands = 2, planesPerBand = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((0L, 1L))) // same direction -> cosine 1
   }
