@@ -82,13 +82,24 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p,
-    * dim d): a hash-derived value in [-0.5, 0.5). Seedless and
-    * engine-stable — every executor computes the same planes without any
-    * broadcast of random state. */
-  private def planeComponent(p: Int, d: Column): Column =
-    (conv(substring(md5(concat(lit(s"plane$p:"), d.cast("string"))), 1, 6), 16, 10)
-      .cast("double") / lit(16777216.0)) - lit(0.5)
+  /** Deterministic pseudo-random hyperplane for plane index `globalPlane`:
+    * component d is an md5-derived value in [-0.5, 0.5). Seedless and
+    * engine-stable (DuckDB re-derives the identical planes in the oracle),
+    * and computed ONCE on the driver — the plane rides into the plan as a
+    * literal array, so the per-row work is a pure multiply-add fold with
+    * no hashing in the hot path. */
+  private[ops] def planeVector(globalPlane: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim) { d =>
+      val hex = graft.functions.HashImpl
+        .md5Hex(s"plane$globalPlane:$d".getBytes("UTF-8")).substring(0, 6)
+      (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
+    }
+
+  /** Vector width, read from one row (on a real lake this is fixed
+    * schema metadata; reading a single row keeps the API self-contained). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Random-hyperplane LSH bucket signature: one bit per plane — the
     * sign of the projection onto a deterministic pseudo-random
@@ -96,20 +107,19 @@ object Similarity {
     * Output: original columns + `bucket` (long, numPlanes bits). */
   def lshBuckets(
       df: DataFrame, vecCol: String, numPlanes: Int = 12): DataFrame =
-    df.withColumn("bucket", planeSignature(col(vecCol), 0, numPlanes))
+    df.withColumn("bucket",
+      planeSignature(col(vecCol), 0, numPlanes, vecDim(df, vecCol)))
 
   /** numPlanes sign-bits of the projection onto the planes of plane-set
     * `band` (plane indices are namespaced by band so every band uses an
     * independent set of hyperplanes). */
-  private def planeSignature(vec: Column, band: Int, numPlanes: Int): Column = {
+  private def planeSignature(
+      vec: Column, band: Int, numPlanes: Int, dim: Int): Column = {
     val v = asDouble(vec)
-    // projection_p = sum_d v[d] * plane(p, d): a fold over
-    // (value, dim-index) pairs via zip_with against the dim-index array.
-    val dims = sequence(lit(0), size(v) - 1)
     (0 until numPlanes).map { p =>
+      val w = array(planeVector(band * numPlanes + p, dim).map(lit): _*)
       val proj = aggregate(
-        zip_with(v, dims, (x, d) => x * planeComponent(band * numPlanes + p, d)),
-        lit(0.0), (acc, x) => acc + x)
+        zip_with(v, w, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
   }
@@ -124,9 +134,10 @@ object Similarity {
   def lshBandBuckets(
       df: DataFrame, vecCol: String,
       numBands: Int, planesPerBand: Int): DataFrame = {
+    val dim = vecDim(df, vecCol)
     val bands = (0 until numBands).map { b =>
       struct(lit(b).as("band_id"),
-        planeSignature(col(vecCol), b, planesPerBand).as("bucket"))
+        planeSignature(col(vecCol), b, planesPerBand, dim).as("bucket"))
     }
     df.select(col("*"), explode(array(bands: _*)).as("__band"))
       .select(col("*"), col("__band.band_id"), col("__band.bucket"))

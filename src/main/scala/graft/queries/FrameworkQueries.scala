@@ -23,10 +23,7 @@ object FrameworkQueries extends QueryModule {
     * the benchmark. */
   private def freshRunner(s: SparkSession, dir: String): (Warehouse, ModelRunner) = {
     Tables.registerAll(s, dir)
-    val base = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
-      .map(java.nio.file.Paths.get(_))
-      .find(p => Files.isDirectory(p) && Files.isWritable(p)).get
-    val whDir = Files.createTempDirectory(base, "graft_wh_").toString
+    val whDir = graft.Scratch.dir("graft_wh_")
     val state = StateStore(whDir + "/state")
     val wh = new Warehouse(s, whDir, state)
     val sources = Tables.names.map(t => ("raw", t) -> t).toMap

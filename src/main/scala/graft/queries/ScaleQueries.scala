@@ -28,14 +28,8 @@ object ScaleQueries extends QueryModule {
   private def embs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
 
-  /** RAM-backed scratch dir (see FrameworkQueries: these queries measure
-    * engine semantics, not shared-disk contention). */
-  private def scratchDir(prefix: String): String = {
-    val base = Seq("/dev/shm", System.getProperty("java.io.tmpdir"))
-      .map(java.nio.file.Paths.get(_))
-      .find(p => Files.isDirectory(p) && Files.isWritable(p)).get
-    Files.createTempDirectory(base, prefix).toString
-  }
+  /** RAM-backed scratch dir, deleted on JVM exit (see graft.Scratch). */
+  private def scratchDir(prefix: String): String = graft.Scratch.dir(prefix)
 
   // DuckDB twins of TextOps.normalized / tokens (see LlmOpsQueries).
   private val sqlNorm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
@@ -92,7 +86,7 @@ object ScaleQueries extends QueryModule {
     val e = embs(s, dir)
     Similarity.ivfTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
-      k = 10, numCells = 8, nProbe = 4)
+      k = 10, numCells = 8, nProbe = 4, lloydIters = 1)
       .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
         col("cosine_sim"))
       .orderBy("query_id", "rnk")
