@@ -5,17 +5,20 @@ import org.apache.spark.sql.SparkSession
 import graft.model._
 
 /** Project CLI — the Spark re-expression of the reference's click CLI
-  * (reference: src/framework/cli.py:34-344): run / run-all / plan / list /
-  * deps / validate / serve(watch).
+  * (reference: src/framework/cli.py:34-344): run / plan / list / deps /
+  * test / lineage / validate / serve(watch).
   *
   * A "project" is a directory of .sql model files (SqlTemplate surface +
-  * `-- config:` headers). Sources resolve to the testdata tables; models
-  * materialize into `<project>/warehouse`.
+  * `-- config:` / `-- test:` headers). Sources resolve to the testdata
+  * tables; models materialize into `<project>/warehouse`.
   *
   * Usage:
-  *   graft.Cli <projectDir> run [model ...] [--var k=v ...]
-  *   graft.Cli <projectDir> plan
-  *   graft.Cli <projectDir> list | deps | validate
+  *   graft.Cli <projectDir> run [model ...] [--var k=v ...] [--tag t]
+  *             [--dry-run] [--target env]
+  *   graft.Cli <projectDir> test [model ...] [--target env]
+  *   graft.Cli <projectDir> plan | list | validate [--target env]
+  *   graft.Cli <projectDir> deps [--format text|dot]
+  *   graft.Cli <projectDir> lineage <model>
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
   */
 object Cli {
@@ -38,78 +41,155 @@ object Cli {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     Tables.registerAll(spark, sfDir)
 
-    try {
-      val (wh, runner) = openProject(spark, projectDir)
-      command match {
-        case "run" =>
-          val (models, vars, tag) = parseRunArgs(rest)
-          val targets = tag.map(runner.modelsByTag)
-            .orElse(if (models.isEmpty) None else Some(models))
-          val results = runner.run(targets, vars)
-          results.foreach(r => println(s"${r.modelName}: ${r.materialization} ${r.status}"))
-        case "plan" =>
-          val p = Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph, wh.state)
-          println(s"summary: ${p.summary.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")}")
-          p.changes.foreach(c => println(s"  ${c.changeType.value}: ${c.modelName} (${c.reason})"))
-        case "list" =>
-          runner.graph.models.sorted.foreach { m =>
-            val cfg = runner.configMap.get(m)
-            println(s"$m [${cfg.map(_.materialized).getOrElse("?")}]")
-          }
-        case "deps" =>
-          println(runner.graph.toDot)
-        case "lineage" =>
-          val model = rest.headOption.getOrElse(
-            sys.error("usage: lineage <model>"))
-          // Hydrate upstream relations (materialized versions where they
-          // exist, rendered views otherwise) so analysis can resolve refs.
-          runner.graph.executionOrder(Some(Seq(model))).flatten
-            .filter(m => m != model && runner.modelSqlMap.contains(m))
-            .foreach { m =>
-              if (wh.exists(m)) wh.refreshView(m)
-              else wh.registerView(m,
-                spark.sql(runner.render(m, dummyVars(runner, m))))
-            }
-          val df = spark.sql(runner.render(model, dummyVars(runner, model)))
-          Lineage.of(df).foreach { l =>
-            val fns = if (l.transformations.isEmpty) ""
-              else l.transformations.toSeq.sorted.mkString(" [", ", ", "]")
-            println(s"${l.column} <- ${l.sources.toSeq.sorted.mkString(", ")}$fns")
-          }
-        case "validate" =>
-          var ok = true
-          runner.configMap.foreach { case (name, cfg) =>
-            try { cfg.validate(); runner.render(name, dummyVars(runner, name)) }
-            catch { case e: Exception => ok = false; println(s"INVALID $name: ${e.getMessage}") }
-          }
-          runner.graph.findCycle().foreach { c =>
-            ok = false; println(s"CYCLE: ${c.mkString(" -> ")}")
-          }
-          println(if (ok) "all models valid" else "validation failed")
-          if (!ok) sys.exit(1)
-        case "watch" =>
-          val interval = rest.headOption.map(_.toLong).getOrElse(2000L)
-          watch(spark, projectDir, interval)
-        case other =>
-          System.err.println(s"unknown command: $other"); sys.exit(2)
-      }
-    } finally spark.stop()
+    val code = try execute(spark, projectDir, command, rest)
+    finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 
-  private def openProject(spark: SparkSession, dir: Path): (Warehouse, ModelRunner) = {
+  /** Dispatch one command; returns the process exit code. Factored out of
+    * main so specs can drive the full CLI surface in-process. */
+  def execute(
+      spark: SparkSession, projectDir: Path, command: String,
+      rest: Seq[String], out: String => Unit = println): Int = {
+    // --target overrides profiles.default.target everywhere (cli.py:48)
+    val target = flagValue(rest, "--target")
+    val (wh, runner, cfg) = openProject(spark, projectDir, target)
+    command match {
+      case "run" =>
+        val (models, vars, tag) = parseRunArgs(rest)
+        val targets = tag.map(runner.modelsByTag)
+          .orElse(if (models.isEmpty) None else Some(models))
+        // per-environment variable defaults; explicit --var wins
+        val envName = target.getOrElse(cfg.currentTarget)
+        val allVars = cfg.environmentVars(envName) ++ vars
+        if (rest.contains("--dry-run")) {
+          // validate + plan without executing (cli.py:47, executor.py:88)
+          var ok = true
+          val toRun = runner.graph.executionOrder(targets).flatten
+            .filter(runner.modelSqlMap.contains)
+          toRun.foreach { m =>
+            try {
+              runner.config(m).validate()
+              runner.render(m, allVars ++ dummyVars(runner, m))
+              out(s"DRY RUN $m: ${runner.config(m).materialized} ok")
+            } catch { case e: Exception =>
+              ok = false; out(s"DRY RUN $m: INVALID ${e.getMessage}")
+            }
+          }
+          if (ok) 0 else 1
+        } else {
+          // graceful degradation like the reference executor
+          // (executor.py:153-190): log failures, keep going, exit nonzero
+          val results = runner.run(targets, allVars, continueOnError = true)
+          results.foreach(r => out(s"${r.modelName}: ${r.materialization} ${r.status}"))
+          if (results.exists(_.status.startsWith("failed"))) 1 else 0
+        }
+      case "test" =>
+        // run declared `-- test:` suites against materialized models
+        // (reference testing.py:134 run_model_tests; dbt-style `test` cmd)
+        val models = positional(rest)
+        val outcomes = runner.runTests(if (models.isEmpty) None else Some(models))
+        outcomes.foreach { o =>
+          val status =
+            if (o.passed) "PASS"
+            else if (o.severity == "warn") "WARN"
+            else "FAIL"
+          out(s"$status ${o.model}.${o.check} (${o.failures} failing rows)")
+        }
+        val failed = outcomes.count(o => !o.passed && o.severity == "error")
+        out(s"${outcomes.count(_.passed)}/${outcomes.size} tests passed" +
+          (if (failed > 0) s", $failed failed" else ""))
+        if (failed > 0) 1 else 0
+      case "plan" =>
+        val p = Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph, wh.state)
+        out(s"summary: ${p.summary.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")}")
+        p.changes.foreach(c => out(s"  ${c.changeType.value}: ${c.modelName} (${c.reason})"))
+        0
+      case "list" =>
+        runner.graph.models.sorted.foreach { m =>
+          val c = runner.configMap.get(m)
+          val nTests = c.map(_.tests.size).getOrElse(0)
+          val testSuffix = if (nTests > 0) s" ($nTests tests)" else ""
+          out(s"$m [${c.map(_.materialized).getOrElse("?")}]$testSuffix")
+        }
+        0
+      case "deps" =>
+        // text (stats + per-model listing) by default, like the reference
+        // (cli.py:255 --format text); DOT on request.
+        flagValue(rest, "--format").getOrElse("text") match {
+          case "dot" | "graphviz" => out(runner.graph.toDot)
+          case _ => out(runner.graph.toText)
+        }
+        0
+      case "lineage" =>
+        val model = rest.headOption.getOrElse(sys.error("usage: lineage <model>"))
+        // Hydrate upstream relations (materialized versions where they
+        // exist, rendered views otherwise) so analysis can resolve refs.
+        runner.graph.executionOrder(Some(Seq(model))).flatten
+          .filter(m => m != model && runner.modelSqlMap.contains(m))
+          .foreach { m =>
+            if (wh.exists(m)) wh.refreshView(m)
+            else wh.registerView(m,
+              spark.sql(runner.render(m, dummyVars(runner, m))))
+          }
+        val df = spark.sql(runner.render(model, dummyVars(runner, model)))
+        Lineage.of(df).foreach { l =>
+          val fns = if (l.transformations.isEmpty) ""
+            else l.transformations.toSeq.sorted.mkString(" [", ", ", "]")
+          out(s"${l.column} <- ${l.sources.toSeq.sorted.mkString(", ")}$fns")
+        }
+        0
+      case "validate" =>
+        var ok = true
+        runner.configMap.foreach { case (name, c) =>
+          try { c.validate(); runner.render(name, dummyVars(runner, name)) }
+          catch { case e: Exception => ok = false; out(s"INVALID $name: ${e.getMessage}") }
+        }
+        runner.graph.findCycle().foreach { c =>
+          ok = false; out(s"CYCLE: ${c.mkString(" -> ")}")
+        }
+        out(if (ok) "all models valid" else "validation failed")
+        if (ok) 0 else 1
+      case "watch" =>
+        val interval = rest.headOption.map(_.toLong).getOrElse(2000L)
+        watch(spark, projectDir, interval)
+        0
+      case other =>
+        System.err.println(s"unknown command: $other"); 2
+    }
+  }
+
+  private def openProject(
+      spark: SparkSession, dir: Path,
+      target: Option[String] = None): (Warehouse, ModelRunner, ProjectConfig) = {
     val cfg = new ProjectConfig(dir)
+    val env = target.getOrElse(cfg.currentTarget)
     // config/ may override the warehouse location and add source mappings;
     // the testdata tables stay available under source('raw', ...).
-    val whDir = cfg.connectionConfig().get("warehouse_dir").map(_.toString)
+    val whDir = cfg.connectionConfig(Some(env)).get("warehouse_dir").map(_.toString)
       .getOrElse(dir.resolve("warehouse").toString)
-    val state = StateStore(whDir + "/state", cfg.currentTarget)
+    val state = StateStore(whDir + "/state", env)
     val wh = new Warehouse(spark, whDir, state)
     val sources = Tables.names.map(t => ("raw", t) -> t).toMap ++ cfg.sourceTableMap
     val runner = new ModelRunner(wh, sources)
     val modelsDir = dir.resolve("models")
     if (Files.isDirectory(modelsDir)) runner.addModelsFromDir(modelsDir)
-    (wh, runner)
+    (wh, runner, cfg)
   }
+
+  /** Value of `--flag v` anywhere in the arg list. */
+  private def flagValue(rest: Seq[String], flag: String): Option[String] =
+    rest.sliding(2).collectFirst { case Seq(`flag`, v) if !v.startsWith("--") => v }
+
+  /** Flags that take no value (a following positional is NOT their arg). */
+  private val boolFlags = Set("--dry-run")
+
+  /** Positional (non-flag, non-flag-value) arguments. */
+  private def positional(rest: Seq[String]): Seq[String] =
+    rest.zipWithIndex.filter { case (a, i) =>
+      !a.startsWith("--") && a.nonEmpty && !a.contains("=") &&
+        (i == 0 || !rest(i - 1).startsWith("--") || boolFlags.contains(rest(i - 1)))
+    }.map(_._1)
 
   private def parseRunArgs(
       rest: Seq[String]): (Seq[String], Map[String, String], Option[String]) = {
@@ -117,12 +197,8 @@ object Cli {
       case Seq("--var", kv) if kv.contains("=") =>
         val Array(k, v) = kv.split("=", 2); k -> v
     }.toMap
-    val tag = rest.sliding(2).collectFirst { case Seq("--tag", t) => t }
-    val models = rest.zipWithIndex.filter { case (a, i) =>
-      !a.startsWith("--") && a.nonEmpty && !a.contains("=") &&
-        (i == 0 || !rest(i - 1).startsWith("--"))
-    }.map(_._1)
-    (models, vars, tag)
+    val tag = flagValue(rest, "--tag")
+    (positional(rest), vars, tag)
   }
 
   private def dummyVars(runner: ModelRunner, name: String): Map[String, String] =
@@ -136,7 +212,7 @@ object Cli {
       maxIterations: Long = Long.MaxValue): Unit = {
     var iter = 0L
     while (iter < maxIterations) {
-      val (wh, runner) = openProject(spark, projectDir)
+      val (wh, runner, _) = openProject(spark, projectDir)
       val plan = Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph, wh.state)
       val toRun = plan.toRun
       if (toRun.nonEmpty) {

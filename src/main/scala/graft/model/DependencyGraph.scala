@@ -107,6 +107,39 @@ final class DependencyGraph {
         sub.topoLevels()
     }
 
+  /** Graph statistics (dependency.py:367-390 get_stats). */
+  def stats: Map[String, Any] = {
+    val totalEdges = deps.valuesIterator.map(_.size).sum
+    Map(
+      "total_models" -> deps.size,
+      "total_edges" -> totalEdges,
+      "leaf_nodes" -> deps.count(_._2.isEmpty),
+      "root_nodes" -> deps.keys.count(dependents(_).isEmpty),
+      "max_depth" -> (try topoLevels().size catch { case _: Exception => 0 }),
+      "avg_dependencies" ->
+        (if (deps.isEmpty) 0.0
+         else math.round(totalEdges * 100.0 / deps.size) / 100.0))
+  }
+
+  /** Human-readable listing (the reference CLI's default `deps` format,
+    * cli.py:255-275). */
+  def toText: String = {
+    val s = stats
+    val header = Seq(
+      "=== Dependency Graph Statistics ===",
+      s"Total models: ${s("total_models")}",
+      s"Total edges: ${s("total_edges")}",
+      s"Leaf nodes: ${s("leaf_nodes")}",
+      s"Root nodes: ${s("root_nodes")}",
+      s"Max depth: ${s("max_depth")}",
+      s"Avg dependencies: ${s("avg_dependencies")}", "")
+    val rows = models.sorted.map { m =>
+      val ds = dependencies(m)
+      s"  $m (dependencies: ${if (ds.isEmpty) "none" else ds.toSeq.sorted.mkString(", ")})"
+    }
+    (header ++ rows).mkString("\n")
+  }
+
   /** Graphviz DOT export (dependency.py:482-500). */
   def toDot: String = {
     val nodes = deps.keys.map(n => s"""  "$n" [shape=box];""")

@@ -1,5 +1,32 @@
 package graft.model
 
+/** Declarative data-quality test on a model — the Spark re-expression of
+  * the reference's TestConfig (reference: src/framework/model.py:17-33,
+  * testing.py:28-60: unique / not_null / accepted_values; `range` is the
+  * polars_utils.py:96-170 numeric-range check). Declared inline as
+  * `-- test: type(column[, args...]) [severity=warn]` headers; severity
+  * `error` (default) fails the model and blocks dependents, `warn` only
+  * reports.
+  */
+final case class TestSpec(
+    testType: String,
+    column: String,
+    params: Seq[String] = Nil,
+    severity: String = "error") {
+
+  /** Compile to the single-pass Quality check that computes it. */
+  def toCheck: Quality.Check = testType match {
+    case "not_null" => Quality.NotNull(column)
+    case "unique" => Quality.Unique(column)
+    case "accepted_values" => Quality.AcceptedValues(column, params)
+    case "range" =>
+      require(params.length == 2, s"range test on $column needs (min, max)")
+      Quality.RangeCheck(column, params(0).toDouble, params(1).toDouble)
+    case other =>
+      throw new IllegalArgumentException(s"unknown test type: $other")
+  }
+}
+
 /** Model configuration, the Spark re-expression of the reference's
   * ModelConfig (reference: src/framework/model.py:66-140) and its inline
   * `-- config:` comment convention (src/framework/parser.py:240-257).
@@ -14,6 +41,7 @@ final case class ModelConfig(
     enabled: Boolean = true,
     dependsOn: Set[String] = Set.empty,
     tags: Set[String] = Set.empty,
+    tests: Seq[TestSpec] = Nil,
     meta: Map[String, String] = Map.empty) {
 
   def isIncremental: Boolean = materialized == "incremental"
@@ -40,6 +68,25 @@ object ModelConfig {
   private val ConfigLine = """(?m)^\s*--\s*config:\s*(.+?)\s*$""".r
   private val DependsLine = """(?m)^\s*--\s*depends_on:\s*(.+?)\s*$""".r
   private val TagsLine = """(?m)^\s*--\s*tags:\s*(.+?)\s*$""".r
+  private val TestLine = """(?m)^\s*--\s*test:\s*(.+?)\s*$""".r
+  // e.g. `not_null(o_custkey)` / `accepted_values(status, F|O|P) severity=warn`
+  private val TestExpr = """(\w+)\s*\(\s*([^)]*)\s*\)\s*(?:severity\s*=\s*(\w+))?""".r
+
+  /** Parse one `-- test:` header body into a TestSpec. Multi-value args
+    * (accepted_values) are `|`-separated so commas stay free for the
+    * (column, arg, arg) list. */
+  private[model] def parseTest(body: String): TestSpec = body.trim match {
+    case TestExpr(tpe, argStr, sev) =>
+      val args = argStr.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(args.nonEmpty, s"test '$body' needs a column argument")
+      val params =
+        if (tpe == "accepted_values")
+          args.drop(1).flatMap(_.split("\\|").map(_.trim)).filter(_.nonEmpty)
+        else args.drop(1)
+      TestSpec(tpe, args.head, params, Option(sev).getOrElse("error"))
+    case other =>
+      throw new IllegalArgumentException(s"malformed test declaration: $other")
+  }
 
   /** Parse `-- config: key=value, key2=value2` and `-- depends_on: a, b`
     * comment headers out of a model's SQL text.
@@ -57,6 +104,8 @@ object ModelConfig {
       .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
     val tags: Set[String] = TagsLine.findAllMatchIn(sql)
       .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
+    val tests: Seq[TestSpec] =
+      TestLine.findAllMatchIn(sql).map(m => parseTest(m.group(1))).toSeq
 
     val known = Set("materialized", "incremental_strategy", "time_column",
       "unique_key", "change_type_column", "enabled")
@@ -73,6 +122,7 @@ object ModelConfig {
       enabled = kvs.get("enabled").forall(_.toBoolean),
       dependsOn = deps,
       tags = tags,
+      tests = tests,
       meta = kvs.filterNot { case (k, _) => known.contains(k) })
   }
 }

@@ -17,7 +17,9 @@ import scala.concurrent.duration.Duration
 final class ModelRunner(
     wh: Warehouse,
     sources: Map[(String, String), String], // (source, table) -> relation
-    parallelism: Int = 4) {
+    parallelism: Int = 4,
+    maxRetries: Int = 3, // attempts per model (connection.py:37 max_retries)
+    retryDelayMs: Long = 1000L) { // doubles per attempt (connection.py:400)
 
   private val mat = new Materializer(wh)
   private var modelSql = Map.empty[String, String]
@@ -73,11 +75,42 @@ final class ModelRunner(
     val cfg = modelCfg(name)
     val df = wh.spark.sql(render(name, variables))
     val result = mat.materialize(cfg, df, batchTs)
+    // Declarative post-materialization tests (reference testing.py:134
+    // run_model_tests): error-severity failures fail the model — state
+    // records the failure and run() blocks dependents — warn only reports.
+    val outcomes = runModelTests(name)
+    val hard = outcomes.filter(o => !o.passed && o.severity == "error")
+    // run()'s failure path records the failed execution in state
+    if (hard.nonEmpty) throw new ModelRunner.ModelTestFailure(name, hard)
     val now = java.time.Instant.now().toString
     wh.state.markExecution(name, success = true, now)
     wh.state.setHashes(name,
       StateStore.sha256(modelSql(name)), StateStore.sha256(cfg.toString))
-    result
+    val warned = outcomes.count(o => !o.passed)
+    if (warned == 0) result
+    else result.copy(status = s"${result.status} ($warned test warnings)")
+  }
+
+  /** Run a model's declared `-- test:` suite against its materialized
+    * output (reference testing.py:134-150). All checks compile into at
+    * most one aggregate pass plus one per unique-check (Quality.run). */
+  def runModelTests(name: String): Seq[ModelRunner.TestOutcome] = {
+    val cfg = modelCfg(name)
+    if (cfg.tests.isEmpty) Nil
+    else {
+      val severityOf = cfg.tests.map(t => t.toCheck.name -> t.severity).toMap
+      Quality.run(readModel(name), cfg.tests.map(_.toCheck)).map { r =>
+        ModelRunner.TestOutcome(name, r.check, r.failures, severityOf(r.check))
+      }
+    }
+  }
+
+  /** Run test suites for `targets` (or every model with tests) against
+    * already-materialized tables — the CLI `test` command surface. */
+  def runTests(targets: Option[Seq[String]] = None): Seq[ModelRunner.TestOutcome] = {
+    val names = targets.getOrElse(modelCfg.keys.toSeq.sorted)
+    names.filter(m => modelCfg.get(m).exists(_.tests.nonEmpty) && wh.exists(m))
+      .flatMap(runModelTests)
   }
 
   /** Run models (targets + transitive deps, or all) level-by-level. */
@@ -101,7 +134,7 @@ final class ModelRunner(
         val runnable = level.filter(m =>
           modelSql.contains(m) && modelCfg(m).enabled && !skipped.contains(m))
         val futs = runnable.map { m =>
-          Future(scala.util.Try(executeModel(m, variables, batchTs)).toEither
+          Future(scala.util.Try(executeWithRetry(m, variables, batchTs)).toEither
             .left.map(e => (m, e)))
         }
         futs.map(f => Await.result(f, Duration.Inf)).flatMap {
@@ -118,8 +151,50 @@ final class ModelRunner(
     } finally pool.shutdown()
   }
 
+  /** Transient-failure retry with exponential backoff (reference
+    * connection.py:353-422): up to maxRetries attempts, delay doubling
+    * per attempt. Deterministic failures — SQL analysis errors, declared
+    * test failures, bad config — raise immediately: retrying them only
+    * burns cluster time. */
+  private def executeWithRetry(
+      name: String, variables: Map[String, String],
+      batchTs: String): MaterializeResult = {
+    var attempt = 0
+    while (true) {
+      try return executeModel(name, variables, batchTs)
+      catch {
+        case e: Throwable if attempt + 1 < maxRetries && isRetryable(e) =>
+          Thread.sleep(retryDelayMs * (1L << attempt))
+          attempt += 1
+        case e: Throwable => throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  private def isRetryable(e: Throwable): Boolean = e match {
+    case _: ModelRunner.ModelTestFailure => false // data is wrong, not flaky
+    case _: org.apache.spark.sql.AnalysisException => false // bad SQL/refs
+    case _: IllegalArgumentException => false // bad config
+    case _ => true // task/executor/IO failures: transient on a real cluster
+  }
+
   def readModel(name: String): DataFrame =
     wh.spark.table(wh.relation(name))
 }
 
-object ModelRunner
+object ModelRunner {
+
+  /** One declarative test's result for one model. */
+  final case class TestOutcome(
+      model: String, check: String, failures: Long, severity: String) {
+    def passed: Boolean = failures == 0
+  }
+
+  /** Raised when error-severity tests fail post-materialization; run()
+    * treats it like any model failure (state marked, dependents skipped). */
+  final class ModelTestFailure(val model: String, val failed: Seq[TestOutcome])
+    extends RuntimeException(
+      s"model '$model' failed tests: " +
+        failed.map(f => s"${f.check} (${f.failures} rows)").mkString(", "))
+}

@@ -234,12 +234,20 @@ object FrameworkQueries extends QueryModule {
        |ORDER BY o_orderkey, valid_from, is_current""".stripMargin
 
   // ------------------------------------------------- B11: quality checks
-  private def qQualityChecks(s: SparkSession, dir: String): DataFrame =
-    Quality.asRow(Tables.load(s, dir, "orders"), Seq(
-      Quality.Unique("o_orderkey"),
-      Quality.NotNull("o_custkey"),
-      Quality.AcceptedValues("o_orderstatus", Seq("F", "O", "P")),
-      Quality.RangeCheck("o_totalprice", 0.0, 400000.0)))
+  // The suite is DECLARED as `-- test:` headers on a model (reference
+  // model.py TestConfig / testing.py run_model_tests) and parsed through
+  // ModelConfig, so the oracle pins the whole declarative path: header →
+  // TestSpec → Quality check → single-pass aggregate.
+  private def qQualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val cfg = ModelConfig.fromSql("orders_checked",
+      """-- config: materialized=table
+        |-- test: unique(o_orderkey)
+        |-- test: not_null(o_custkey)
+        |-- test: accepted_values(o_orderstatus, F|O|P)
+        |-- test: range(o_totalprice, 0.0, 400000.0)
+        |SELECT * FROM {{ source('raw', 'orders') }}""".stripMargin)
+    Quality.asRow(Tables.load(s, dir, "orders"), cfg.tests.map(_.toCheck))
+  }
 
   private val qQualityChecksSql =
     """SELECT check_name, failures FROM (

@@ -42,4 +42,127 @@ class CliSpec extends SparkSpec {
     val n2 = wh2.read("agg").head().getLong(0)
     assert(n2 < n1) // tighter filter -> fewer rows counted
   }
+
+  /** Build a project dir with the given model files. */
+  private def project(models: (String, String)*): java.nio.file.Path = {
+    val proj = Files.createTempDirectory("graft_proj_")
+    val dir = proj.resolve("models")
+    Files.createDirectories(dir)
+    models.foreach { case (name, sql) =>
+      Files.writeString(dir.resolve(s"$name.sql"), sql)
+    }
+    proj
+  }
+
+  private def run(proj: java.nio.file.Path, cmd: String, rest: String*): (Int, Seq[String]) = {
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val code = Cli.execute(spark, proj, cmd, rest, lines += _)
+    (code, lines.toSeq)
+  }
+
+  test("test command reports suite results and fails on error severity") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "orders_clean" ->
+        """-- config: materialized=table
+          |-- test: unique(o_orderkey)
+          |-- test: not_null(o_custkey)
+          |SELECT o_orderkey, o_custkey FROM {{ source('raw', 'orders') }}""".stripMargin,
+      "dupes" ->
+        """-- config: materialized=table
+          |-- test: unique(grp) severity=warn
+          |SELECT o_orderkey % 2 AS grp FROM {{ source('raw', 'orders') }}""".stripMargin)
+    assert(run(proj, "run")._1 == 0) // warn-severity failure doesn't fail the run
+    val (code, lines) = run(proj, "test")
+    assert(code == 0) // only warn-severity failures
+    assert(lines.exists(_.startsWith("PASS orders_clean.unique_o_orderkey")))
+    assert(lines.exists(_.startsWith("WARN dupes.unique_grp")))
+
+    // escalate the dupes test to error severity -> test command fails
+    Files.writeString(proj.resolve("models/dupes.sql"),
+      """-- config: materialized=table
+        |-- test: unique(grp)
+        |SELECT o_orderkey % 2 AS grp FROM {{ source('raw', 'orders') }}""".stripMargin)
+    val (code2, lines2) = run(proj, "test")
+    assert(code2 == 1)
+    assert(lines2.exists(_.startsWith("FAIL dupes.unique_grp")))
+  }
+
+  test("run with failing error-severity tests exits nonzero and blocks dependents") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "bad_base" ->
+        """-- config: materialized=table
+          |-- test: unique(grp)
+          |SELECT o_orderkey % 2 AS grp FROM {{ source('raw', 'orders') }}""".stripMargin,
+      "child" ->
+        "-- config: materialized=table\nSELECT COUNT(*) AS n FROM {{ ref('bad_base') }}")
+    val (code, lines) = run(proj, "run")
+    assert(code == 1)
+    assert(lines.exists(l => l.startsWith("bad_base:") && l.contains("failed")))
+    assert(!lines.exists(_.startsWith("child:"))) // skipped, never ran
+  }
+
+  test("dry-run validates and plans without materializing") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "good" ->
+        "-- config: materialized=table\nSELECT 1 AS x",
+      "bad_cfg" ->
+        "-- config: materialized=incremental\nSELECT 2 AS y")
+    val (code, lines) = run(proj, "run", "--dry-run")
+    assert(code == 1) // bad_cfg has no incremental_strategy
+    assert(lines.exists(_.startsWith("DRY RUN good: table ok")))
+    assert(lines.exists(l => l.startsWith("DRY RUN bad_cfg: INVALID")))
+    // nothing materialized (the state dir may exist, but no model does)
+    val whDir = proj.resolve("warehouse").toString
+    val wh = new model.Warehouse(spark, whDir, model.StateStore(whDir + "/state", "dev"))
+    assert(!wh.exists("good") && !wh.exists("bad_cfg"))
+  }
+
+  test("--target selects the environment's warehouse and variables") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "thresholded" ->
+        "-- config: materialized=table\nSELECT COUNT(*) AS n FROM {{ source('raw', 'orders') }} WHERE o_totalprice > $min_price")
+    val cfgDir = proj.resolve("config")
+    Files.createDirectories(cfgDir)
+    Files.writeString(cfgDir.resolve("profiles.yml"),
+      s"""default:
+         |  target: dev
+         |  outputs:
+         |    dev:
+         |      warehouse_dir: $proj/wh_dev
+         |    prod:
+         |      warehouse_dir: $proj/wh_prod""".stripMargin)
+    Files.writeString(cfgDir.resolve("environments.yml"),
+      """dev:
+        |  vars:
+        |    min_price: "0"
+        |prod:
+        |  vars:
+        |    min_price: "100000"""".stripMargin)
+    assert(run(proj, "run")._1 == 0) // dev default
+    assert(run(proj, "run", "--target", "prod")._1 == 0)
+    def countIn(whDir: String, target: String): Long = {
+      val wh = new model.Warehouse(spark, whDir, model.StateStore(whDir + "/state", target))
+      wh.read("thresholded").head().getLong(0)
+    }
+    val (nDev, nProd) =
+      (countIn(s"$proj/wh_dev", "dev"), countIn(s"$proj/wh_prod", "prod"))
+    assert(nDev > nProd && nProd > 0) // different vars hit different warehouses
+  }
+
+  test("deps default format prints stats and per-model dependencies") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "a" -> "-- config: materialized=view\nSELECT 1 AS x",
+      "b" -> "-- config: materialized=view\nSELECT * FROM {{ ref('a') }}")
+    val (_, text) = run(proj, "deps")
+    val joined = text.mkString("\n")
+    assert(joined.contains("Total models: 2") && joined.contains("Total edges: 1"))
+    assert(joined.contains("b (dependencies: a)"))
+    val (_, dot) = run(proj, "deps", "--format", "dot")
+    assert(dot.mkString("\n").contains("digraph"))
+  }
 }

@@ -111,6 +111,23 @@ class SqlTemplateSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       ModelConfig.fromSql("m", "-- config: materialized=incremental\nSELECT 1").validate())
   }
+
+  test("declarative test headers parse into typed specs") {
+    val cfg = ModelConfig.fromSql("m",
+      """-- config: materialized=table
+        |-- test: unique(id)
+        |-- test: not_null(name) severity=warn
+        |-- test: accepted_values(status, F|O|P)
+        |-- test: range(price, 0.0, 100.0)
+        |SELECT 1""".stripMargin)
+    assert(cfg.tests.map(_.testType) == Seq("unique", "not_null", "accepted_values", "range"))
+    assert(cfg.tests(1).severity == "warn" && cfg.tests.head.severity == "error")
+    assert(cfg.tests(2).params == Seq("F", "O", "P"))
+    assert(cfg.tests(3).toCheck == Quality.RangeCheck("price", 0.0, 100.0))
+    assertThrows[IllegalArgumentException](
+      ModelConfig.fromSql("m", "-- test: frobnicate(x)\nSELECT 1").tests.head.toCheck)
+    assertThrows[IllegalArgumentException](ModelConfig.parseTest("not a test"))
+  }
 }
 
 class StateStoreSpec extends AnyFunSuite {

@@ -68,6 +68,12 @@ class ProjectConfigSpec extends AnyFunSuite {
   }
 }
 
+/** Holder for cross-task mutable state used by the flaky-UDF test
+  * (object fields survive task serialization in local mode). */
+object ProjectSpecState {
+  val flakyCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class ResilienceSpec extends SparkSpec {
 
   test("continueOnError records failure, skips dependents, runs the rest") {
@@ -93,6 +99,69 @@ class ResilienceSpec extends SparkSpec {
 
     // fail-fast mode still throws
     assertThrows[Exception](runner.run())
+  }
+
+  test("transient failure succeeds on retry; deterministic failure does not retry") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"),
+      maxRetries = 3, retryDelayMs = 1L)
+
+    // Fails the first task that evaluates it, succeeds afterwards — a
+    // transient executor failure as seen from the driver.
+    ProjectSpecState.flakyCalls.set(0)
+    spark.udf.register("flaky_once", () => {
+      if (ProjectSpecState.flakyCalls.incrementAndGet() == 1)
+        throw new RuntimeException("transient blip")
+      42L
+    })
+    runner.addModel("flaky_model",
+      "-- config: materialized=table\nSELECT flaky_once() AS v")
+    val results = runner.run(Some(Seq("flaky_model")))
+    assert(results.head.status == "success")
+    assert(wh.read("flaky_model").head().getLong(0) == 42L)
+    assert(ProjectSpecState.flakyCalls.get() >= 2) // first attempt failed
+
+    // AnalysisException is deterministic: exactly one attempt, fails fast.
+    runner.addModel("bad_sql",
+      "-- config: materialized=table\nSELECT no_such FROM {{ source('raw', 'orders') }}")
+    val t0 = System.nanoTime()
+    assertThrows[Exception](runner.run(Some(Seq("bad_sql"))))
+    assert((System.nanoTime() - t0) < 30e9) // no backoff sleeps piled up
+  }
+
+  test("failing error-severity test fails the model and blocks dependents; warn passes") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val state = StateStore(whDir + "/state")
+    val wh = new Warehouse(spark, whDir, state)
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+    // o_orderkey % 2 = 0 AS grp is NOT unique -> unique test fails (error)
+    runner.addModel("tested_bad",
+      """-- config: materialized=table
+        |-- test: unique(grp)
+        |SELECT o_orderkey % 2 AS grp FROM {{ source('raw', 'orders') }}""".stripMargin)
+    runner.addModel("downstream",
+      "-- config: materialized=table\nSELECT COUNT(*) AS n FROM {{ ref('tested_bad') }}")
+    // warn severity on the same violation does not fail the model
+    runner.addModel("tested_warn",
+      """-- config: materialized=table
+        |-- test: unique(grp) severity=warn
+        |-- test: not_null(grp)
+        |SELECT o_orderkey % 2 AS grp FROM {{ source('raw', 'orders') }}""".stripMargin)
+
+    val results = runner.run(continueOnError = true)
+    val byName = results.map(r => r.modelName -> r.status).toMap
+    assert(byName("tested_bad").startsWith("failed"))
+    assert(byName("tested_bad").contains("unique_grp"))
+    assert(!byName.contains("downstream")) // blocked by failed tests
+    assert(state.get("tested_bad").exists(_.failureCount == 1))
+    assert(byName("tested_warn") == "success (1 test warnings)")
+
+    val outcomes = runner.runTests(Some(Seq("tested_warn")))
+    assert(outcomes.map(o => (o.check, o.passed, o.severity)).toSet == Set(
+      ("unique_grp", false, "warn"), ("not_null_grp", true, "error")))
   }
 
   test("result formatter emits json, csv, and table") {
