@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinHashSigExpr, SimHash60Expr, TopKByScore}
+import graft.functions.{MinHashSigExpr, SimHash60Expr, TopKByScore, VecCosineExpr, VecDotExpr, VecNormExpr}
 
 /** Session extensions registering graft's native Catalyst expressions as
   * SQL functions (usable from `spark.sql` text and via
@@ -35,6 +35,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"minhash_sig numHashes must be an integer literal, got $other")
         }
         MinHashSigExpr(args.head, n)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpr].getName, "vec_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes two arguments")
+        VecDotExpr(args(0), args(1))
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_norm"),
+      new ExpressionInfo(classOf[VecNormExpr].getName, "vec_norm"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_norm(a) takes one argument")
+        VecNormExpr(args.head)
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[VecCosineExpr].getName, "vec_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_cosine(a, b) takes two arguments")
+        VecCosineExpr(args(0), args(1))
       }))
 
     ext.injectFunction((

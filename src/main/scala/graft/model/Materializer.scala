@@ -93,18 +93,68 @@ final class Materializer(wh: Warehouse) {
   /** Upsert-by-key strategy (materialization.py:312-400's MERGE):
     * existing rows whose key appears in the batch are replaced. One
     * anti-join + union + versioned write; the key set is broadcast when
-    * small enough for Catalyst's threshold. */
+    * small enough for Catalyst's threshold.
+    *
+    * With `partition_by` set, the rewrite is PARTITION-SCOPED: only
+    * partitions holding batch keys (or receiving batch rows) are read,
+    * merged, and rewritten; every other partition is carried into the new
+    * version by hard link ([[Warehouse.writeVersionScoped]]). A small
+    * batch against a 100 TB table then costs O(touched partitions), and
+    * the partition filter prunes the `existing` scan to those partitions
+    * too. */
   private def mergeIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult = {
     val key = cfg.uniqueKey.get
     if (!wh.exists(cfg.name)) {
-      wh.writeVersion(cfg.name, df)
+      wh.writeVersion(cfg.name, df, partitionCols(cfg))
       MaterializeResult(cfg.name, "incremental_unique_key", status = "initial_load")
     } else {
       val existing = wh.read(cfg.name)
-      val kept = existing.join(df.select(col(key)).distinct(), Seq(key), "left_anti")
-      wh.writeVersion(cfg.name, kept.unionByName(df))
-      MaterializeResult(cfg.name, "incremental_unique_key", status = "merged")
+      val keys = df.select(col(key)).distinct()
+      partitionCols(cfg) match {
+        case Seq(pc) =>
+          val affected = affectedPartitions(existing, df, keys, key, pc)
+          val touched = existing.filter(partFilter(pc, affected.map(_._1)))
+          val kept = touched.join(keys, Seq(key), "left_anti")
+          wh.writeVersionScoped(cfg.name, kept.unionByName(df), pc,
+            affected.map(_._2).toSet)
+          MaterializeResult(cfg.name, "incremental_unique_key",
+            status = s"merged_scoped:${affected.size}")
+        case pcs =>
+          val kept = existing.join(keys, Seq(key), "left_anti")
+          wh.writeVersion(cfg.name, kept.unionByName(df), pcs)
+          MaterializeResult(cfg.name, "incremental_unique_key", status = "merged")
+      }
     }
+  }
+
+  /** Partition values touched by a merge batch: partitions the batch
+    * writes into ∪ partitions of existing rows whose key is in the batch
+    * (a key may move partitions — its old partition must be rewritten to
+    * drop the stale row). Returns (typed value, escaped directory form);
+    * cardinality is bounded by the batch's distinct partitions + matched
+    * keys, so the collect is O(touched partitions), never O(table). */
+  private def affectedPartitions(
+      existing: DataFrame, batchRows: DataFrame, keys: DataFrame,
+      key: String, pc: String): Seq[(Any, String)] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    batchRows.select(col(pc))
+      .unionByName(existing.join(keys, Seq(key), "left_semi").select(col(pc)))
+      .distinct()
+      .select(col(pc), col(pc).cast("string"))
+      .collect()
+      .map { r =>
+        val dir = if (r.isNullAt(0)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          else ExternalCatalogUtils.escapePathName(r.getString(1))
+        (r.get(0), dir)
+      }.toSeq
+  }
+
+  /** Prunable membership filter over a partition column (NULL partition
+    * handled explicitly — `isin` can't match it). */
+  private def partFilter(pc: String, vals: Seq[Any]): Column = {
+    val nonNull = vals.filter(_ != null)
+    val base = if (nonNull.isEmpty) lit(false) else col(pc).isin(nonNull: _*)
+    if (vals.exists(_ == null)) base || col(pc).isNull else base
   }
 
   private def appendIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult =
@@ -126,15 +176,29 @@ final class Materializer(wh: Warehouse) {
     val withOp = normalizeOp(batch, opCol)
     if (!wh.exists(cfg.name)) {
       wh.writeVersion(cfg.name,
-        dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key))
+        dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key),
+        partitionCols(cfg))
       MaterializeResult(cfg.name, "cdc", status = "initial_load")
     } else {
       val existing = wh.read(cfg.name)
       val touched = withOp.select(col(key)).distinct()
-      val survivors = existing.join(touched, Seq(key), "left_anti")
       val upserts = dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key)
-      wh.writeVersion(cfg.name, survivors.unionByName(upserts))
-      MaterializeResult(cfg.name, "cdc", status = "merged")
+      partitionCols(cfg) match {
+        case Seq(pc) =>
+          // Partition-scoped: deletes/updates pull in the partitions their
+          // current rows live in (semi-join side of affectedPartitions).
+          val affected = affectedPartitions(existing, upserts, touched, key, pc)
+          val touchedPart = existing.filter(partFilter(pc, affected.map(_._1)))
+          val survivors = touchedPart.join(touched, Seq(key), "left_anti")
+          wh.writeVersionScoped(cfg.name, survivors.unionByName(upserts), pc,
+            affected.map(_._2).toSet)
+          MaterializeResult(cfg.name, "cdc",
+            status = s"merged_scoped:${affected.size}")
+        case pcs =>
+          val survivors = existing.join(touched, Seq(key), "left_anti")
+          wh.writeVersion(cfg.name, survivors.unionByName(upserts), pcs)
+          MaterializeResult(cfg.name, "cdc", status = "merged")
+      }
     }
   }
 
@@ -158,25 +222,41 @@ final class Materializer(wh: Warehouse) {
       val initial = withOp.filter(col(opCol) =!= "D").drop(opCol)
         .withColumn(CdcTimestampCol, ts)
         .withColumn(ObsoleteDateCol, lit(null).cast("timestamp"))
-      wh.writeVersion(cfg.name, initial)
+      wh.writeVersion(cfg.name, initial, partitionCols(cfg))
       MaterializeResult(cfg.name, "cdc_scd2", status = "initial_load")
     } else {
       val existing = wh.read(cfg.name)
       val changedKeys = withOp
         .filter(col(opCol).isin("U", "D", "E"))
         .select(col(key)).distinct()
-      // Single pass over history: retire current rows for changed keys.
-      val retired = existing
+      val inserted = withOp.filter(col(opCol).isin("I", "U")).drop(opCol)
+        .withColumn(CdcTimestampCol, ts)
+        .withColumn(ObsoleteDateCol, lit(null).cast("timestamp"))
+      def retire(hist: DataFrame): DataFrame = hist
         .join(changedKeys.withColumn("__changed", lit(1)), Seq(key), "left")
         .withColumn(ObsoleteDateCol,
           when(col(ObsoleteDateCol).isNull && col("__changed").isNotNull, ts)
             .otherwise(col(ObsoleteDateCol)))
         .drop("__changed")
-      val inserted = withOp.filter(col(opCol).isin("I", "U")).drop(opCol)
-        .withColumn(CdcTimestampCol, ts)
-        .withColumn(ObsoleteDateCol, lit(null).cast("timestamp"))
-      wh.writeVersion(cfg.name, retired.unionByName(inserted))
-      MaterializeResult(cfg.name, "cdc_scd2", status = "merged")
+      partitionCols(cfg) match {
+        case Seq(pc) =>
+          // Partition-scoped: retirement only mutates CURRENT rows of
+          // changed keys, so only their partitions (plus insert targets)
+          // are rewritten; obsolete history elsewhere links forward.
+          val affected = affectedPartitions(
+            existing.filter(col(ObsoleteDateCol).isNull), inserted,
+            changedKeys, key, pc)
+          val touchedPart = existing.filter(partFilter(pc, affected.map(_._1)))
+          wh.writeVersionScoped(cfg.name,
+            retire(touchedPart).unionByName(inserted), pc,
+            affected.map(_._2).toSet)
+          MaterializeResult(cfg.name, "cdc_scd2",
+            status = s"merged_scoped:${affected.size}")
+        case pcs =>
+          // Single pass over history: retire current rows for changed keys.
+          wh.writeVersion(cfg.name, retire(existing).unionByName(inserted), pcs)
+          MaterializeResult(cfg.name, "cdc_scd2", status = "merged")
+      }
     }
   }
 

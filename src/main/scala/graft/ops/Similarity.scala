@@ -13,22 +13,33 @@ import org.apache.spark.sql.functions._
   * The scale path is random-hyperplane LSH bucketing: at 100 TB you
   * pre-bucket candidates once, then probe only matching buckets.
   *
-  * All arithmetic uses native higher-order functions (zip_with /
-  * aggregate) — sequential left-to-right folds, so results are
-  * deterministic and codegen-compatible, with no UDF serialization in
-  * the hot path.
+  * All arithmetic goes through graft's native vector expressions
+  * (functions/VectorExprs.scala) — tight codegen'd primitive loops with
+  * the same sequential left-to-right fold semantics as the
+  * `aggregate(zip_with(...))` formulations they replace (kept below as
+  * differential-test twins), so results are deterministic, bit-identical
+  * to the DuckDB oracles, and free of per-element boxing in the hot
+  * path.
   */
 object Similarity {
+  import graft.functions.VectorExprs
 
-  /** Dot product of two array<double> columns (sequential fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<float|double> columns (sequential fold). */
+  def dot(a: Column, b: Column): Column = VectorExprs.vecDot(a, b)
 
   /** L2 norm. */
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VectorExprs.vecNorm(a)
 
-  /** Cosine similarity of two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity of two array<float|double> columns. */
+  def cosine(a: Column, b: Column): Column = VectorExprs.vecCosine(a, b)
+
+  /** Higher-order-function twins of dot/norm/cosine — the formulations
+    * the native expressions replaced; retained for differential specs. */
+  private[ops] def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private[ops] def normHof(a: Column): Column = sqrt(dotHof(a, a))
+  private[ops] def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (normHof(a) * normHof(b))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
@@ -118,8 +129,7 @@ object Similarity {
     val v = asDouble(vec)
     (0 until numPlanes).map { p =>
       val w = array(planeVector(band * numPlanes + p, dim).map(lit): _*)
-      val proj = aggregate(
-        zip_with(v, w, (x, c) => x * c), lit(0.0), (acc, x) => acc + x)
+      val proj = dot(v, w)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }.reduce(_ + _)
   }

@@ -38,6 +38,80 @@ class MaterializerSpec extends SparkSpec {
     assert(got == Set((1, "a"), (2, "B"), (3, "C")))
   }
 
+  test("partitioned unique_key merge rewrites only affected partitions") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("pk", materialized = "incremental",
+      incrementalStrategy = Some("unique_key"), uniqueKey = Some("id"),
+      meta = Map("partition_by" -> "day"))
+    mat.materialize(cfg, Seq(
+      (1, "a", "2024-01-01"), (2, "b", "2024-01-01"),
+      (3, "c", "2024-01-02"), (4, "d", "2024-01-03")).toDF("id", "v", "day"))
+    val v1 = java.nio.file.Paths.get(wh.currentPath("pk").get)
+    def parquetFiles(dir: java.nio.file.Path) = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    val untouchedBefore = parquetFiles(v1.resolve("day=2024-01-02"))
+
+    // batch replaces key 1 (partition 01) and inserts key 5 into a new day
+    val r = mat.materialize(cfg,
+      Seq((1, "A", "2024-01-01"), (5, "e", "2024-01-04")).toDF("id", "v", "day"))
+    assert(r.status == "merged_scoped:2")
+
+    val got = wh.read("pk").select(col("id"), col("v"), col("day"))
+      .as[(Int, String, String)].collect().toSet
+    assert(got == Set((1, "A", "2024-01-01"), (2, "b", "2024-01-01"),
+      (3, "c", "2024-01-02"), (4, "d", "2024-01-03"), (5, "e", "2024-01-04")))
+
+    // untouched partitions carry the previous version's physical files
+    // forward (hard links — same inode, zero data movement)
+    val v2 = java.nio.file.Paths.get(wh.currentPath("pk").get)
+    assert(v2 != v1)
+    val untouchedAfter = parquetFiles(v2.resolve("day=2024-01-02"))
+    assert(untouchedAfter.map(_.getFileName.toString).sorted ==
+      untouchedBefore.map(_.getFileName.toString).sorted)
+    untouchedBefore.zip(untouchedAfter).foreach { case (a, b) =>
+      assert(Files.isSameFile(a, b), s"$b is not a hard link of $a")
+    }
+    assert(Files.exists(v2.resolve("day=2024-01-03")))
+    // touched partition was rewritten, not linked
+    parquetFiles(v2.resolve("day=2024-01-01")).foreach { f =>
+      untouchedBefore.foreach(old => assert(!Files.isSameFile(old, f)))
+    }
+  }
+
+  test("partitioned scd2 merge links partitions with no changed current rows") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("ps", materialized = "cdc_scd2",
+      uniqueKey = Some("id"), meta = Map("partition_by" -> "region"))
+    val ops = Seq(
+      (1, "a", "eu", "I"), (2, "b", "eu", "I"), (3, "c", "us", "I"))
+      .toDF("id", "v", "region", "__cdc_operation")
+    mat.materialize(cfg, ops, "2024-01-01 00:00:00")
+    val v1 = java.nio.file.Paths.get(wh.currentPath("ps").get)
+
+    // update id=1 (eu): us partition must carry forward via hard link
+    val r = mat.materialize(cfg,
+      Seq((1, "a2", "eu", "U")).toDF("id", "v", "region", "__cdc_operation"),
+      "2024-02-01 00:00:00")
+    assert(r.status == "merged_scoped:1")
+    val v2 = java.nio.file.Paths.get(wh.currentPath("ps").get)
+    import scala.jdk.CollectionConverters._
+    val usBefore = Files.walk(v1.resolve("region=us")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val usAfter = Files.walk(v2.resolve("region=us")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(usBefore.nonEmpty && usAfter.size == usBefore.size)
+    usBefore.zip(usAfter).foreach { case (a, b) => assert(Files.isSameFile(a, b)) }
+
+    // history semantics intact: id=1 has a retired row + a current row
+    val hist = wh.read("ps").filter(col("id") === 1)
+      .select(col("v"), col(Materializer.ObsoleteDateCol).isNull.as("current"))
+      .as[(String, Boolean)].collect().toSet
+    assert(hist == Set(("a", false), ("a2", true)))
+  }
+
   test("time incremental skips rows at or before the watermark") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val cfg = ModelConfig("ti", materialized = "incremental",

@@ -51,6 +51,34 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ivf.forall { case (a, b) => a < 5 && b >= 0 })
   }
 
+  test("native vec_dot/vec_norm/vec_cosine match the HOF formulations bit-for-bit") {
+    val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+    // float arrays straight from parquet on one side, double-cast on the
+    // other — the expressions accept both and must cast per element
+    // exactly like transform(x -> CAST(x AS DOUBLE))
+    val asD = transform($"embedding", x => x.cast("double"))
+    val pairs = e.select($"vec_id".as("a_id"), $"embedding".as("va"))
+      .crossJoin(e.select($"vec_id".as("b_id"), asD.as("vb")))
+      .filter($"a_id" < $"b_id").limit(500)
+    val diffs = pairs.select(
+      (Similarity.dot($"va", $"vb") -
+        Similarity.dotHof(transform($"va", x => x.cast("double")), $"vb")).as("d1"),
+      (Similarity.norm($"va") -
+        Similarity.normHof(transform($"va", x => x.cast("double")))).as("d2"),
+      (Similarity.cosine($"va", $"vb") -
+        Similarity.cosineHof(transform($"va", x => x.cast("double")), $"vb")).as("d3"))
+      .agg(sum(abs($"d1")), sum(abs($"d2")), sum(abs($"d3"))).head()
+    assert(diffs.getDouble(0) == 0.0)
+    assert(diffs.getDouble(1) == 0.0)
+    assert(diffs.getDouble(2) == 0.0)
+    // null / length-mismatch semantics mirror zip_with padding
+    val edge = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d)) AS short,
+        |  vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS nul,
+        |  vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS self""".stripMargin).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 1.0)
+  }
+
   test("csv/json round-trip preserves values; text formats demand schema") {
     val ev = Tables.load(spark, sfDir, "events")
       .select($"event_id", $"user_id", $"event_type", $"value").limit(100)
