@@ -18,7 +18,7 @@ import graft.model._
   *   graft.Cli <projectDir> test [model ...] [--target env]
   *   graft.Cli <projectDir> plan | list | validate [--target env]
   *   graft.Cli <projectDir> deps [--format text|dot]
-  *   graft.Cli <projectDir> lineage <model>
+  *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
   */
 object Cli {
@@ -122,21 +122,39 @@ object Cli {
         }
         0
       case "lineage" =>
-        val model = rest.headOption.getOrElse(sys.error("usage: lineage <model>"))
-        // Hydrate upstream relations (materialized versions where they
-        // exist, rendered views otherwise) so analysis can resolve refs.
-        runner.graph.executionOrder(Some(Seq(model))).flatten
-          .filter(m => m != model && runner.modelSqlMap.contains(m))
-          .foreach { m =>
-            if (wh.exists(m)) wh.refreshView(m)
-            else wh.registerView(m,
-              spark.sql(runner.render(m, dummyVars(runner, m))))
-          }
-        val df = spark.sql(runner.render(model, dummyVars(runner, model)))
-        Lineage.of(df).foreach { l =>
-          val fns = if (l.transformations.isEmpty) ""
-            else l.transformations.toSeq.sorted.mkString(" [", ", ", "]")
-          out(s"${l.column} <- ${l.sources.toSeq.sorted.mkString(", ")}$fns")
+        // Cross-model surfaces (dependency.py:332 get_column_lineage,
+        // utils/lineage.py export_lineage):
+        //   lineage <model> --impact <col>  downstream model.column set
+        //   lineage --json                  whole-project column graph
+        //   lineage <model>                 per-column base-table lineage
+        if (rest.contains("--json")) {
+          out(new ProjectLineage(spark, wh, runner).toJson)
+          return 0
+        }
+        val model = positional(rest).headOption.getOrElse(
+          sys.error("usage: lineage <model> [--impact col] | lineage --json"))
+        flagValue(rest, "--impact") match {
+          case Some(column) =>
+            val pl = new ProjectLineage(spark, wh, runner)
+            val hits = pl.columnImpact(model, column)
+            if (hits.isEmpty) out(s"no downstream columns depend on $model.$column")
+            else hits.toSeq.sorted.foreach(h => out(s"$model.$column -> $h"))
+          case None =>
+            // Hydrate upstream relations (materialized versions where they
+            // exist, rendered views otherwise) so analysis can resolve refs.
+            runner.graph.executionOrder(Some(Seq(model))).flatten
+              .filter(m => m != model && runner.modelSqlMap.contains(m))
+              .foreach { m =>
+                if (wh.exists(m)) wh.refreshView(m)
+                else wh.registerView(m,
+                  spark.sql(runner.render(m, dummyVars(runner, m))))
+              }
+            val df = spark.sql(runner.render(model, dummyVars(runner, model)))
+            Lineage.of(df).foreach { l =>
+              val fns = if (l.transformations.isEmpty) ""
+                else l.transformations.toSeq.sorted.mkString(" [", ", ", "]")
+              out(s"${l.column} <- ${l.sources.toSeq.sorted.mkString(", ")}$fns")
+            }
         }
         0
       case "validate" =>
@@ -182,7 +200,7 @@ object Cli {
     rest.sliding(2).collectFirst { case Seq(`flag`, v) if !v.startsWith("--") => v }
 
   /** Flags that take no value (a following positional is NOT their arg). */
-  private val boolFlags = Set("--dry-run")
+  private val boolFlags = Set("--dry-run", "--json")
 
   /** Positional (non-flag, non-flag-value) arguments. */
   private def positional(rest: Seq[String]): Seq[String] =

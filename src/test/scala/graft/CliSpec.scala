@@ -153,6 +153,45 @@ class CliSpec extends SparkSpec {
     assert(nDev > nProd && nProd > 0) // different vars hit different warehouses
   }
 
+  test("lineage --impact chains column dependencies across the model DAG") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "staging" ->
+        """-- config: materialized=view
+          |SELECT o_orderkey AS order_id, o_totalprice AS price,
+          |  o_orderstatus AS status
+          |FROM {{ source('raw', 'orders') }}""".stripMargin,
+      "enriched" ->
+        """-- config: materialized=view
+          |SELECT order_id, price * 1.1 AS price_taxed, status
+          |FROM {{ ref('staging') }}""".stripMargin,
+      "summary" ->
+        """-- config: materialized=view
+          |SELECT status, SUM(price_taxed) AS revenue
+          |FROM {{ ref('enriched') }} GROUP BY status""".stripMargin)
+
+    // price flows staging.price -> enriched.price_taxed -> summary.revenue
+    val (c1, out1) = run(proj, "lineage", "staging", "--impact", "price")
+    assert(c1 == 0)
+    assert(out1.toSet == Set(
+      "staging.price -> enriched.price_taxed",
+      "staging.price -> summary.revenue"))
+
+    // order_id reaches enriched but is not used by summary
+    val (_, out2) = run(proj, "lineage", "staging", "--impact", "order_id")
+    assert(out2 == Seq("staging.order_id -> enriched.order_id"))
+
+    // whole-project JSON export names immediate model-boundary sources
+    val (c3, out3) = run(proj, "lineage", "--json")
+    assert(c3 == 0)
+    val json = out3.mkString
+    assert(json.contains(""""enriched.price_taxed""""))   // summary's source
+    assert(json.contains(""""staging.price""""))          // enriched's source
+    // per-model output still resolves to base relations
+    val (_, out4) = run(proj, "lineage", "enriched")
+    assert(out4.exists(l => l.startsWith("price_taxed <-") && l.contains("o_totalprice")))
+  }
+
   test("deps default format prints stats and per-model dependencies") {
     Tables.registerAll(spark, sfDir)
     val proj = project(
