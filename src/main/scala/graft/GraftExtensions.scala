@@ -15,6 +15,10 @@ import graft.functions.{MinHashSigExpr, SimHash60Expr, TopKByScore, VecCosineExp
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Whole-operator extension: native as-of join (logical node planned
+    // to a sorted streaming merge; see graft.plans.AsOfJoinPlan).
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+
     ext.injectFunction((
       FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60Expr].getName, "simhash60"),

@@ -65,6 +65,41 @@ object TemporalJoins {
       .drop("__is_left", "__rid", "__rts")
   }
 
+  /** As-of join through the native operator
+    * ([[graft.plans.AsOfJoinNode]] → AsOfJoinExec): same semantics and
+    * output schema as [[asOfJoin]] (differentially tested), but executed
+    * as a sorted streaming merge of the two hash-clustered sides —
+    * no union row padding, no window buffering, O(1) state per
+    * partition. The right side is pre-projected to (key, ts, id) so the
+    * shuffle moves three columns regardless of its width. */
+  def asOfJoinNative(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      rightPrefix: String = "matched"): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val lp = left.queryExecution.analyzed
+    // Alias-project the right side: the aliases mint fresh exprIds that
+    // survive the analyzer's self-join relation dedup (which rewrites
+    // relation outputs inside the subtree but cannot remap a custom
+    // node's attribute fields), so left/right columns stay unambiguous
+    // even when both sides scan the same table.
+    val rp = right.select(col(keyCol).as("__asof_key"),
+      col(tsCol).as("__asof_ts"), col(idCol).as("__asof_id"))
+      .queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column '$n' not found"))
+    val rightId = attr(rp, "__asof_id")
+    val rightTs = attr(rp, "__asof_ts")
+    val node = graft.plans.AsOfJoinNode(
+      lp, rp,
+      attr(lp, keyCol), attr(lp, tsCol),
+      attr(rp, "__asof_key"), rightTs, rightId,
+      AttributeReference(s"${rightPrefix}_$idCol", rightId.dataType, nullable = true)(),
+      AttributeReference(s"${rightPrefix}_$tsCol", rightTs.dataType, nullable = true)())
+    org.apache.spark.sql.graftext.Bridge.ofRows(left.sparkSession, node)
+  }
+
   /** Keyed range join: pairs (left, right) with same key and
     * rightTs in [leftTs - lookbackUs, leftTs] (timestamps as epoch-micros
     * long columns). `bucketUs` defaults to the lookback, giving the

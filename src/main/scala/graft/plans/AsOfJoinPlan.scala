@@ -1,0 +1,176 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, AttributeSet, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native as-of join — a whole-operator Catalyst extension (logical node
+  * + strategy + physical exec), the brief's option (c) for semantics the
+  * built-in operators can't express efficiently.
+  *
+  * The composed formulation ([[graft.ops.TemporalJoins.asOfJoin]]) pads
+  * the right side to the left schema, unions, and runs an
+  * unbounded-preceding window — correct, one shuffle, but every right
+  * row is widened to the union schema and the window operator buffers
+  * rows per key. This operator instead asks Catalyst for the two sides
+  * hash-clustered on the key and sorted (key, ts) / (key, ts, id), then
+  * streams BOTH sorted iterators through a single merge with O(1) state
+  * per partition: the latest right (id, ts) at or before the current
+  * left row. No union row padding, no window buffer, each side shuffles
+  * only itself — the shape that holds when both sides are 100 TB.
+  *
+  * Semantics (pinned by the DuckDB `ASOF LEFT JOIN` oracle and the
+  * differential spec against the composed twin):
+  *   - per left row: the right row with the greatest rightTs <= leftTs
+  *     for the same key, LEFT semantics (no match -> nulls);
+  *   - ties on (key, ts) resolve to the highest id — the merge consumes
+  *     equal-ts right rows in id order, so the last one wins, which is
+  *     exactly the composed version's dedupe-keep-max-id;
+  *   - null keys/timestamps never match (SQL join semantics; the window
+  *     formulation needs an explicit dedupe + they sort first here and
+  *     are discarded).
+  *
+  * Reference behavior: point-in-time lookups (reference:
+  * src/llm_ops/temporal.py as-of enrichment).
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute, rightId: Attribute,
+    matchedId: AttributeReference, matchedTs: AttributeReference)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output :+ matchedId :+ matchedTs
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(matchedId, matchedTs))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] as [[AsOfJoinExec]]; injected via
+  * [[graft.GraftExtensions]]. */
+class AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKey, n.leftTs, n.rightKey, n.rightTs, n.rightId,
+        n.matchedId, n.matchedTs, planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Attribute, leftTs: Attribute,
+    rightKey: Attribute, rightTs: Attribute, rightId: Attribute,
+    matchedId: AttributeReference, matchedTs: AttributeReference,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output :+ matchedId :+ matchedTs
+  override def producedAttributes: AttributeSet = AttributeSet(Seq(matchedId, matchedTs))
+
+  /** Hash-cluster both sides on the key (co-partitioned, like
+    * sort-merge join children). */
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  /** Sorted merge order; the id tie-break on the right makes equal-ts
+    * winners deterministic without a dedupe pass. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)) ::
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightId, Ascending)) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // Bind to locals: the closure must not capture the SparkPlan.
+    val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
+    val rIdOrd = right.output.indexWhere(_.exprId == rightId.exprId)
+    require(Seq(lKeyOrd, lTsOrd, rKeyOrd, rTsOrd, rIdOrd).forall(_ >= 0),
+      "as-of join columns must be present in child outputs")
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
+    val idType = rightId.dataType
+    val outAttrs = output
+    val keyCmp = TypeUtils.getInterpretedOrdering(keyType)
+    val tsCmp = TypeUtils.getInterpretedOrdering(tsType)
+
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val proj = UnsafeProjection.create(outAttrs, outAttrs)
+        val joined = new JoinedRow
+        val matchRow = new GenericInternalRow(2)
+
+        new Iterator[InternalRow] {
+          // Retained values, never retained rows: child iterators reuse
+          // their row buffers, so key/ts/id are extracted immediately
+          // (UTF8String cloned off the buffer).
+          private def copyVal(v: Any): Any = v match {
+            case s: UTF8String => s.clone()
+            case other => other
+          }
+          private var pK: Any = _; private var pT: Any = _; private var pI: Any = _
+          private var hasPending = false
+          private var mK: Any = _; private var mT: Any = _; private var mI: Any = _
+          private var hasMatch = false
+
+          /** Consume right rows until the first one beyond (lk, lt),
+            * recording the latest at-or-before candidate. O(total right)
+            * across the whole partition. */
+          private def advanceRight(lk: Any, lt: Any): Unit = {
+            var done = false
+            while (!done) {
+              if (!hasPending) {
+                if (!rIter.hasNext) return
+                val r = rIter.next()
+                if (!r.isNullAt(rKeyOrd) && !r.isNullAt(rTsOrd)) {
+                  pK = copyVal(r.get(rKeyOrd, keyType))
+                  pT = copyVal(r.get(rTsOrd, tsType))
+                  pI = if (r.isNullAt(rIdOrd)) null else copyVal(r.get(rIdOrd, idType))
+                  hasPending = true
+                }
+              }
+              if (hasPending) {
+                val c = keyCmp.compare(pK, lk)
+                if (c < 0) hasPending = false // key already passed by left
+                else if (c == 0 && tsCmp.compare(pT, lt) <= 0) {
+                  mK = pK; mT = pT; mI = pI; hasMatch = true
+                  hasPending = false
+                } else done = true
+              }
+            }
+          }
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val l = lIter.next()
+            var found = false
+            if (!l.isNullAt(lKeyOrd) && !l.isNullAt(lTsOrd)) {
+              val lk = l.get(lKeyOrd, keyType)
+              val lt = l.get(lTsOrd, tsType)
+              advanceRight(lk, lt)
+              found = hasMatch && keyCmp.compare(mK, lk) == 0
+            }
+            if (found) { matchRow.update(0, mI); matchRow.update(1, mT) }
+            else { matchRow.update(0, null); matchRow.update(1, null) }
+            proj(joined(l, matchRow))
+          }
+        }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

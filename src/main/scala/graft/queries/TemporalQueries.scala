@@ -19,7 +19,7 @@ object TemporalQueries extends QueryModule {
       .select(col("user_id"), col("event_id"), col("ts"))
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"))
-    TemporalJoins.asOfJoin(purchases, clicks, "user_id", "ts", "event_id")
+    TemporalJoins.asOfJoinNative(purchases, clicks, "user_id", "ts", "event_id")
       .select(col("event_id"), col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         col("matched_event_id"),

@@ -38,6 +38,51 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.getLong(0) == 11L) // highest id survives the (key, ts) dedupe
   }
 
+  test("native as-of join matches the composed formulation on real data") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts", $"value")
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"matched_event_id", $"matched_ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+
+    val composed = key(TemporalJoins.asOfJoin(
+      purchases, clicks, "user_id", "ts", "event_id"))
+    val native = key(TemporalJoins.asOfJoinNative(
+      purchases, clicks, "user_id", "ts", "event_id"))
+    assert(native == composed)
+    assert(native.nonEmpty)
+
+    // physical plan is the custom operator: no union, single merge node
+    val plan = TemporalJoins.asOfJoinNative(
+      purchases, clicks, "user_id", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Union"))
+    assert(!plan.contains("Window"))
+  }
+
+  test("native as-of join handles ties, equal timestamps, and null keys") {
+    val t0 = ts("2024-01-01 08:00:00")
+    val left = Seq(
+      (Some(1L), 100L, t0),
+      (None, 101L, t0)) // null key: never matches
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (Some(1L), 10L, t0), (Some(1L), 11L, t0), // tie at same ts
+      (None, 12L, t0))
+      .toDF("user_id", "event_id", "ts")
+    val out = TemporalJoins.asOfJoinNative(left, right, "user_id", "ts", "event_id")
+      .select($"event_id", $"matched_event_id").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(100L).contains(11L)) // highest id wins the tie
+    assert(out(101L).isEmpty)
+  }
+
   test("bucketized range join equals the naive non-equi join") {
     val ev = Tables.load(spark, sfDir, "events")
     val errors = ev.filter($"event_type" === "error")
