@@ -20,7 +20,7 @@ object Dedup {
     * partition). One cheap round-robin shuffle of the raw rows buys
     * cluster-wide fan-out; skipped when the scan is already parallel
     * enough (the 100 TB case — thousands of row groups). */
-  private def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }

@@ -40,20 +40,22 @@ object Multimodal {
   }
 
   /** Decode payloads partition-by-partition. Runs as a narrow
-    * mapPartitions transform: no shuffle, batch-at-a-time, preserving
-    * input partitioning — the shape a Pandas-UDF/Arrow decode stage has
-    * on a real cluster. */
+    * `Dataset.mapPartitions` transform: no shuffle, batch-at-a-time,
+    * preserving input partitioning — the shape a Pandas-UDF/Arrow decode
+    * stage has on a real cluster. Staying a Dataset (vs dropping to
+    * `df.rdd`) keeps the decode inside one query plan: Catalyst can
+    * still prune/push around it and codegen the stages on either side,
+    * instead of a plan-breaking RDD round-trip. */
   def decode(df: DataFrame, payloadCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("asset", assetSchema, nullable = true))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
-    val rdd = df.rdd.mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         Row.fromSeq(r.toSeq :+ (if (payload == null) null else decodeStub(payload)))
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   /** Deterministic frame sampling for video-like assets: pick

@@ -15,10 +15,13 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
   */
 object LlmOpsQueries extends QueryModule {
 
+  // fanOut: the testdata parquet is a single row group (one scan split);
+  // the explode/crossJoin stages below it would otherwise run on one
+  // task. No-op when the scan is already parallel (the 100 TB case).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    Dedup.fanOut(Tables.load(s, dir, "embeddings"))
 
   // DuckDB twins of TextOps.normalized / tokens.
   private val sqlNorm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"

@@ -23,10 +23,12 @@ import graft.streaming.EventStreams
   */
 object ScaleQueries extends QueryModule {
 
+  // fanOut: single-row-group testdata reads as one scan split; no-op on
+  // an already-parallel scan (see LlmOpsQueries.docs).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    graft.ops.Dedup.fanOut(Tables.load(s, dir, "documents"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    graft.ops.Dedup.fanOut(Tables.load(s, dir, "embeddings"))
 
   /** RAM-backed scratch dir, deleted on JVM exit (see graft.Scratch). */
   private def scratchDir(prefix: String): String = graft.Scratch.dir(prefix)
