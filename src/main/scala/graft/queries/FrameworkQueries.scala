@@ -63,6 +63,41 @@ object FrameworkQueries extends QueryModule {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  // ------------------------------- B15: bronze/silver/gold layer macros
+  // The reference's Jinja macros (macros.py:96-198) as DataFrame
+  // combinators, composed end-to-end: bronze_load (filter + load
+  // metadata) → silver_clean (QUALIFY row_number keep-latest per key) →
+  // gold_aggregate (named aggregates). One Catalyst plan; the oracle
+  // re-derives all three layers in SQL.
+  private def qMacros(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val bronze = Macros.bronzeLoad(ev, filter = Some(col("value") > 0))
+    val silver = Macros.silverClean(bronze,
+      dedupeKey = Seq("user_id", "event_type"),
+      orderBy = Seq(col("ts").desc, col("event_id").desc))
+    Macros.goldAggregate(silver,
+      groupBy = Seq("event_type"),
+      aggregates = Seq(
+        "n_users" -> count(lit(1)),
+        "latest_value_sum" -> X.dsum(col("value"))))
+      .orderBy("event_type")
+  }
+
+  private val qMacrosSql =
+    s"""SELECT event_type, COUNT(*) AS n_users,
+       |  ${X.sqlSum("value")} AS latest_value_sum
+       |FROM (
+       |  SELECT event_type, value FROM (
+       |    SELECT event_type, value,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+       |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+       |    FROM events WHERE value > 0)
+       |  WHERE rn = 1)
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --------------------------------------- B6: incremental time watermark
   // Run 1 sees only events before the cutoff; run 2 sees everything. The
   // watermark must make the final table equal one full load: no
@@ -269,6 +304,7 @@ object FrameworkQueries extends QueryModule {
   // ----------------------------------------------------------------------
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_model_pipeline" -> qModelPipeline _,
+    "q_macros" -> qMacros _,
     "q_incremental_time" -> qIncrementalTime _,
     "q_incremental_merge" -> qIncrementalMerge _,
     "q_backfill" -> qBackfill _,
@@ -278,6 +314,7 @@ object FrameworkQueries extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "q_model_pipeline" -> qModelPipelineSql,
+    "q_macros" -> qMacrosSql,
     "q_incremental_time" -> qIncrementalTimeSql,
     "q_incremental_merge" -> qIncrementalMergeSql,
     "q_backfill" -> qBackfillSql,
