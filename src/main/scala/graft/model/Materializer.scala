@@ -31,13 +31,22 @@ final class Materializer(wh: Warehouse) {
       case "view" =>
         wh.registerView(cfg.name, df); MaterializeResult(cfg.name, "view")
       case "table" =>
-        // `-- config: sort_by=c1;c2` clusters files for min/max pruning.
-        val sorted = sortCols(cfg) match {
-          case Nil => df
-          case cols => df.sortWithinPartitions(cols.map(col): _*)
+        bucketSpec(cfg) match {
+          case Some((bucketCols, n)) =>
+            // `-- config: bucket_by=c1;c2, buckets=N` → CLUSTERED BY
+            // catalog table; equi-joins between co-bucketed models on the
+            // bucket keys plan without a shuffle.
+            wh.writeVersionBucketed(cfg.name, df, bucketCols, n, sortCols(cfg))
+            MaterializeResult(cfg.name, "table", status = s"bucketed:$n")
+          case None =>
+            // `-- config: sort_by=c1;c2` clusters files for min/max pruning.
+            val sorted = sortCols(cfg) match {
+              case Nil => df
+              case cols => df.sortWithinPartitions(cols.map(col): _*)
+            }
+            wh.writeVersion(cfg.name, sorted, partitionCols(cfg))
+            MaterializeResult(cfg.name, "table")
         }
-        wh.writeVersion(cfg.name, sorted, partitionCols(cfg))
-        MaterializeResult(cfg.name, "table")
       case "temp_table" =>
         // Session-scoped eager table: cache + force, like CREATE TEMP TABLE.
         val cached = df.cache()
@@ -269,6 +278,13 @@ final class Materializer(wh: Warehouse) {
   private def sortCols(cfg: ModelConfig): Seq[String] =
     cfg.meta.get("sort_by").toSeq.flatMap(_.split(";")).map(_.trim)
       .filter(_.nonEmpty)
+
+  /** `-- config: bucket_by=c1;c2, buckets=N` → CLUSTERED BY spec. */
+  private def bucketSpec(cfg: ModelConfig): Option[(Seq[String], Int)] =
+    cfg.meta.get("bucket_by").map { cols =>
+      (cols.split(";").map(_.trim).filter(_.nonEmpty).toSeq,
+        cfg.meta.get("buckets").map(_.toInt).getOrElse(8))
+    }.filter(_._1.nonEmpty)
 
   private def normalizeOp(df: DataFrame, opCol: String): DataFrame =
     if (df.columns.contains(opCol))

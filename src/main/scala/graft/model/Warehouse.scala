@@ -38,9 +38,15 @@ final class Warehouse(
   def currentPath(model: String): Option[String] =
     currentVersion(model).map(v => versionDir(model, v).toString)
 
-  def read(model: String): DataFrame =
-    spark.read.parquet(currentPath(model).getOrElse(
-      throw new IllegalStateException(s"model '$model' not materialized")))
+  def read(model: String): DataFrame = {
+    val v = currentVersion(model).getOrElse(
+      throw new IllegalStateException(s"model '$model' not materialized"))
+    // Bucketed versions must be read through their catalog table — the
+    // bucket spec (what makes joins shuffle-free) lives only there.
+    val tbl = catalogName(model, v)
+    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+    else spark.read.parquet(versionDir(model, v).toString)
+  }
 
   /** Write a full new version and flip the pointer. Partitioning columns
     * (e.g. a date column for incremental models) keep scans prunable at
@@ -59,6 +65,35 @@ final class Warehouse(
     // Old versions are retained for time-travel/debug; a production
     // deployment would vacuum versions older than a retention window.
   }
+
+  /** Bucketed (CLUSTERED BY) version write: the model lands hash-bucketed
+    * on `bucketCols` into `numBuckets` files per partition, registered as
+    * an external catalog table (the bucket spec lives in the catalog;
+    * the data stays in the versioned directory). Downstream equi-joins
+    * and aggregations on the bucket keys between co-bucketed models then
+    * plan WITHOUT a shuffle — at 100 TB, bucketing the big fact tables
+    * once turns every later fact-fact join into a zip of pre-sorted
+    * buckets. `sortBy` additionally pre-sorts within buckets so
+    * sort-merge joins skip their sort. */
+  def writeVersionBucketed(
+      model: String,
+      df: DataFrame,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty && numBuckets > 0, "bucket spec required")
+    val next = currentVersion(model).getOrElse(0L) + 1
+    val dir = versionDir(model, next)
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", dir.toString)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(catalogName(model, next))
+    state.update(model)(_.copy(currentVersion = next))
+    refreshView(model)
+  }
+
+  private def catalogName(model: String, v: Long): String = s"graft_${model}_v$v"
 
   /** Partition-scoped rewrite: write only the changed partitions of a new
     * version and hard-link every other partition directory from the
@@ -159,6 +194,8 @@ final class Warehouse(
       .toSeq.sorted
     val toDrop = versions.filter(_ <= current).dropRight(keep)
     toDrop.foreach { v =>
+      // external catalog entry (bucketed versions) before the files
+      spark.sql(s"DROP TABLE IF EXISTS ${catalogName(model, v)}")
       val dir = versionDir(model, v)
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }

@@ -112,6 +112,39 @@ class MaterializerSpec extends SparkSpec {
     assert(hist == Set(("a", false), ("a2", true)))
   }
 
+  test("co-bucketed model tables join without a shuffle") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfgA = ModelConfig("facts_a", materialized = "table",
+      meta = Map("bucket_by" -> "k", "buckets" -> "4", "sort_by" -> "k"))
+    val cfgB = ModelConfig("facts_b", materialized = "table",
+      meta = Map("bucket_by" -> "k", "buckets" -> "4", "sort_by" -> "k"))
+    val a = (1 to 1000).map(i => (i.toLong % 97, i.toLong)).toDF("k", "va")
+    val b = (1 to 1000).map(i => (i.toLong % 89, i.toLong * 2)).toDF("k", "vb")
+    assert(mat.materialize(cfgA, a).status == "bucketed:4")
+    assert(mat.materialize(cfgB, b).status == "bucketed:4")
+
+    // force a non-broadcast join so the exchange (or its absence) shows
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val joined = wh.read("facts_a").join(wh.read("facts_b"), Seq("k"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      // and it is still correct
+      val expected = a.join(b, Seq("k")).count()
+      assert(joined.count() == expected)
+    }
+  }
+
+  private def withSQLConf[T](kvs: (String, String)*)(f: => T): T = {
+    val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("time incremental skips rows at or before the watermark") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val cfg = ModelConfig("ti", materialized = "incremental",
