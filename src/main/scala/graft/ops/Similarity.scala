@@ -197,16 +197,27 @@ object Similarity {
       queryIdCol: String, candIdCol: String, vecCol: String,
       k: Int, numCells: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2): DataFrame = {
-    val spark = candidates.sparkSession
-    val c = candidates.select(col(candIdCol).as("neighbor_id"),
+    val centroids = trainCentroids(candidates, candIdCol, vecCol, numCells, lloydIters)
+    probeCells(indexCells(candidates, candIdCol, vecCol, centroids),
+      queries, queryIdCol, vecCol, k, nProbe, centroids)
+  }
+
+  private def prepCandidates(
+      candidates: DataFrame, candIdCol: String, vecCol: String): DataFrame =
+    candidates.select(col(candIdCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
 
-    // Seed centroids: lowest-id vectors (deterministic); refine with a
-    // few Lloyd iterations. The mean of each cell is computed fully
-    // distributed — posexplode to (cell, dim, value), partial-aggregated
-    // sums per (cell, dim) — so the driver only ever receives K×dim
-    // scalars (the centroids themselves), never candidate vectors.
+  /** Train IVF centroids: seed with the lowest-id vectors
+    * (deterministic), refine with a few Lloyd iterations. The mean of
+    * each cell is computed fully distributed — posexplode to (cell, dim,
+    * value), partial-aggregated per (cell, dim) — so the driver only
+    * ever receives K×dim scalars (the centroids themselves), never
+    * candidate vectors. */
+  def trainCentroids(
+      candidates: DataFrame, candIdCol: String, vecCol: String,
+      numCells: Int = 16, lloydIters: Int = 2): Array[(Int, List[Double])] = {
+    val c = prepCandidates(candidates, candIdCol, vecCol)
     var centroids: Array[(Int, List[Double])] = c
       .orderBy(col("neighbor_id")).limit(numCells).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toList) }
@@ -225,13 +236,31 @@ object Similarity {
         (r.getInt(0), (0 until mm.size).map(mm).toList)
       }.sortBy(_._1)
     }
+    centroids
+  }
 
-    val cells = assignCells(c, centroids, "cv") // neighbor_id, cv, cell
+  /** The inverted-file index rows for a candidate set: (neighbor_id, cv
+    * double vector, cn precomputed norm, cell). Pure map stage — this is
+    * what a streaming maintainer appends per micro-batch
+    * ([[graft.streaming.IndexStreams]]). */
+  def indexCells(
+      candidates: DataFrame, candIdCol: String, vecCol: String,
+      centroids: Array[(Int, List[Double])]): DataFrame =
+    assignCells(prepCandidates(candidates, candIdCol, vecCol), centroids, "cv")
+
+  /** Probe an IVF index: queries visit only their nProbe nearest cells;
+    * ranking is the bounded top-k aggregate. `cells` is
+    * [[indexCells]]-shaped (possibly read back from a cell-partitioned
+    * index on disk). */
+  def probeCells(
+      cells: DataFrame, queries: DataFrame,
+      queryIdCol: String, vecCol: String,
+      k: Int, nProbe: Int,
+      centroids: Array[(Int, List[Double])]): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"),
       asDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val qCells = assignCells(q, centroids, "qv", topN = nProbe)
-
     val scored = cells.join(broadcast(qCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",

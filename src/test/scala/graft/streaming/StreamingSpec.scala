@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.{SparkSpec, Tables}
 import graft.model.{ModelConfig, StateStore, Warehouse}
+import scala.jdk.CollectionConverters._
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -46,6 +47,52 @@ class StreamingSpec extends SparkSpec {
     val closed = batch.filter(_._1 < openCutoff)
     assert(closed.subsetOf(streamed),
       s"closed windows missing: ${(closed -- streamed).take(3)}")
+  }
+
+  test("streaming IVF index maintenance matches batch assignment and probe") {
+    import graft.ops.Similarity
+    val e = Tables.load(spark, sfDir, "embeddings").limit(200)
+    // centroids trained offline on the same corpus
+    val centroids = Similarity.trainCentroids(e, "vec_id", "embedding",
+      numCells = 8, lloydIters = 1)
+
+    // stage vectors as a file-stream source in two files (two batches)
+    val src = Files.createTempDirectory("graft_vec_src_").toString
+    e.filter($"vec_id" % 2 === 0).write.mode("append").parquet(src)
+    e.filter($"vec_id" % 2 === 1).write.mode("append").parquet(src)
+
+    val schema = e.schema
+    val stream = spark.readStream.schema(schema).parquet(src)
+    val indexDir = Files.createTempDirectory("graft_ivf_idx_").toString + "/idx"
+    val q = IndexStreams.ivfIndexStream(stream, centroids,
+      "vec_id", "embedding", indexDir,
+      Files.createTempDirectory("graft_ckpt_").toString)
+    try q.processAllAvailable() finally q.stop()
+
+    // streamed index == batch-side cell assignment, row for row
+    val streamed = spark.read.parquet(indexDir)
+      .select($"neighbor_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val batch = Similarity.indexCells(e, "vec_id", "embedding", centroids)
+      .select($"neighbor_id", $"cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(streamed == batch)
+    // cell-partitioned layout on disk (prunable probes)
+    assert(Files.list(java.nio.file.Paths.get(indexDir)).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("cell=")))
+
+    // probing the streamed index == probing the batch index
+    val queries = e.filter($"vec_id" < 5)
+    def keyOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fromStream = keyOf(IndexStreams.ivfProbe(spark, indexDir,
+      queries, "vec_id", "embedding", k = 5, nProbe = 3, centroids))
+    val fromBatch = keyOf(Similarity.probeCells(
+      Similarity.indexCells(e, "vec_id", "embedding", centroids),
+      queries, "vec_id", "embedding", k = 5, nProbe = 3, centroids))
+    assert(fromStream == fromBatch)
+    assert(fromStream.nonEmpty)
   }
 
   test("stateful sessionizer emits closed sessions matching the batch twin") {
