@@ -82,6 +82,8 @@ object Cli {
           // (executor.py:153-190): log failures, keep going, exit nonzero
           val results = runner.run(targets, allVars, continueOnError = true)
           results.foreach(r => out(s"${r.modelName}: ${r.materialization} ${r.status}"))
+          // executor.py:446 get_metrics / export_metrics_json
+          if (rest.contains("--metrics")) out(runner.metricsJson)
           if (results.exists(_.status.startsWith("failed"))) 1 else 0
         }
       case "test" =>
@@ -200,7 +202,7 @@ object Cli {
     rest.sliding(2).collectFirst { case Seq(`flag`, v) if !v.startsWith("--") => v }
 
   /** Flags that take no value (a following positional is NOT their arg). */
-  private val boolFlags = Set("--dry-run", "--json")
+  private val boolFlags = Set("--dry-run", "--json", "--metrics")
 
   /** Positional (non-flag, non-flag-value) arguments. */
   private def positional(rest: Seq[String]): Seq[String] =

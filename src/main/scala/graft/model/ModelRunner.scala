@@ -160,13 +160,23 @@ final class ModelRunner(
       name: String, variables: Map[String, String],
       batchTs: String): MaterializeResult = {
     var attempt = 0
+    val started = System.nanoTime()
+    def record(status: String): Unit = runMetrics.add(
+      ModelRunner.ModelMetric(name, status,
+        (System.nanoTime() - started) / 1000000L, attempt + 1))
     while (true) {
-      try return executeModel(name, variables, batchTs)
+      try {
+        val r = executeModel(name, variables, batchTs)
+        record(r.status)
+        return r
+      }
       catch {
         case e: Throwable if attempt + 1 < maxRetries && isRetryable(e) =>
           Thread.sleep(retryDelayMs * (1L << attempt))
           attempt += 1
-        case e: Throwable => throw e
+        case e: Throwable =>
+          record(s"failed: ${e.getMessage}")
+          throw e
       }
     }
     sys.error("unreachable")
@@ -181,9 +191,43 @@ final class ModelRunner(
 
   def readModel(name: String): DataFrame =
     wh.spark.table(wh.relation(name))
+
+  // ------------------------------------------------------------ metrics
+  // Execution metrics (reference executor.py:446-453 get_metrics /
+  // export_metrics_json): per-model wall-clock, status, and attempt
+  // count for the current runner. Thread-safe — models run concurrently
+  // within a level.
+  private val runMetrics =
+    new java.util.concurrent.ConcurrentLinkedQueue[ModelRunner.ModelMetric]()
+
+  /** Metrics recorded so far (ordered by completion). */
+  def metrics: Seq[ModelRunner.ModelMetric] = {
+    import scala.jdk.CollectionConverters._
+    runMetrics.iterator().asScala.toSeq
+  }
+
+  /** JSON export (executor.py:450 export_metrics_json). */
+  def metricsJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    val ms = metrics
+    val models = ms.map { m =>
+      s""""${esc(m.model)}":{"status":"${esc(m.status)}","duration_ms":${m.durationMs},"attempts":${m.attempts}}"""
+    }.mkString(",")
+    s"""{"models":{$models},"total_duration_ms":${ms.map(_.durationMs).sum},""" +
+      s""""succeeded":${ms.count(!_.failed)},"failed":${ms.count(_.failed)}}"""
+  }
 }
 
 object ModelRunner {
+
+  /** One model execution's metrics (executor.py ExecutionMetrics). */
+  final case class ModelMetric(
+      model: String, status: String, durationMs: Long, attempts: Int) {
+    def failed: Boolean = status.startsWith("failed")
+  }
 
   /** One declarative test's result for one model. */
   final case class TestOutcome(

@@ -123,6 +123,12 @@ class ResilienceSpec extends SparkSpec {
     assert(wh.read("flaky_model").head().getLong(0) == 42L)
     assert(ProjectSpecState.flakyCalls.get() >= 2) // first attempt failed
 
+    // execution metrics record the retry (executor.py get_metrics)
+    val m = runner.metrics.find(_.model == "flaky_model").get
+    assert(m.attempts == 2 && !m.failed && m.durationMs >= 0)
+    assert(runner.metricsJson.contains(""""flaky_model":{"status":"success""""))
+    assert(runner.metricsJson.contains(""""attempts":2"""))
+
     // AnalysisException is deterministic: exactly one attempt, fails fast.
     runner.addModel("bad_sql",
       "-- config: materialized=table\nSELECT no_such FROM {{ source('raw', 'orders') }}")
