@@ -318,7 +318,81 @@ object LlmOpsQueries extends QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // -------------------------------------- C27: repetition signals
+  // Gopher/C4-style within-document repetition quality signals: the
+  // fraction of tokens that are repeats and the fraction of bigrams that
+  // are repeats. Single codegen'd map pass (tokens + shingles + distinct
+  // sizes), per-row IEEE division — deterministic across engines.
+  private def qRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val bigrams = Dedup.shingleArray("text", 2)
+    def dupFrac(arr: org.apache.spark.sql.Column) =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") /
+          size(arr).cast("double"))
+        .otherwise(lit(0.0))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      dupFrac(toks).as("dup_token_frac"),
+      dupFrac(bigrams).as("dup_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val qRepetitionSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN len(toks) >= 2 THEN
+       |      [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+       |    ELSE [] END AS bigrams
+       |  FROM norm)
+       |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       |  CASE WHEN len(toks) > 0 THEN
+       |    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+       |  ELSE 0.0 END AS dup_token_frac,
+       |  CASE WHEN len(bigrams) > 0 THEN
+       |    CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE) / CAST(len(bigrams) AS DOUBLE)
+       |  ELSE 0.0 END AS dup_bigram_frac
+       |FROM g ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------- C28: benchmark decontamination
+  // The training-pipeline "did my corpus leak the eval set?" check:
+  // documents sharing >= 3 distinct 7-token shingles with a held-out
+  // set (doc_id % 31 == 0 stands in for the benchmark). Shingle-keyed
+  // equi-join — the candidate set is shingle-collisions only, never a
+  // doc×doc cross product, so it scales like the dedup family.
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = docs(s, dir).select(col("doc_id"),
+      explode(array_distinct(Dedup.shingleArray("text", 7))).as("sh"))
+    val eval_ = sh.filter(col("doc_id") % 31 === 0)
+      .select(col("sh"), col("doc_id").as("eval_doc_id"))
+    val train = sh.filter(col("doc_id") % 31 =!= 0)
+    train.join(eval_, Seq("sh"))
+      .groupBy(col("doc_id"), col("eval_doc_id"))
+      .agg(count_distinct(col("sh")).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy("doc_id", "eval_doc_id")
+  }
+
+  private val qContaminationSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, g AS sh FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+6], ' ')
+       |      for i in range(1, len(toks) - 5)]) AS g
+       |    FROM norm WHERE len(toks) >= 7))
+       |SELECT t.doc_id, e.doc_id AS eval_doc_id,
+       |  CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared
+       |FROM sh t JOIN sh e ON t.sh = e.sh
+       |WHERE t.doc_id % 31 <> 0 AND e.doc_id % 31 = 0
+       |GROUP BY t.doc_id, e.doc_id
+       |HAVING COUNT(DISTINCT t.sh) >= 3
+       |ORDER BY 1, 2""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repetition" -> qRepetition _,
+    "q_contamination" -> qContamination _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -335,6 +409,8 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_meta" -> qMultimodalMeta _)
 
   override val oracleSql: Map[String, String] = Map(
+    "q_repetition" -> qRepetitionSql,
+    "q_contamination" -> qContaminationSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
