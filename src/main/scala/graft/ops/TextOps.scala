@@ -101,6 +101,20 @@ object TextOps {
   }
 
   /** Enrich a documents table with all text-analysis columns. */
+  /** PII redaction: emails, IPv4 addresses, and phone-like digit runs
+    * are replaced by typed placeholder tokens, in that order (emails
+    * first so their local part isn't half-eaten by the phone rule).
+    * A chain of codegen'd regexp_replace calls — one map pass, no UDF.
+    * Patterns stay in the Java∩RE2 regex subset so the DuckDB oracle
+    * replays them verbatim. */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
+  }
+
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

@@ -89,7 +89,15 @@ case class AsOfJoinExec(
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     // Bind to locals: the closure must not capture the SparkPlan.
     val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
     val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
@@ -162,8 +170,12 @@ case class AsOfJoinExec(
               advanceRight(lk, lt)
               found = hasMatch && keyCmp.compare(mK, lk) == 0
             }
-            if (found) { matchRow.update(0, mI); matchRow.update(1, mT) }
+            if (found) {
+              matchRow.update(0, mI); matchRow.update(1, mT)
+              numMatchedRows += 1
+            }
             else { matchRow.update(0, null); matchRow.update(1, null) }
+            numOutputRows += 1
             proj(joined(l, matchRow))
           }
         }

@@ -318,6 +318,36 @@ object LlmOpsQueries extends QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // ------------------------------------------------ C29: PII redaction
+  // Emails / IPv4s / phone-like runs replaced by typed placeholders.
+  // The documents corpus has no PII, so the query plants deterministic
+  // PII derived from doc_id and checks the full redacted text
+  // hash-for-hash — the oracle replays the identical regex chain.
+  private def qRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com via 10.0."),
+      (col("doc_id") % 200).cast("string"), lit(".7 or +1-555-000-"),
+      col("doc_id"))
+    docs(s, dir).select(
+      col("doc_id"),
+      md5(TextOps.redactPii(planted)).as("redacted_md5"),
+      length(TextOps.redactPii(planted)).cast("integer").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val qRedactSql = {
+    val planted = "text || ' contact user' || doc_id || '@example.com via 10.0.' " +
+      "|| CAST(doc_id % 200 AS VARCHAR) || '.7 or +1-555-000-' || doc_id"
+    val redacted =
+      s"""regexp_replace(regexp_replace(regexp_replace($planted,
+         |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+         |  '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g')""".stripMargin
+    s"""SELECT doc_id, md5($redacted) AS redacted_md5,
+       |  CAST(length($redacted) AS INTEGER) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------- C27: repetition signals
   // Gopher/C4-style within-document repetition quality signals: the
   // fraction of tokens that are repeats and the fraction of bigrams that
@@ -393,6 +423,7 @@ object LlmOpsQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_repetition" -> qRepetition _,
     "q_contamination" -> qContamination _,
+    "q_redact" -> qRedact _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -411,6 +442,7 @@ object LlmOpsQueries extends QueryModule {
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
     "q_contamination" -> qContaminationSql,
+    "q_redact" -> qRedactSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
