@@ -23,8 +23,8 @@ import org.apache.spark.sql.types._
   * `zip_with` + `aggregate`: mismatched lengths or a null element yield
   * NULL (zip_with pads with null; null poisons the sum).
   *
-  * Reference behavior being re-expressed: brute-force cosine ranking and
-  * near-dup cosine (reference: src/llm_ops/similarity.py 34-118).
+  * Brief-driven (the similarity stack has no reference-framework
+  * counterpart); the DuckDB oracles pin the arithmetic.
   */
 object VectorExprs {
   import org.apache.spark.sql.functions.call_function

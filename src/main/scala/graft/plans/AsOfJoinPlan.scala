@@ -35,8 +35,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     formulation needs an explicit dedupe + they sort first here and
   *     are discarded).
   *
-  * Reference behavior: point-in-time lookups (reference:
-  * src/llm_ops/temporal.py as-of enrichment).
+  * The operator itself is brief-driven (the reference framework has no
+  * temporal-join surface); semantics follow the standard ASOF JOIN
+  * definition the DuckDB oracle implements.
   */
 case class AsOfJoinNode(
     left: LogicalPlan, right: LogicalPlan,
