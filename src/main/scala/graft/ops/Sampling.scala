@@ -39,4 +39,38 @@ object Sampling {
   /** RNG reservoir-style fraction sample (Spark-native, seeded). */
   def randomSample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
+
+  /** Stable uniform fraction in [0, 1) from the id's md5 (first 8 hex
+    * digits — exact in a double, engine-portable). */
+  def hashFrac(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Deterministic importance sampling: keep each row with probability
+    * `weight` (per-row column, clamped to [0, 1]). Same reproducibility
+    * contract as [[deterministicSample]] — membership is a pure function
+    * of id and weight, so re-runs, engines, and cluster sizes agree. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
+    df.filter(hashFrac(col(idCol)) <
+      least(greatest(weight, lit(0.0)), lit(1.0)))
+
+  /** Source-mixture rebalancing — the training-data "data mixing" step:
+    * downsample strata so the kept corpus moves toward `targetShares`
+    * (shares of the ORIGINAL total; no upsampling, rates cap at 1).
+    * rate_s = min(1, share_s · N / n_s). One count aggregate; the rates
+    * ride back into the plan as literals, so the filter is a pure map
+    * pass. Strata not named in the target are dropped. */
+  def rebalance(
+      df: DataFrame, idCol: String, strataCol: String,
+      targetShares: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    val rateExpr = targetShares.foldLeft(lit(0.0)) { case (acc, (k, share)) =>
+      val n = counts.getOrElse(k, 0L)
+      val rate = if (n == 0) 0.0 else math.min(1.0, share * total / n)
+      when(col(strataCol) === k, lit(rate)).otherwise(acc)
+    }
+    weightedSample(df, idCol, rateExpr)
+  }
 }

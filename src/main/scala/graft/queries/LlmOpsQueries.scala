@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators (SURVEY.md §2 C1–C11) as
   * driver-checkable queries over documents/embeddings.
@@ -318,6 +318,54 @@ object LlmOpsQueries extends QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------
+  // ------------------------------------ C30: weighted sampling + mixing
+  // Importance sampling (keep probability = min(n_tokens/60, 1) — prefer
+  // longer documents) and source-mixture rebalancing toward a target
+  // language mix. Membership is a pure function of doc_id, so both
+  // engines agree row-for-row.
+  private val sqlHashFrac =
+    "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
+
+  private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    val w = TextOps.tokenCount(col("text")).cast("double") / lit(60.0)
+    Sampling.weightedSample(docs(s, dir), "doc_id", w)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val qSampleWeightedSql =
+    s"""SELECT doc_id, lang, n_chars FROM documents
+       |WHERE $sqlHashFrac <
+       |  LEAST(GREATEST(CAST(len($sqlToks) AS DOUBLE) / 60.0, 0.0), 1.0)
+       |ORDER BY doc_id""".stripMargin
+
+  // Target mix: half en, the rest split across zh/es/de/fr; rates are
+  // derived from the observed counts (min(1, share*N/n_s)) exactly as
+  // Sampling.rebalance computes them driver-side.
+  private val MixShares = Seq(
+    "en" -> 0.5, "zh" -> 0.15, "es" -> 0.15, "de" -> 0.1, "fr" -> 0.1)
+
+  private def qRebalance(s: SparkSession, dir: String): DataFrame =
+    Sampling.rebalance(docs(s, dir), "doc_id", "lang", MixShares.toMap)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private val qRebalanceSql = {
+    val rateCase = MixShares.map { case (k, share) =>
+      s"WHEN d.lang = '$k' THEN LEAST(1.0, CAST($share AS DOUBLE) * t / n)"
+    }.mkString("\n      ")
+    s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS t
+       |  FROM documents GROUP BY lang),
+       |rated AS (
+       |  SELECT d.doc_id, d.lang,
+       |    CASE $rateCase ELSE 0.0 END AS rate
+       |  FROM documents d JOIN c ON d.lang = c.lang)
+       |SELECT doc_id, lang FROM rated
+       |WHERE $sqlHashFrac < LEAST(GREATEST(rate, 0.0), 1.0)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------------------------ C29: PII redaction
   // Emails / IPv4s / phone-like runs replaced by typed placeholders.
   // The documents corpus has no PII, so the query plants deterministic
@@ -424,6 +472,8 @@ object LlmOpsQueries extends QueryModule {
     "q_repetition" -> qRepetition _,
     "q_contamination" -> qContamination _,
     "q_redact" -> qRedact _,
+    "q_sample_weighted" -> qSampleWeighted _,
+    "q_rebalance" -> qRebalance _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -443,6 +493,8 @@ object LlmOpsQueries extends QueryModule {
     "q_repetition" -> qRepetitionSql,
     "q_contamination" -> qContaminationSql,
     "q_redact" -> qRedactSql,
+    "q_sample_weighted" -> qSampleWeightedSql,
+    "q_rebalance" -> qRebalanceSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
