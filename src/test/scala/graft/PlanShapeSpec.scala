@@ -70,4 +70,38 @@ class PlanShapeSpec extends SparkSpec {
     // exactly one key shuffle (agg) + one range exchange (final sort)
     assert("hashpartitioning".r.findAllIn(p).size == 1, p)
   }
+
+  test("native vector arithmetic stays inside whole-stage codegen") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val scored = e.select(col("vec_id"),
+      ops.Similarity.cosine(col("embedding"), col("embedding")).as("sim"))
+      .filter(col("sim") > 0.5)
+    val p = plan(scored)
+    // the project/filter evaluating vec_cosine carries the `*(n)`
+    // whole-stage-codegen marker — no CodegenFallback in the hot path
+    val cosLine = p.linesIterator.find(_.contains("vec_cosine")).get
+    assert(cosLine.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"), p)
+  }
+
+  test("weighted sampling and rebalance are pure map filters (no shuffle)") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val p = plan(ops.Sampling.weightedSample(d, "doc_id",
+      least(col("n_chars").cast("double") / lit(500.0), lit(1.0))))
+    assert(exchanges(p) == 0, p)
+    val p2 = plan(ops.Sampling.rebalance(d, "doc_id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.5)))
+    assert(exchanges(p2) == 0, p2)
+  }
+
+  test("native as-of join: two clustered exchanges, no union, no window") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val l = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val p = plan(ops.TemporalJoins.asOfJoinNative(l, r, "user_id", "ts", "event_id"))
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Union") && !p.contains("Window"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 2, p) // one per side
+  }
 }
