@@ -112,6 +112,35 @@ final class StateStore(stateDir: Path, environment: String = "dev") {
     states = model.fold(Map.empty[String, ModelState])(m => states - m)
     save()
   }
+
+  /** Aggregate statistics (state.py:335-349 get_statistics). */
+  def statistics: Map[String, Any] = {
+    val ss = states.values
+    val execs = ss.map(_.executionCount).sum
+    val successes = ss.map(_.successCount).sum
+    Map(
+      "environment" -> environment,
+      "total_models" -> ss.size,
+      "total_executions" -> execs,
+      "total_successes" -> successes,
+      "total_failures" -> ss.map(_.failureCount).sum,
+      "success_rate" ->
+        (if (execs > 0) math.round(successes * 10000.0 / execs) / 100.0 else 0.0))
+  }
+
+  /** Copy the state file to `out` (state.py:369 export_state). The file
+    * is already complete JSON with atomic-replace semantics. */
+  def exportState(out: Path): Unit = synchronized {
+    save() // ensure on-disk matches memory
+    Files.copy(file, out, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Replace all state from a previously exported file
+    * (state.py:383 import_state). */
+  def importState(in: Path): Unit = synchronized {
+    Files.copy(in, file, StandardCopyOption.REPLACE_EXISTING)
+    states = load()
+  }
 }
 
 object StateStore {

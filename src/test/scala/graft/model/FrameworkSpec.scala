@@ -156,6 +156,28 @@ class StateStoreSpec extends AnyFunSuite {
     st.clear()
     assert(st.all.isEmpty)
   }
+
+  test("statistics aggregate executions; export/import round-trips") {
+    val dir = Files.createTempDirectory("graft_state_")
+    val st = new StateStore(dir)
+    st.markExecution("a", success = true, "2026-01-01T00:00:00Z")
+    st.markExecution("a", success = true, "2026-01-02T00:00:00Z")
+    st.markExecution("b", success = false, "2026-01-03T00:00:00Z")
+    val stats = st.statistics
+    assert(stats("total_models") == 2)
+    assert(stats("total_executions") == 3L)
+    assert(stats("total_successes") == 2L)
+    assert(stats("total_failures") == 1L)
+    assert(stats("success_rate") == 66.67)
+
+    val out = dir.resolve("exported.json")
+    st.exportState(out)
+    val other = new StateStore(Files.createTempDirectory("graft_state2_"))
+    other.markExecution("zzz", success = true, "2026-01-01T00:00:00Z")
+    other.importState(out)
+    assert(other.get("zzz").isEmpty) // replaced wholesale
+    assert(other.get("a").exists(_.successCount == 2))
+  }
 }
 
 class PlannerSpec extends AnyFunSuite {
