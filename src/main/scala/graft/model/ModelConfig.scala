@@ -69,6 +69,9 @@ object ModelConfig {
   private val DependsLine = """(?m)^\s*--\s*depends_on:\s*(.+?)\s*$""".r
   private val TagsLine = """(?m)^\s*--\s*tags:\s*(.+?)\s*$""".r
   private val TestLine = """(?m)^\s*--\s*test:\s*(.+?)\s*$""".r
+  // `-- meta: owner=data-team, pii=true` — arbitrary metadata, kept
+  // separate from execution config (parser.py:249-288).
+  private val MetaLine = """(?m)^\s*--\s*meta:\s*(.+?)\s*$""".r
   // e.g. `not_null(o_custkey)` / `accepted_values(status, F|O|P) severity=warn`
   private val TestExpr = """(\w+)\s*\(\s*([^)]*)\s*\)\s*(?:severity\s*=\s*(\w+))?""".r
 
@@ -106,6 +109,14 @@ object ModelConfig {
       .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
     val tests: Seq[TestSpec] =
       TestLine.findAllMatchIn(sql).map(m => parseTest(m.group(1))).toSeq
+    val metaKvs: Map[String, String] = MetaLine.findAllMatchIn(sql).flatMap { m =>
+      m.group(1).split(",").toSeq.flatMap { pair =>
+        pair.split("=", 2) match {
+          case Array(k, v) => Some(k.trim -> v.trim)
+          case _ => None
+        }
+      }
+    }.toMap
 
     val known = Set("materialized", "incremental_strategy", "time_column",
       "unique_key", "change_type_column", "enabled")
@@ -123,6 +134,6 @@ object ModelConfig {
       dependsOn = deps,
       tags = tags,
       tests = tests,
-      meta = kvs.filterNot { case (k, _) => known.contains(k) })
+      meta = kvs.filterNot { case (k, _) => known.contains(k) } ++ metaKvs)
   }
 }

@@ -112,6 +112,16 @@ class SqlTemplateSpec extends AnyFunSuite {
       ModelConfig.fromSql("m", "-- config: materialized=incremental\nSELECT 1").validate())
   }
 
+  test("meta headers merge into metadata without touching config") {
+    val cfg = ModelConfig.fromSql("m",
+      """-- config: materialized=table, partition_by=day
+        |-- meta: owner=data-team, pii=true
+        |SELECT 1""".stripMargin)
+    assert(cfg.materialized == "table")
+    assert(cfg.meta("partition_by") == "day")
+    assert(cfg.meta("owner") == "data-team" && cfg.meta("pii") == "true")
+  }
+
   test("declarative test headers parse into typed specs") {
     val cfg = ModelConfig.fromSql("m",
       """-- config: materialized=table
