@@ -120,51 +120,59 @@ final class Materializer(wh: Warehouse) {
       val existing = wh.read(cfg.name)
       val keys = df.select(col(key)).distinct()
       partitionCols(cfg) match {
-        case Seq(pc) =>
-          val affected = affectedPartitions(existing, df, keys, key, pc)
-          val touched = existing.filter(partFilter(pc, affected.map(_._1)))
+        case pcs if pcs.nonEmpty =>
+          val affected = affectedPartitions(existing, df, keys, key, pcs)
+          val touched = existing.filter(partFilter(pcs, affected.map(_._1)))
           val kept = touched.join(keys, Seq(key), "left_anti")
-          wh.writeVersionScoped(cfg.name, kept.unionByName(df), pc,
+          wh.writeVersionScoped(cfg.name, kept.unionByName(df), pcs,
             affected.map(_._2).toSet)
           MaterializeResult(cfg.name, "incremental_unique_key",
             status = s"merged_scoped:${affected.size}")
-        case pcs =>
+        case _ =>
           val kept = existing.join(keys, Seq(key), "left_anti")
-          wh.writeVersion(cfg.name, kept.unionByName(df), pcs)
+          wh.writeVersion(cfg.name, kept.unionByName(df))
           MaterializeResult(cfg.name, "incremental_unique_key", status = "merged")
       }
     }
   }
 
-  /** Partition values touched by a merge batch: partitions the batch
+  /** Partition tuples touched by a merge batch: partitions the batch
     * writes into ∪ partitions of existing rows whose key is in the batch
     * (a key may move partitions — its old partition must be rewritten to
-    * drop the stale row). Returns (typed value, escaped directory form);
-    * cardinality is bounded by the batch's distinct partitions + matched
-    * keys, so the collect is O(touched partitions), never O(table). */
+    * drop the stale row). Returns (typed values, relative partition path
+    * `c1=v1/c2=v2`); cardinality is bounded by the batch's distinct
+    * partitions + matched keys, so the collect is O(touched partitions),
+    * never O(table). */
   private def affectedPartitions(
       existing: DataFrame, batchRows: DataFrame, keys: DataFrame,
-      key: String, pc: String): Seq[(Any, String)] = {
+      key: String, pcs: Seq[String]): Seq[(Seq[Any], String)] = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-    batchRows.select(col(pc))
-      .unionByName(existing.join(keys, Seq(key), "left_semi").select(col(pc)))
+    val sel = pcs.zipWithIndex.map { case (c, i) => col(c).as(s"__p$i") } ++
+      pcs.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"__s$i") }
+    batchRows.select(sel: _*)
+      .unionByName(existing.join(keys, Seq(key), "left_semi").select(sel: _*))
       .distinct()
-      .select(col(pc), col(pc).cast("string"))
       .collect()
       .map { r =>
-        val dir = if (r.isNullAt(0)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
-          else ExternalCatalogUtils.escapePathName(r.getString(1))
-        (r.get(0), dir)
+        val raw = pcs.indices.map(r.get)
+        val rel = pcs.indices.map { i =>
+          val v = if (r.isNullAt(pcs.length + i)) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(r.getString(pcs.length + i))
+          s"${ExternalCatalogUtils.escapePathName(pcs(i))}=$v"
+        }.mkString("/")
+        (raw, rel)
       }.toSeq
   }
 
-  /** Prunable membership filter over a partition column (NULL partition
-    * handled explicitly — `isin` can't match it). */
-  private def partFilter(pc: String, vals: Seq[Any]): Column = {
-    val nonNull = vals.filter(_ != null)
-    val base = if (nonNull.isEmpty) lit(false) else col(pc).isin(nonNull: _*)
-    if (vals.exists(_ == null)) base || col(pc).isNull else base
-  }
+  /** Prunable membership filter over the partition columns: OR of
+    * per-tuple equality conjunctions (NULL partitions matched with
+    * isNull — `===` can't). */
+  private def partFilter(pcs: Seq[String], tuples: Seq[Seq[Any]]): Column =
+    tuples.map { vs =>
+      pcs.zip(vs).map { case (c, v) =>
+        if (v == null) col(c).isNull else col(c) === lit(v)
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
 
   private def appendIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult =
     if (!wh.exists(cfg.name)) {
@@ -193,19 +201,19 @@ final class Materializer(wh: Warehouse) {
       val touched = withOp.select(col(key)).distinct()
       val upserts = dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key)
       partitionCols(cfg) match {
-        case Seq(pc) =>
+        case pcs if pcs.nonEmpty =>
           // Partition-scoped: deletes/updates pull in the partitions their
           // current rows live in (semi-join side of affectedPartitions).
-          val affected = affectedPartitions(existing, upserts, touched, key, pc)
-          val touchedPart = existing.filter(partFilter(pc, affected.map(_._1)))
+          val affected = affectedPartitions(existing, upserts, touched, key, pcs)
+          val touchedPart = existing.filter(partFilter(pcs, affected.map(_._1)))
           val survivors = touchedPart.join(touched, Seq(key), "left_anti")
-          wh.writeVersionScoped(cfg.name, survivors.unionByName(upserts), pc,
+          wh.writeVersionScoped(cfg.name, survivors.unionByName(upserts), pcs,
             affected.map(_._2).toSet)
           MaterializeResult(cfg.name, "cdc",
             status = s"merged_scoped:${affected.size}")
-        case pcs =>
+        case _ =>
           val survivors = existing.join(touched, Seq(key), "left_anti")
-          wh.writeVersion(cfg.name, survivors.unionByName(upserts), pcs)
+          wh.writeVersion(cfg.name, survivors.unionByName(upserts))
           MaterializeResult(cfg.name, "cdc", status = "merged")
       }
     }
@@ -248,22 +256,22 @@ final class Materializer(wh: Warehouse) {
             .otherwise(col(ObsoleteDateCol)))
         .drop("__changed")
       partitionCols(cfg) match {
-        case Seq(pc) =>
+        case pcs if pcs.nonEmpty =>
           // Partition-scoped: retirement only mutates CURRENT rows of
           // changed keys, so only their partitions (plus insert targets)
           // are rewritten; obsolete history elsewhere links forward.
           val affected = affectedPartitions(
             existing.filter(col(ObsoleteDateCol).isNull), inserted,
-            changedKeys, key, pc)
-          val touchedPart = existing.filter(partFilter(pc, affected.map(_._1)))
+            changedKeys, key, pcs)
+          val touchedPart = existing.filter(partFilter(pcs, affected.map(_._1)))
           wh.writeVersionScoped(cfg.name,
-            retire(touchedPart).unionByName(inserted), pc,
+            retire(touchedPart).unionByName(inserted), pcs,
             affected.map(_._2).toSet)
           MaterializeResult(cfg.name, "cdc_scd2",
             status = s"merged_scoped:${affected.size}")
-        case pcs =>
+        case _ =>
           // Single pass over history: retire current rows for changed keys.
-          wh.writeVersion(cfg.name, retire(existing).unionByName(inserted), pcs)
+          wh.writeVersion(cfg.name, retire(existing).unionByName(inserted))
           MaterializeResult(cfg.name, "cdc_scd2", status = "merged")
       }
     }

@@ -105,33 +105,45 @@ final class Warehouse(
     * manifest-level file reuse a table format (Iceberg/Delta) does on an
     * object store.
     *
-    * @param changedDirValues escaped partition-path values (the `v` of a
-    *        `col=v` directory name) that `df` rewrites; every other
-    *        partition of the previous version is carried forward as-is.
+    * @param changedRelPaths relative partition paths (`c1=v1/c2=v2`,
+    *        full partition depth) that `df` rewrites; every other
+    *        partition of the previous version is carried forward as-is —
+    *        an untouched subtree links wholesale at the highest level
+    *        that contains no changed partition.
     */
   def writeVersionScoped(
       model: String,
       df: DataFrame,
-      partCol: String,
-      changedDirValues: Set[String]): Unit = {
+      partCols: Seq[String],
+      changedRelPaths: Set[String]): Unit = {
     val prev = currentPath(model).getOrElse(
       throw new IllegalStateException(s"model '$model' has no current version"))
     val next = currentVersion(model).getOrElse(0L) + 1
     val dir = versionDir(model, next)
-    df.write.mode(SaveMode.Overwrite).partitionBy(partCol).parquet(dir.toString)
-    val prefix = partCol + "="
-    Files.list(Paths.get(prev)).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith(prefix))
-      .foreach { p =>
-        val value = p.getFileName.toString.stripPrefix(prefix)
-        val target = dir.resolve(p.getFileName.toString)
-        if (!changedDirValues.contains(value) && !Files.exists(target))
-          linkTree(p, target)
-      }
+    df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(dir.toString)
+    carryForward(Paths.get(prev), dir, "", changedRelPaths)
     state.update(model)(_.copy(currentVersion = next))
     refreshView(model)
   }
+
+  /** Hard-link the previous version's partition directories into the new
+    * one, except subtrees containing a changed partition (those recurse;
+    * fully-changed leaves were rewritten by the scoped write). */
+  private def carryForward(
+      prev: Path, dst: Path, rel: String, changed: Set[String]): Unit =
+    Files.list(prev).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+      .foreach { p =>
+        val childRel =
+          if (rel.isEmpty) p.getFileName.toString
+          else rel + "/" + p.getFileName.toString
+        val target = dst.resolve(p.getFileName.toString)
+        if (changed.contains(childRel)) () // rewritten (or deleted) leaf
+        else if (changed.exists(_.startsWith(childRel + "/"))) {
+          Files.createDirectories(target)
+          carryForward(p, target, childRel, changed)
+        } else if (!Files.exists(target)) linkTree(p, target)
+      }
 
   /** Recursively hard-link `src` under `dst` (copy fallback for file
     * systems without link support). */

@@ -81,6 +81,41 @@ class MaterializerSpec extends SparkSpec {
     }
   }
 
+  test("multi-column partitioned merge links untouched subtrees wholesale") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    val cfg = ModelConfig("mp", materialized = "incremental",
+      incrementalStrategy = Some("unique_key"), uniqueKey = Some("id"),
+      meta = Map("partition_by" -> "day;region"))
+    mat.materialize(cfg, Seq(
+      (1, "a", "2024-01-01", "eu"), (2, "b", "2024-01-01", "us"),
+      (3, "c", "2024-01-02", "eu"), (4, "d", "2024-01-02", "us"))
+      .toDF("id", "v", "day", "region"))
+    val v1 = java.nio.file.Paths.get(wh.currentPath("mp").get)
+
+    // touch only (2024-01-01, eu): sibling region=us must link, and the
+    // whole day=2024-01-02 subtree must link at the day level
+    val r = mat.materialize(cfg,
+      Seq((1, "A", "2024-01-01", "eu")).toDF("id", "v", "day", "region"))
+    assert(r.status == "merged_scoped:1")
+    val v2 = java.nio.file.Paths.get(wh.currentPath("mp").get)
+
+    import scala.jdk.CollectionConverters._
+    def files(p: java.nio.file.Path) = Files.walk(p).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    // sibling partition under the touched day links forward
+    files(v1.resolve("day=2024-01-01/region=us"))
+      .zip(files(v2.resolve("day=2024-01-01/region=us")))
+      .foreach { case (a, b) => assert(Files.isSameFile(a, b)) }
+    // untouched day links forward (whole subtree)
+    files(v1.resolve("day=2024-01-02"))
+      .zip(files(v2.resolve("day=2024-01-02")))
+      .foreach { case (a, b) => assert(Files.isSameFile(a, b)) }
+    // content correct
+    val got = wh.read("mp").select(col("id"), col("v")).as[(Int, String)]
+      .collect().toSet
+    assert(got == Set((1, "A"), (2, "b"), (3, "c"), (4, "d")))
+  }
+
   test("partitioned scd2 merge links partitions with no changed current rows") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val cfg = ModelConfig("ps", materialized = "cdc_scd2",
