@@ -100,6 +100,26 @@ object TemporalJoins {
     org.apache.spark.sql.graftext.Bridge.ofRows(left.sparkSession, node)
   }
 
+  /** As-of join with a bounded lookback (pandas merge_asof `tolerance`):
+    * the matched right row must lie within `toleranceUs` microseconds
+    * before the left timestamp, else the row stays unmatched. Because
+    * the as-of match is already the LATEST right row at-or-before the
+    * left one, a post-filter is exactly equivalent to constraining the
+    * search — no older candidate could have qualified. */
+  def asOfJoinTolerance(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      toleranceUs: Long,
+      rightPrefix: String = "matched"): DataFrame = {
+    require(toleranceUs >= 0, "tolerance must be non-negative")
+    val mId = s"${rightPrefix}_$idCol"
+    val mTs = s"${rightPrefix}_$tsCol"
+    val within = unix_micros(col(mTs)) >= unix_micros(col(tsCol)) - toleranceUs
+    asOfJoinNative(left, right, keyCol, tsCol, idCol, rightPrefix)
+      .withColumn(mId, when(within, col(mId)))
+      .withColumn(mTs, when(within, col(mTs)))
+  }
+
   /** Keyed range join: pairs (left, right) with same key and
     * rightTs in [leftTs - lookbackUs, leftTs] (timestamps as epoch-micros
     * long columns). `bucketUs` defaults to the lookback, giving the
