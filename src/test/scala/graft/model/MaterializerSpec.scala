@@ -200,6 +200,34 @@ class MaterializerSpec extends SparkSpec {
     }
   }
 
+  test("native as-of join over co-bucketed tables plans with zero shuffles") {
+    val wh = freshWh(); val mat = new Materializer(wh)
+    def cfg(n: String) = ModelConfig(n, materialized = "table",
+      meta = Map("bucket_by" -> "k", "buckets" -> "4",
+        "sort_by" -> "k;ts"))
+    val trades = (1 to 500).map(i =>
+      (i.toLong % 50, i.toLong, i.toLong * 10)).toDF("k", "ts", "id")
+    val quotes = (1 to 500).map(i =>
+      (i.toLong % 50, i.toLong - 1, i.toLong * 10 + 1)).toDF("k", "ts", "id")
+    mat.materialize(cfg("trades"), trades)
+    mat.materialize(cfg("quotes"), quotes)
+
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      val joined = graft.ops.TemporalJoins.asOfJoinNative(
+        wh.read("trades"), wh.read("quotes"), "k", "ts", "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan)
+      // bucketed scans already satisfy the key clustering: no exchange
+      assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n$plan")
+      assert(joined.count() == 500)
+      // spot-check semantics: latest quote at or before each trade ts
+      // trade (k=1, ts=51); quotes for k=1 have ts 0,50,100,... -> the
+      // latest at-or-before is ts=50 (source row i=51, id=511)
+      val row = joined.filter(col("k") === 1 && col("ts") === 51).head()
+      assert(row.getAs[Long]("matched_id") == 511)
+    }
+  }
+
   private def withSQLConf[T](kvs: (String, String)*)(f: => T): T = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
