@@ -25,6 +25,43 @@ object Dedup {
     if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
   }
 
+  /** Collapse duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the pair graph by iterative min-label propagation
+    * (each node repeatedly adopts the smallest label among itself and
+    * its neighbors — Pregel-style, converges in O(graph diameter)
+    * rounds, and dedup graphs are near-cliques with tiny diameter).
+    * Every distributed step is an equi-join + min aggregate, so each
+    * round is one shuffle; at extreme scale the same loop accepts the
+    * large-star/small-star edge rewrites. The cluster id is the smallest
+    * member id — the same canonical-representative rule as [[exact]].
+    * Output: idCol, cluster. */
+  def duplicateClusters(
+      pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().cache()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbr = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
+        .select(col("u").as("id"), col("label"))
+      val updated = labels.unionByName(nbr)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(aCol), col("label").as("cluster"))
+  }
+
   /** Exact dedup by content fingerprint: one row per distinct normalized
     * text, keeping the smallest id. Output: idCol, fingerprint, n_copies. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =

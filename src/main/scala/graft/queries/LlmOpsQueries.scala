@@ -45,7 +45,9 @@ object LlmOpsQueries extends QueryModule {
     Dedup.minHashLsh(docs(s, dir), "doc_id", "text", ShingleN, NumHashes, BandSize)
       .orderBy("a", "b")
 
-  private val qDedupMinhashSql = {
+  /** The full MinHash+LSH pipeline as CTEs ending in `pairs(a, b)` —
+    * shared by the pair query and the clusters query's oracle. */
+  private val qDedupMinhashCtes = {
     val minhashes = (0 until NumHashes)
       .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
     val bands = (0 until NumHashes / BandSize).map { b =>
@@ -64,11 +66,40 @@ object LlmOpsQueries extends QueryModule {
        |    $minhashes
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  $bands)
-       |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.sig = r.sig
-       |WHERE l.doc_id < r.doc_id
-       |ORDER BY a, b""".stripMargin
+       |  $bands),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.sig = r.sig
+       |  WHERE l.doc_id < r.doc_id)""".stripMargin
+  }
+
+  private val qDedupMinhashSql =
+    s"$qDedupMinhashCtes\nSELECT a, b FROM pairs ORDER BY a, b"
+
+  // --------------------------------- C31: duplicate clusters (conn. comp.)
+  // Pairs → clusters: connected components over the MinHash pair graph
+  // with the smallest member as the canonical representative. Spark runs
+  // Pregel-style min-label propagation; DuckDB re-derives via a
+  // recursive transitive closure over the same pairs.
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.minHashLsh(docs(s, dir), "doc_id", "text",
+        ShingleN, NumHashes, BandSize), "a", "b")
+      .withColumnRenamed("a", "doc_id")
+      .orderBy("doc_id")
+
+  private val qDedupClustersSql = {
+    val recursiveCtes = qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |edges AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |  UNION SELECT b AS u, a AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
   // ------------------------------------------------------- C3: SimHash
@@ -476,6 +507,7 @@ object LlmOpsQueries extends QueryModule {
     "q_rebalance" -> qRebalance _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_jaccard" -> qJaccard _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
@@ -497,6 +529,7 @@ object LlmOpsQueries extends QueryModule {
     "q_rebalance" -> qRebalanceSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_jaccard" -> qJaccardSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,

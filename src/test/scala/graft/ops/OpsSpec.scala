@@ -40,6 +40,22 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("duplicate clusters: min-label propagation finds connected components") {
+    // chain 1-2-3-4 (diameter 3, needs >1 round), pair 10-11, and a
+    // triangle 20-21-22 sharing node 20 with pair 20-23
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (20L, 23L))
+      .toDF("a", "b")
+    val got = Dedup.duplicateClusters(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
