@@ -102,6 +102,38 @@ object LlmOpsQueries extends QueryModule {
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
   }
 
+  // ----------------------- C31b: dedup application (retained corpus)
+  // The end-to-end dedup pipeline: pairs → clusters → keep only each
+  // cluster's canonical (smallest-id) document plus all unpaired docs.
+  private def qDedupKeep(s: SparkSession, dir: String): DataFrame = {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minHashLsh(docs(s, dir), "doc_id", "text",
+        ShingleN, NumHashes, BandSize), "a", "b")
+    val dropped = clusters.filter(col("a") =!= col("cluster"))
+      .select(col("a").as("doc_id"))
+    docs(s, dir).join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val qDedupKeepSql = {
+    val recursiveCtes = qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |edges AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |  UNION SELECT b AS u, a AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |dropped AS (
+       |  SELECT u AS doc_id FROM reach GROUP BY u
+       |  HAVING LEAST(u, MIN(v)) <> u)
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------------------------- C3: SimHash
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHash(docs(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -508,6 +540,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_dedup_keep" -> qDedupKeep _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_jaccard" -> qJaccard _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
@@ -530,6 +563,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
     "q_dedup_clusters" -> qDedupClustersSql,
+    "q_dedup_keep" -> qDedupKeepSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_jaccard" -> qJaccardSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
