@@ -38,27 +38,34 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 20): DataFrame = {
+    // Materialize the (tiny relative to corpus) edge set once; every
+    // round is checkpointed eagerly so lineage stays one round deep and
+    // the convergence check is a trivial scan of the just-materialized
+    // result, not a recomputation.
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().cache()
+      .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val nbr = edges.join(labels.withColumnRenamed("id", "v"), Seq("v"))
-        .select(col("u").as("id"), col("label"))
-      val updated = labels.unionByName(nbr)
-        .groupBy("id").agg(min("label").as("label")).cache()
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = updated
-      converged = changed == 0
+      val nbrMin = edges
+        .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
+          col("label").as("__old"))
+        .localCheckpoint()
+      converged =
+        next.filter(col("label") =!= col("__old")).limit(1).count() == 0
+      labels = next.drop("__old")
       iter += 1
     }
-    edges.unpersist()
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
 
