@@ -47,12 +47,19 @@ object Sampling {
       .cast("double") / lit(4294967296.0)
 
   /** Deterministic importance sampling: keep each row with probability
-    * `weight` (per-row column, clamped to [0, 1]). Same reproducibility
-    * contract as [[deterministicSample]] — membership is a pure function
-    * of id and weight, so re-runs, engines, and cluster sizes agree. */
-  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame =
-    df.filter(hashFrac(col(idCol)) <
-      least(greatest(weight, lit(0.0)), lit(1.0)))
+    * `weight` (per-row column, clamped to [0, 1]; NaN/NULL keep
+    * nothing — an unknown weight must not admit rows). Same
+    * reproducibility contract as [[deterministicSample]] — membership is
+    * a pure function of id and weight, so re-runs, engines, and cluster
+    * sizes agree. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val w = weight.cast("double")
+    // NaN guard is explicit: Spark orders NaN above all doubles, so
+    // least(greatest(NaN, 0), 1) would otherwise clamp NaN to 1.0.
+    val clamped = when(w.isNull || isnan(w), lit(0.0))
+      .otherwise(least(greatest(w, lit(0.0)), lit(1.0)))
+    df.filter(hashFrac(col(idCol)) < clamped)
+  }
 
   /** Source-mixture rebalancing — the training-data "data mixing" step:
     * downsample strata so the kept corpus moves toward `targetShares`

@@ -51,6 +51,27 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ivf.forall { case (a, b) => a < 5 && b >= 0 })
   }
 
+  test("weighted sampling clamps weights; rebalance hits the target mix and drops unnamed strata") {
+    val d = (1L to 4000L).map(i =>
+      (i, if (i % 4 == 0L) "en" else "xx")).toDF("doc_id", "lang")
+    // weight > 1 keeps everything; weight <= 0 keeps nothing
+    assert(Sampling.weightedSample(d, "doc_id", lit(7.5)).count() == 4000)
+    assert(Sampling.weightedSample(d, "doc_id", lit(-1.0)).count() == 0)
+    assert(Sampling.weightedSample(d, "doc_id", lit(Double.NaN)).count() == 0)
+
+    // 1000 en / 3000 xx; target 50/50 of original N=4000 -> en rate
+    // caps at 1 (no upsampling), xx rate = 2000/3000
+    val kept = Sampling.rebalance(d, "doc_id", "lang",
+      Map("en" -> 0.5, "xx" -> 0.5))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == 1000) // rate 1.0: all kept
+    assert(math.abs(kept("xx") - 2000) < 200) // ~2/3 of 3000, hash noise
+    // a stratum absent from the target is dropped entirely
+    val dropped = Sampling.rebalance(d, "doc_id", "lang", Map("en" -> 0.5))
+    assert(dropped.filter($"lang" === "xx").count() == 0)
+  }
+
   test("native vec_dot/vec_norm/vec_cosine match the HOF formulations bit-for-bit") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(50)
     // float arrays straight from parquet on one side, double-cast on the

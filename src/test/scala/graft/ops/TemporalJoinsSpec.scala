@@ -83,6 +83,28 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(101L).isEmpty)
   }
 
+  test("native as-of join edge cases: empty right side, tolerance cutoff") {
+    val left = Seq((1L, 100L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val emptyRight = Seq.empty[(Long, Long, java.sql.Timestamp)]
+      .toDF("user_id", "event_id", "ts")
+    val out = TemporalJoins.asOfJoinNative(left, emptyRight, "user_id", "ts", "event_id")
+      .select($"event_id", $"matched_event_id").collect()
+    assert(out.length == 1 && out.head.isNullAt(1)) // LEFT semantics survive
+
+    // tolerance: click 2h before purchase nulls out under a 1h window
+    val right = Seq((1L, 10L, ts("2024-01-01 08:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val within = TemporalJoins.asOfJoinTolerance(left, right,
+      "user_id", "ts", "event_id", toleranceUs = 3600L * 1000000L)
+      .select($"matched_event_id").head()
+    assert(within.isNullAt(0))
+    val wide = TemporalJoins.asOfJoinTolerance(left, right,
+      "user_id", "ts", "event_id", toleranceUs = 3L * 3600L * 1000000L)
+      .select($"matched_event_id").head()
+    assert(wide.getLong(0) == 10L)
+  }
+
   test("bucketized range join equals the naive non-equi join") {
     val ev = Tables.load(spark, sfDir, "events")
     val errors = ev.filter($"event_type" === "error")
