@@ -188,6 +188,32 @@ object ExtraQueries extends QueryModule {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // --------------------------------- A34: statistical window functions
+  // percent_rank / cume_dist are exact rational values (rank arithmetic,
+  // per-row IEEE division — engine-identical); ntile buckets are integer.
+  private def qWindowStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.load(s, dir, "orders")
+      .filter(col("o_custkey") < 100)
+      .select(
+        col("o_orderstatus"), col("o_orderkey"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        ntile(4).over(w).cast("int").as("quartile"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  private val qWindowStatsSql =
+    """SELECT o_orderstatus, o_orderkey,
+      |  PERCENT_RANK() OVER w AS pr,
+      |  CUME_DIST() OVER w AS cd,
+      |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+      |FROM orders WHERE o_custkey < 100
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
   // ------------------------------------------------- A29: string aggregation
   // Sorted concat makes collect_list order-independent (required both for
   // the oracle and for determinism under shuffles).
@@ -249,6 +275,7 @@ object ExtraQueries extends QueryModule {
     "q_set_ops" -> qSetOps _,
     "q_pivot" -> qPivot _,
     "q_window_nav" -> qWindowNav _,
+    "q_window_stats" -> qWindowStats _,
     "q_string_agg" -> qStringAgg _,
     "q_window_range" -> qWindowRange _,
     "q_correlated" -> qCorrelated _,
@@ -263,6 +290,7 @@ object ExtraQueries extends QueryModule {
     "q_set_ops" -> qSetOpsSql,
     "q_pivot" -> qPivotSql,
     "q_window_nav" -> qWindowNavSql,
+    "q_window_stats" -> qWindowStatsSql,
     "q_string_agg" -> qStringAggSql,
     "q_window_range" -> qWindowRangeSql,
     "q_correlated" -> correlatedSql,
