@@ -38,13 +38,21 @@ final class Warehouse(
   def currentPath(model: String): Option[String] =
     currentVersion(model).map(v => versionDir(model, v).toString)
 
+  // Whether a version has a catalog entry (bucketed), memoized: on a
+  // production metastore the existence check is an RPC, and only this
+  // warehouse writes the model, so the answer is stable per version.
+  private val catalogTableCache =
+    scala.collection.mutable.Map.empty[String, Boolean]
+
   def read(model: String): DataFrame = {
     val v = currentVersion(model).getOrElse(
       throw new IllegalStateException(s"model '$model' not materialized"))
     // Bucketed versions must be read through their catalog table — the
     // bucket spec (what makes joins shuffle-free) lives only there.
     val tbl = catalogName(model, v)
-    if (spark.catalog.tableExists(tbl)) spark.table(tbl)
+    val isCatalog = catalogTableCache.getOrElseUpdate(tbl,
+      spark.catalog.tableExists(tbl))
+    if (isCatalog) spark.table(tbl)
     else spark.read.parquet(versionDir(model, v).toString)
   }
 
@@ -89,6 +97,7 @@ final class Warehouse(
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(catalogName(model, next))
+    catalogTableCache(catalogName(model, next)) = true
     state.update(model)(_.copy(currentVersion = next))
     refreshView(model)
   }
@@ -208,6 +217,7 @@ final class Warehouse(
     toDrop.foreach { v =>
       // external catalog entry (bucketed versions) before the files
       spark.sql(s"DROP TABLE IF EXISTS ${catalogName(model, v)}")
+      catalogTableCache.remove(catalogName(model, v))
       val dir = versionDir(model, v)
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
