@@ -69,7 +69,10 @@ object VectorImpl {
 
   /** One fused pass accumulating dot, |a|², |b|² — each accumulator sees
     * the identical operation sequence as its standalone fold, so
-    * `cosine == dot/(norm*norm)` bit-for-bit. */
+    * `cosine == dot/(norm*norm)` bit-for-bit. A zero-norm side (all-zero
+    * or empty vector) returns NULL, matching Spark Divide's null-on-zero
+    * semantics — raw JVM division would yield NaN, which Spark orders
+    * above every double and would leak through `> threshold` filters. */
   def cosine(a: ArrayData, b: ArrayData,
       aFloat: Boolean, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
@@ -85,6 +88,7 @@ object VectorImpl {
       nb += y * y
       i += 1
     }
+    if (na == 0.0 || nb == 0.0) return null
     acc / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb))
   }
 }

@@ -8,35 +8,137 @@ import org.apache.spark.sql.types._
   * the engine as opaque `binary` columns plus typed metadata, exactly as
   * they would in a 100 TB lakehouse (parquet binary + struct metadata).
   *
+  * [[decodeHeader]] is a real, dependency-free container-header decoder:
+  * JPEG (SOI + segment walk to the SOF frame header), PNG (IHDR), GIF
+  * (logical screen descriptor) and WAV (RIFF fmt/data chunk walk). It
+  * recovers width/height for images and channels/sample-rate/duration
+  * for audio from the actual bytes — no image/audio libraries needed,
+  * the formats' framing is enough. Full-frame pixel/PCM decode is out of
+  * scope (and would be a codec library call inside the same
+  * mapPartitions slot); header metadata is what a curation pipeline
+  * filters on.
+  *
   * The Spark-side machinery — schema, partition-preserving mapPartitions
-  * transforms, batch shape — is real and tested. The actual codec calls
-  * are STUBBED behind [[decodeStub]] (this container has no image/audio
-  * libraries): a deterministic fake that yields plausible metadata from
-  * the payload bytes. Swapping in a real decoder changes only that
-  * function.
+  * transforms, batch shape — is the shape an Arrow/Pandas-UDF decode
+  * stage has on a real cluster.
   */
 object Multimodal {
 
-  /** Metadata schema attached to every decoded asset. */
+  /** Metadata schema attached to every decoded asset. Image fields are
+    * NULL for audio and vice versa; unparseable payloads decode as
+    * format "unknown" with all fields NULL (never an exception — one
+    * corrupt asset must not kill a 100 TB scan). */
   val assetSchema: StructType = StructType(Seq(
     StructField("n_bytes", LongType, nullable = false),
     StructField("format", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false)))
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true)))
 
   /** Wrap a text/bytes column as a binary payload column. */
   def asPayload(c: Column): Column = encode(c, "UTF-8")
 
-  /** STUB decoder: derives deterministic pseudo-metadata from payload
-    * bytes. A real implementation would parse the container header
-    * (JPEG/PNG/WAV...) here — the surrounding plumbing is unchanged. */
-  def decodeStub(payload: Array[Byte]): Row = {
-    val n = payload.length.toLong
-    val sig = if (payload.isEmpty) 0 else java.util.Arrays.hashCode(payload)
-    val fmt = (math.floorMod(sig, 3): Int) match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
+  // ---------------------------------------------------------------- parse
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+  private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24))
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean =
+    i + s.length <= b.length && s.indices.forall(j => u8(b, i + j) == s.charAt(j))
+
+  private def unknown(n: Long): Row =
+    Row(n, "unknown", null, null, null, null, null)
+  private def image(n: Long, fmt: String, w: Int, h: Int): Row =
+    Row(n, fmt, w, h, null, null, null)
+
+  /** JPEG SOF markers carrying frame dimensions: C0-CF minus DHT (C4),
+    * JPG (C8) and DAC (CC). */
+  private def isSof(m: Int): Boolean =
+    m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC
+
+  /** Walk JPEG segments from SOI to the first SOF header.
+    * Layout per segment: FF <marker> <len:be16 incl itself> <payload>;
+    * SOF payload: precision(1) height(be16) width(be16). */
+  private def parseJpeg(b: Array[Byte]): Row = {
+    val n = b.length.toLong
+    var i = 2
+    while (i + 1 < b.length) {
+      if (u8(b, i) != 0xFF) return unknown(n)     // lost segment sync
+      val marker = u8(b, i + 1)
+      if (marker == 0xFF) i += 1                  // fill byte padding
+      else if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2
+      else if (marker == 0xD9) return unknown(n)  // EOI before any SOF
+      else {
+        if (i + 3 >= b.length) return unknown(n)
+        val len = be16(b, i + 2)
+        if (isSof(marker)) {
+          if (i + 8 >= b.length || len < 7) return unknown(n)
+          return image(n, "jpeg", be16(b, i + 7), be16(b, i + 5))
+        }
+        if (len < 2) return unknown(n)
+        i += 2 + len
+      }
     }
-    Row(n, fmt, 64 + math.floorMod(sig, 1024), 64 + math.floorMod(sig >> 10, 1024))
+    unknown(n)
+  }
+
+  /** PNG: 8-byte magic, then the IHDR chunk (len be32 = 13, "IHDR",
+    * width be32, height be32). */
+  private def parsePng(b: Array[Byte]): Row = {
+    val n = b.length.toLong
+    if (b.length < 24 || !ascii(b, 12, "IHDR")) return unknown(n)
+    image(n, "png", be32(b, 16), be32(b, 20))
+  }
+
+  /** GIF87a/89a: logical screen width/height, little-endian at 6/8. */
+  private def parseGif(b: Array[Byte]): Row = {
+    val n = b.length.toLong
+    if (b.length < 10) return unknown(n)
+    image(n, "gif", le16(b, 6), le16(b, 8))
+  }
+
+  /** WAV: RIFF/WAVE, then a chunk walk — "fmt " yields channels, sample
+    * rate and byte rate; "data"'s declared size / byte-rate is the
+    * duration. Chunks are word-aligned (odd sizes padded by one). */
+  private def parseWav(b: Array[Byte]): Row = {
+    val n = b.length.toLong
+    var channels = -1; var sampleRate = -1; var byteRate = -1L; var dataSize = -1L
+    var i = 12
+    while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (ascii(b, i, "fmt ")) {
+        if (i + 24 > b.length) return unknown(n)
+        channels = le16(b, i + 10)
+        sampleRate = le32(b, i + 12).toInt
+        byteRate = le32(b, i + 16)
+      } else if (ascii(b, i, "data")) {
+        dataSize = size
+      }
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels < 0 || dataSize < 0 || byteRate <= 0) return unknown(n)
+    Row(n, "wav", null, null, channels, sampleRate, dataSize * 1000L / byteRate)
+  }
+
+  /** Decode one payload's container header. Never throws: anything that
+    * fails framing checks is format "unknown". */
+  def decodeHeader(payload: Array[Byte]): Row = {
+    val b = payload
+    try {
+      if (b.length >= 24 && u8(b, 0) == 0x89 && ascii(b, 1, "PNG")) parsePng(b)
+      else if (b.length >= 4 && u8(b, 0) == 0xFF && u8(b, 1) == 0xD8) parseJpeg(b)
+      else if (ascii(b, 0, "GIF8")) parseGif(b)
+      else if (b.length >= 44 && ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) parseWav(b)
+      else unknown(b.length.toLong)
+    } catch {
+      case scala.util.control.NonFatal(_) => unknown(b.length.toLong)
+    }
   }
 
   /** Decode payloads partition-by-partition. Runs as a narrow
@@ -53,9 +155,57 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(r.toSeq :+ (if (payload == null) null else decodeStub(payload)))
+        Row.fromSeq(r.toSeq :+ (if (payload == null) null else decodeHeader(payload)))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  // ----------------------------------------------------------- synthesize
+  // Column-level payload builders: plant known header fields into real
+  // container bytes with pure engine expressions (hex/lpad/unhex/concat),
+  // so a decode query is oracle-checkable — DuckDB recomputes the planted
+  // truth analytically while Spark must recover it from the bytes.
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+  private def byteHex(c: Column): Column =
+    lpad(hex(c.bitwiseAND(lit(255))), 2, "0")
+  private def le16Col(c: Column): Column =
+    unhex(concat(byteHex(c), byteHex(shiftright(c, 8))))
+  private def le32Col(c: Column): Column =
+    unhex(concat(byteHex(c), byteHex(shiftright(c, 8)),
+      byteHex(shiftright(c, 16)), byteHex(shiftright(c, 24))))
+  private def be16Col(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def be32Col(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+
+  /** A minimal well-formed JPEG: SOI, an APP0/JFIF segment (so the
+    * decoder must actually walk segments), and a SOF0 frame header
+    * carrying the planted dimensions. */
+  def synthJpeg(w: Column, h: Column): Column = concat(
+    lit(bytes(0xFF, 0xD8)),                                   // SOI
+    lit(bytes(0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes("US-ASCII")
+      ++ Array.fill(10)(0.toByte)),                           // APP0, len 16
+    lit(bytes(0xFF, 0xC0, 0x00, 0x11, 0x08)),                 // SOF0, len 17, prec 8
+    be16Col(h), be16Col(w),
+    lit(bytes(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)))
+
+  /** PNG magic + IHDR chunk with the planted dimensions. */
+  def synthPng(w: Column, h: Column): Column = concat(
+    lit(bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)),
+    lit(bytes(0x00, 0x00, 0x00, 0x0D) ++ "IHDR".getBytes("US-ASCII")),
+    be32Col(w), be32Col(h),
+    lit(bytes(0x08, 0x06, 0x00, 0x00, 0x00)))                 // bit depth etc.
+
+  /** RIFF/WAVE header with a PCM fmt chunk and a declared (header-only)
+    * data chunk of `dataSize` bytes at 16-bit depth. */
+  def synthWav(channels: Column, sampleRate: Column, dataSize: Column): Column = {
+    val byteRate = sampleRate * channels * lit(2)
+    val blockAlign = channels * lit(2)
+    concat(
+      lit("RIFF".getBytes("US-ASCII")), le32Col(dataSize + lit(36)),
+      lit("WAVE".getBytes("US-ASCII")),
+      lit("fmt ".getBytes("US-ASCII")), le32Col(lit(16)),
+      le16Col(lit(1)), le16Col(channels), le32Col(sampleRate),
+      le32Col(byteRate), le16Col(blockAlign), le16Col(lit(16)),
+      lit("data".getBytes("US-ASCII")), le32Col(dataSize))
   }
 
   /** Deterministic frame sampling for video-like assets: pick

@@ -106,11 +106,17 @@ object Similarity {
       (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
     }
 
-  /** Vector width, read from one row (on a real lake this is fixed
-    * schema metadata; reading a single row keeps the API self-contained). */
+  /** Vector width, read from one non-null row (on a real lake this is
+    * fixed schema metadata; reading a single row keeps the API
+    * self-contained). A leading NULL embedding must not poison the probe
+    * (size(NULL) is NULL), and a corpus with no non-null vector fails
+    * with a clear message instead of silently producing zero planes. */
   private def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(0)
+    df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).limit(1).collect()
+      .headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer vector dimension: '$vecCol' has no non-null values"))
 
   /** Random-hyperplane LSH bucket signature: one bit per plane — the
     * sign of the projection onto a deterministic pseudo-random
@@ -176,12 +182,17 @@ object Similarity {
       .select(col("neighbor_id"), asDouble(col(vecCol)).as("cv"),
         col("band_id"), col("bucket"))
       .withColumn("cn", norm(col("cv")))
-    val collided = cb.join(broadcast(qb), Seq("band_id", "bucket"))
+    // Score BEFORE deduplicating band collisions: the cosine is
+    // deterministic, so every duplicate of a pair carries the identical
+    // score and dedup-after-scoring is result-identical — but the dedup
+    // exchange now moves (query_id, neighbor_id, cosine_sim) scalars
+    // instead of two dim-wide vectors per candidate pair.
+    val scored = cb.join(broadcast(qb), Seq("band_id", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      // same pair via several bands → score once
-      .dropDuplicates("query_id", "neighbor_id")
-    val scored = collided.withColumn("cosine_sim",
-      dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine_sim",
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .dropDuplicates("query_id", "neighbor_id") // same pair via several bands
     topKPerQuery(scored, k)
   }
 
@@ -304,14 +315,18 @@ object Similarity {
     val b =
       if (maxBucketSize == Int.MaxValue) b0
       else Dedup.boundBuckets(b0, Seq("band_id", "bucket"), maxBucketSize)
+    // Score and threshold-filter map-side, BEFORE the band-collision
+    // dedup: duplicates of a pair have the identical deterministic
+    // cosine, so the result is unchanged, but the dedup exchange carries
+    // (a, b, cosine_sim) scalars instead of two dim-wide vectors.
     b.select(col("band_id"), col("bucket"), col(idCol).as("a"), col("v").as("va"))
       .join(
         b.select(col("band_id"), col("bucket"), col(idCol).as("b"), col("v").as("vb")),
         Seq("band_id", "bucket"))
       .filter(col("a") < col("b"))
-      .dropDuplicates("a", "b") // same pair via several bands → score once
       .withColumn("cosine_sim", cosine(col("va"), col("vb")))
       .filter(col("cosine_sim") > threshold)
       .select(col("a"), col("b"), col("cosine_sim"))
+      .dropDuplicates("a", "b") // same pair via several bands → keep once
   }
 }

@@ -292,21 +292,20 @@ object CoreQueries extends QueryModule {
       |ORDER BY custkey""".stripMargin
 
   // ------------------------------------------- A15: scalar subquery
-  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
-    val o = t(s, dir, "orders")
-    // Exact average (scaled-integer) so the comparison threshold is the
-    // identical double on both engines.
-    val avgRow = o.agg(X.davg(col("o_totalprice")).as("a")).head()
-    val threshold = avgRow.getDouble(0) * 2.0
-    o.filter(col("o_totalprice") > threshold)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .orderBy("o_orderkey")
-  }
-
+  // The identical SQL text (exact scaled-integer average twin) runs on
+  // both engines; Spark plans a genuine Catalyst ScalarSubquery —
+  // executed once, its result broadcast into the filter — which
+  // PlanShapeSpec pins. (Earlier rounds computed the threshold with a
+  // driver-side .head(); correct but never exercised subquery planning.)
   private val qScalarSubquerySql =
     s"""SELECT o_orderkey, o_totalprice FROM orders
        |WHERE o_totalprice > (SELECT ${X.sqlAvg("o_totalprice")} * 2.0 FROM orders)
        |ORDER BY o_orderkey""".stripMargin
+
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(qScalarSubquerySql)
+  }
 
   // ------------------------------------------- A16: CTE pipeline
   private def qCte(s: SparkSession, dir: String): DataFrame = {

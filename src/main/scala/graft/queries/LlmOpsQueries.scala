@@ -380,6 +380,47 @@ object LlmOpsQueries extends QueryModule {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- C11: multimodal header decode
+  // Real container-header decoding, oracle-checked: per doc_id the query
+  // synthesizes an actual JPEG / PNG / WAV byte payload with dimensions /
+  // audio parameters planted as pure functions of doc_id, then recovers
+  // them from the BYTES via Multimodal.decode (segment/chunk walking in a
+  // mapPartitions stage). DuckDB recomputes the planted truth
+  // analytically — any mis-parse (endianness, offset, segment skip)
+  // hash-mismatches.
+  private def qMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val fmtSel = id % 3
+    val w = (lit(64) + id % 512).cast("int")
+    val h = (lit(64) + (id * 7) % 512).cast("int")
+    val ch = (lit(1) + id % 2).cast("int")
+    val rate = (lit(8000) * (lit(1) + id % 4)).cast("int")
+    val secs = (lit(1) + id % 5).cast("int")
+    val dataSize = rate * ch * lit(2) * secs // bytes of 16-bit PCM, = secs seconds
+    val payload = when(fmtSel === 0, Multimodal.synthJpeg(w, h))
+      .when(fmtSel === 1, Multimodal.synthPng(w, h))
+      .otherwise(Multimodal.synthWav(ch, rate, dataSize))
+    val withPayload = docs(s, dir).select(id, payload.as("payload"))
+    Multimodal.decode(withPayload, "payload")
+      .select(col("doc_id"), col("asset.format").as("format"),
+        col("asset.width").as("width"), col("asset.height").as("height"),
+        col("asset.channels").as("channels"),
+        col("asset.sample_rate").as("sample_rate"),
+        col("asset.duration_ms").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  private val qMultimodalDecodeSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+      |       WHEN doc_id % 3 = 1 THEN 'png' ELSE 'wav' END AS format,
+      |  CASE WHEN doc_id % 3 < 2 THEN CAST(64 + doc_id % 512 AS INTEGER) END AS width,
+      |  CASE WHEN doc_id % 3 < 2 THEN CAST(64 + (doc_id * 7) % 512 AS INTEGER) END AS height,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INTEGER) END AS channels,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST(8000 * (1 + doc_id % 4) AS INTEGER) END AS sample_rate,
+      |  CASE WHEN doc_id % 3 = 2 THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT) END AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------------
   // ------------------------------------ C30: weighted sampling + mixing
   // Importance sampling (keep probability = min(n_tokens/60, 1) — prefer
@@ -552,7 +593,8 @@ object LlmOpsQueries extends QueryModule {
     "q_sample" -> qSample _,
     "q_vocab" -> qVocab _,
     "q_ngram_counts" -> qNgramCounts _,
-    "q_multimodal_meta" -> qMultimodalMeta _)
+    "q_multimodal_meta" -> qMultimodalMeta _,
+    "q_multimodal_decode" -> qMultimodalDecode _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
@@ -574,6 +616,7 @@ object LlmOpsQueries extends QueryModule {
     "q_sample" -> qSampleSql,
     "q_vocab" -> qVocabSql,
     "q_ngram_counts" -> qNgramCountsSql,
-    "q_multimodal_meta" -> qMultimodalMetaSql)
+    "q_multimodal_meta" -> qMultimodalMetaSql,
+    "q_multimodal_decode" -> qMultimodalDecodeSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }

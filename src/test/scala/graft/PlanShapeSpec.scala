@@ -93,6 +93,29 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(p2) == 0, p2)
   }
 
+  test("embedding LSH dedup exchanges carry scalars, not vectors") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    // score-then-dedup: the dropDuplicates aggregate must never carry
+    // the embedding vectors (first(va)/first(vb)) through its exchange
+    val p1 = plan(ops.Similarity.nearDupPairs(e, "vec_id", "embedding", 0.9))
+    assert(!p1.contains("first(va"), p1)
+    assert(!p1.contains("first(vb"), p1)
+    val p2 = plan(ops.Similarity.lshTopK(
+      e.filter(col("vec_id") < 3), e, "vec_id", "vec_id", "embedding", 5))
+    assert(!p2.contains("first(qv"), p2)
+    assert(!p2.contains("first(cv"), p2)
+  }
+
+  test("q_scalar_subquery plans a genuine Catalyst ScalarSubquery") {
+    val df = CoreQueries.queries("q_scalar_subquery")(spark, sfDir)
+    // optimized plan carries scalar-subquery expressions; the executed
+    // plan shows the physical Subquery node (may be a ReusedSubquery)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("scalar-subquery"), opt)
+    val p = plan(df)
+    assert(p.contains("Subquery"), p)
+  }
+
   test("native as-of join: two clustered exchanges, no union, no window") {
     val ev = Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")

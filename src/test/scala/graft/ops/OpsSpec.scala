@@ -230,20 +230,53 @@ class OpsSpec extends SparkSpec {
     assert(scores(1L) == 1.0)
   }
 
-  test("multimodal: payload decode plumbing preserves rows and derives metadata") {
-    val withPayload = docs.limit(50)
-      .withColumn("payload", Multimodal.asPayload($"text"))
-    val decoded = Multimodal.decode(withPayload, "payload")
-    assert(decoded.count() == 50)
-    val row = decoded.select("asset.n_bytes", "asset.format", "asset.width").head()
-    assert(row.getLong(0) > 0)
-    assert(Seq("jpeg", "png", "webp").contains(row.getString(1)))
-    assert(row.getInt(2) >= 64)
-    // deterministic: same payload -> same stub metadata
-    val again = Multimodal.decode(withPayload, "payload")
-      .select("asset.format").collect().map(_.getString(0)).toSeq
-    val first = decoded.select("asset.format").collect().map(_.getString(0)).toSeq
-    assert(again == first)
+  test("multimodal: header decoder recovers planted fields from real container bytes") {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // Hand-built fixtures, byte-for-byte per spec (independent of the
+    // synthXxx Column builders, which PlantedDecode-style queries use).
+    val jpeg = b(0xFF, 0xD8) ++                              // SOI
+      b(0xFF, 0xE1, 0x00, 0x04, 0x00, 0x00) ++              // APP1 to skip
+      b(0xFF, 0xC2, 0x00, 0x11, 0x08, 0x01, 0x40, 0x02, 0x80) ++ // SOF2 h=320 w=640
+      b(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    val png = b(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      b(0x00, 0x00, 0x00, 0x0D) ++ "IHDR".getBytes ++
+      b(0x00, 0x00, 0x04, 0x00) ++ b(0x00, 0x00, 0x00, 0x64) ++ // 1024 x 100
+      b(0x08, 0x06, 0x00, 0x00, 0x00)
+    val gif = "GIF89a".getBytes ++ b(0x20, 0x01) ++ b(0xF0, 0x00) ++ // 288 x 240 LE
+      b(0x00, 0x00, 0x00, 0x00)
+    // WAV: 2ch 16-bit 8000 Hz, data 64000 bytes -> 2000 ms; an extra
+    // LIST chunk before fmt exercises the chunk walk
+    val wav = "RIFF".getBytes ++ b(0x00, 0x00, 0x01, 0x00) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ b(0x04, 0x00, 0x00, 0x00) ++ "INFO".getBytes ++
+      "fmt ".getBytes ++ b(0x10, 0x00, 0x00, 0x00) ++
+      b(0x01, 0x00) ++ b(0x02, 0x00) ++                      // PCM, 2 channels
+      b(0x40, 0x1F, 0x00, 0x00) ++                           // 8000 Hz
+      b(0x00, 0x7D, 0x00, 0x00) ++                           // byte rate 32000
+      b(0x04, 0x00) ++ b(0x10, 0x00) ++                      // align 4, 16-bit
+      "data".getBytes ++ b(0x00, 0xFA, 0x00, 0x00)           // 64000 bytes
+    val truncatedJpeg = b(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x40) // segment past EOF
+    val junk = "just some text".getBytes
+
+    val df = Seq(1 -> jpeg, 2 -> png, 3 -> gif, 4 -> wav,
+      5 -> truncatedJpeg, 6 -> junk).toDF("id", "payload")
+    val out = Multimodal.decode(df, "payload")
+      .select($"id", $"asset.format", $"asset.width", $"asset.height",
+        $"asset.channels", $"asset.sample_rate", $"asset.duration_ms")
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out(1).getString(1) == "jpeg" && out(1).getInt(2) == 640 && out(1).getInt(3) == 320)
+    assert(out(2).getString(1) == "png" && out(2).getInt(2) == 1024 && out(2).getInt(3) == 100)
+    assert(out(3).getString(1) == "gif" && out(3).getInt(2) == 288 && out(3).getInt(3) == 240)
+    assert(out(4).getString(1) == "wav" && out(4).getInt(4) == 2 &&
+      out(4).getInt(5) == 8000 && out(4).getLong(6) == 2000L)
+    assert(out(4).isNullAt(2) && out(4).isNullAt(3)) // no image dims on audio
+    assert(out(5).getString(1) == "unknown" && out(5).isNullAt(2))
+    assert(out(6).getString(1) == "unknown")
+    // the synth Column builders round-trip through the same decoder
+    val synth = spark.range(1, 4).select($"id".cast("int").as("id"),
+      Multimodal.synthWav(lit(1), lit(16000), lit(32000 * 3)).as("payload"))
+    val s0 = Multimodal.decode(synth, "payload")
+      .select($"asset.format", $"asset.sample_rate", $"asset.duration_ms").head()
+    assert(s0.getString(0) == "wav" && s0.getInt(1) == 16000 && s0.getLong(2) == 3000L)
   }
 
   test("native hash expressions match their md5 definitions") {

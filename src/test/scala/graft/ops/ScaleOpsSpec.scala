@@ -98,6 +98,13 @@ class ScaleOpsSpec extends SparkSpec {
         |  vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS nul,
         |  vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS self""".stripMargin).head()
     assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.getDouble(2) == 1.0)
+    // zero-norm / empty vectors → NULL (Spark Divide null-on-zero), never
+    // NaN: NaN sorts above every double and would pass `> threshold`
+    val zero = spark.sql(
+      """SELECT vec_cosine(array(0.0f, 0.0f), array(1.0f, 2.0f)) AS za,
+        |  vec_cosine(array(1.0d, 2.0d), array(0.0d, 0.0d)) AS zb,
+        |  vec_cosine(CAST(array() AS ARRAY<DOUBLE>), CAST(array() AS ARRAY<DOUBLE>)) AS empty""".stripMargin).head()
+    assert(zero.isNullAt(0) && zero.isNullAt(1) && zero.isNullAt(2))
   }
 
   test("csv/json round-trip preserves values; text formats demand schema") {
