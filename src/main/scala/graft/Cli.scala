@@ -14,9 +14,9 @@ import graft.model._
   *
   * Usage:
   *   graft.Cli <projectDir> run [model ...] [--var k=v ...] [--tag t]
-  *             [--dry-run] [--target env]
+  *             [--dry-run] [--target env] [--full-refresh] [--log-json]
   *   graft.Cli <projectDir> test [model ...] [--target env]
-  *   graft.Cli <projectDir> plan | list | validate [--target env]
+  *   graft.Cli <projectDir> plan [--full-refresh] | list | validate [--target env]
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
@@ -54,6 +54,21 @@ object Cli {
     // --target overrides profiles.default.target everywhere (cli.py:48)
     val target = flagValue(rest, "--target")
     val (wh, runner, cfg) = openProject(spark, projectDir, target)
+    // Typed failures (GraftError taxonomy, reference errors.py) surface
+    // as distinct process exit codes; anything escaping a command lands
+    // here instead of a stack trace.
+    try executeCommand(spark, projectDir, command, rest, out, target, wh, runner, cfg)
+    catch {
+      case g: model.GraftError =>
+        out(s"ERROR[${g.errorClass}] ${g.getMessage}")
+        g.exitCode
+    }
+  }
+
+  private def executeCommand(
+      spark: SparkSession, projectDir: Path, command: String,
+      rest: Seq[String], out: String => Unit, target: Option[String],
+      wh: Warehouse, runner: ModelRunner, cfg: ProjectConfig): Int = {
     command match {
       case "run" =>
         val (models, vars, tag) = parseRunArgs(rest)
@@ -80,11 +95,18 @@ object Cli {
         } else {
           // graceful degradation like the reference executor
           // (executor.py:153-190): log failures, keep going, exit nonzero
-          val results = runner.run(targets, allVars, continueOnError = true)
+          // --log-json: structured per-model event lines (logger.py:81-106)
+          if (rest.contains("--log-json")) runner.setLogSink(Some(out))
+          val results = runner.run(targets, allVars, continueOnError = true,
+            fullRefresh = rest.contains("--full-refresh"))
+          runner.setLogSink(None)
           results.foreach(r => out(s"${r.modelName}: ${r.materialization} ${r.status}"))
           // executor.py:446 get_metrics / export_metrics_json
           if (rest.contains("--metrics")) out(runner.metricsJson)
-          if (results.exists(_.status.startsWith("failed"))) 1 else 0
+          if (results.exists(_.status.startsWith("failed")))
+            // exit code of the most severe typed failure class
+            runner.lastRunErrors.map(_.exitCode).maxOption.getOrElse(1)
+          else 0
         }
       case "test" =>
         // run declared `-- test:` suites against materialized models
@@ -103,7 +125,9 @@ object Cli {
           (if (failed > 0) s", $failed failed" else ""))
         if (failed > 0) 1 else 0
       case "plan" =>
-        val p = Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph, wh.state)
+        // --full-refresh (plan.py:118-154): force every model to execute
+        val p = Planner.plan(runner.modelSqlMap, runner.configMap,
+          runner.graph, wh.state, fullRefresh = rest.contains("--full-refresh"))
         out(s"summary: ${p.summary.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(", ")}")
         p.changes.foreach(c => out(s"  ${c.changeType.value}: ${c.modelName} (${c.reason})"))
         0
@@ -202,7 +226,8 @@ object Cli {
     rest.sliding(2).collectFirst { case Seq(`flag`, v) if !v.startsWith("--") => v }
 
   /** Flags that take no value (a following positional is NOT their arg). */
-  private val boolFlags = Set("--dry-run", "--json", "--metrics")
+  private val boolFlags =
+    Set("--dry-run", "--json", "--metrics", "--full-refresh", "--log-json")
 
   /** Positional (non-flag, non-flag-value) arguments. */
   private def positional(rest: Seq[String]): Seq[String] =

@@ -73,7 +73,7 @@ final class DependencyGraph {
   /** Kahn topological sort into parallel-executable levels. */
   def topoLevels(): Seq[Seq[String]] = {
     findCycle().foreach { c =>
-      throw new IllegalStateException(
+      throw new DependencyError(
         s"Circular dependency detected: ${c.mkString(" -> ")}")
     }
     val inDeg = mutable.Map.from(deps.map { case (k, v) => k -> v.size })

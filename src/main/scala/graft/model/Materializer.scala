@@ -21,11 +21,18 @@ final class Materializer(wh: Warehouse) {
   /** Dispatch on the model's materialization type. `df` is the rendered
     * model query's result; `batchTs` stamps CDC/SCD2 rows (injectable for
     * deterministic tests; a scheduler would pass wall-clock time).
+    *
+    * `fullRefresh` forces incremental/CDC models through their
+    * initial-load path — a fresh versioned write of the (full-history)
+    * input, atomically replacing the current version — the recovery path
+    * for a corrupted table or state file (reference plan.py:118-154
+    * full_refresh). Watermarks re-derive from the fresh data.
     */
   def materialize(
       cfg: ModelConfig,
       df: DataFrame,
-      batchTs: String = "1970-01-01 00:00:00"): MaterializeResult = {
+      batchTs: String = "1970-01-01 00:00:00",
+      fullRefresh: Boolean = false): MaterializeResult = {
     cfg.validate()
     cfg.materialized match {
       case "view" =>
@@ -53,22 +60,25 @@ final class Materializer(wh: Warehouse) {
         cached.count()
         wh.registerView(cfg.name, cached)
         MaterializeResult(cfg.name, "temp_table")
-      case "incremental" => incremental(cfg, df)
-      case "cdc" => cdcSnapshot(cfg, df)
-      case "cdc_scd2" => cdcScd2(cfg, df, batchTs)
+      case "incremental" => incremental(cfg, df, fullRefresh)
+      case "cdc" => cdcSnapshot(cfg, df, fullRefresh)
+      case "cdc_scd2" => cdcScd2(cfg, df, batchTs, fullRefresh)
       case other =>
-        throw new IllegalArgumentException(s"Unknown materialization: $other")
+        throw new ConfigError(s"Unknown materialization: $other",
+          Map("model" -> cfg.name))
     }
   }
 
   // ------------------------------------------------------------- incremental
-  private def incremental(cfg: ModelConfig, df: DataFrame): MaterializeResult =
+  private def incremental(
+      cfg: ModelConfig, df: DataFrame, fullRefresh: Boolean): MaterializeResult =
     cfg.incrementalStrategy.get match {
-      case "time" => timeIncremental(cfg, df)
-      case "unique_key" => mergeIncremental(cfg, df)
-      case "append" => appendIncremental(cfg, df)
+      case "time" => timeIncremental(cfg, df, fullRefresh)
+      case "unique_key" => mergeIncremental(cfg, df, fullRefresh)
+      case "append" => appendIncremental(cfg, df, fullRefresh)
       case other =>
-        throw new IllegalArgumentException(s"Unknown incremental strategy: $other")
+        throw new ConfigError(s"Unknown incremental strategy: $other",
+          Map("model" -> cfg.name))
     }
 
   /** Time watermark strategy (materialization.py:203-310): first run
@@ -76,12 +86,14 @@ final class Materializer(wh: Warehouse) {
     * time_column > watermark. The watermark advances to max(time_column)
     * actually ingested (exact, unlike the reference's wall-clock stamp —
     * no rows can fall between watermark and now). */
-  private def timeIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult = {
+  private def timeIncremental(
+      cfg: ModelConfig, df: DataFrame, fullRefresh: Boolean = false): MaterializeResult = {
     val tc = cfg.timeColumn.get
-    if (!wh.exists(cfg.name)) {
+    if (fullRefresh || !wh.exists(cfg.name)) {
       wh.writeVersion(cfg.name, df, partitionCols(cfg))
       advanceWatermark(cfg.name, tc, df)
-      MaterializeResult(cfg.name, "incremental_time", status = "initial_load")
+      MaterializeResult(cfg.name, "incremental_time",
+        status = if (fullRefresh) "full_refresh" else "initial_load")
     } else {
       val wm = wh.state.watermark(cfg.name, WatermarkKey)
         .getOrElse(wh.read(cfg.name).agg(max(col(tc)).cast("string")).head().getString(0))
@@ -111,11 +123,13 @@ final class Materializer(wh: Warehouse) {
     * batch against a 100 TB table then costs O(touched partitions), and
     * the partition filter prunes the `existing` scan to those partitions
     * too. */
-  private def mergeIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult = {
+  private def mergeIncremental(
+      cfg: ModelConfig, df: DataFrame, fullRefresh: Boolean = false): MaterializeResult = {
     val key = cfg.uniqueKey.get
-    if (!wh.exists(cfg.name)) {
+    if (fullRefresh || !wh.exists(cfg.name)) {
       wh.writeVersion(cfg.name, df, partitionCols(cfg))
-      MaterializeResult(cfg.name, "incremental_unique_key", status = "initial_load")
+      MaterializeResult(cfg.name, "incremental_unique_key",
+        status = if (fullRefresh) "full_refresh" else "initial_load")
     } else {
       val existing = wh.read(cfg.name)
       val keys = df.select(col(key)).distinct()
@@ -174,10 +188,12 @@ final class Materializer(wh: Warehouse) {
       }.reduce(_ && _)
     }.reduceOption(_ || _).getOrElse(lit(false))
 
-  private def appendIncremental(cfg: ModelConfig, df: DataFrame): MaterializeResult =
-    if (!wh.exists(cfg.name)) {
+  private def appendIncremental(
+      cfg: ModelConfig, df: DataFrame, fullRefresh: Boolean = false): MaterializeResult =
+    if (fullRefresh || !wh.exists(cfg.name)) {
       wh.writeVersion(cfg.name, df)
-      MaterializeResult(cfg.name, "incremental_append", status = "initial_load")
+      MaterializeResult(cfg.name, "incremental_append",
+        status = if (fullRefresh) "full_refresh" else "initial_load")
     } else {
       wh.append(cfg.name, df)
       MaterializeResult(cfg.name, "incremental_append", status = "appended")
@@ -187,15 +203,17 @@ final class Materializer(wh: Warehouse) {
   /** Current-snapshot CDC (materialization.py:500-600's MERGE): the batch
     * carries a change-type column with I/U/D (missing → 'U'). Matched
     * I/U upsert, D deletes. */
-  private def cdcSnapshot(cfg: ModelConfig, batch: DataFrame): MaterializeResult = {
+  private def cdcSnapshot(
+      cfg: ModelConfig, batch: DataFrame, fullRefresh: Boolean = false): MaterializeResult = {
     val key = cfg.uniqueKey.get
     val opCol = cfg.changeTypeColumn
     val withOp = normalizeOp(batch, opCol)
-    if (!wh.exists(cfg.name)) {
+    if (fullRefresh || !wh.exists(cfg.name)) {
       wh.writeVersion(cfg.name,
         dedupeByKey(withOp.filter(col(opCol) =!= "D").drop(opCol), key),
         partitionCols(cfg))
-      MaterializeResult(cfg.name, "cdc", status = "initial_load")
+      MaterializeResult(cfg.name, "cdc",
+        status = if (fullRefresh) "full_refresh" else "initial_load")
     } else {
       val existing = wh.read(cfg.name)
       val touched = withOp.select(col(key)).distinct()
@@ -229,18 +247,20 @@ final class Materializer(wh: Warehouse) {
   private def cdcScd2(
       cfg: ModelConfig,
       batch: DataFrame,
-      batchTs: String): MaterializeResult = {
+      batchTs: String,
+      fullRefresh: Boolean = false): MaterializeResult = {
     val key = cfg.uniqueKey.get
     val opCol = cfg.changeTypeColumn
     val ts = lit(batchTs).cast("timestamp")
     val withOp = normalizeOp(batch, opCol)
 
-    if (!wh.exists(cfg.name)) {
+    if (fullRefresh || !wh.exists(cfg.name)) {
       val initial = withOp.filter(col(opCol) =!= "D").drop(opCol)
         .withColumn(CdcTimestampCol, ts)
         .withColumn(ObsoleteDateCol, lit(null).cast("timestamp"))
       wh.writeVersion(cfg.name, initial, partitionCols(cfg))
-      MaterializeResult(cfg.name, "cdc_scd2", status = "initial_load")
+      MaterializeResult(cfg.name, "cdc_scd2",
+        status = if (fullRefresh) "full_refresh" else "initial_load")
     } else {
       val existing = wh.read(cfg.name)
       val changedKeys = withOp

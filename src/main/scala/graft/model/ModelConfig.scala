@@ -20,10 +20,11 @@ final case class TestSpec(
     case "unique" => Quality.Unique(column)
     case "accepted_values" => Quality.AcceptedValues(column, params)
     case "range" =>
-      require(params.length == 2, s"range test on $column needs (min, max)")
+      if (params.length != 2)
+        throw new ConfigError(s"range test on $column needs (min, max)")
       Quality.RangeCheck(column, params(0).toDouble, params(1).toDouble)
     case other =>
-      throw new IllegalArgumentException(s"unknown test type: $other")
+      throw new ConfigError(s"unknown test type: $other")
   }
 }
 
@@ -46,20 +47,21 @@ final case class ModelConfig(
 
   def isIncremental: Boolean = materialized == "incremental"
 
-  /** Mirrors model.py:validate_model_config (model.py:300-331). */
+  /** Mirrors model.py:validate_model_config (model.py:300-331); raises
+    * typed [[ConfigError]]s (errors.py ConfigurationError). */
   def validate(): Unit = {
+    def fail(msg: String): Nothing =
+      throw new ConfigError(msg, Map("model" -> name))
     if (isIncremental) {
-      require(incrementalStrategy.isDefined,
-        s"Incremental model '$name' must specify incremental_strategy")
-      if (incrementalStrategy.contains("time"))
-        require(timeColumn.isDefined,
-          s"Incremental model '$name' with time strategy must specify time_column")
-      if (incrementalStrategy.contains("unique_key"))
-        require(uniqueKey.isDefined,
-          s"Incremental model '$name' with unique_key strategy must specify unique_key")
+      if (incrementalStrategy.isEmpty)
+        fail(s"Incremental model '$name' must specify incremental_strategy")
+      if (incrementalStrategy.contains("time") && timeColumn.isEmpty)
+        fail(s"Incremental model '$name' with time strategy must specify time_column")
+      if (incrementalStrategy.contains("unique_key") && uniqueKey.isEmpty)
+        fail(s"Incremental model '$name' with unique_key strategy must specify unique_key")
     }
-    if (materialized == "cdc" || materialized == "cdc_scd2")
-      require(uniqueKey.isDefined, s"unique_key required for CDC model '$name'")
+    if ((materialized == "cdc" || materialized == "cdc_scd2") && uniqueKey.isEmpty)
+      fail(s"unique_key required for CDC model '$name'")
   }
 }
 
@@ -88,7 +90,7 @@ object ModelConfig {
         else args.drop(1)
       TestSpec(tpe, args.head, params, Option(sev).getOrElse("error"))
     case other =>
-      throw new IllegalArgumentException(s"malformed test declaration: $other")
+      throw new ConfigError(s"malformed test declaration: $other")
   }
 
   /** Parse `-- config: key=value, key2=value2` and `-- depends_on: a, b`

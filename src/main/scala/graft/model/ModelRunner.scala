@@ -56,14 +56,17 @@ final class ModelRunner(
     g
   }
 
-  /** Render a model's SQL against the warehouse namespace. */
-  def render(name: String, variables: Map[String, String] = Map.empty): String = {
-    val incremental = modelCfg(name).isIncremental && wh.exists(name)
+  /** Render a model's SQL against the warehouse namespace. With
+    * `fullRefresh`, `is_incremental()` renders false even when the table
+    * exists, so the model selects its full history. */
+  def render(name: String, variables: Map[String, String] = Map.empty,
+      fullRefresh: Boolean = false): String = {
+    val incremental = modelCfg(name).isIncremental && wh.exists(name) && !fullRefresh
     SqlTemplate.render(
       modelSql(name), name,
       resolveRef = m => wh.relation(m),
       resolveSource = (s, t) => sources.getOrElse((s, t),
-        throw new IllegalArgumentException(s"unknown source $s.$t")),
+        throw new ConfigError(s"unknown source $s.$t", Map("model" -> name))),
       isIncremental = incremental,
       variables = variables)
   }
@@ -71,10 +74,11 @@ final class ModelRunner(
   def executeModel(
       name: String,
       variables: Map[String, String] = Map.empty,
-      batchTs: String = "1970-01-01 00:00:00"): MaterializeResult = {
+      batchTs: String = "1970-01-01 00:00:00",
+      fullRefresh: Boolean = false): MaterializeResult = {
     val cfg = modelCfg(name)
-    val df = wh.spark.sql(render(name, variables))
-    val result = mat.materialize(cfg, df, batchTs)
+    val df = wh.spark.sql(render(name, variables, fullRefresh))
+    val result = mat.materialize(cfg, df, batchTs, fullRefresh)
     // Declarative post-materialization tests (reference testing.py:134
     // run_model_tests): error-severity failures fail the model — state
     // records the failure and run() blocks dependents — warn only reports.
@@ -123,33 +127,71 @@ final class ModelRunner(
       targets: Option[Seq[String]] = None,
       variables: Map[String, String] = Map.empty,
       batchTs: String = "1970-01-01 00:00:00",
-      continueOnError: Boolean = false): Seq[MaterializeResult] = {
+      continueOnError: Boolean = false,
+      fullRefresh: Boolean = false): Seq[MaterializeResult] = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, parallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     val g = graph
     val skipped = scala.collection.mutable.Set.empty[String]
+    runErrors.clear()
     try {
       val levels = g.executionOrder(targets)
       levels.flatMap { level =>
         val runnable = level.filter(m =>
           modelSql.contains(m) && modelCfg(m).enabled && !skipped.contains(m))
         val futs = runnable.map { m =>
-          Future(scala.util.Try(executeWithRetry(m, variables, batchTs)).toEither
-            .left.map(e => (m, e)))
+          Future(scala.util.Try(executeWithRetry(m, variables, batchTs, fullRefresh))
+            .toEither.left.map(e => (m, e)))
         }
         futs.map(f => Await.result(f, Duration.Inf)).flatMap {
           case Right(r) => Some(r)
           case Left((m, e)) if continueOnError =>
+            val err = GraftError.classify(e, m)
+            runErrors.add(err)
             wh.state.markExecution(m, success = false,
               java.time.Instant.now().toString)
             skipped ++= g.allDependents(m) + m
             Some(MaterializeResult(m, modelCfg(m).materialized,
-              status = s"failed: ${e.getMessage}"))
+              status = s"failed[${err.errorClass}]: ${e.getMessage}"))
           case Left((_, e)) => throw e
         }
       }
     } finally pool.shutdown()
   }
+
+  // Typed failures from the last continueOnError run, for callers that
+  // need to discriminate failure classes (the CLI's exit code).
+  private val runErrors =
+    new java.util.concurrent.ConcurrentLinkedQueue[GraftError]()
+
+  /** Classified errors of the most recent `run(continueOnError=true)`. */
+  def lastRunErrors: Seq[GraftError] = {
+    import scala.jdk.CollectionConverters._
+    runErrors.iterator().asScala.toSeq
+  }
+
+  // ----------------------------------------------------------- run log
+  // Structured JSON run log (reference src/utils/logger.py:81-106
+  // execution_start/execution_end/execution_error): one line per event,
+  // emitted through a pluggable sink (the CLI's --log-json wires stdout).
+  @volatile private var logSink: Option[String => Unit] = None
+
+  /** Install a structured-log line consumer (None disables). */
+  def setLogSink(sink: Option[String => Unit]): Unit = { logSink = sink }
+
+  private def logEvent(fields: (String, String)*): Unit =
+    logSink.foreach { sink =>
+      def esc(s: String) = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      val quoted = fields.map { case (k, v) =>
+        val vv = // numbers/booleans ride unquoted, everything else quoted
+          if (v.matches("-?\\d+|true|false")) v else "\"" + esc(v) + "\""
+        "\"" + esc(k) + "\":" + vv
+      }
+      sink(quoted.mkString("{", ",", "}"))
+    }
 
   /** Transient-failure retry with exponential backoff (reference
     * connection.py:353-422): up to maxRetries attempts, delay doubling
@@ -158,24 +200,47 @@ final class ModelRunner(
     * burns cluster time. */
   private def executeWithRetry(
       name: String, variables: Map[String, String],
-      batchTs: String): MaterializeResult = {
+      batchTs: String, fullRefresh: Boolean = false): MaterializeResult = {
     var attempt = 0
     val started = System.nanoTime()
+    def elapsedMs: Long = (System.nanoTime() - started) / 1000000L
     def record(status: String): Unit = runMetrics.add(
-      ModelRunner.ModelMetric(name, status,
-        (System.nanoTime() - started) / 1000000L, attempt + 1))
+      ModelRunner.ModelMetric(name, status, elapsedMs, attempt + 1))
+    logEvent("event" -> "execution_start", "model" -> name,
+      "attempt" -> "1", "full_refresh" -> fullRefresh.toString)
     while (true) {
       try {
-        val r = executeModel(name, variables, batchTs)
+        val r = executeModel(name, variables, batchTs, fullRefresh)
         record(r.status)
+        logEvent("event" -> "execution_end", "model" -> name,
+          "success" -> "true", "status" -> r.status,
+          "duration_ms" -> elapsedMs.toString,
+          "attempts" -> (attempt + 1).toString)
         return r
       }
       catch {
-        case e: Throwable if attempt + 1 < maxRetries && isRetryable(e) =>
+        // Only NonFatal failures are retry candidates: retrying after an
+        // OutOfMemoryError/StackOverflowError wedges the runner, and an
+        // interrupt must propagate (flag re-set), not be slept through.
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          record(s"failed: interrupted")
+          logEvent("event" -> "execution_error", "model" -> name,
+            "error_class" -> "interrupted", "error" -> "interrupted")
+          throw e
+        case scala.util.control.NonFatal(e)
+            if attempt + 1 < maxRetries && isRetryable(e) =>
           Thread.sleep(retryDelayMs * (1L << attempt))
           attempt += 1
+          logEvent("event" -> "execution_retry", "model" -> name,
+            "attempt" -> (attempt + 1).toString,
+            "error" -> String.valueOf(e.getMessage))
         case e: Throwable =>
           record(s"failed: ${e.getMessage}")
+          logEvent("event" -> "execution_error", "model" -> name,
+            "error_class" -> GraftError.classify(e, name).errorClass,
+            "error" -> String.valueOf(e.getMessage),
+            "duration_ms" -> elapsedMs.toString)
           throw e
       }
     }
@@ -183,7 +248,7 @@ final class ModelRunner(
   }
 
   private def isRetryable(e: Throwable): Boolean = e match {
-    case _: ModelRunner.ModelTestFailure => false // data is wrong, not flaky
+    case _: GraftError => false // typed = deterministic (config/SQL/tests/state)
     case _: org.apache.spark.sql.AnalysisException => false // bad SQL/refs
     case _: IllegalArgumentException => false // bad config
     case _ => true // task/executor/IO failures: transient on a real cluster
@@ -236,9 +301,12 @@ object ModelRunner {
   }
 
   /** Raised when error-severity tests fail post-materialization; run()
-    * treats it like any model failure (state marked, dependents skipped). */
+    * treats it like any model failure (state marked, dependents skipped).
+    * A [[TestFailureError]], so the CLI exit code discriminates data
+    * failures from config/execution ones. */
   final class ModelTestFailure(val model: String, val failed: Seq[TestOutcome])
-    extends RuntimeException(
+    extends TestFailureError(
       s"model '$model' failed tests: " +
-        failed.map(f => s"${f.check} (${f.failures} rows)").mkString(", "))
+        failed.map(f => s"${f.check} (${f.failures} rows)").mkString(", "),
+      Map("model" -> model))
 }

@@ -37,25 +37,40 @@ object Planner {
     }
   }
 
-  /** plan.py:114-230 — classify each model by hash diff vs state. */
+  /** plan.py:114-230 — classify each model by hash diff vs state.
+    * `fullRefresh` (plan.py:118-154) bypasses the hash diff entirely:
+    * every model is forced to execute ("full refresh requested"), the
+    * recovery path when the state file is stale or a table is corrupt —
+    * no hand-deleting state. */
   def plan(
       modelSql: Map[String, String],
       configs: Map[String, ModelConfig],
       graph: DependencyGraph,
-      state: StateStore): ExecutionPlan = {
+      state: StateStore,
+      fullRefresh: Boolean = false): ExecutionPlan = {
     val changes = modelSql.keys.toSeq.sorted.map { name =>
       val fileHash = StateStore.sha256(modelSql(name))
       val configHash = StateStore.sha256(configs(name).toString)
-      val change = state.get(name) match {
-        case None =>
-          ModelChange(name, Create, "new model", graph.allDependents(name))
-        case Some(s) if s.fileHash != fileHash =>
-          ModelChange(name, Update, "SQL changed", graph.allDependents(name))
-        case Some(s) if s.configHash != configHash =>
-          ModelChange(name, Update, "config changed", graph.allDependents(name))
-        case Some(_) =>
-          ModelChange(name, NoChange, "unchanged", Set.empty)
-      }
+      val change =
+        if (fullRefresh)
+          // forced before the state lookup, exactly like plan.py:154 —
+          // a never-run model still plans Create, the rest Update
+          state.get(name) match {
+            case None => ModelChange(name, Create, "full refresh requested",
+              graph.allDependents(name))
+            case Some(_) => ModelChange(name, Update, "full refresh requested",
+              graph.allDependents(name))
+          }
+        else state.get(name) match {
+          case None =>
+            ModelChange(name, Create, "new model", graph.allDependents(name))
+          case Some(s) if s.fileHash != fileHash =>
+            ModelChange(name, Update, "SQL changed", graph.allDependents(name))
+          case Some(s) if s.configHash != configHash =>
+            ModelChange(name, Update, "config changed", graph.allDependents(name))
+          case Some(_) =>
+            ModelChange(name, NoChange, "unchanged", Set.empty)
+        }
       change
     }
     ExecutionPlan(changes, graph.topoLevels())

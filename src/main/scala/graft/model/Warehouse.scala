@@ -46,7 +46,7 @@ final class Warehouse(
 
   def read(model: String): DataFrame = {
     val v = currentVersion(model).getOrElse(
-      throw new IllegalStateException(s"model '$model' not materialized"))
+      throw new StateError(s"model '$model' not materialized"))
     // Bucketed versions must be read through their catalog table — the
     // bucket spec (what makes joins shuffle-free) lives only there.
     val tbl = catalogName(model, v)
@@ -102,7 +102,15 @@ final class Warehouse(
     refreshView(model)
   }
 
-  private def catalogName(model: String, v: Long): String = s"graft_${model}_v$v"
+  // Catalog table names are global to the Spark session; two Warehouse
+  // instances in one session (scratch warehouses per test/bench run, or
+  // two projects) writing the same model+version must not clobber each
+  // other's entry — so the name carries a short warehouse-root tag.
+  private val whTag =
+    f"${scala.util.hashing.MurmurHash3.stringHash(Paths.get(root).toAbsolutePath.toString) & 0x7fffffff}%08x"
+
+  private def catalogName(model: String, v: Long): String =
+    s"graft_${whTag}_${model}_v$v"
 
   /** Partition-scoped rewrite: write only the changed partitions of a new
     * version and hard-link every other partition directory from the
@@ -126,7 +134,7 @@ final class Warehouse(
       partCols: Seq[String],
       changedRelPaths: Set[String]): Unit = {
     val prev = currentPath(model).getOrElse(
-      throw new IllegalStateException(s"model '$model' has no current version"))
+      throw new StateError(s"model '$model' has no current version"))
     val next = currentVersion(model).getOrElse(0L) + 1
     val dir = versionDir(model, next)
     df.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*).parquet(dir.toString)
@@ -171,7 +179,7 @@ final class Warehouse(
   /** Append files into the current version (no pointer flip). */
   def append(model: String, df: DataFrame): Unit = {
     val dir = currentPath(model).getOrElse(
-      throw new IllegalStateException(s"cannot append to missing model '$model'"))
+      throw new StateError(s"cannot append to missing model '$model'"))
     df.write.mode(SaveMode.Append).parquet(dir)
     refreshView(model)
   }

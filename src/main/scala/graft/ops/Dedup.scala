@@ -66,6 +66,14 @@ object Dedup {
       labels = next.drop("__old")
       iter += 1
     }
+    // A pair graph with diameter > maxIter would return silently wrong
+    // (unconverged) cluster labels — fail loudly instead. Dedup graphs
+    // are near-cliques (diameter ~2-3), so hitting this means maxIter
+    // was set far too low or the input is not a duplicate-pair graph.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge after $maxIter rounds; " +
+          "raise maxIter (graph diameter exceeds it)")
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
 

@@ -98,7 +98,7 @@ class CliSpec extends SparkSpec {
       "child" ->
         "-- config: materialized=table\nSELECT COUNT(*) AS n FROM {{ ref('bad_base') }}")
     val (code, lines) = run(proj, "run")
-    assert(code == 1)
+    assert(code == 6) // test_failure class exit code
     assert(lines.exists(l => l.startsWith("bad_base:") && l.contains("failed")))
     assert(!lines.exists(_.startsWith("child:"))) // skipped, never ran
   }
@@ -190,6 +190,96 @@ class CliSpec extends SparkSpec {
     // per-model output still resolves to base relations
     val (_, out4) = run(proj, "lineage", "enriched")
     assert(out4.exists(l => l.startsWith("price_taxed <-") && l.contains("o_totalprice")))
+  }
+
+  test("typed failure classes surface as distinct CLI exit codes") {
+    Tables.registerAll(spark, sfDir)
+    // config_error (3): unknown materialization kind
+    val projCfg = project(
+      "m" -> "-- config: materialized=nonsense\nSELECT 1 AS x")
+    assert(run(projCfg, "run")._1 == 3)
+    // sql_error (4): analysis failure (unknown column)
+    val projSql = project(
+      "m" -> "-- config: materialized=table\nSELECT no_such_col FROM {{ source('raw', 'orders') }}")
+    assert(run(projSql, "run")._1 == 4)
+    // test_failure (6): error-severity declarative test fails
+    val projTest = project(
+      "m" ->
+        """-- config: materialized=table
+          |-- test: unique(grp)
+          |SELECT o_orderkey % 2 AS grp FROM {{ source('raw', 'orders') }}""".stripMargin)
+    assert(run(projTest, "run")._1 == 6)
+    // the status line names the error class
+    val (_, lines) = run(projCfg, "run")
+    assert(lines.exists(l => l.contains("failed[config_error]")), lines)
+  }
+
+  test("run --full-refresh rebuilds incremental models from scratch") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "inc" ->
+        """-- config: materialized=incremental, incremental_strategy=time, time_column=o_orderdate
+          |SELECT o_orderkey, o_orderdate, o_totalprice
+          |FROM {{ source('raw', 'orders') }}""".stripMargin)
+    assert(run(proj, "run")._1 == 0)
+    val whDir = proj.resolve("warehouse").toString
+    def wh() = new model.Warehouse(spark, whDir, model.StateStore(whDir + "/state", "dev"))
+    val n1 = wh().read("inc").count()
+    assert(wh().currentVersion("inc").contains(1L))
+    // steady-state incremental run appends nothing, version unchanged
+    assert(run(proj, "run")._1 == 0)
+    assert(wh().currentVersion("inc").contains(1L))
+    // full refresh: fresh versioned write of the full history
+    val (code, lines) = run(proj, "run", "--full-refresh")
+    assert(code == 0)
+    assert(lines.exists(l => l.startsWith("inc:") && l.contains("full_refresh")), lines)
+    assert(wh().currentVersion("inc").contains(2L))
+    assert(wh().read("inc").count() == n1)
+  }
+
+  test("plan --full-refresh forces every model to execute despite clean hashes") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "a" -> "-- config: materialized=table\nSELECT 1 AS x",
+      "b" -> "-- config: materialized=table\nSELECT * FROM {{ ref('a') }}")
+    assert(run(proj, "run")._1 == 0)
+    val (_, clean) = run(proj, "plan")
+    assert(clean.exists(_.contains("no_changes=2")), clean)
+    val (_, forced) = run(proj, "plan", "--full-refresh")
+    assert(forced.exists(_.contains("updates=2")), forced)
+    assert(forced.count(_.contains("full refresh requested")) == 2, forced)
+  }
+
+  test("run --log-json emits parseable per-model execution events") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "base" -> "-- config: materialized=table\nSELECT o_orderkey, o_custkey FROM {{ source('raw', 'orders') }}",
+      "mid" -> "-- config: materialized=table\nSELECT o_custkey, COUNT(*) AS n FROM {{ ref('base') }} GROUP BY o_custkey",
+      "top" -> "-- config: materialized=table\nSELECT COUNT(*) AS n FROM {{ ref('mid') }}")
+    val (code, lines) = run(proj, "run", "--log-json")
+    assert(code == 0)
+    val events = lines.filter(_.startsWith("{\"event\":"))
+    // parse each event line into a flat key->value map (the log contract:
+    // one JSON object per line, string or bare numeric/boolean values)
+    val kv = """"([^"]+)":(?:"((?:[^"\\]|\\.)*)"|([^,}]+))""".r
+    val parsed = events.map(l => kv.findAllMatchIn(l).map(m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))).toMap)
+    for (m <- Seq("base", "mid", "top")) {
+      val start = parsed.find(e =>
+        e.get("event").contains("execution_start") && e.get("model").contains(m))
+      val end = parsed.find(e =>
+        e.get("event").contains("execution_end") && e.get("model").contains(m))
+      assert(start.isDefined && end.isDefined, s"$m events: $events")
+      assert(end.get("success") == "true")
+      assert(end.get("duration_ms").toLong >= 0)
+      assert(end.get("attempts") == "1")
+    }
+    // dependency order is respected in the event stream
+    def endIdx(m: String) = parsed.indexWhere(e =>
+      e.get("event").contains("execution_end") && e.get("model").contains(m))
+    def startIdx(m: String) = parsed.indexWhere(e =>
+      e.get("event").contains("execution_start") && e.get("model").contains(m))
+    assert(endIdx("base") < startIdx("mid") && endIdx("mid") < startIdx("top"))
   }
 
   test("deps default format prints stats and per-model dependencies") {

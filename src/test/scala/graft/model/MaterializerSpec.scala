@@ -336,9 +336,9 @@ class MaterializerSpec extends SparkSpec {
   test("unknown materialization and strategy are rejected") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val df = Seq((1, "a")).toDF("id", "v")
-    assertThrows[IllegalArgumentException](
+    assertThrows[ConfigError](
       mat.materialize(ModelConfig("x", materialized = "nope"), df))
-    assertThrows[IllegalArgumentException](
+    assertThrows[ConfigError](
       mat.materialize(ModelConfig("x", materialized = "incremental",
         incrementalStrategy = Some("nope")), df))
   }

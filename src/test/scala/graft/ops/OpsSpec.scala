@@ -54,6 +54,11 @@ class OpsSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // a diameter deeper than maxIter must fail loudly, never return
+    // silently unconverged labels
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    assertThrows[IllegalStateException](
+      Dedup.duplicateClusters(chain, "a", "b", maxIter = 2).collect())
   }
 
   test("simhash: near-identical docs have small hamming distance") {
