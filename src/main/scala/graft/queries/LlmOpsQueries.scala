@@ -216,6 +216,69 @@ object LlmOpsQueries extends QueryModule {
       .orderBy("query_id", "rnk")
   }
 
+  // ------------------------------- C6: LSH ANN recall (driver-visible)
+  // Per-query recall@10 of the LSH path against the brute-force truth —
+  // the ANN quality metric, witnessed by the driver record rather than
+  // only a ScalaTest floor. The LSH family is engine-stable BY DESIGN
+  // (planes derive from md5, projections are sequential folds), so the
+  // DuckDB oracle re-derives the identical planes, buckets, collision
+  // sets, and top-10 lists, and the recall values hash-match exactly.
+  private def qAnnLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+    val lsh = Similarity.lshTopK(q, e, "vec_id", "vec_id", "embedding",
+      k = 10, numBands = 2, planesPerBand = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    val bf = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+    bf.join(lsh, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg((sum(coalesce(col("__hit"), lit(0))).cast("double") /
+        count(lit(1)).cast("double")).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
+  // Embedding dim is fixed schema metadata (64); range() needs constants.
+  private val qAnnLshRecallSql =
+    """WITH planes AS (
+      |  SELECT b, p, list(w ORDER BY d) AS w FROM (
+      |    SELECT b.range AS b, p.range AS p, d.range AS d,
+      |      CAST(CAST('0x' || substr(md5('plane' || (b.range*3 + p.range) || ':' || d.range), 1, 6) AS BIGINT) AS DOUBLE)/16777216.0 - 0.5 AS w
+      |    FROM range(2) b, range(3) p, range(64) d)
+      |  GROUP BY b, p),
+      |sigs AS (
+      |  SELECT e.vec_id, pl.b,
+      |    SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) > 0
+      |        THEN CAST(1 AS BIGINT) << CAST(pl.p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM embeddings e, planes pl
+      |  GROUP BY e.vec_id, pl.b),
+      |qs AS (SELECT vec_id, b, bucket FROM sigs WHERE vec_id < 10),
+      |coll AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM qs q JOIN sigs c ON q.b = c.b AND q.bucket = c.bucket
+      |  WHERE c.vec_id <> q.vec_id),
+      |lsh AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT s.query_id, s.neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |        ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.neighbor_id) AS rnk
+      |    FROM coll s
+      |    JOIN embeddings qe ON qe.vec_id = s.query_id
+      |    JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
+      |  WHERE rnk <= 10),
+      |bf AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id) AS rnk
+      |    FROM embeddings e JOIN embeddings q ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+      |  WHERE rnk <= 10)
+      |SELECT bf.query_id,
+      |  CAST(SUM(CASE WHEN lsh.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) AS recall_at_10
+      |FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+      |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
+
   // ------------------------------------------------- C7: token counting
   private def qTextTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -586,6 +649,7 @@ object LlmOpsQueries extends QueryModule {
     "q_jaccard" -> qJaccard _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh" -> qAnnLsh _,
+    "q_ann_lsh_recall" -> qAnnLshRecall _,
     "q_text_tokens" -> qTextTokens _,
     "q_text_quality" -> qTextQuality _,
     "q_lang_id" -> qLangId _,
@@ -609,6 +673,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_jaccard" -> qJaccardSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_ann_lsh_recall" -> qAnnLshRecallSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
     "q_lang_id" -> qLangIdSql,

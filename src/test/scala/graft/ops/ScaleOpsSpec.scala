@@ -72,6 +72,16 @@ class ScaleOpsSpec extends SparkSpec {
     assert(dropped.filter($"lang" === "xx").count() == 0)
   }
 
+  test("LSH ANN recall@10 clears the floor and is driver-visible") {
+    val rec = graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sfDir)
+      .collect().map(_.getDouble(1))
+    assert(rec.length == 10)
+    assert(rec.forall(r => r >= 0.0 && r <= 1.0))
+    // 2 bands x 3 planes is deliberately coarse; mean recall still must
+    // clear a floor or the banding/bucketing broke
+    assert(rec.sum / rec.length >= 0.1, rec.toSeq)
+  }
+
   test("native vec_dot/vec_norm/vec_cosine match the HOF formulations bit-for-bit") {
     val e = Tables.load(spark, sfDir, "embeddings").limit(50)
     // float arrays straight from parquet on one side, double-cast on the
