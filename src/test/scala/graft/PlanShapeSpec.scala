@@ -122,9 +122,17 @@ class PlanShapeSpec extends SparkSpec {
       .select(col("user_id"), col("event_id"), col("ts"))
     val r = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id"), col("ts"))
-    val p = plan(ops.TemporalJoins.asOfJoinNative(l, r, "user_id", "ts", "event_id"))
+    val df = ops.TemporalJoins.asOfJoinNative(l, r, "user_id", "ts", "event_id")
+    val p = plan(df)
     assert(p.contains("AsOfJoin"), p)
     assert(!p.contains("Union") && !p.contains("Window"), p)
     assert("hashpartitioning".r.findAllIn(p).size == 2, p) // one per side
+    // the merge loop itself is whole-stage-codegen'd: after execution the
+    // final adaptive plan's AsOfJoin line carries the `*(n)` marker (not
+    // an interpreted hop between codegen'd stages)
+    df.collect()
+    val post = df.queryExecution.executedPlan.toString
+    val asofLine = post.linesIterator.find(_.contains("AsOfJoin")).get
+    assert(asofLine.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"), post)
   }
 }

@@ -66,6 +66,26 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("Window"))
   }
 
+  test("native as-of join: interpreted fallback equals the codegen path") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    def run() = TemporalJoins.asOfJoinNative(
+      purchases, clicks, "user_id", "ts", "event_id")
+      .select($"event_id", $"matched_event_id", $"matched_ts")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val withCodegen = run()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = run()
+      assert(interpreted == withCodegen)
+      assert(interpreted.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
   test("native as-of join handles ties, equal timestamps, and null keys") {
     val t0 = ts("2024-01-01 08:00:00")
     val left = Seq(
