@@ -26,7 +26,7 @@ class DependencyGraphSpec extends AnyFunSuite {
     g.addModel("a", Set("c")); g.addModel("b", Set("a")); g.addModel("c", Set("b"))
     val cycle = g.findCycle()
     assert(cycle.isDefined && cycle.get.size == 3)
-    assertThrows[IllegalStateException](g.topoLevels())
+    assertThrows[DependencyError](g.topoLevels())
   }
 
   test("transitive dependencies and dependents") {
@@ -108,7 +108,7 @@ class SqlTemplateSpec extends AnyFunSuite {
   }
 
   test("invalid incremental config fails validation") {
-    assertThrows[IllegalArgumentException](
+    assertThrows[ConfigError](
       ModelConfig.fromSql("m", "-- config: materialized=incremental\nSELECT 1").validate())
   }
 
@@ -134,9 +134,9 @@ class SqlTemplateSpec extends AnyFunSuite {
     assert(cfg.tests(1).severity == "warn" && cfg.tests.head.severity == "error")
     assert(cfg.tests(2).params == Seq("F", "O", "P"))
     assert(cfg.tests(3).toCheck == Quality.RangeCheck("price", 0.0, 100.0))
-    assertThrows[IllegalArgumentException](
+    assertThrows[ConfigError](
       ModelConfig.fromSql("m", "-- test: frobnicate(x)\nSELECT 1").tests.head.toCheck)
-    assertThrows[IllegalArgumentException](ModelConfig.parseTest("not a test"))
+    assertThrows[ConfigError](ModelConfig.parseTest("not a test"))
   }
 }
 
