@@ -19,10 +19,30 @@ object Dedup {
     * source has few splits (a single parquet row group reads as one
     * partition). One cheap round-robin shuffle of the raw rows buys
     * cluster-wide fan-out; skipped when the scan is already parallel
-    * enough (the 100 TB case — thousands of row groups). */
+    * enough (the 100 TB case — thousands of row groups).
+    *
+    * The split count is ESTIMATED from the relation's file index
+    * (max(#files, bytes/maxPartitionBytes) per scan) — `rdd
+    * .getNumPartitions` would be exact but forces an RDD plan conversion
+    * on every call, a per-query planning tax this runs too often to pay.
+    * Non-file sources (in-memory test frames) estimate conservatively
+    * high, so they are never needlessly shuffled. */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val estSplits = df.queryExecution.logical.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          math.max(fs.location.inputFiles.length.toLong,
+            fs.location.sizeInBytes / maxSplit)
+        case _ => target.toLong // unknown relation: assume parallel enough
+      }
+      case _ => target.toLong
+    }.sum
+    if (estSplits * 2 < target) df.repartition(target) else df
   }
 
   /** Collapse duplicate PAIRS into duplicate CLUSTERS: connected

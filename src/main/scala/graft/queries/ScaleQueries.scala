@@ -218,6 +218,37 @@ object ScaleQueries extends QueryModule {
       |QUALIFY session_num < MAX(session_num) OVER (PARTITION BY user_id)
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // --------------------------------- C17: streaming exact dedup (driver)
+  // Runs the real watermark-bounded streaming dedup over the events
+  // table with planted duplicates (every third event re-arrives under a
+  // fresh event_id). The input lands as ONE file so Trigger.AvailableNow
+  // processes a single batch — the watermark cannot classify any planted
+  // duplicate as late, making the surviving set deterministic and equal
+  // to the batch DISTINCT the oracle computes.
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val dupes = base.filter(col("event_id") % 3 === 0)
+      .withColumn("event_id", col("event_id") + lit(10000000L))
+    val inDir = scratchDir("graft_stream_dedup_in_")
+    base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(inDir)
+    val sink = s"graft_dedup_${streamRun.incrementAndGet()}"
+    val q = EventStreams.dedupStream(
+      EventStreams.eventStream(s, inDir), Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("user_id", "event_type", "ts_us")
+  }
+
+  private val qStreamDedupSql =
+    """SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
+      |FROM events
+      |ORDER BY user_id, event_type, ts_us""".stripMargin
+
   // ------------------------------------------- B21: CSV source round-trip
   private def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -266,6 +297,7 @@ object ScaleQueries extends QueryModule {
     "q_skew_join" -> qSkewJoin _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_stream_sessionize" -> qStreamSessionize _,
+    "q_stream_dedup" -> qStreamDedup _,
     "q_source_csv" -> qSourceCsv _,
     "q_partition_prune" -> qPartitionPrune _)
 
@@ -275,6 +307,7 @@ object ScaleQueries extends QueryModule {
     "q_skew_join" -> qSkewJoinSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
+    "q_stream_dedup" -> qStreamDedupSql,
     "q_source_csv" -> qSourceCsvSql,
     "q_partition_prune" -> qPartitionPruneSql)
     // q_ann_ivf: rows-only (centroid means are engine-internal floats)
