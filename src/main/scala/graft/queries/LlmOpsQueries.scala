@@ -279,6 +279,78 @@ object LlmOpsQueries extends QueryModule {
       |FROM bf LEFT JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
       |GROUP BY bf.query_id ORDER BY bf.query_id""".stripMargin
 
+  // --------------------------------------- C8+: TF-IDF keyword extraction
+  // Top-5 characteristic terms per document by tf·(N/df) — the keyword/
+  // topic-signal extractor of a curation pipeline. The score uses the
+  // raw N/df ratio rather than log(N/df): one double multiply + one
+  // divide of exact integers is bit-identical across engines (log would
+  // differ in the last ulp between libm implementations), and the
+  // per-document ranking it induces is the same. Corpus stats (df, N)
+  // come from the full corpus; N rides in as a broadcast scalar row —
+  // no driver-side literal.
+  private def qTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val terms = d.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * col("n_docs").cast("double") /
+          col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
+        col("term"), col("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val qTfidfSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, UNNEST($sqlToks) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+       |  WHERE len(term) > 0 GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS tfidf
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tfidf,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 5
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  // ------------------------------- C11: deterministic frame sampling
+  // Evenly-spaced frame indices per (video-like) asset — pure column
+  // arithmetic, oracle-checked end to end.
+  private def qMultimodalFrames(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), (lit(100) + col("doc_id") % 900).as("total_frames"))
+      .select(col("doc_id"),
+        posexplode(Multimodal.sampleFrameIndices(col("total_frames"), 4))
+          .as(Seq("pos", "f")))
+      .select(col("doc_id"), col("pos").cast("int").as("pos"),
+        col("f").cast("long").as("frame_idx"))
+      .orderBy("doc_id", "pos")
+
+  private val qMultimodalFramesSql =
+    """SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+      |  CAST((t.i * (100 + doc_id % 900)) // 4 AS BIGINT) AS frame_idx
+      |FROM documents CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) t
+      |ORDER BY doc_id, pos""".stripMargin
+
   // ------------------------------------------------- C7: token counting
   private def qTextTokens(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -658,7 +730,9 @@ object LlmOpsQueries extends QueryModule {
     "q_vocab" -> qVocab _,
     "q_ngram_counts" -> qNgramCounts _,
     "q_multimodal_meta" -> qMultimodalMeta _,
-    "q_multimodal_decode" -> qMultimodalDecode _)
+    "q_multimodal_decode" -> qMultimodalDecode _,
+    "q_multimodal_frames" -> qMultimodalFrames _,
+    "q_tfidf" -> qTfidf _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
@@ -682,6 +756,8 @@ object LlmOpsQueries extends QueryModule {
     "q_vocab" -> qVocabSql,
     "q_ngram_counts" -> qNgramCountsSql,
     "q_multimodal_meta" -> qMultimodalMetaSql,
-    "q_multimodal_decode" -> qMultimodalDecodeSql)
+    "q_multimodal_decode" -> qMultimodalDecodeSql,
+    "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_tfidf" -> qTfidfSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }
