@@ -3,13 +3,16 @@ package graft.functions
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k aggregate: keeps the k (score, id) pairs with the
-  * highest score (ties broken toward the smallest id) per group.
+  * highest score (ties broken toward the smallest id) per group. Ids may
+  * be bigint (ANN neighbor ids) or string (TF-IDF terms, document keys).
   *
   * This is the scale-correct formulation of "top-k per key": a
   * TypedImperativeAggregate participates in partial aggregation, so each
@@ -19,7 +22,7 @@ import org.apache.spark.sql.types._
   * k/N shuffle-volume reduction (k=10, N=millions at real scale).
   *
   * Buffer is a bounded min-heap; serialization is a flat
-  * (score, id)* byte stream.
+  * (score, id)* byte stream (string ids length-prefixed).
   */
 case class TopKByScore(
     scoreExpr: Expression,
@@ -27,74 +30,113 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
 
   require(k > 0, "k must be positive")
 
+  private def idType: DataType = idExpr.dataType
+  private def idIsString: Boolean = idType == StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = idType match {
+    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"topk_by_score id must be bigint or string, got $other")
+  }
+
+  @transient private lazy val idOrd: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idType)
+
   // Min-heap: the head is the WORST kept element — lowest score, and
   // among equal scores the largest id (so smaller ids win ties).
-  private def heapOrdering: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] {
-      case (s, id) => (-s, id)
+  // compare(x, y) > 0 means "x is worse than y".
+  private def heapOrdering: Ordering[(Double, Any)] =
+    new Ordering[(Double, Any)] {
+      override def compare(x: (Double, Any), y: (Double, Any)): Int =
+        if (x._1 != y._1) java.lang.Double.compare(y._1, x._1)
+        else idOrd.compare(x._2, y._2)
     }
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
     mutable.PriorityQueue.empty(heapOrdering)
 
   override def update(
-      buf: mutable.PriorityQueue[(Double, Long)],
-      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+      buf: mutable.PriorityQueue[(Double, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
     if (s != null && id != null) {
-      push(buf, (s.asInstanceOf[Double], id.asInstanceOf[Long]))
+      // UTF8String values may point into a reused row buffer — clone
+      // anything that survives past this row
+      val stable = id match {
+        case u: UTF8String => u.clone()
+        case other => other
+      }
+      push(buf, (s.asInstanceOf[Double], stable))
     }
     buf
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(Double, Long)],
-      other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+      buf: mutable.PriorityQueue[(Double, Any)],
+      other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
     other.foreach(push(buf, _))
     buf
   }
 
   private def push(
-      buf: mutable.PriorityQueue[(Double, Long)],
-      e: (Double, Long)): Unit = {
+      buf: mutable.PriorityQueue[(Double, Any)],
+      e: (Double, Any)): Unit = {
     if (buf.size < k) buf.enqueue(e)
     else if (heapOrdering.lt(e, buf.head)) { // e beats the current worst
       buf.dequeue(); buf.enqueue(e)
     }
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val sorted = buf.toArray.sortBy { case (s, id) => (-s, id) }
+  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
+    // heapOrdering ranks better elements lower, so ascending = best first
+    val sorted = buf.toArray.sorted(heapOrdering)
     new GenericArrayData(sorted.map { case (s, id) =>
       InternalRow(s, id)
     }: Array[Any])
   }
 
-  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
-    buf.foreach { case (s, id) => out.writeDouble(s); out.writeLong(id) }
+    buf.foreach { case (s, id) =>
+      out.writeDouble(s)
+      if (idIsString) {
+        val b = id.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      } else out.writeLong(id.asInstanceOf[Long])
+    }
     out.flush()
     bytes.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
-    (1 to n).foreach(_ => buf.enqueue((in.readDouble(), in.readLong())))
+    (1 to n).foreach { _ =>
+      val s = in.readDouble()
+      val id: Any =
+        if (idIsString) {
+          val len = in.readInt()
+          val b = new Array[Byte](len)
+          in.readFully(b)
+          UTF8String.fromBytes(b)
+        } else in.readLong()
+      buf.enqueue((s, id))
+    }
     buf
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
-    StructField("id", LongType, nullable = false))), containsNull = false)
+    StructField("id", idType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)
   override def prettyName: String = "topk_by_score"

@@ -289,7 +289,6 @@ object LlmOpsQueries extends QueryModule {
   // come from the full corpus; N rides in as a broadcast scalar row —
   // no driver-side literal.
   private def qTfidf(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val terms = d.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("term"))
@@ -303,12 +302,15 @@ object LlmOpsQueries extends QueryModule {
       .withColumn("tfidf",
         col("tf").cast("double") * col("n_docs").cast("double") /
           col("df").cast("double"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("doc_id"), col("rnk").cast("int").as("rnk"),
-        col("term"), col("tfidf"))
+    // bounded top-k aggregate (string-id TopKByScore): partial
+    // aggregation ships <= 5 (score, term) pairs per doc through the
+    // shuffle — the Window formulation would shuffle every (doc, term)
+    scored.groupBy(col("doc_id"))
+      .agg(call_function("topk_by_score",
+        col("tfidf"), col("term"), lit(5)).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rnk"),
+        col("e.id").as("term"), col("e.score").as("tfidf"))
       .orderBy("doc_id", "rnk")
   }
 

@@ -196,6 +196,30 @@ class OpsSpec extends SparkSpec {
     assert(viaAgg.nonEmpty)
   }
 
+  test("bounded top-k aggregate supports string ids with window-equal results") {
+    import org.apache.spark.sql.expressions.Window
+    // scores with deliberate ties so the smaller-id tie-break is exercised
+    val rows = Seq(
+      (1L, "banana", 3.0), (1L, "apple", 3.0), (1L, "cherry", 5.0),
+      (1L, "date", 1.0), (2L, "x", 2.0), (2L, "y", 2.0), (2L, "w", 2.0))
+    val df = rows.toDF("grp", "term", "score")
+    df.createOrReplaceTempView("topk_str_in")
+    val viaAgg = spark.sql(
+      """SELECT grp, pos + 1 AS rnk, e.id AS term, e.score AS score
+        |FROM (SELECT grp, topk_by_score(score, term, 2) AS tk
+        |      FROM topk_str_in GROUP BY grp)
+        |LATERAL VIEW posexplode(tk) AS pos, e""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"term")
+    val viaWindow = df.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 2).select($"grp", $"rnk", $"term", $"score")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Set(
+      (1L, 1, "cherry", 5.0), (1L, 2, "apple", 3.0),
+      (2L, 1, "w", 2.0), (2L, 2, "x", 2.0)))
+  }
+
   test("near-dup pairs by embedding cosine with bucket restriction") {
     val v = Array(1.0f, 0.0f, 0.0f)
     val df = Seq((0L, v), (1L, v.map(x => x * 2)), (2L, Array(0.0f, 1.0f, 0.0f)))
