@@ -334,6 +334,39 @@ object LlmOpsQueries extends QueryModule {
        |SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 5
        |ORDER BY doc_id, rnk""".stripMargin
 
+  // --------------------------- C34: token-window chunking (overlapping)
+  // Split each document into 50-token chunks with stride 40 (10-token
+  // overlap) — the context-window packing step of a training-data
+  // pipeline. Pure array arithmetic (sequence + slice inside one
+  // projection): no shuffle at all until the explode's downstream
+  // consumer, and chunk boundaries are engine-portable integers.
+  private def qChunk(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nChunks = greatest(
+      ceil((size(toks) - lit(10)) / lit(40.0)).cast("int"), lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1), i => struct(
+      concat_ws(" ", slice(toks, i * 40 + 1, lit(50))).as("chunk"),
+      size(slice(toks, i * 40 + 1, lit(50))).as("n_tokens")))
+    docs(s, dir)
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("int").as("chunk_id"),
+        col("c.chunk").as("chunk"), col("c.n_tokens").as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  private val qChunkSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |nc AS (
+       |  SELECT doc_id, toks,
+       |    GREATEST(CAST(CEIL((len(toks) - 10) / 40.0) AS INTEGER), 1) AS n_chunks
+       |  FROM norm),
+       |expanded AS (
+       |  SELECT doc_id, toks, UNNEST(range(n_chunks)) AS i FROM nc)
+       |SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+       |  array_to_string(toks[i*40+1 : i*40+50], ' ') AS chunk,
+       |  CAST(len(toks[i*40+1 : i*40+50]) AS INTEGER) AS n_tokens
+       |FROM expanded ORDER BY doc_id, chunk_id""".stripMargin
+
   // ------------------------------- C11: deterministic frame sampling
   // Evenly-spaced frame indices per (video-like) asset — pure column
   // arithmetic, oracle-checked end to end.
@@ -734,7 +767,8 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
-    "q_tfidf" -> qTfidf _)
+    "q_tfidf" -> qTfidf _,
+    "q_chunk" -> qChunk _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
@@ -760,6 +794,7 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
-    "q_tfidf" -> qTfidfSql)
+    "q_tfidf" -> qTfidfSql,
+    "q_chunk" -> qChunkSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }
