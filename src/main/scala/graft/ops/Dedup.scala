@@ -29,16 +29,25 @@ object Dedup {
     * high, so they are never needlessly shuffled. */
   def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val maxSplit = math.max(1L,
       spark.sessionState.conf.filesMaxPartitionBytes)
-    val estSplits = df.queryExecution.logical.collectLeaves().map {
+    // analyzed (not logical): reads stay UnresolvedDataSource until
+    // analysis resolves them to their file relation
+    val estSplits = df.queryExecution.analyzed.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           math.max(fs.location.inputFiles.length.toLong,
             fs.location.sizeInBytes / maxSplit)
         case _ => target.toLong // unknown relation: assume parallel enough
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case ft: FileTable =>
+          math.max(ft.fileIndex.inputFiles.length.toLong,
+            ft.fileIndex.sizeInBytes / maxSplit)
+        case _ => target.toLong
       }
       case _ => target.toLong
     }.sum
