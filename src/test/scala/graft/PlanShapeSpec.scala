@@ -37,6 +37,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
   }
 
+  test("single-split scans actually fan out (round-robin exchange present)") {
+    // the ≤1-exchange asserts below also pass when fan-out silently
+    // stops firing — this pins that it DOES fire on a one-split scan
+    val p = plan(ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents")))
+    assert(p.contains("RoundRobinPartitioning"), p)
+  }
+
   test("simhash plan never key-shuffles (round-robin fan-out only)") {
     val df = ops.Dedup.simHash(
       Tables.load(spark, sfDir, "documents"), "doc_id", "text")
