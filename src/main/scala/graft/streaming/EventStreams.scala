@@ -91,6 +91,32 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Stream-stream attribution join: each purchase matches the clicks of
+    * the same user within the preceding `lookbackMinutes`. Both sides
+    * carry watermarks and the join condition bounds the click timestamp
+    * to a closed interval behind the purchase, so Spark can size the
+    * join state and expire rows — the only stream-stream-join shape that
+    * survives unbounded streams (an unconstrained condition would buffer
+    * both streams forever). Inner join: late/unmatched rows simply drop.
+    * Output: purchase_id, user_id, purchase_ts, click_id, click_ts. */
+  def attributionJoin(
+      purchases: DataFrame, clicks: DataFrame,
+      lookbackMinutes: Long = 60): DataFrame = {
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    p.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") -
+          expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"))
+  }
+
   /** Streaming exact dedup: drop events already seen within the
     * watermark horizon, keyed by content identity — the streaming twin of
     * Dedup.exact. State is bounded by the watermark (old keys age out),

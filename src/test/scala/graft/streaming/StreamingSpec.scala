@@ -49,6 +49,41 @@ class StreamingSpec extends SparkSpec {
       s"closed windows missing: ${(closed -- streamed).take(3)}")
   }
 
+  test("stream-stream attribution join equals the batch join") {
+    val src = stageEvents()
+    def side(t: String) =
+      eventStream(spark, src).filter($"event_type" === t)
+    val out = attributionJoin(side("purchase"), side("click"), 60)
+    val q = out.writeStream
+      .format("memory").queryName("attr_join")
+      .outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"purchase_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = key(spark.table("attr_join"))
+    // batch twin: same join condition over the static table
+    val ev = Tables.load(spark, sfDir, "events")
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts".as("purchase_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("click_user"), $"ts".as("click_ts"))
+    val batch = key(p.join(c,
+      $"user_id" === $"click_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 60 MINUTES")))
+    // inner stream-stream join with AvailableNow processes all data;
+    // watermark expiry can only drop matches the batch also excludes,
+    // so the streamed set must equal the batch join exactly
+    assert(streamed == batch, s"diff: ${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming IVF index maintenance matches batch assignment and probe") {
     import graft.ops.Similarity
     val e = Tables.load(spark, sfDir, "embeddings").limit(200)
