@@ -21,6 +21,14 @@ object Bench {
   private def jd(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
 
+  /** JSON string escape — exception messages carry newlines/controls
+    * (Spark analysis errors are routinely multi-line) and must not break
+    * the one-JSON-line contract. */
+  private def js(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -71,9 +79,12 @@ object Bench {
         samples = samples ++ sample().toSeq
         extra += 1
       }
-      val ok = err.isEmpty && samples.nonEmpty
+      // Any valid sample makes the query measurable: a single transient
+      // sample failure (e.g. during a resample) must not report a
+      // healthy query as a crash. err survives only with zero samples.
+      val ok = samples.nonEmpty
       QRes(name, if (samples.nonEmpty) samples.min else -1.0,
-        samples, ok, err, resampled)
+        samples, ok, if (ok) None else err, resampled)
     }
 
     val loadEnd = loadAvg()
@@ -83,7 +94,7 @@ object Bench {
     val oks = results.map(r => "\"" + r.name + "\":" + r.ok)
       .mkString("{", ",", "}")
     val errs = results.flatMap(r => r.err.map(e =>
-        "\"" + r.name + "\":\"" + e.replace("\\", "\\\\").replace("\"", "'") + "\""))
+        "\"" + r.name + "\":\"" + js(e) + "\""))
       .mkString("{", ",", "}")
     val resampledNames = results.filter(_.resampled).map(r => "\"" + r.name + "\"")
       .mkString("[", ",", "]")

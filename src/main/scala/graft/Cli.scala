@@ -51,14 +51,16 @@ object Cli {
   def execute(
       spark: SparkSession, projectDir: Path, command: String,
       rest: Seq[String], out: String => Unit = println): Int = {
-    // --target overrides profiles.default.target everywhere (cli.py:48)
-    val target = flagValue(rest, "--target")
-    val (wh, runner, cfg) = openProject(spark, projectDir, target)
     // Typed failures (GraftError taxonomy, reference errors.py) surface
-    // as distinct process exit codes; anything escaping a command lands
-    // here instead of a stack trace.
-    try executeCommand(spark, projectDir, command, rest, out, target, wh, runner, cfg)
-    catch {
+    // as distinct process exit codes; anything escaping a command — or
+    // project loading itself (a malformed model header throws ConfigError
+    // while parsing) — lands here instead of a stack trace.
+    try {
+      // --target overrides profiles.default.target everywhere (cli.py:48)
+      val target = flagValue(rest, "--target")
+      val (wh, runner, cfg) = openProject(spark, projectDir, target)
+      executeCommand(spark, projectDir, command, rest, out, target, wh, runner, cfg)
+    } catch {
       case g: model.GraftError =>
         out(s"ERROR[${g.errorClass}] ${g.getMessage}")
         g.exitCode

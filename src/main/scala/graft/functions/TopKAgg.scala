@@ -37,11 +37,15 @@ case class TopKByScore(
   private def idType: DataType = idExpr.dataType
   private def idIsString: Boolean = idType == StringType
 
-  override def checkInputDataTypes(): TypeCheckResult = idType match {
-    case LongType | StringType => TypeCheckResult.TypeCheckSuccess
-    case other => TypeCheckResult.TypeCheckFailure(
-      s"topk_by_score id must be bigint or string, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (scoreExpr.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score score must be double, got ${scoreExpr.dataType}")
+    else idType match {
+      case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"topk_by_score id must be bigint or string, got $other")
+    }
 
   @transient private lazy val idOrd: Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils

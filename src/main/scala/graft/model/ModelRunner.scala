@@ -179,6 +179,10 @@ final class ModelRunner(
   /** Install a structured-log line consumer (None disables). */
   def setLogSink(sink: Option[String => Unit]): Unit = { logSink = sink }
 
+  // Models inside a level run concurrently; sinks (stdout, a buffer) are
+  // not assumed thread-safe, so line emission is serialized here.
+  private val logLock = new Object
+
   private def logEvent(fields: (String, String)*): Unit =
     logSink.foreach { sink =>
       def esc(s: String) = s.flatMap {
@@ -190,7 +194,8 @@ final class ModelRunner(
           if (v.matches("-?\\d+|true|false")) v else "\"" + esc(v) + "\""
         "\"" + esc(k) + "\":" + vv
       }
-      sink(quoted.mkString("{", ",", "}"))
+      val line = quoted.mkString("{", ",", "}")
+      logLock.synchronized { sink(line) }
     }
 
   /** Transient-failure retry with exponential backoff (reference

@@ -109,18 +109,21 @@ object Multimodal {
   private def parseWav(b: Array[Byte]): Row = {
     val n = b.length.toLong
     var channels = -1; var sampleRate = -1; var byteRate = -1L; var dataSize = -1L
-    var i = 12
+    var i = 12L
     while (i + 8 <= b.length && (channels < 0 || dataSize < 0)) {
-      val size = le32(b, i + 4)
-      if (ascii(b, i, "fmt ")) {
+      val size = le32(b, i.toInt + 4) // unsigned 32-bit, always >= 0
+      if (ascii(b, i.toInt, "fmt ")) {
         if (i + 24 > b.length) return unknown(n)
-        channels = le16(b, i + 10)
-        sampleRate = le32(b, i + 12).toInt
-        byteRate = le32(b, i + 16)
-      } else if (ascii(b, i, "data")) {
+        channels = le16(b, i.toInt + 10)
+        sampleRate = le32(b, i.toInt + 12).toInt
+        byteRate = le32(b, i.toInt + 16)
+      } else if (ascii(b, i.toInt, "data")) {
         dataSize = size
       }
-      i += 8 + size.toInt + (size.toInt & 1)
+      // Long arithmetic: a corrupt 4 GiB chunk size must overshoot the
+      // payload and end the walk, never truncate to a zero/negative step
+      // (an infinite loop on one corrupt asset would wedge the scan).
+      i += 8L + size + (size & 1L)
     }
     if (channels < 0 || dataSize < 0 || byteRate <= 0) return unknown(n)
     Row(n, "wav", null, null, channels, sampleRate, dataSize * 1000L / byteRate)

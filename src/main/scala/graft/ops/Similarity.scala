@@ -109,14 +109,20 @@ object Similarity {
   /** Vector width, read from one non-null row (on a real lake this is
     * fixed schema metadata; reading a single row keeps the API
     * self-contained). A leading NULL embedding must not poison the probe
-    * (size(NULL) is NULL), and a corpus with no non-null vector fails
-    * with a clear message instead of silently producing zero planes. */
+    * (size(NULL) is NULL). A legitimately EMPTY corpus returns dim 0 —
+    * every LSH entry point then degenerates to an empty result, which is
+    * the right answer for empty input — while a non-empty corpus whose
+    * vector column is entirely NULL fails with a clear message instead
+    * of silently producing zero planes. */
   private def vecDim(df: DataFrame, vecCol: String): Int =
     df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0))
-      .getOrElse(throw new IllegalArgumentException(
-        s"cannot infer vector dimension: '$vecCol' has no non-null values"))
+      .getOrElse {
+        if (df.isEmpty) 0
+        else throw new IllegalArgumentException(
+          s"cannot infer vector dimension: '$vecCol' has no non-null values")
+      }
 
   /** Random-hyperplane LSH bucket signature: one bit per plane — the
     * sign of the projection onto a deterministic pseudo-random
@@ -132,6 +138,10 @@ object Similarity {
     * independent set of hyperplanes). */
   private def planeSignature(
       vec: Column, band: Int, numPlanes: Int, dim: Int): Column = {
+    // dim 0 = empty corpus (vecDim's empty-input signal): an empty plane
+    // literal would type as array<null> and fail vec_dot's check — emit
+    // a constant bucket instead; there are no rows to bucket anyway.
+    if (dim == 0) return lit(0L)
     val v = asDouble(vec)
     (0 until numPlanes).map { p =>
       val w = array(planeVector(band * numPlanes + p, dim).map(lit): _*)

@@ -212,6 +212,14 @@ class CliSpec extends SparkSpec {
     // the status line names the error class
     val (_, lines) = run(projCfg, "run")
     assert(lines.exists(l => l.contains("failed[config_error]")), lines)
+    // errors thrown while LOADING the project (malformed header parses
+    // during openProject, before any command runs) also exit typed —
+    // not as a raw stack trace
+    val projParse = project(
+      "m" -> "-- config: materialized=table\n-- test: not a test\nSELECT 1 AS x")
+    val (codeParse, linesParse) = run(projParse, "run")
+    assert(codeParse == 3, linesParse)
+    assert(linesParse.exists(_.startsWith("ERROR[config_error]")), linesParse)
   }
 
   test("run --full-refresh rebuilds incremental models from scratch") {

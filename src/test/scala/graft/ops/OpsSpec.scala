@@ -220,6 +220,14 @@ class OpsSpec extends SparkSpec {
       (2L, 1, "w", 2.0), (2L, 2, "x", 2.0)))
   }
 
+  test("LSH entry points yield empty results on an empty corpus") {
+    val empty = Tables.load(spark, sfDir, "embeddings")
+      .filter($"vec_id" < 0)
+    assert(Similarity.nearDupPairs(empty, "vec_id", "embedding", 0.9).count() == 0)
+    assert(Similarity.lshTopK(empty, empty, "vec_id", "vec_id", "embedding", 5)
+      .count() == 0)
+  }
+
   test("near-dup pairs by embedding cosine with bucket restriction") {
     val v = Array(1.0f, 0.0f, 0.0f)
     val df = Seq((0L, v), (1L, v.map(x => x * 2)), (2L, Array(0.0f, 1.0f, 0.0f)))
@@ -285,9 +293,14 @@ class OpsSpec extends SparkSpec {
       "data".getBytes ++ b(0x00, 0xFA, 0x00, 0x00)           // 64000 bytes
     val truncatedJpeg = b(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x40) // segment past EOF
     val junk = "just some text".getBytes
+    // corrupt chunk size 0xFFFFFFF8 (would truncate to a -8 step in Int
+    // arithmetic): must decode as unknown, never hang the chunk walk
+    val corruptWav = "RIFF".getBytes ++ b(0x24, 0x00, 0x00, 0x00) ++
+      "WAVE".getBytes ++ "LIST".getBytes ++ b(0xF8, 0xFF, 0xFF, 0xFF) ++
+      Array.fill(20)(0.toByte)
 
     val df = Seq(1 -> jpeg, 2 -> png, 3 -> gif, 4 -> wav,
-      5 -> truncatedJpeg, 6 -> junk).toDF("id", "payload")
+      5 -> truncatedJpeg, 6 -> junk, 7 -> corruptWav).toDF("id", "payload")
     val out = Multimodal.decode(df, "payload")
       .select($"id", $"asset.format", $"asset.width", $"asset.height",
         $"asset.channels", $"asset.sample_rate", $"asset.duration_ms")
@@ -300,6 +313,7 @@ class OpsSpec extends SparkSpec {
     assert(out(4).isNullAt(2) && out(4).isNullAt(3)) // no image dims on audio
     assert(out(5).getString(1) == "unknown" && out(5).isNullAt(2))
     assert(out(6).getString(1) == "unknown")
+    assert(out(7).getString(1) == "unknown") // and the walk terminated
     // the synth Column builders round-trip through the same decoder
     val synth = spark.range(1, 4).select($"id".cast("int").as("id"),
       Multimodal.synthWav(lit(1), lit(16000), lit(32000 * 3)).as("payload"))
