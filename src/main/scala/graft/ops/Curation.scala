@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-data pipelines: boilerplate
+  * removal, leakage-safe dataset splits, and token-budget selection.
+  *
+  * These are the steps between "raw crawl" and "training mix" that the
+  * dedup/quality operators in [[Dedup]]/[[TextOps]] feed into. All are
+  * linear in corpus size — unit-keyed equi-joins and window scans, never
+  * doc×doc — and every membership decision is a pure function of row
+  * content (reproducible across runs, engines, and cluster sizes).
+  */
+object Curation {
+
+  // ------------------------------------------------- boilerplate removal
+
+  /** Split text into newline units — the natural unit for web text
+    * (CCNet-style line-level dedup strips nav bars, cookie banners,
+    * footers that repeat across a site's pages). */
+  def lineUnits(text: Column): Column = split(text, "\n")
+
+  /** Split text into fixed-width non-overlapping token segments — the
+    * unit of choice when documents carry no line structure. Every doc
+    * yields at least one unit (empty text → one empty unit), so
+    * reassembly is total. */
+  def segmentUnits(text: Column, width: Int): Column = {
+    val toks = TextOps.tokens(text)
+    val n = greatest(ceil(size(toks) / lit(width.toDouble)).cast("int"), lit(1))
+    transform(sequence(lit(0), n - 1),
+      i => array_join(slice(toks, i * width + 1, width), " "))
+  }
+
+  /** Remove boilerplate units: a unit occurring in at least `minDocs`
+    * distinct documents of the same `groupCol` value (site / source /
+    * domain) is stripped from every document; remaining units are
+    * rejoined in their original order with `sep`.
+    *
+    * Returns (idCol, groupCol, clean_text, n_units, n_removed).
+    *
+    * Shape at scale: one distinct+count aggregate keyed on
+    * (group, unit), one anti-join of the exploded units against the
+    * (small — only units repeated ≥ minDocs times) boilerplate set, one
+    * reassembly aggregate keyed on doc id. Linear in total unit count;
+    * the boilerplate side is broadcastable and AQE will pick that. */
+  def removeBoilerplate(
+      df: DataFrame, idCol: String, groupCol: String, units: Column,
+      minDocs: Int, sep: String = " "): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (1 would strip everything)")
+    val src = df.select(col(idCol), col(groupCol), units.as("units"))
+    val exploded = src.select(col(idCol), col(groupCol),
+      posexplode(col("units")).as(Seq("ord", "unit")))
+    // Distinct before counting: a unit repeated inside ONE document is
+    // not boilerplate evidence.
+    val boiler = exploded.select(col(groupCol), col("unit"), col(idCol))
+      .distinct()
+      .groupBy(col(groupCol), col("unit"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select(col(groupCol), col("unit"))
+    val kept = exploded.join(boiler, Seq(groupCol, "unit"), "left_anti")
+    val clean = kept.groupBy(col(idCol)).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("ord"), col("unit")))),
+          s => s.getField("unit")), sep).as("clean_text"),
+      count(lit(1)).as("n_kept"))
+    src.select(col(idCol), col(groupCol), size(col("units")).as("n_units"))
+      .join(clean, Seq(idCol), "left")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_units").cast("int").as("n_units"),
+        (col("n_units") - coalesce(col("n_kept"), lit(0L))).cast("int")
+          .as("n_removed"))
+  }
+
+  // ---------------------------------------------- leakage-safe splitting
+
+  /** Assign every document to train/val/test such that near-duplicate
+    * documents NEVER straddle a split boundary: the split is keyed on
+    * the duplicate-cluster canonical id (smallest member), not the doc
+    * id, so a test document can't have a near-copy in train.
+    *
+    * `pairs` is any near-duplicate pair set (MinHash LSH, SimHash,
+    * embedding LSH — see [[Dedup]]); unpaired documents are their own
+    * cluster. Buckets 0-(trainPct-1) → train, next valPct → val, rest →
+    * test, from the canonical id's md5 — deterministic and
+    * engine-portable.
+    *
+    * Returns (idCol, cluster, split). */
+  def leakSafeSplit(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+      .withColumnRenamed("a", idCol)
+    val withCluster = df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val bucket = Sampling.hashBucket(col("cluster"), 100)
+    withCluster.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  // ---------------------------------------------- token-budget selection
+
+  /** Select documents per stratum (source / domain / language) in
+    * priority order until a token budget is exhausted: the "fill the
+    * training mix" step. A document is kept iff its stratum's running
+    * token total INCLUDING itself is within `budgetTokens` — so the
+    * result is a prefix of the priority order, deterministic given the
+    * ordering columns.
+    *
+    * `priority` columns order candidates within a stratum (e.g. quality
+    * DESC, then id for tie-breaks — pass a total order or ties make the
+    * prefix ambiguous). One window scan per stratum, no driver state.
+    *
+    * Returns df's rows + (n_tokens, cum_tokens), filtered to the kept
+    * prefix. */
+  def tokenBudget(
+      df: DataFrame, strataCol: String, tokens: Column,
+      budgetTokens: Long, priority: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(priority: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("n_tokens", tokens.cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+}

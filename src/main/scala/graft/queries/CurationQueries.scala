@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.ops.{Curation, Dedup, TextOps}
+
+/** Corpus-curation operators (SURVEY.md §2 C36–C38) as driver-checkable
+  * queries: boilerplate removal, leakage-safe splits, token-budget
+  * selection. The DuckDB oracles re-derive unit segmentation, the
+  * duplicate-cluster transitive closure, and the budget window
+  * token-for-token, so these hash-match on full values.
+  */
+object CurationQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
+
+  import LlmOpsQueries.{sqlNorm, sqlToks, qDedupMinhashCtes}
+
+  // --------------------------- C36: line/segment boilerplate removal
+  // CCNet-style boilerplate strip: a unit occurring in >= MinDocs
+  // distinct docs of the same source is dropped from every doc. The
+  // synthetic docs carry no newlines, so the driver query uses
+  // fixed-width token segments as the unit; the newline-unit path is
+  // exercised on multi-line fixtures in CurationSpec.
+  private val SegWidth = 5
+  private val MinDocs = 3
+
+  private def qBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Curation.removeBoilerplate(
+      docs(s, dir), "doc_id", "source",
+      Curation.segmentUnits(col("text"), SegWidth), MinDocs)
+      .orderBy("doc_id")
+
+  private val qBoilerplateSql =
+    s"""WITH norm AS (
+       |  SELECT doc_id, source, $sqlToks AS toks FROM documents),
+       |seg AS (
+       |  SELECT doc_id, source, CAST(i AS INTEGER) AS ord,
+       |    array_to_string(toks[i*$SegWidth+1 : i*$SegWidth+$SegWidth], ' ') AS unit
+       |  FROM norm, UNNEST(range(GREATEST(
+       |    CAST(CEIL(len(toks) / $SegWidth.0) AS BIGINT), 1))) AS u(i)),
+       |boiler AS (
+       |  SELECT source, unit
+       |  FROM (SELECT source, unit, COUNT(DISTINCT doc_id) AS ndocs
+       |        FROM seg GROUP BY source, unit)
+       |  WHERE ndocs >= $MinDocs),
+       |kept AS (
+       |  SELECT s.doc_id, s.ord, s.unit
+       |  FROM seg s LEFT JOIN boiler b
+       |    ON s.source = b.source AND s.unit = b.unit
+       |  WHERE b.unit IS NULL),
+       |clean AS (
+       |  SELECT doc_id, string_agg(unit, ' ' ORDER BY ord) AS clean_text,
+       |    COUNT(*) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |totals AS (
+       |  SELECT doc_id, source,
+       |    GREATEST(CAST(CEIL(len(toks) / $SegWidth.0) AS INTEGER), 1) AS n_units
+       |  FROM norm)
+       |SELECT t.doc_id, t.source,
+       |  COALESCE(c.clean_text, '') AS clean_text,
+       |  t.n_units,
+       |  CAST(t.n_units - COALESCE(c.n_kept, 0) AS INTEGER) AS n_removed
+       |FROM totals t LEFT JOIN clean c ON t.doc_id = c.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  // ------------------------------- C37: leakage-safe train/val/test split
+  // Split keyed on the MinHash duplicate-cluster canonical id, so
+  // near-duplicate docs never straddle a split boundary. DuckDB
+  // re-derives the full pipeline: shingles → minhash → bands → pairs →
+  // recursive transitive closure → md5 bucket.
+  private def qSplitLeaksafe(s: SparkSession, dir: String): DataFrame =
+    Curation.leakSafeSplit(
+      docs(s, dir), "doc_id",
+      Dedup.minHashLsh(docs(s, dir), "doc_id", "text",
+        LlmOpsQueries.ShingleN, LlmOpsQueries.NumHashes,
+        LlmOpsQueries.BandSize))
+      .orderBy("doc_id")
+
+  private val qSplitLeaksafeSql = {
+    val recursiveCtes =
+      qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    s"""$recursiveCtes,
+       |edges AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |  UNION SELECT b AS u, a AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |clusters AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |  FROM reach GROUP BY u),
+       |assigned AS (
+       |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |SELECT doc_id, cluster,
+       |  CASE WHEN bkt < 80 THEN 'train'
+       |       WHEN bkt < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, cluster,
+       |        CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+       |             AS BIGINT) % 100 AS bkt
+       |      FROM assigned)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------------- C38: token-budget source mixing
+  // Fill each source's slice of the training mix in quality order until
+  // the token budget is exhausted. Priority is (quality points DESC,
+  // doc_id) — a total order, so the kept prefix is engine-exact.
+  private val Budget = 600L
+
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Curation.tokenBudget(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        col("text")),
+      "source", TextOps.tokenCount(col("text")), Budget,
+      Seq(col("quality").desc, col("doc_id")))
+      .select(col("source"), col("doc_id"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
+      .orderBy("source", "doc_id")
+
+  private val qTokenBudgetSql = {
+    val stop = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    val nTok = s"greatest(len($sqlToks), 1)"
+    val stopRatio =
+      s"CAST(len(list_intersect($sqlToks, [$stop])) AS DOUBLE) / CAST($nTok AS DOUBLE)"
+    val avgLen =
+      s"CAST(length(replace($sqlNorm, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE)"
+    val punct =
+      s"""CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\-]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
+    val quality =
+      s"""CAST(CASE WHEN CAST(len($sqlToks) AS DOUBLE) >= 10.0
+         |       AND CAST(len($sqlToks) AS DOUBLE) <= 100000.0 THEN 4 ELSE 0 END
+         | + CASE WHEN $avgLen >= 2.0 AND $avgLen <= 12.0 THEN 3 ELSE 0 END
+         | + CASE WHEN $stopRatio >= 0.01 THEN 2 ELSE 0 END
+         | + CASE WHEN $punct <= 0.2 THEN 1 ELSE 0 END AS DOUBLE) / 10.0""".stripMargin
+    s"""WITH scored AS (
+       |  SELECT source, doc_id, $quality AS quality,
+       |    CAST(len($sqlToks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |windowed AS (
+       |  SELECT source, doc_id, quality, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source
+       |      ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+       |  FROM scored)
+       |SELECT source, doc_id, quality, n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM windowed WHERE cum_tokens <= $Budget
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate" -> qBoilerplate _,
+    "q_split_leaksafe" -> qSplitLeaksafe _,
+    "q_token_budget" -> qTokenBudget _)
+
+  def oracleSql: Map[String, String] = Map(
+    "q_boilerplate" -> qBoilerplateSql,
+    "q_split_leaksafe" -> qSplitLeaksafeSql,
+    "q_token_budget" -> qTokenBudgetSql)
+}

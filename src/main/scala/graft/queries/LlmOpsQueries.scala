@@ -24,8 +24,8 @@ object LlmOpsQueries extends QueryModule {
     Dedup.fanOut(Tables.load(s, dir, "embeddings"))
 
   // DuckDB twins of TextOps.normalized / tokens.
-  private val sqlNorm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
-  private val sqlToks = s"string_split($sqlNorm, ' ')"
+  private[queries] val sqlNorm = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+  private[queries] val sqlToks = s"string_split($sqlNorm, ' ')"
 
   // ------------------------------------------------------ C1: exact dedup
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -37,9 +37,9 @@ object LlmOpsQueries extends QueryModule {
        |GROUP BY fp ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------- C2: MinHash LSH pairs
-  private val ShingleN = 3
-  private val NumHashes = 8
-  private val BandSize = 2
+  private[queries] val ShingleN = 3
+  private[queries] val NumHashes = 8
+  private[queries] val BandSize = 2
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLsh(docs(s, dir), "doc_id", "text", ShingleN, NumHashes, BandSize)
@@ -47,7 +47,7 @@ object LlmOpsQueries extends QueryModule {
 
   /** The full MinHash+LSH pipeline as CTEs ending in `pairs(a, b)` —
     * shared by the pair query and the clusters query's oracle. */
-  private val qDedupMinhashCtes = {
+  private[queries] val qDedupMinhashCtes = {
     val minhashes = (0 until NumHashes)
       .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
     val bands = (0 until NumHashes / BandSize).map { b =>
