@@ -30,7 +30,7 @@ object Curation {
     val toks = TextOps.tokens(text)
     val n = greatest(ceil(size(toks) / lit(width.toDouble)).cast("int"), lit(1))
     transform(sequence(lit(0), n - 1),
-      i => array_join(slice(toks, i * width + 1, width), " "))
+      i => array_join(slice(toks, i * width + 1, lit(width)), " "))
   }
 
   /** Remove boilerplate units: a unit occurring in at least `minDocs`
