@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit coverage for [[Curation]] (SURVEY §2 C36–C38): unit splitting
+  * totality, newline-unit boilerplate removal on multi-line fixtures,
+  * the leak-safe-split no-straddle property, and token-budget prefix
+  * determinism.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------- unit splitting
+
+  test("segmentUnits: every doc yields >=1 unit and reassembly is total") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j k"), // 11 tokens -> 3 units of width 5
+      (2L, "a b c d e"),             // exactly one full unit
+      (3L, "a"),                     // shorter than width
+      (4L, ""))                      // empty -> still one unit
+      .toDF("doc_id", "text")
+    val out = df.select($"doc_id", Curation.segmentUnits($"text", 5).as("units"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b c d e", "f g h i j", "k"))
+    assert(out(2L) == Seq("a b c d e"))
+    assert(out(3L) == Seq("a"))
+    assert(out(4L).length == 1) // empty text still yields one unit
+    // totality: rejoining the units recovers the normalized token stream
+    val rejoined = df.select($"doc_id",
+      array_join(Curation.segmentUnits($"text", 5), " ").as("back"),
+      array_join(TextOps.tokens($"text"), " ").as("orig"))
+      .collect()
+    rejoined.foreach(r => assert(r.getString(1) == r.getString(2)))
+  }
+
+  test("lineUnits splits on newlines preserving order and blank lines") {
+    val units = Seq(("nav\nbody text\n\nfooter"))
+      .toDF("text").select(Curation.lineUnits($"text"))
+      .collect().head.getSeq[String](0)
+    assert(units == Seq("nav", "body text", "", "footer"))
+  }
+
+  // --------------------------------------------------- boilerplate removal
+
+  test("removeBoilerplate strips repeated newline units, keeps unique body") {
+    // Three pages of site A share a nav bar and footer; their bodies are
+    // unique. Site B has the same literal nav line but only one page, so
+    // B's nav must survive (grouping is per-site).
+    val df = Seq(
+      (1L, "A", "HOME | ABOUT\npage one body\n(c) site A"),
+      (2L, "A", "HOME | ABOUT\npage two body\n(c) site A"),
+      (3L, "A", "HOME | ABOUT\npage three body\n(c) site A"),
+      (4L, "B", "HOME | ABOUT\nlonely page body"))
+      .toDF("doc_id", "site", "text")
+    val out = Curation.removeBoilerplate(
+        df, "doc_id", "site", Curation.lineUnits($"text"), minDocs = 3, sep = "\n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_units"),
+          r.getAs[Int]("n_removed")))).toMap
+    assert(out(1L) == (("page one body", 3, 2)))
+    assert(out(2L) == (("page two body", 3, 2)))
+    assert(out(3L) == (("page three body", 3, 2)))
+    assert(out(4L) == (("HOME | ABOUT\nlonely page body", 2, 0))) // other group untouched
+  }
+
+  test("removeBoilerplate: doc made entirely of boilerplate survives as empty row") {
+    val df = Seq(
+      (1L, "A", "nav\nbody"), (2L, "A", "nav\nother"), (3L, "A", "nav"))
+      .toDF("doc_id", "site", "text")
+    val out = Curation.removeBoilerplate(
+        df, "doc_id", "site", Curation.lineUnits($"text"), minDocs = 3, sep = "\n")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Int]("n_removed")))).toMap
+    assert(out.size == 3)           // no rows dropped
+    assert(out(3L) == (("", 1)))    // all-boilerplate doc kept, empty text
+    assert(out(1L) == (("body", 1)))
+  }
+
+  test("removeBoilerplate: repeats inside ONE doc are not boilerplate evidence") {
+    val df = Seq(
+      (1L, "A", "echo\necho\necho\nunique one"),
+      (2L, "A", "unique two"))
+      .toDF("doc_id", "site", "text")
+    val out = Curation.removeBoilerplate(
+        df, "doc_id", "site", Curation.lineUnits($"text"), minDocs = 2, sep = "\n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_removed")).toMap
+    assert(out(1L) == 0 && out(2L) == 0) // "echo" appears in only 1 distinct doc
+  }
+
+  test("removeBoilerplate rejects minDocs < 2") {
+    val df = Seq((1L, "A", "x")).toDF("doc_id", "site", "text")
+    assertThrows[IllegalArgumentException](
+      Curation.removeBoilerplate(df, "doc_id", "site", Curation.lineUnits($"text"), 1))
+  }
+
+  // ------------------------------------------------------ leak-safe split
+
+  test("leakSafeSplit: near-duplicate pairs never straddle a split boundary") {
+    // clusters: {1,2,3} (chain), {10,11}; singletons 20..40
+    val docs = (Seq(1L, 2L, 3L, 10L, 11L) ++ (20L to 40L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Curation.leakSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[String]("split")))).toMap
+    assert(out.size == 26)
+    // no-straddle: every member of a cluster lands in the same split
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(1L)._1 == 1L)
+    assert(out(10L) == out(11L))
+    // determinism: same inputs -> identical assignment
+    val again = Curation.leakSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(out.map { case (k, v) => k -> v._2 } == again)
+    // split labels are from the expected set
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("leakSafeSplit validates percentage arguments") {
+    val docs = Seq(1L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("a", "b")
+    assertThrows[IllegalArgumentException](
+      Curation.leakSafeSplit(docs, "doc_id", pairs, trainPct = 90, valPct = 10))
+  }
+
+  // ------------------------------------------------------- token budgets
+
+  test("tokenBudget keeps a deterministic priority-order prefix per stratum") {
+    val df = Seq(
+      // stratum S: quality desc, id asc -> d1(0.9,5), d2(0.8,4), d3(0.8,4), d4(0.1,4)
+      (1L, "S", 0.9, 5L), (2L, "S", 0.8, 4L), (3L, "S", 0.8, 4L), (4L, "S", 0.1, 4L),
+      // stratum T: single doc larger than budget -> dropped
+      (5L, "T", 1.0, 99L))
+      .toDF("doc_id", "src", "quality", "ntok")
+    val out = Curation.tokenBudget(df, "src", $"ntok", budgetTokens = 13L,
+        Seq($"quality".desc, $"doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_tokens")).toMap
+    // prefix: 5 + 4 + 4 = 13 <= 13; d4 would push to 17 -> cut. T's doc: 99 > 13 -> cut.
+    assert(out == Map(1L -> 5L, 2L -> 9L, 3L -> 13L))
+    // tie-break on doc_id makes the prefix stable: re-run is identical
+    val again = Curation.tokenBudget(df, "src", $"ntok", 13L,
+        Seq($"quality".desc, $"doc_id"))
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(again.toSeq == Seq(1L, 2L, 3L))
+  }
+}
