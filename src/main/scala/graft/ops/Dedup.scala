@@ -178,6 +178,43 @@ object Dedup {
       .filter(col("bucket_n") > maxBucketSize)
       .orderBy(col("bucket_n").desc)
 
+  /** Benchmark decontamination: (train doc, eval doc) pairs sharing at
+    * least `minShared` distinct n-token shingles, where `isEval` marks the
+    * held-out side. Shingle-keyed equi-join — candidates are shingle
+    * collisions only, never doc×doc.
+    *
+    * `maxShingleDf` bounds the per-shingle join fan-out: a shingle
+    * appearing in D distinct documents emits O(D_train × D_eval) join rows
+    * for that key, so one boilerplate 7-gram present in 10^6 train docs ×
+    * 10^3 eval docs would alone emit 10^9 rows. Shingles with document
+    * frequency above the cap are dropped before the join — the same
+    * degenerate-hot-key bound as [[boundBuckets]] (and it reuses it:
+    * the (doc, shingle) rows are distinct per doc, so the bucket count IS
+    * the document frequency). Standard decontamination practice: a
+    * shingle shared by that many documents is boilerplate and carries no
+    * contamination signal. Use [[hotBuckets]] on the exploded shingles to
+    * surface what was dropped.
+    *
+    * Output: idCol, eval_&lt;idCol&gt;, n_shared. */
+  def contaminationPairs(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      isEval: Column, minShared: Int,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = df.select(col(idCol), isEval.as("__is_eval"),
+      explode(array_distinct(shingleArray(textCol, n))).as("sh"))
+    // The DF-cap window partitions on sh — the same hash partitioning the
+    // join below needs, so AQE reuses the exchange.
+    val sh = if (maxShingleDf == Int.MaxValue) sh0
+             else boundBuckets(sh0, Seq("sh"), maxShingleDf)
+    val evalSide = sh.filter(col("__is_eval"))
+      .select(col("sh"), col(idCol).as(s"eval_$idCol"))
+    val trainSide = sh.filter(!col("__is_eval")).select(col(idCol), col("sh"))
+    trainSide.join(evalSide, Seq("sh"))
+      .groupBy(col(idCol), col(s"eval_$idCol"))
+      .agg(count_distinct(col("sh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** LSH candidate pairs: documents sharing any band signature.
     * Bands are concatenations of `bandSize` consecutive signature
     * components; a self-join per band keyed on the band value yields the

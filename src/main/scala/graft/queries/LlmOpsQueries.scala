@@ -713,27 +713,30 @@ object LlmOpsQueries extends QueryModule {
   // documents sharing >= 3 distinct 7-token shingles with a held-out
   // set (doc_id % 31 == 0 stands in for the benchmark). Shingle-keyed
   // equi-join — the candidate set is shingle-collisions only, never a
-  // doc×doc cross product, so it scales like the dedup family.
-  private def qContamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = docs(s, dir).select(col("doc_id"),
-      explode(array_distinct(Dedup.shingleArray("text", 7))).as("sh"))
-    val eval_ = sh.filter(col("doc_id") % 31 === 0)
-      .select(col("sh"), col("doc_id").as("eval_doc_id"))
-    val train = sh.filter(col("doc_id") % 31 =!= 0)
-    train.join(eval_, Seq("sh"))
-      .groupBy(col("doc_id"), col("eval_doc_id"))
-      .agg(count_distinct(col("sh")).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+  // doc×doc cross product — with shingles hotter than MaxShingleDf
+  // distinct documents dropped before the join (a boilerplate 7-gram in
+  // every doc would otherwise go quadratic on that one key; see
+  // Dedup.contaminationPairs).
+  private val MaxShingleDf = 100
+
+  private def qContamination(s: SparkSession, dir: String): DataFrame =
+    Dedup.contaminationPairs(docs(s, dir), "doc_id", "text", 7,
+      isEval = col("doc_id") % 31 === 0, minShared = 3,
+      maxShingleDf = MaxShingleDf)
       .orderBy("doc_id", "eval_doc_id")
-  }
 
   private val qContaminationSql =
     s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |sh AS (
+       |sh0 AS (
        |  SELECT DISTINCT doc_id, g AS sh FROM (
        |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+6], ' ')
        |      for i in range(1, len(toks) - 5)]) AS g
-       |    FROM norm WHERE len(toks) >= 7))
+       |    FROM norm WHERE len(toks) >= 7)),
+       |sh AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df
+       |    FROM sh0)
+       |  WHERE df <= $MaxShingleDf)
        |SELECT t.doc_id, e.doc_id AS eval_doc_id,
        |  CAST(COUNT(DISTINCT t.sh) AS BIGINT) AS n_shared
        |FROM sh t JOIN sh e ON t.sh = e.sh

@@ -347,4 +347,41 @@ class OpsSpec extends SparkSpec {
       .getSeq[Long](0)
     assert(idx.toSeq == Seq(0L, 25L, 50L, 75L))
   }
+
+  test("contamination DF cap: a shingle in every doc must not go quadratic") {
+    // Adversarial corpus: all 100 docs share one boilerplate 7-gram (a
+    // cookie banner); docs 7 (train) and 10 (eval) additionally share a
+    // unique 9-token sentence (= 3 distinct 7-gram shingles — genuine
+    // leakage). Junction shingles contain doc-unique tokens, so the ONLY
+    // cross-doc shingles are the boilerplate one (df=100) and the planted
+    // three (df=2).
+    val boiler = "this site uses cookies to improve experience"
+    val leak = "the secret benchmark answer is forty two exactly here"
+    val df = (1L to 100L).map { i =>
+      val unique = (0 until 10).map(k => s"u${i}x$k").mkString(" ")
+      val text = if (i == 7L || i == 10L) s"$boiler $unique $leak"
+                 else s"$boiler $unique"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val isEval = col("doc_id") % 10 === 0
+
+    // Uncapped at minShared=1: the hot boilerplate shingle alone fans out
+    // to all 90x10 train x eval pairs — the quadratic blow-up.
+    val uncapped = Dedup.contaminationPairs(df, "doc_id", "text", 7, isEval, 1)
+    assert(uncapped.count() == 900)
+
+    // Capped: the df=100 shingle is dropped; only the planted leak
+    // (3 shared shingles, df=2 each) survives.
+    val capped = Dedup.contaminationPairs(df, "doc_id", "text", 7, isEval,
+        minShared = 3, maxShingleDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq == Seq((7L, 10L, 3L)))
+
+    // The dropped hot key is observable for monitoring.
+    val hot = Dedup.hotBuckets(
+      df.select(col("doc_id"),
+        explode(array_distinct(Dedup.shingleArray("text", 7))).as("sh")).distinct(),
+      Seq("sh"), 50).collect()
+    assert(hot.length == 1 && hot.head.getAs[Long]("bucket_n") == 100L)
+  }
 }
