@@ -88,6 +88,11 @@ object Bench {
     }
 
     val loadEnd = loadAvg()
+    // SPARK_GRAFT_CPUS may be any master string fragment (e.g. "8" or a
+    // non-numeric value); emit bare only when numeric, else as a JSON
+    // string, so the one-JSON-line contract holds for every input.
+    val cpusJson = cpus.toIntOption.map(_.toString)
+      .getOrElse("\"" + js(cpus) + "\"")
     val okResults = results.filter(_.ok)
     val qs = okResults.map(r => "\"" + r.name + "\":" + jd(r.sec))
       .mkString("{", ",", "}")
@@ -100,7 +105,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = okResults.map(_.sec).sum
     val failed = results.count(!_.ok)
-    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","ok":$oks,"failed":$failed,"errors":$errs,"resampled":$resampledNames,"load_avg_start":${jd(loadStart)},"load_avg_end":${jd(loadEnd)},"cpus":$cpus}""")
+    println(s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","ok":$oks,"failed":$failed,"errors":$errs,"resampled":$resampledNames,"load_avg_start":${jd(loadStart)},"load_avg_end":${jd(loadEnd)},"cpus":$cpusJson}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

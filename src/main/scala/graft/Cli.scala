@@ -99,9 +99,10 @@ object Cli {
           // (executor.py:153-190): log failures, keep going, exit nonzero
           // --log-json: structured per-model event lines (logger.py:81-106)
           if (rest.contains("--log-json")) runner.setLogSink(Some(out))
-          val results = runner.run(targets, allVars, continueOnError = true,
-            fullRefresh = rest.contains("--full-refresh"))
-          runner.setLogSink(None)
+          val results =
+            try runner.run(targets, allVars, continueOnError = true,
+              fullRefresh = rest.contains("--full-refresh"))
+            finally runner.setLogSink(None)
           results.foreach(r => out(s"${r.modelName}: ${r.materialization} ${r.status}"))
           // executor.py:446 get_metrics / export_metrics_json
           if (rest.contains("--metrics")) out(runner.metricsJson)

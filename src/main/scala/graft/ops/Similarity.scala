@@ -100,10 +100,27 @@ object Similarity {
     * literal array, so the per-row work is a pure multiply-add fold with
     * no hashing in the hot path. */
   private[ops] def planeVector(globalPlane: Int, dim: Int): Array[Double] =
-    Array.tabulate(dim) { d =>
-      val hex = graft.functions.HashImpl
-        .md5Hex(s"plane$globalPlane:$d".getBytes("UTF-8")).substring(0, 6)
-      (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
+    Array.tabulate(dim)(d => hashComponent(s"plane$globalPlane:$d"))
+
+  /** md5-derived value in [-0.5, 0.5) for a tag — the engine-stable
+    * pseudo-random primitive behind both the LSH hyperplanes and
+    * [[hashCentroids]] (an external oracle re-derives it as
+    * `conv(md5(tag)[0:6], 16, 10)/2^24 - 0.5`). */
+  private def hashComponent(tag: String): Double = {
+    val hex = graft.functions.HashImpl
+      .md5Hex(tag.getBytes("UTF-8")).substring(0, 6)
+    (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
+  }
+
+  /** Deterministic md5-derived IVF centroids (component d of cell c is
+    * hashComponent("cell{c}:{d}")) — engine-stable, so a DuckDB oracle
+    * can re-derive the exact cell assignment, unlike Lloyd-trained
+    * centroids whose float means are engine-internal. For driver
+    * queries and tests; production paths train real centroids with
+    * [[trainCentroids]]. */
+  def hashCentroids(numCells: Int, dim: Int): Array[(Int, List[Double])] =
+    Array.tabulate(numCells) { c =>
+      (c, List.tabulate(dim)(d => hashComponent(s"cell$c:$d")))
     }
 
   /** Vector width, read from one non-null row (on a real lake this is

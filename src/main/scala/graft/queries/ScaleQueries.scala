@@ -249,6 +249,100 @@ object ScaleQueries extends QueryModule {
       |FROM events
       |ORDER BY user_id, event_type, ts_us""".stripMargin
 
+  // --------------------------------- C35: stream-stream attribution join
+  // Runs the real watermarked stream-stream join (EventStreams
+  // .attributionJoin) over the events table: each purchase matched to the
+  // same user's clicks in the preceding 60 minutes. Each side lands as
+  // ONE file so Trigger.AvailableNow processes a single micro-batch — the
+  // watermarks exist for state expiry but never classify a row late, so
+  // the inner join emits exactly the time-bounded batch join the oracle
+  // computes.
+  private def qAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+    val pDir = scratchDir("graft_attr_p_")
+    val cDir = scratchDir("graft_attr_c_")
+    ev.filter(col("event_type") === "purchase").coalesce(1)
+      .write.mode("overwrite").parquet(pDir)
+    ev.filter(col("event_type") === "click").coalesce(1)
+      .write.mode("overwrite").parquet(cDir)
+    val sink = s"graft_attr_${streamRun.incrementAndGet()}"
+    val q = EventStreams.attributionJoin(
+      EventStreams.eventStream(s, pDir), EventStreams.eventStream(s, cDir),
+      lookbackMinutes = 60)
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+        col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("purchase_id", "click_id")
+  }
+
+  private val qAttributionSql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |  epoch_us(p.ts) AS purchase_ts_us,
+      |  c.event_id AS click_id, epoch_us(c.ts) AS click_ts_us
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTE
+      |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
+  // ------------------------------- C26: streaming IVF index maintenance
+  // Runs the real streaming index maintainer (IndexStreams.ivfIndexStream):
+  // arriving embedding vectors are cell-assigned — a pure map against
+  // fixed md5-derived centroids (Similarity.hashCentroids, engine-stable
+  // so DuckDB re-derives the identical centroids and the argmax
+  // assignment value-for-value) — and appended to a cell-partitioned
+  // parquet index, which the query reads back. Probe equality (streamed
+  // index == batch probe) is pinned by StreamingSpec; Lloyd-trained IVF
+  // (engine-internal float means) stays rows-only as q_ann_ivf with its
+  // recall spec.
+  private val IvfCells = 8
+
+  private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding"))
+    val dim = e.select(size(col("embedding")).as("d")).limit(1)
+      .collect().head.getInt(0)
+    val centroids = Similarity.hashCentroids(IvfCells, dim)
+    val inDir = scratchDir("graft_ivf_in_")
+    val idxDir = scratchDir("graft_ivf_idx_") + "/index"
+    e.coalesce(1).write.mode("overwrite").parquet(inDir)
+    val q = graft.streaming.IndexStreams.ivfIndexStream(
+      s.readStream.schema(e.schema).parquet(inDir), centroids,
+      "vec_id", "embedding", idxDir,
+      scratchDir("graft_ivf_ck_"),
+      trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination()
+    s.read.parquet(idxDir)
+      .select(col("neighbor_id").as("vec_id"), col("cell").cast("int").as("cell"))
+      .orderBy("vec_id")
+  }
+
+  // Centroid c is re-derived inside the oracle with the same md5 formula
+  // as Similarity.hashComponent; assignment tie-break (sim DESC, cell
+  // DESC) mirrors assignCells' reverse(array_sort(...)).
+  private val qStreamIvfSql = {
+    def centroid(c: Int): String =
+      s"""list_transform(v, (x, j) ->
+         |      (CAST('0x' || substr(md5('cell$c:' || CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+         |        / 16777216.0) - 0.5)""".stripMargin
+    val sims = (0 until IvfCells).map { c =>
+      s"SELECT vec_id, $c AS cell,\n    list_cosine_similarity(v, ${centroid(c)}) AS sim FROM v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sims AS (
+       |  $sims)
+       |SELECT vec_id, CAST(cell AS INTEGER) AS cell
+       |FROM sims
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell DESC) = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   // ------------------------------------------- B21: CSV source round-trip
   private def qSourceCsv(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.load(s, dir, "events")
@@ -298,6 +392,8 @@ object ScaleQueries extends QueryModule {
     "q_sample_stratified" -> qSampleStratified _,
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_stream_dedup" -> qStreamDedup _,
+    "q_attribution" -> qAttribution _,
+    "q_stream_ivf" -> qStreamIvf _,
     "q_source_csv" -> qSourceCsv _,
     "q_partition_prune" -> qPartitionPrune _)
 
@@ -308,6 +404,8 @@ object ScaleQueries extends QueryModule {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_stream_dedup" -> qStreamDedupSql,
+    "q_attribution" -> qAttributionSql,
+    "q_stream_ivf" -> qStreamIvfSql,
     "q_source_csv" -> qSourceCsvSql,
     "q_partition_prune" -> qPartitionPruneSql)
     // q_ann_ivf: rows-only (centroid means are engine-internal floats)

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
 import graft.ops.Similarity
 
 /** Streaming ANN-index maintenance (SURVEY.md §2 C26).
@@ -24,15 +24,17 @@ object IndexStreams {
       vectors: DataFrame,
       centroids: Array[(Int, List[Double])],
       idCol: String, vecCol: String,
-      indexDir: String, checkpointDir: String): StreamingQuery =
-    Similarity.indexCells(vectors, idCol, vecCol, centroids)
+      indexDir: String, checkpointDir: String,
+      trigger: Option[Trigger] = None): StreamingQuery = {
+    val w = Similarity.indexCells(vectors, idCol, vecCol, centroids)
       .writeStream
       .format("parquet")
       .option("path", indexDir)
       .option("checkpointLocation", checkpointDir)
       .partitionBy("cell")
       .outputMode(OutputMode.Append)
-      .start()
+    trigger.map(w.trigger).getOrElse(w).start()
+  }
 
   /** Top-k probe against a streamed index directory — identical ranking
     * semantics to the batch [[Similarity.ivfTopK]] (same probeCells). */
