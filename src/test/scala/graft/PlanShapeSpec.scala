@@ -123,6 +123,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Subquery"), p)
   }
 
+  test("IVF cell assignment is a pure map (no key shuffle before the write)") {
+    // the streaming index maintainer appends indexCells output per
+    // micro-batch; a key shuffle here would serialize ingestion at scale
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val dim = e.select(size(col("embedding")).as("d")).limit(1)
+      .collect().head.getInt(0)
+    val df = ops.Similarity.indexCells(
+      e, "vec_id", "embedding", ops.Similarity.hashCentroids(8, dim))
+    val p = plan(df)
+    assert(exchanges(p) <= 1, p)               // at most the adaptive fan-out
+    assert(!p.contains("hashpartitioning"), p) // never a key shuffle
+  }
+
   test("native as-of join: two clustered exchanges, no union, no window") {
     val ev = Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")
