@@ -225,4 +225,72 @@ object Multimodal {
       col(idCol),
       length(col(payloadCol)).cast("long").as("n_bytes"),
       md5(col(payloadCol)).as("content_md5"))
+
+  /** The per-payload encoder STUB behind [[featureExtract]]: component j
+    * is an md5 fold of the payload bytes — `md5(payload ++ ":j")[0:6] /
+    * 2^24 - 0.5` — deterministic and engine-stable, so an external
+    * oracle re-derives the exact vectors. This is the seam where a real
+    * vision/audio encoder plugs in (the model libraries aren't in this
+    * container); everything around it is the production plumbing. */
+  def stubFeature(payload: Array[Byte], dim: Int): Array[Double] =
+    Array.tabulate(dim) { j =>
+      val tagged = payload ++ s":$j".getBytes("UTF-8")
+      val hex = graft.functions.HashImpl.md5Hex(tagged).substring(0, 6)
+      (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
+    }
+
+  /** Feature extraction over payloads — the "run an encoder over every
+    * asset" stage of a multimodal pipeline. Same narrow
+    * `Dataset.mapPartitions` shape as [[decode]]: batch-at-a-time, no
+    * shuffle, partition-preserving, fixed-width `array<double>` output
+    * schema — exactly the contract an Arrow-batched encoder stage has on
+    * a real cluster. Null payloads yield null features. */
+  def featureExtract(df: DataFrame, payloadCol: String, dim: Int): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("features", ArrayType(DoubleType, containsNull = false),
+        nullable = true))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        Row.fromSeq(r.toSeq :+
+          (if (payload == null) null else stubFeature(payload, dim).toSeq))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Aspect-preserving resize-to-fit: computes the target dimensions
+    * with integer-exact arithmetic (the longer axis pins to the box,
+    * the other scales by the same ratio, floored, min 1) and re-encodes
+    * a well-formed header of the same format carrying them. The pixel
+    * resample itself is a codec-library call inside the same map slot
+    * (STUBBED — not in this container); the schema / payload contract is
+    * real: `resized_payload` is a decodable image whose header carries
+    * the resized dimensions. Non-image (or unparseable) assets pass
+    * through with null resize fields.
+    *
+    * Appends: asset (decode metadata), resized_width, resized_height,
+    * resized_payload (jpeg/png only). */
+  def resizeFit(
+      df: DataFrame, payloadCol: String,
+      targetW: Int, targetH: Int): DataFrame = {
+    val d = decode(df, payloadCol)
+    val w = col("asset.width").cast("long")
+    val h = col("asset.height").cast("long")
+    // aspect wider than the box <=> width is the binding axis
+    val widthBound = w * targetH >= h * targetW
+    val newW = when(widthBound, lit(targetW))
+      .otherwise(greatest(lit(1), floor(w * targetH / h)).cast("int"))
+    val newH = when(widthBound,
+        greatest(lit(1), floor(h * targetW / w)).cast("int"))
+      .otherwise(lit(targetH))
+    val isImage = col("asset.width").isNotNull
+    d.withColumn("resized_width", when(isImage, newW))
+      .withColumn("resized_height", when(isImage, newH))
+      .withColumn("resized_payload",
+        when(col("asset.format") === "jpeg",
+          synthJpeg(col("resized_width"), col("resized_height")))
+        .when(col("asset.format") === "png",
+          synthPng(col("resized_width"), col("resized_height"))))
+  }
 }

@@ -591,6 +591,79 @@ object LlmOpsQueries extends QueryModule {
       |  CASE WHEN doc_id % 3 = 2 THEN CAST((1 + doc_id % 5) * 1000 AS BIGINT) END AS duration_ms
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------ C39: multimodal feature extraction
+  // The "run an encoder over every asset" stage: featureExtract's
+  // mapPartitions plumbing is production-shaped (narrow, batched,
+  // fixed-width array<double> schema); the encoder itself is the
+  // documented md5-fold stub, which DuckDB re-derives component by
+  // component — so the driver pins the full path payload→vector.
+  private val FeatDim = 4
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+    Multimodal.featureExtract(withPayload, "payload", FeatDim)
+      .select(col("doc_id"),
+        posexplode(col("features")).as(Seq("dim", "feature")))
+      .orderBy("doc_id", "dim")
+  }
+
+  private val qMultimodalFeaturesSql =
+    s"""SELECT doc_id, CAST(j AS INTEGER) AS dim,
+       |  (CAST('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 6) AS BIGINT)
+       |    / 16777216.0) - 0.5 AS feature
+       |FROM documents, UNNEST(range(0, $FeatDim)) AS t(j)
+       |ORDER BY doc_id, dim""".stripMargin
+
+  // --------------------------------------- C40: multimodal resize-to-fit
+  // Aspect-preserving resize of synthesized JPEG/PNG payloads into a
+  // 320x200 box. The resized payload is re-DECODED and its round-trip
+  // dimensions emitted, so the driver pins bytes-out as well as the
+  // integer resize arithmetic (which DuckDB recomputes analytically).
+  private val RszW = 320
+  private val RszH = 200
+
+  private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val w = (lit(100) + id % 700).cast("int")
+    val h = (lit(80) + (id * 13) % 900).cast("int")
+    val payload = when(id % 2 === 0, Multimodal.synthJpeg(w, h))
+      .otherwise(Multimodal.synthPng(w, h))
+    val resized = Multimodal.resizeFit(
+      docs(s, dir).select(id, payload.as("payload")), "payload", RszW, RszH)
+      .select(col("doc_id"), col("asset.format").as("format"),
+        col("asset.width").as("width"), col("asset.height").as("height"),
+        col("resized_width"), col("resized_height"),
+        col("resized_payload").as("p2"))
+    Multimodal.decode(resized, "p2")
+      .select(col("doc_id"), col("format"), col("width"), col("height"),
+        col("resized_width"), col("resized_height"),
+        col("asset.width").as("roundtrip_width"),
+        col("asset.height").as("roundtrip_height"))
+      .orderBy("doc_id")
+  }
+
+  private val qMultimodalResizeSql =
+    s"""WITH dims AS (
+       |  SELECT doc_id,
+       |    CAST(100 + doc_id % 700 AS INTEGER) AS w,
+       |    CAST(80 + (doc_id * 13) % 900 AS INTEGER) AS h
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+       |    w, h,
+       |    CASE WHEN w * $RszH >= h * $RszW THEN $RszW
+       |         ELSE GREATEST(CAST(FLOOR((w * $RszH.0) / h) AS INTEGER), 1) END AS rw,
+       |    CASE WHEN w * $RszH >= h * $RszW
+       |         THEN GREATEST(CAST(FLOOR((h * $RszW.0) / w) AS INTEGER), 1)
+       |         ELSE $RszH END AS rh
+       |  FROM dims)
+       |SELECT doc_id, format, w AS width, h AS height,
+       |  rw AS resized_width, rh AS resized_height,
+       |  rw AS roundtrip_width, rh AS roundtrip_height
+       |FROM r ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------------------------------
   // ------------------------------------ C30: weighted sampling + mixing
   // Importance sampling (keep probability = min(n_tokens/60, 1) — prefer
@@ -770,6 +843,8 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_meta" -> qMultimodalMeta _,
     "q_multimodal_decode" -> qMultimodalDecode _,
     "q_multimodal_frames" -> qMultimodalFrames _,
+    "q_multimodal_features" -> qMultimodalFeatures _,
+    "q_multimodal_resize" -> qMultimodalResize _,
     "q_tfidf" -> qTfidf _,
     "q_chunk" -> qChunk _)
 
@@ -797,6 +872,8 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_meta" -> qMultimodalMetaSql,
     "q_multimodal_decode" -> qMultimodalDecodeSql,
     "q_multimodal_frames" -> qMultimodalFramesSql,
+    "q_multimodal_features" -> qMultimodalFeaturesSql,
+    "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_tfidf" -> qTfidfSql,
     "q_chunk" -> qChunkSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)

@@ -348,6 +348,53 @@ class OpsSpec extends SparkSpec {
     assert(idx.toSeq == Seq(0L, 25L, 50L, 75L))
   }
 
+  test("feature extraction: deterministic stub vectors, null payloads pass through") {
+    val df = Seq((1, "hello world"), (2, "hello world"), (3, "different"),
+      (4, null: String)).toDF("id", "text")
+      .select($"id", Multimodal.asPayload($"text").as("payload"))
+    val out = Multimodal.featureExtract(df, "payload", 4)
+      .select($"id", $"features").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(out(1) != null && out(1).size == 4)
+    assert(out(1) == out(2))                 // same bytes -> same vector
+    assert(out(1) != out(3))                 // different bytes -> different
+    assert(out(1).forall(v => v >= -0.5 && v < 0.5))
+    assert(out(4) == null)                   // null payload -> null features
+    // pinned against the documented formula for one component
+    val hex = graft.functions.HashImpl
+      .md5Hex("hello world:0".getBytes("UTF-8")).substring(0, 6)
+    val expected = java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
+    assert(out(1)(0) == expected)
+  }
+
+  test("resize-to-fit: integer-exact dims, round-trip decodable payload") {
+    val df = Seq(
+      (1, 640, 320),   // wide: width binds in 320x200 -> 320 x 160
+      (2, 100, 800),   // tall: height binds -> 25 x 200
+      (3, 320, 200)    // exact fit -> unchanged
+    ).toDF("id", "w", "h")
+      .select($"id",
+        when($"id" === 2, Multimodal.synthPng($"w", $"h"))
+          .otherwise(Multimodal.synthJpeg($"w", $"h")).as("payload"))
+      .union(Seq(4 -> "not an image").toDF("id", "text")
+        .select($"id", Multimodal.asPayload($"text").as("payload")))
+    val out = Multimodal.resizeFit(df, "payload", 320, 200)
+    val dims = out.select($"id", $"resized_width", $"resized_height").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else (r.getInt(1), r.getInt(2)))).toMap
+    assert(dims(1) == (320, 160))
+    assert(dims(2) == (25, 200))
+    assert(dims(3) == (320, 200))
+    assert(dims(4) == null)                  // non-image: null resize fields
+    // the resized payload is a real image whose header carries the new dims
+    val rt = Multimodal.decode(
+      out.filter($"id" === 1).select($"id", $"resized_payload"),
+      "resized_payload")
+      .select($"asset.format", $"asset.width", $"asset.height").head()
+    assert(rt.getString(0) == "jpeg" && rt.getInt(1) == 320 && rt.getInt(2) == 160)
+  }
+
   test("contamination DF cap: a shingle in every doc must not go quadratic") {
     // Adversarial corpus: all 100 docs share one boilerplate 7-gram (a
     // cookie banner); docs 7 (train) and 10 (eval) additionally share a
