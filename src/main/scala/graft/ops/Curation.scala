@@ -130,4 +130,64 @@ object Curation {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetTokens)
   }
+
+  // -------------------------------------------------- sequence packing
+
+  /** Concat-and-chunk sequence packing: documents are laid end to end in
+    * ascending `idCol` order into one global token stream, which is cut
+    * into fixed `seqLen`-token training sequences. Each document learns
+    * its global `start_offset` and the first/last sequence it lands in
+    * (a document may span several sequences; several short documents may
+    * share one).
+    *
+    * The global running sum is computed as a two-level distributed
+    * prefix sum — NEVER a global single-partition window:
+    *   1. docs map to contiguous id-range buckets (order-preserving);
+    *   2. per-bucket token totals (one tiny aggregate, `numBuckets`
+    *      rows) are prefix-summed on a single trivial partition and
+    *      broadcast-joined back;
+    *   3. the within-bucket running sum is a window PARTITIONED by
+    *      bucket — all buckets proceed in parallel.
+    * Driver state is two scalars (min/max id); everything else is
+    * linear, one shuffle for the bucket window. Id-range bucketing
+    * assumes roughly uniform ids (lake sequence numbers); heavy id skew
+    * concentrates windows, not correctness.
+    *
+    * Returns (idCol, n_tokens, start_offset, first_seq, last_seq). */
+  def packSequences(
+      df: DataFrame, idCol: String, tokens: Column, seqLen: Int,
+      numBuckets: Int = 256): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val base = df.select(col(idCol).cast("long").as(idCol),
+      tokens.cast("long").as("n_tokens"))
+    val bounds = base.agg(min(col(idCol)), max(col(idCol))).collect().head
+    if (bounds.isNullAt(0))
+      return base.withColumn("start_offset", lit(0L))
+        .withColumn("first_seq", lit(0L)).withColumn("last_seq", lit(0L))
+        .limit(0)
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    val bucketed = base.withColumn("__bucket",
+      expr(s"(`$idCol` - ${lo}L) div ${width}L"))
+    // per-bucket totals -> exclusive prefix: numBuckets rows, the window
+    // over them is deliberately unpartitioned (tiny by construction)
+    val bucketOffsets = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__btotal"))
+      .withColumn("__boffset",
+        coalesce(sum(col("__btotal")).over(
+          Window.orderBy(col("__bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btotal")
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(bucketOffsets), Seq("__bucket"))
+      .withColumn("start_offset",
+        col("__boffset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      // integral div, not float: exact for any corpus size
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(start_offset + greatest(n_tokens, 1L) - 1) div $seqLen"))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        col("first_seq"), col("last_seq"))
+  }
 }

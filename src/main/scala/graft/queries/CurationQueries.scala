@@ -61,7 +61,7 @@ object CurationQueries extends QueryModule {
        |  FROM norm)
        |SELECT t.doc_id, t.source,
        |  COALESCE(c.clean_text, '') AS clean_text,
-       |  t.n_units,
+       |  CAST(t.n_units AS INTEGER) AS n_units,
        |  CAST(t.n_units - COALESCE(c.n_kept, 0) AS INTEGER) AS n_removed
        |FROM totals t LEFT JOIN clean c ON t.doc_id = c.doc_id
        |ORDER BY t.doc_id""".stripMargin
@@ -155,13 +155,42 @@ object CurationQueries extends QueryModule {
        |ORDER BY source, doc_id""".stripMargin
   }
 
+  // ------------------------------------- C41: concat-and-chunk packing
+  // GPT-style sequence packing: docs laid end to end in doc_id order,
+  // cut into 128-token training sequences. The engine computes the
+  // global prefix sum as a two-level bucketed reduction (never a
+  // single-partition window); the oracle is the plain global window it
+  // must equal.
+  private val SeqLen = 128
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(docs(s, dir), "doc_id",
+      TextOps.tokenCount(col("text")), SeqLen)
+      .orderBy("doc_id")
+
+  private val qPackSequencesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM t)
+       |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       |  CAST(start_offset // $SeqLen AS BIGINT) AS first_seq,
+       |  CAST((start_offset + GREATEST(n_tokens, 1) - 1) // $SeqLen AS BIGINT) AS last_seq
+       |FROM o ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> qBoilerplate _,
     "q_split_leaksafe" -> qSplitLeaksafe _,
-    "q_token_budget" -> qTokenBudget _)
+    "q_token_budget" -> qTokenBudget _,
+    "q_pack_sequences" -> qPackSequences _)
 
   def oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> qBoilerplateSql,
     "q_split_leaksafe" -> qSplitLeaksafeSql,
-    "q_token_budget" -> qTokenBudgetSql)
+    "q_token_budget" -> qTokenBudgetSql,
+    "q_pack_sequences" -> qPackSequencesSql)
 }

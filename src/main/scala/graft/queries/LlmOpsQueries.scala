@@ -660,8 +660,8 @@ object LlmOpsQueries extends QueryModule {
        |         ELSE $RszH END AS rh
        |  FROM dims)
        |SELECT doc_id, format, w AS width, h AS height,
-       |  rw AS resized_width, rh AS resized_height,
-       |  rw AS roundtrip_width, rh AS roundtrip_height
+       |  CAST(rw AS INTEGER) AS resized_width, CAST(rh AS INTEGER) AS resized_height,
+       |  CAST(rw AS INTEGER) AS roundtrip_width, CAST(rh AS INTEGER) AS roundtrip_height
        |FROM r ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------------------------------

@@ -218,6 +218,35 @@ object ScaleQueries extends QueryModule {
       |QUALIFY session_num < MAX(session_num) OVER (PARTITION BY user_id)
       |ORDER BY user_id, session_start_us""".stripMargin
 
+  // --------------------------- C12: streaming tumbling-window aggregate
+  // Runs the real watermarked streaming aggregate (EventStreams
+  // .windowedCounts) over the events table. Update output mode: with the
+  // input landed as ONE file, Trigger.AvailableNow processes a single
+  // batch, so every window emits its final value exactly once and the
+  // result equals the batch hourly aggregate the oracle computes (append
+  // mode would hold back windows newer than the watermark forever on a
+  // finite input).
+  private def qStreamWindowLive(s: SparkSession, dir: String): DataFrame = {
+    val inDir = scratchDir("graft_stream_win_")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val sink = s"graft_win_${streamRun.incrementAndGet()}"
+    val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(sink).orderBy("window_start_us", "event_type")
+  }
+
+  private val qStreamWindowLiveSql =
+    s"""SELECT epoch_us(DATE_TRUNC('hour', ts)) AS window_start_us, event_type,
+       |  COUNT(*) AS n, ${graft.ExactAgg.sqlSum("value")} AS total_value
+       |FROM events
+       |GROUP BY window_start_us, event_type
+       |ORDER BY window_start_us, event_type""".stripMargin
+
   // --------------------------------- C17: streaming exact dedup (driver)
   // Runs the real watermark-bounded streaming dedup over the events
   // table with planted duplicates (every third event re-arrives under a
@@ -391,6 +420,7 @@ object ScaleQueries extends QueryModule {
     "q_skew_join" -> qSkewJoin _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_stream_sessionize" -> qStreamSessionize _,
+    "q_stream_window_live" -> qStreamWindowLive _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_attribution" -> qAttribution _,
     "q_stream_ivf" -> qStreamIvf _,
@@ -403,6 +433,7 @@ object ScaleQueries extends QueryModule {
     "q_skew_join" -> qSkewJoinSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
+    "q_stream_window_live" -> qStreamWindowLiveSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_attribution" -> qAttributionSql,
     "q_stream_ivf" -> qStreamIvfSql,

@@ -125,6 +125,52 @@ class CurationSpec extends SparkSpec {
 
   // ------------------------------------------------------- token budgets
 
+  // ----------------------------------------------------- sequence packing
+
+  test("packSequences equals the single-window global prefix sum") {
+    // sparse, non-contiguous ids across many buckets; token counts chosen
+    // so docs span/share sequence boundaries (seqLen 10)
+    val rows = Seq(1L -> 7L, 2L -> 7L, 5L -> 10L, 90L -> 1L, 91L -> 1L,
+      1000L -> 25L, 5000L -> 3L)
+    val df = rows.toDF("doc_id", "ntok")
+    val out = Curation.packSequences(df, "doc_id", $"ntok", seqLen = 10,
+        numBuckets = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_offset"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq")))).toMap
+    // expected: the plain cumulative layout
+    var off = 0L
+    val expected = rows.sortBy(_._1).map { case (id, n) =>
+      val e = (id, (off, off / 10, (off + n - 1) / 10)); off += n; e
+    }.toMap
+    assert(out == expected)
+    // spot-check semantics: doc 2 starts mid-sequence 0 and spills into 1
+    assert(out(2L) == ((7L, 0L, 1L)))
+    // doc 1000: 25 tokens from offset 26 occupy positions 26..50, i.e.
+    // sequences 2 through 5
+    assert(out(1000L) == ((26L, 2L, 5L)))
+    // bucket count larger than doc count must also work
+    val wide = Curation.packSequences(df, "doc_id", $"ntok", 10, numBuckets = 1000)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_offset"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq")))).toMap
+    assert(wide == expected)
+  }
+
+  test("packSequences: empty input yields empty output, zero-token docs take no space") {
+    val empty = Curation.packSequences(
+      Seq.empty[(Long, Long)].toDF("doc_id", "ntok"), "doc_id", $"ntok", 10)
+    assert(empty.count() == 0)
+    val out = Curation.packSequences(
+        Seq(1L -> 4L, 2L -> 0L, 3L -> 4L).toDF("doc_id", "ntok"),
+        "doc_id", $"ntok", 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_offset"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq")))).toMap
+    assert(out(2L) == ((4L, 0L, 0L))) // zero-token doc: valid position, no space
+    assert(out(3L) == ((4L, 0L, 0L))) // next doc starts at the same offset
+  }
+
   test("tokenBudget keeps a deterministic priority-order prefix per stratum") {
     val df = Seq(
       // stratum S: quality desc, id asc -> d1(0.9,5), d2(0.8,4), d3(0.8,4), d4(0.1,4)
