@@ -136,6 +136,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), p) // never a key shuffle
   }
 
+  test("sequence packing: global prefix sum never single-partitions the data") {
+    val df = ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents"))
+    val p = plan(ops.Curation.packSequences(
+      df, "doc_id", ops.TextOps.tokenCount(col("text")), 128))
+    // the bucket-offset side broadcasts back to the main flow
+    assert(p.contains("BroadcastHashJoin"), p)
+    // exactly ONE SinglePartition exchange: the numBuckets-row totals
+    // window — the full corpus itself is never funneled to one partition
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+    // the corpus-side running sum is a window PARTITIONED by bucket
+    assert("Window".r.findAllIn(p).size == 2, p)
+  }
+
   test("native as-of join: two clustered exchanges, no union, no window") {
     val ev = Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")
