@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Dedup, LangModel, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators (SURVEY.md §2 C1–C11) as
   * driver-checkable queries over documents/embeddings.
@@ -743,6 +743,38 @@ object LlmOpsQueries extends QueryModule {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------- C42: LM-scored document quality
+  // Train a bigram LM on the corpus, score every doc by the mean
+  // conditional probability of its transitions (the CCNet "LM filter"
+  // shape, in the float-portable mean-of-ratios formulation — see
+  // ops/LangModel.scala). DuckDB re-derives the model and the exact
+  // scaled-sum mean value-for-value.
+  private def qLmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    LangModel.scoreDocuments(d, "doc_id", "text",
+      LangModel.bigramModel(d, "text"))
+      .orderBy("doc_id")
+  }
+
+  private val qLmScoreSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |bi AS (
+       |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+       |  FROM norm, UNNEST(range(1, len(toks))) AS t(i)
+       |  WHERE len(toks) >= 2),
+       |model AS (SELECT bg, COUNT(*) AS n FROM bi GROUP BY bg),
+       |model_p AS (
+       |  SELECT bg, CAST(n AS DOUBLE) /
+       |    CAST(SUM(n) OVER (PARTITION BY string_split(bg, ' ')[1]) AS DOUBLE) AS cond_p
+       |  FROM model),
+       |scored AS (
+       |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    ${graft.ExactAgg.sqlAvg("m.cond_p")} AS lm_score
+       |  FROM bi b JOIN model_p m USING (bg) GROUP BY b.doc_id)
+       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+       |FROM documents d LEFT JOIN scored s USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------- C27: repetition signals
   // Gopher/C4-style within-document repetition quality signals: the
   // fraction of tokens that are repeats and the fraction of bigrams that
@@ -846,7 +878,8 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_features" -> qMultimodalFeatures _,
     "q_multimodal_resize" -> qMultimodalResize _,
     "q_tfidf" -> qTfidf _,
-    "q_chunk" -> qChunk _)
+    "q_chunk" -> qChunk _,
+    "q_lm_score" -> qLmScore _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
@@ -875,6 +908,7 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_features" -> qMultimodalFeaturesSql,
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_tfidf" -> qTfidfSql,
-    "q_chunk" -> qChunkSql)
+    "q_chunk" -> qChunkSql,
+    "q_lm_score" -> qLmScoreSql)
     // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }

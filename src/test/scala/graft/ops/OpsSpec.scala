@@ -395,6 +395,30 @@ class OpsSpec extends SparkSpec {
     assert(rt.getString(0) == "jpeg" && rt.getInt(1) == 320 && rt.getInt(2) == 160)
   }
 
+  test("bigram LM: conditional probabilities and doc scores match hand math") {
+    // corpus bigrams: "a b" x4 (docs 1,2,3,5), "a c" x2 (docs 4,5),
+    // "b a" x1 (doc 5) -> P(b|a)=4/6, P(c|a)=2/6, P(a|b)=1
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c"),
+      (5L, "a b a c"),
+      (6L, "solo"))    // single token: no bigrams
+      .toDF("doc_id", "text")
+    val model = LangModel.bigramModel(df, "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(model("a b") == 4.0 / 6.0 && model("a c") == 2.0 / 6.0)
+    assert(model("b a") == 1.0)
+    val out = LangModel.scoreDocuments(df, "doc_id", "text",
+        LangModel.bigramModel(df, "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) null else r.getDouble(2)))).toMap
+    // scores go through the 1e-6-resolution scaled-int mean
+    assert(out(1L)._1 == 1L)
+    assert(math.abs(out(1L)._2.asInstanceOf[Double] - 4.0 / 6.0) < 1e-5)
+    // doc 5: mean(4/6, 1, 2/6) = 2/3
+    assert(out(5L)._1 == 3L)
+    assert(math.abs(out(5L)._2.asInstanceOf[Double] - 2.0 / 3.0) < 1e-5)
+    assert(out(6L) == ((0L, null))) // no bigrams -> null score, kept
+  }
+
   test("contamination DF cap: a shingle in every doc must not go quadratic") {
     // Adversarial corpus: all 100 docs share one boilerplate 7-gram (a
     // cookie banner); docs 7 (train) and 10 (eval) additionally share a
