@@ -55,6 +55,16 @@ object HashImpl {
     toHex(md.digest(bytes))
   }
 
+  /** md5-derived value in [-0.5, 0.5) for a tag — the ONE engine-stable
+    * pseudo-random primitive behind the LSH hyperplanes, hash centroids
+    * and stub feature vectors. External oracles re-derive it as
+    * `conv(md5(tag)[0:6], 16, 10)/2^24 - 0.5`; the constants live only
+    * here so Spark and oracle can never desynchronize piecemeal. */
+  def hashUnit(tag: Array[Byte]): Double = {
+    val hex = md5Hex(tag).substring(0, 6)
+    (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
+  }
+
   private def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0

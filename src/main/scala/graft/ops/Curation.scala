@@ -153,22 +153,36 @@ object Curation {
     * assumes roughly uniform ids (lake sequence numbers); heavy id skew
     * concentrates windows, not correctness.
     *
+    * Rows with a null id are excluded (a null has no position in the
+    * concatenation order).
+    *
     * Returns (idCol, n_tokens, start_offset, first_seq, last_seq). */
   def packSequences(
       df: DataFrame, idCol: String, tokens: Column, seqLen: Int,
       numBuckets: Int = 256): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
+    // A null id has no position in the concatenation order; dropping it
+    // silently via the bucket join would hide corpus loss, so exclude
+    // explicitly and document the contract here.
     val base = df.select(col(idCol).cast("long").as(idCol),
       tokens.cast("long").as("n_tokens"))
+      .filter(col(idCol).isNotNull)
     val bounds = base.agg(min(col(idCol)), max(col(idCol))).collect().head
     if (bounds.isNullAt(0))
       return base.withColumn("start_offset", lit(0L))
         .withColumn("first_seq", lit(0L)).withColumn("last_seq", lit(0L))
         .limit(0)
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val width = math.max(1L, (hi - lo) / numBuckets + 1)
+    // BigInt: hi - lo overflows a long when ids span more than 2^63
+    // (hash-derived ids) — a wrapped width of 1 would give one bucket
+    // per document and funnel the whole corpus through the "tiny"
+    // offsets window.
+    val width = ((BigInt(hi) - BigInt(lo)) / numBuckets + 1)
+      .max(1).min(BigInt(Long.MaxValue)).toLong
+    // id div width is monotone and never subtracts (no overflow for any
+    // id range); normalizing by lo div width keeps buckets near zero.
     val bucketed = base.withColumn("__bucket",
-      expr(s"(`$idCol` - ${lo}L) div ${width}L"))
+      expr(s"(`$idCol` div ${width}L) - ${lo / width}L"))
     // per-bucket totals -> exclusive prefix: numBuckets rows, the window
     // over them is deliberately unpartitioned (tiny by construction)
     val bucketOffsets = bucketed.groupBy(col("__bucket"))

@@ -151,14 +151,23 @@ object Multimodal {
     * `df.rdd`) keeps the decode inside one query plan: Catalyst can
     * still prune/push around it and codegen the stages on either side,
     * instead of a plan-breaking RDD round-trip. */
-  def decode(df: DataFrame, payloadCol: String): DataFrame = {
-    val schema = StructType(df.schema.fields :+
-      StructField("asset", assetSchema, nullable = true))
+  def decode(df: DataFrame, payloadCol: String): DataFrame =
+    appendMapped(df, payloadCol,
+      StructField("asset", assetSchema, nullable = true))(decodeHeader)
+
+  /** The shared per-payload mapPartitions plumbing: append one column
+    * computed by `f` from the payload bytes, null payloads yielding
+    * null. Narrow, batch-at-a-time, partition-preserving — and staying
+    * a Dataset (vs dropping to `df.rdd`) keeps the stage inside one
+    * query plan so Catalyst can still prune/push around it. */
+  private def appendMapped(df: DataFrame, payloadCol: String,
+      field: StructField)(f: Array[Byte] => Any): DataFrame = {
+    val schema = StructType(df.schema.fields :+ field)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(r.toSeq :+ (if (payload == null) null else decodeHeader(payload)))
+        Row.fromSeq(r.toSeq :+ (if (payload == null) null else f(payload)))
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }
@@ -234,9 +243,7 @@ object Multimodal {
     * container); everything around it is the production plumbing. */
   def stubFeature(payload: Array[Byte], dim: Int): Array[Double] =
     Array.tabulate(dim) { j =>
-      val tagged = payload ++ s":$j".getBytes("UTF-8")
-      val hex = graft.functions.HashImpl.md5Hex(tagged).substring(0, 6)
-      (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
+      graft.functions.HashImpl.hashUnit(payload ++ s":$j".getBytes("UTF-8"))
     }
 
   /** Feature extraction over payloads — the "run an encoder over every
@@ -245,19 +252,10 @@ object Multimodal {
     * shuffle, partition-preserving, fixed-width `array<double>` output
     * schema — exactly the contract an Arrow-batched encoder stage has on
     * a real cluster. Null payloads yield null features. */
-  def featureExtract(df: DataFrame, payloadCol: String, dim: Int): DataFrame = {
-    val schema = StructType(df.schema.fields :+
+  def featureExtract(df: DataFrame, payloadCol: String, dim: Int): DataFrame =
+    appendMapped(df, payloadCol,
       StructField("features", ArrayType(DoubleType, containsNull = false),
-        nullable = true))
-    val payloadIdx = df.schema.fieldIndex(payloadCol)
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
-        Row.fromSeq(r.toSeq :+
-          (if (payload == null) null else stubFeature(payload, dim).toSeq))
-      }
-    }(org.apache.spark.sql.Encoders.row(schema))
-  }
+        nullable = true))(p => stubFeature(p, dim).toSeq)
 
   /** Aspect-preserving resize-to-fit: computes the target dimensions
     * with integer-exact arithmetic (the longer axis pins to the box,

@@ -102,15 +102,11 @@ object Similarity {
   private[ops] def planeVector(globalPlane: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(d => hashComponent(s"plane$globalPlane:$d"))
 
-  /** md5-derived value in [-0.5, 0.5) for a tag — the engine-stable
-    * pseudo-random primitive behind both the LSH hyperplanes and
-    * [[hashCentroids]] (an external oracle re-derives it as
-    * `conv(md5(tag)[0:6], 16, 10)/2^24 - 0.5`). */
-  private def hashComponent(tag: String): Double = {
-    val hex = graft.functions.HashImpl
-      .md5Hex(tag.getBytes("UTF-8")).substring(0, 6)
-    (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
-  }
+  /** md5-derived value in [-0.5, 0.5) for a tag — delegates to the one
+    * shared primitive ([[graft.functions.HashImpl.hashUnit]]) so the
+    * oracle-mirrored constants live in a single place. */
+  private def hashComponent(tag: String): Double =
+    graft.functions.HashImpl.hashUnit(tag.getBytes("UTF-8"))
 
   /** Deterministic md5-derived IVF centroids (component d of cell c is
     * hashComponent("cell{c}:{d}")) — engine-stable, so a DuckDB oracle
@@ -131,7 +127,7 @@ object Similarity {
     * the right answer for empty input — while a non-empty corpus whose
     * vector column is entirely NULL fails with a clear message instead
     * of silently producing zero planes. */
-  private def vecDim(df: DataFrame, vecCol: String): Int =
+  private[graft] def vecDim(df: DataFrame, vecCol: String): Int =
     df.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("d")).limit(1).collect()
       .headOption.map(_.getInt(0))

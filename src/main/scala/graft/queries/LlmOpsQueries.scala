@@ -600,8 +600,12 @@ object LlmOpsQueries extends QueryModule {
   private val FeatDim = 4
 
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    // coalesce on BOTH sides: a null text would otherwise yield null
+    // features here (zero exploded rows) but FeatDim null-feature rows
+    // in the oracle's cross join — count divergence on dirty data
     val withPayload = docs(s, dir)
-      .select(col("doc_id"), Multimodal.asPayload(col("text")).as("payload"))
+      .select(col("doc_id"),
+        Multimodal.asPayload(coalesce(col("text"), lit(""))).as("payload"))
     Multimodal.featureExtract(withPayload, "payload", FeatDim)
       .select(col("doc_id"),
         posexplode(col("features")).as(Seq("dim", "feature")))
@@ -610,7 +614,7 @@ object LlmOpsQueries extends QueryModule {
 
   private val qMultimodalFeaturesSql =
     s"""SELECT doc_id, CAST(j AS INTEGER) AS dim,
-       |  (CAST('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 6) AS BIGINT)
+       |  (CAST('0x' || substr(md5(COALESCE(text, '') || ':' || CAST(j AS VARCHAR)), 1, 6) AS BIGINT)
        |    / 16777216.0) - 0.5 AS feature
        |FROM documents, UNNEST(range(0, $FeatDim)) AS t(j)
        |ORDER BY doc_id, dim""".stripMargin

@@ -333,9 +333,9 @@ object ScaleQueries extends QueryModule {
 
   private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    val dim = e.select(size(col("embedding")).as("d")).limit(1)
-      .collect().head.getInt(0)
-    val centroids = Similarity.hashCentroids(IvfCells, dim)
+    // vecDim (vs a raw head-row read): null-embedding and empty-table safe
+    val centroids = Similarity.hashCentroids(IvfCells,
+      Similarity.vecDim(e, "embedding"))
     val inDir = scratchDir("graft_ivf_in_")
     val idxDir = scratchDir("graft_ivf_idx_") + "/index"
     e.coalesce(1).write.mode("overwrite").parquet(inDir)

@@ -127,10 +127,8 @@ class PlanShapeSpec extends SparkSpec {
     // the streaming index maintainer appends indexCells output per
     // micro-batch; a key shuffle here would serialize ingestion at scale
     val e = Tables.load(spark, sfDir, "embeddings")
-    val dim = e.select(size(col("embedding")).as("d")).limit(1)
-      .collect().head.getInt(0)
-    val df = ops.Similarity.indexCells(
-      e, "vec_id", "embedding", ops.Similarity.hashCentroids(8, dim))
+    val df = ops.Similarity.indexCells(e, "vec_id", "embedding",
+      ops.Similarity.hashCentroids(8, ops.Similarity.vecDim(e, "embedding")))
     val p = plan(df)
     assert(exchanges(p) <= 1, p)               // at most the adaptive fan-out
     assert(!p.contains("hashpartitioning"), p) // never a key shuffle

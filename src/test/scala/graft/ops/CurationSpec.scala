@@ -157,6 +157,28 @@ class CurationSpec extends SparkSpec {
     assert(wide == expected)
   }
 
+  test("packSequences: full-range ids don't collapse buckets; null ids excluded") {
+    // hi - lo overflows a long here: the BigInt width math must keep
+    // bucketing sane instead of one-bucket-per-doc
+    val df = Seq(
+      (java.lang.Long.valueOf(Long.MinValue), 5L),
+      (java.lang.Long.valueOf(-1L), 3L),
+      (java.lang.Long.valueOf(0L), 2L),
+      (java.lang.Long.valueOf(Long.MaxValue), 7L),
+      (null.asInstanceOf[java.lang.Long], 9L)) // no position -> excluded
+      .toDF("doc_id", "ntok")
+    val out = Curation.packSequences(df, "doc_id", $"ntok", seqLen = 10,
+        numBuckets = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("start_offset"), r.getAs[Long]("first_seq"),
+          r.getAs[Long]("last_seq")))).toMap
+    assert(out.size == 4)
+    assert(out(Long.MinValue) == ((0L, 0L, 0L)))
+    assert(out(-1L) == ((5L, 0L, 0L)))
+    assert(out(0L) == ((8L, 0L, 0L)))
+    assert(out(Long.MaxValue) == ((10L, 1L, 1L)))
+  }
+
   test("packSequences: empty input yields empty output, zero-token docs take no space") {
     val empty = Curation.packSequences(
       Seq.empty[(Long, Long)].toDF("doc_id", "ntok"), "doc_id", $"ntok", 10)
