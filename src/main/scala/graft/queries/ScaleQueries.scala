@@ -179,6 +179,22 @@ object ScaleQueries extends QueryModule {
   // from the batch sessionization with a QUALIFY filter.
   private val streamRun = new AtomicInteger(0)
 
+  /** Stateful streaming operators instantiate one state store per
+    * `spark.sql.shuffle.partitions` AT STREAM START (the attribution
+    * join: four stores per partition) — with 32 batch-sized partitions
+    * that's pure fixed overhead for these single-batch driver runs. Pin
+    * a key-cardinality-sized state layout for the stream's duration and
+    * restore the batch width after; results are partition-count
+    * independent (every one of these queries is oracle-pinned). On a
+    * real cluster this is the same knob, sized to stream key
+    * cardinality rather than batch shuffle width. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val inDir = scratchDir("graft_stream_in_")
@@ -187,11 +203,13 @@ object ScaleQueries extends QueryModule {
         col("value"))
       .write.mode("overwrite").parquet(inDir)
     val sink = s"graft_sessions_${streamRun.incrementAndGet()}"
-    val q = EventStreams.sessionize(
-      EventStreams.eventStream(s, inDir).as[EventStreams.Event])
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = EventStreams.sessionize(
+        EventStreams.eventStream(s, inDir).as[EventStreams.Event])
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink).orderBy("user_id", "session_start_us")
   }
 
@@ -233,10 +251,12 @@ object ScaleQueries extends QueryModule {
         col("value"))
       .coalesce(1).write.mode("overwrite").parquet(inDir)
     val sink = s"graft_win_${streamRun.incrementAndGet()}"
-    val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink).orderBy("window_start_us", "event_type")
   }
 
@@ -263,13 +283,15 @@ object ScaleQueries extends QueryModule {
     val inDir = scratchDir("graft_stream_dedup_in_")
     base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(inDir)
     val sink = s"graft_dedup_${streamRun.incrementAndGet()}"
-    val q = EventStreams.dedupStream(
-      EventStreams.eventStream(s, inDir), Seq("user_id", "event_type"))
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("ts_us"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = EventStreams.dedupStream(
+        EventStreams.eventStream(s, inDir), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink).orderBy("user_id", "event_type", "ts_us")
   }
 
@@ -297,15 +319,17 @@ object ScaleQueries extends QueryModule {
     ev.filter(col("event_type") === "click").coalesce(1)
       .write.mode("overwrite").parquet(cDir)
     val sink = s"graft_attr_${streamRun.incrementAndGet()}"
-    val q = EventStreams.attributionJoin(
-      EventStreams.eventStream(s, pDir), EventStreams.eventStream(s, cDir),
-      lookbackMinutes = 60)
-      .select(col("purchase_id"), col("user_id"),
-        unix_micros(col("purchase_ts")).as("purchase_ts_us"),
-        col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStatePartitions(s, 4) {
+      val q = EventStreams.attributionJoin(
+        EventStreams.eventStream(s, pDir), EventStreams.eventStream(s, cDir),
+        lookbackMinutes = 60)
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_ts_us"),
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     s.table(sink).orderBy("purchase_id", "click_id")
   }
 
