@@ -205,16 +205,54 @@ object LlmOpsQueries extends QueryModule {
       |SELECT query_id, rnk, neighbor_id FROM ranked WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
-  // --------------------------------------------- C6: LSH ANN (rows-only)
+  // ------------------------------------------------------ C6: LSH ANN
+  // Fully oracled: the plane family is md5-derived so DuckDB re-derives
+  // the identical buckets, collision sets and top-10 ranking. The raw
+  // cosine VALUE is not emitted (engines may associate the norm product
+  // differently in the last ulp); ranking compares the same deterministic
+  // scores on each side, like q_ann_bruteforce.
   private def qAnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.lshTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
       k = 10, numBands = 2, planesPerBand = 3)
-      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
-        col("cosine_sim"))
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"))
       .orderBy("query_id", "rnk")
   }
+
+  // Shared DuckDB re-derivation of the LSH family: md5 hyperplanes →
+  // per-band sign-bit buckets → collision candidates → cosine top-10.
+  // Embedding dim is fixed schema metadata (64); range() needs constants.
+  private val annLshCtes =
+    """planes AS (
+      |  SELECT b, p, list(w ORDER BY d) AS w FROM (
+      |    SELECT b.range AS b, p.range AS p, d.range AS d,
+      |      CAST(CAST('0x' || substr(md5('plane' || (b.range*3 + p.range) || ':' || d.range), 1, 6) AS BIGINT) AS DOUBLE)/16777216.0 - 0.5 AS w
+      |    FROM range(2) b, range(3) p, range(64) d)
+      |  GROUP BY b, p),
+      |sigs AS (
+      |  SELECT e.vec_id, pl.b,
+      |    SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) > 0
+      |        THEN CAST(1 AS BIGINT) << CAST(pl.p AS INTEGER) ELSE 0 END) AS bucket
+      |  FROM embeddings e, planes pl
+      |  GROUP BY e.vec_id, pl.b),
+      |qs AS (SELECT vec_id, b, bucket FROM sigs WHERE vec_id < 10),
+      |coll AS (
+      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM qs q JOIN sigs c ON q.b = c.b AND q.bucket = c.bucket
+      |  WHERE c.vec_id <> q.vec_id),
+      |lsh_ranked AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+      |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.neighbor_id) AS INTEGER) AS rnk
+      |  FROM coll s
+      |  JOIN embeddings qe ON qe.vec_id = s.query_id
+      |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)""".stripMargin
+
+  private val qAnnLshSql =
+    s"""WITH $annLshCtes
+       |SELECT query_id, rnk, neighbor_id FROM lsh_ranked WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
 
   // ------------------------------- C6: LSH ANN recall (driver-visible)
   // Per-query recall@10 of the LSH path against the brute-force truth —
@@ -238,34 +276,10 @@ object LlmOpsQueries extends QueryModule {
       .orderBy("query_id")
   }
 
-  // Embedding dim is fixed schema metadata (64); range() needs constants.
   private val qAnnLshRecallSql =
-    """WITH planes AS (
-      |  SELECT b, p, list(w ORDER BY d) AS w FROM (
-      |    SELECT b.range AS b, p.range AS p, d.range AS d,
-      |      CAST(CAST('0x' || substr(md5('plane' || (b.range*3 + p.range) || ':' || d.range), 1, 6) AS BIGINT) AS DOUBLE)/16777216.0 - 0.5 AS w
-      |    FROM range(2) b, range(3) p, range(64) d)
-      |  GROUP BY b, p),
-      |sigs AS (
-      |  SELECT e.vec_id, pl.b,
-      |    SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) > 0
-      |        THEN CAST(1 AS BIGINT) << CAST(pl.p AS INTEGER) ELSE 0 END) AS bucket
-      |  FROM embeddings e, planes pl
-      |  GROUP BY e.vec_id, pl.b),
-      |qs AS (SELECT vec_id, b, bucket FROM sigs WHERE vec_id < 10),
-      |coll AS (
-      |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      |  FROM qs q JOIN sigs c ON q.b = c.b AND q.bucket = c.bucket
-      |  WHERE c.vec_id <> q.vec_id),
+    s"""WITH $annLshCtes,
       |lsh AS (
-      |  SELECT query_id, neighbor_id FROM (
-      |    SELECT s.query_id, s.neighbor_id,
-      |      ROW_NUMBER() OVER (PARTITION BY s.query_id
-      |        ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.neighbor_id) AS rnk
-      |    FROM coll s
-      |    JOIN embeddings qe ON qe.vec_id = s.query_id
-      |    JOIN embeddings ne ON ne.vec_id = s.neighbor_id)
-      |  WHERE rnk <= 10),
+      |  SELECT query_id, neighbor_id FROM lsh_ranked WHERE rnk <= 10),
       |bf AS (
       |  SELECT query_id, neighbor_id FROM (
       |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -898,6 +912,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_jaccard" -> qJaccardSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
+    "q_ann_lsh" -> qAnnLshSql,
     "q_ann_lsh_recall" -> qAnnLshRecallSql,
     "q_text_tokens" -> qTextTokensSql,
     "q_text_quality" -> qTextQualitySql,
@@ -914,5 +929,4 @@ object LlmOpsQueries extends QueryModule {
     "q_tfidf" -> qTfidfSql,
     "q_chunk" -> qChunkSql,
     "q_lm_score" -> qLmScoreSql)
-    // q_ann_lsh: rows-only (bucketing internals are engine-specific)
 }
