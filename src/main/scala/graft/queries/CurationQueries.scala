@@ -124,7 +124,9 @@ object CurationQueries extends QueryModule {
         col("n_tokens"), col("cum_tokens"))
       .orderBy("source", "doc_id")
 
-  private val qTokenBudgetSql = {
+  /** DuckDB twin of TextOps.qualityScore over a `text` column (shared
+    * by the token-budget and full-pipeline oracles). */
+  private val sqlQuality = {
     val stop = TextOps.EnglishStopwords.map(w => s"'$w'").mkString(", ")
     val nTok = s"greatest(len($sqlToks), 1)"
     val stopRatio =
@@ -133,12 +135,15 @@ object CurationQueries extends QueryModule {
       s"CAST(length(replace($sqlNorm, ' ', '')) AS DOUBLE) / CAST($nTok AS DOUBLE)"
     val punct =
       s"""CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\-]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)"""
-    val quality =
-      s"""CAST(CASE WHEN CAST(len($sqlToks) AS DOUBLE) >= 10.0
-         |       AND CAST(len($sqlToks) AS DOUBLE) <= 100000.0 THEN 4 ELSE 0 END
-         | + CASE WHEN $avgLen >= 2.0 AND $avgLen <= 12.0 THEN 3 ELSE 0 END
-         | + CASE WHEN $stopRatio >= 0.01 THEN 2 ELSE 0 END
-         | + CASE WHEN $punct <= 0.2 THEN 1 ELSE 0 END AS DOUBLE) / 10.0""".stripMargin
+    s"""CAST(CASE WHEN CAST(len($sqlToks) AS DOUBLE) >= 10.0
+       |       AND CAST(len($sqlToks) AS DOUBLE) <= 100000.0 THEN 4 ELSE 0 END
+       | + CASE WHEN $avgLen >= 2.0 AND $avgLen <= 12.0 THEN 3 ELSE 0 END
+       | + CASE WHEN $stopRatio >= 0.01 THEN 2 ELSE 0 END
+       | + CASE WHEN $punct <= 0.2 THEN 1 ELSE 0 END AS DOUBLE) / 10.0""".stripMargin
+  }
+
+  private val qTokenBudgetSql = {
+    val quality = sqlQuality
     s"""WITH scored AS (
        |  SELECT source, doc_id, $quality AS quality,
        |    CAST(len($sqlToks) AS BIGINT) AS n_tokens
@@ -182,15 +187,140 @@ object CurationQueries extends QueryModule {
        |  CAST((start_offset + GREATEST(n_tokens, 1) - 1) // $SeqLen AS BIGINT) AS last_seq
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ----------------------- C43: the composed raw-crawl → corpus funnel
+  // The flagship end-to-end query: exact dedup → MinHash near-dup dedup
+  // → decontamination vs the held-out set (doc_id % 31 == 0) → quality
+  // floor → leak-safe split → train-split sequence packing, ALL stages
+  // as one composed plan (ops/CurationPipeline.scala). The oracle
+  // re-derives every stage in DuckDB from the already-proven per-stage
+  // twins, so the driver pins the composition, not just the parts.
+  private val PipeSeqLen = 128
+
+  private def qCuratePipeline(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CurationPipeline.curate(
+      docs(s, dir), "doc_id", "text",
+      isEval = col("doc_id") % 31 === 0,
+      graft.ops.CurationPipeline.Config(
+        shingleN = LlmOpsQueries.ShingleN,
+        numHashes = LlmOpsQueries.NumHashes,
+        bandSize = LlmOpsQueries.BandSize,
+        maxBucketSize = Int.MaxValue,
+        contaminationN = 7, contaminationMinShared = 3,
+        contaminationMaxDf = 100, minQuality = 0.3,
+        trainPct = 80, valPct = 10, seqLen = PipeSeqLen))
+      .select(col("doc_id"), col("quality"), col("split"),
+        col("n_tokens"), col("start_offset"), col("first_seq"),
+        col("last_seq"))
+      .orderBy("doc_id")
+
+  private val qCuratePipelineSql = {
+    import LlmOpsQueries.{ShingleN, NumHashes, BandSize}
+    val minhashes = (0 until NumHashes)
+      .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val sig = (0 until BandSize).map(k => s"h${b * BandSize + k}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH RECURSIVE
+       |train AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 <> 0),
+       |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 31 = 0),
+       |t1 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM (
+       |    SELECT doc_id, md5($sqlNorm) AS fp FROM train) GROUP BY fp),
+       |norm1 AS (
+       |  SELECT d.doc_id, $sqlToks AS toks FROM train d JOIN t1 USING (doc_id)),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${ShingleN - 1}], ' ')
+       |      for i in range(1, len(toks) - ${ShingleN - 2})]) AS s
+       |    FROM norm1 WHERE len(toks) >= $ShingleN)),
+       |mh AS (SELECT doc_id, $minhashes FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.sig = r.sig
+       |  WHERE l.doc_id < r.doc_id),
+       |edges AS (
+       |  SELECT a AS u, b AS v FROM pairs
+       |  UNION SELECT b AS u, a AS v FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |clusters AS (
+       |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       |  FROM reach GROUP BY u),
+       |t2 AS (
+       |  SELECT t.doc_id FROM t1 t LEFT JOIN clusters c USING (doc_id)
+       |  WHERE c.cluster IS NULL OR c.cluster = t.doc_id),
+       |cnorm AS (
+       |  SELECT d.doc_id, $sqlToks AS toks, FALSE AS is_eval
+       |  FROM train d JOIN t2 USING (doc_id)
+       |  UNION ALL
+       |  SELECT doc_id, $sqlToks AS toks, TRUE AS is_eval FROM ev),
+       |sh7 AS (
+       |  SELECT DISTINCT doc_id, is_eval, g AS shg FROM (
+       |    SELECT doc_id, is_eval, UNNEST([array_to_string(toks[i:i+6], ' ')
+       |      for i in range(1, len(toks) - 5)]) AS g
+       |    FROM cnorm WHERE len(toks) >= 7)),
+       |sh7c AS (
+       |  SELECT doc_id, is_eval, shg FROM (
+       |    SELECT doc_id, is_eval, shg, COUNT(*) OVER (PARTITION BY shg) AS df
+       |    FROM sh7)
+       |  WHERE df <= 100),
+       |contaminated AS (
+       |  SELECT DISTINCT t.doc_id
+       |  FROM sh7c t JOIN sh7c e ON t.shg = e.shg
+       |  WHERE NOT t.is_eval AND e.is_eval
+       |  GROUP BY t.doc_id, e.doc_id
+       |  HAVING COUNT(DISTINCT t.shg) >= 3),
+       |t3 AS (
+       |  SELECT doc_id FROM t2
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |scored AS (SELECT doc_id, $sqlQuality AS quality FROM documents),
+       |t4 AS (
+       |  SELECT t.doc_id, s.quality FROM t3 t JOIN scored s USING (doc_id)
+       |  WHERE s.quality >= 0.3),
+       |assigned AS (
+       |  SELECT t.doc_id, t.quality, COALESCE(c.cluster, t.doc_id) AS cluster
+       |  FROM t4 t LEFT JOIN clusters c USING (doc_id)),
+       |splits AS (
+       |  SELECT doc_id, quality,
+       |    CASE WHEN bkt < 80 THEN 'train'
+       |         WHEN bkt < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, quality,
+       |          CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bkt
+       |        FROM assigned)),
+       |toklen AS (
+       |  SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT s.doc_id, t.n_tokens,
+       |    COALESCE(SUM(t.n_tokens) OVER (ORDER BY s.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM splits s JOIN toklen t USING (doc_id) WHERE s.split = 'train')
+       |SELECT s.doc_id, s.quality, s.split, p.n_tokens,
+       |  CAST(p.start_offset AS BIGINT) AS start_offset,
+       |  CAST(p.start_offset // $PipeSeqLen AS BIGINT) AS first_seq,
+       |  CAST((p.start_offset + GREATEST(p.n_tokens, 1) - 1) // $PipeSeqLen AS BIGINT) AS last_seq
+       |FROM splits s LEFT JOIN packed p USING (doc_id)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> qBoilerplate _,
     "q_split_leaksafe" -> qSplitLeaksafe _,
     "q_token_budget" -> qTokenBudget _,
-    "q_pack_sequences" -> qPackSequences _)
+    "q_pack_sequences" -> qPackSequences _,
+    "q_curate_pipeline" -> qCuratePipeline _)
 
   def oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> qBoilerplateSql,
     "q_split_leaksafe" -> qSplitLeaksafeSql,
     "q_token_budget" -> qTokenBudgetSql,
-    "q_pack_sequences" -> qPackSequencesSql)
+    "q_pack_sequences" -> qPackSequencesSql,
+    "q_curate_pipeline" -> qCuratePipelineSql)
 }
