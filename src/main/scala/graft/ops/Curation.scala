@@ -91,11 +91,20 @@ object Curation {
     * Returns (idCol, cluster, split). */
   def leakSafeSplit(
       df: DataFrame, idCol: String, pairs: DataFrame,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    leakSafeSplitClusters(df, idCol,
+      Dedup.duplicateClusters(pairs, "a", "b").withColumnRenamed("a", idCol),
+      trainPct, valPct)
+
+  /** [[leakSafeSplit]] with clusters already computed — callers that
+    * also deduped (e.g. [[CurationPipeline]]) reuse one
+    * label-propagation run instead of paying the iterative job twice.
+    * `clusters` columns: (idCol, cluster). */
+  def leakSafeSplitClusters(
+      df: DataFrame, idCol: String, clusters: DataFrame,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
-    val clusters = Dedup.duplicateClusters(pairs, "a", "b")
-      .withColumnRenamed("a", idCol)
     val withCluster = df.select(col(idCol))
       .join(clusters, Seq(idCol), "left")
       .withColumn("cluster", coalesce(col("cluster"), col(idCol)))

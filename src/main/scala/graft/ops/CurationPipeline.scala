@@ -82,9 +82,11 @@ object CurationPipeline {
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
 
-    // 5. leakage-safe split on the SAME near-dup pair set
-    val split = Curation.leakSafeSplit(
-      scored.select(col(idCol)), idCol, pairs, cfg.trainPct, cfg.valPct)
+    // 5. leakage-safe split on the SAME near-dup clusters (reused — the
+    // iterative label propagation runs once, not twice)
+    val split = Curation.leakSafeSplitClusters(
+      scored.select(col(idCol)), idCol,
+      clusters.withColumnRenamed("a", idCol), cfg.trainPct, cfg.valPct)
       .select(col(idCol), col("split"))
     val withSplit = scored.join(split, Seq(idCol))
 
