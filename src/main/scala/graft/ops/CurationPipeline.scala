@@ -50,9 +50,12 @@ object CurationPipeline {
     // The eval set is held out from the very start: it must not
     // participate in dedup (a near-dup cluster containing an eval doc
     // would otherwise swallow the eval doc BEFORE decontamination could
-    // see it) and is never part of the output corpus.
-    val evalSide = df.filter(isEval)
-    val trainSide = df.filter(!isEval)
+    // see it) and is never part of the output corpus. A NULL eval flag
+    // counts as not-eval (three-valued !NULL would otherwise silently
+    // drop the row from BOTH sides).
+    val evalFlag = coalesce(isEval, lit(false))
+    val evalSide = df.filter(evalFlag)
+    val trainSide = df.filter(!evalFlag)
 
     // 1. verbatim copies: exact() keeps the smallest id per content hash
     val exactKept = trainSide.join(
@@ -67,7 +70,10 @@ object CurationPipeline {
     val clusters = Dedup.duplicateClusters(pairs, "a", "b")
     val nearDropped = clusters.filter(col("a") =!= col("cluster"))
       .select(col("a").as(idCol))
+    // cache: the deduped corpus feeds both the contamination join and
+    // the survivor anti-join below
     val deduped = exactKept.join(nearDropped, Seq(idCol), "left_anti")
+      .cache()
 
     // 3. decontamination: drop surviving training docs that share
     // >= minShared distinct shingles with any eval doc
@@ -88,7 +94,12 @@ object CurationPipeline {
       scored.select(col(idCol)), idCol,
       clusters.withColumnRenamed("a", idCol), cfg.trainPct, cfg.valPct)
       .select(col(idCol), col("split"))
-    val withSplit = scored.join(split, Seq(idCol))
+    // localCheckpoint: everything below (packSequences' driver-side
+    // bounds read, its bucketed windows, and the final left join) reads
+    // withSplit several times — without truncation each read would
+    // re-execute the dedup/contamination/quality lineage. Same
+    // speed-for-fault-tolerance trade duplicateClusters makes per round.
+    val withSplit = scored.join(split, Seq(idCol)).localCheckpoint()
 
     // 6. pack the train split into fixed-length sequences
     val packed = Curation.packSequences(

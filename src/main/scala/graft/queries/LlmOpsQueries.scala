@@ -244,7 +244,7 @@ object LlmOpsQueries extends QueryModule {
       |lsh_ranked AS (
       |  SELECT s.query_id, s.neighbor_id,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
-      |      ORDER BY list_cosine_similarity(qe.embedding, ne.embedding) DESC, s.neighbor_id) AS INTEGER) AS rnk
+      |      ORDER BY list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) DESC, s.neighbor_id) AS INTEGER) AS rnk
       |  FROM coll s
       |  JOIN embeddings qe ON qe.vec_id = s.query_id
       |  JOIN embeddings ne ON ne.vec_id = s.neighbor_id)""".stripMargin

@@ -357,9 +357,13 @@ object ScaleQueries extends QueryModule {
 
   private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir).select(col("vec_id"), col("embedding"))
-    // vecDim (vs a raw head-row read): null-embedding and empty-table safe
-    val centroids = Similarity.hashCentroids(IvfCells,
-      Similarity.vecDim(e, "embedding"))
+    // vecDim (vs a raw head-row read): null-embedding safe; its dim=0
+    // empty-corpus signal must short-circuit BEFORE hashCentroids, whose
+    // empty centroid literals would fail vec_cosine's type check
+    val dim = Similarity.vecDim(e, "embedding")
+    if (dim == 0)
+      return e.select(col("vec_id"), lit(0).cast("int").as("cell")).limit(0)
+    val centroids = Similarity.hashCentroids(IvfCells, dim)
     val inDir = scratchDir("graft_ivf_in_")
     val idxDir = scratchDir("graft_ivf_idx_") + "/index"
     e.coalesce(1).write.mode("overwrite").parquet(inDir)
