@@ -15,9 +15,12 @@ object SparkEntry {
     CoreQueries, FrameworkQueries, LlmOpsQueries, ExtraQueries,
     TemporalQueries, ScaleQueries, CurationQueries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The composed raw-crawl → training-corpus funnel
+    * (dedup → decontaminate → quality → split → pack) exercises the
+    * engine end to end; oracle-verified as q_curate_pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.queries("q_agg")(spark, "/root/testdata/sf0.001")
+    CurationQueries.queries("q_curate_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
