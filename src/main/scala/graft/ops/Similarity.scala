@@ -320,6 +320,43 @@ object Similarity {
         explode(transform(slice(top, 1, topN), s => s.getField("cell"))))
   }
 
+  /** Embedding outlier detection: each group's centroid is the per-
+    * dimension EXACT scaled-sum mean ([[graft.ExactAgg.davg]] — bit-
+    * identical across engines and partitionings, unlike a naive float
+    * avg), and the k members least cosine-similar to their group's
+    * centroid are flagged — the "mislabeled / noisy embedding" signal a
+    * curation pipeline filters on.
+    *
+    * Scale shape: one posexplode→aggregate for the centroids (groups ×
+    * dim rows — tiny, broadcast back), one map pass to score, and the
+    * bounded top-k aggregate per group (≤ k rows/group through the
+    * shuffle). Never doc×doc.
+    *
+    * Output: groupCol, rank (1-based, most-outlying first), idCol. */
+  def groupOutliers(
+      df: DataFrame, idCol: String, vecCol: String, groupCol: String,
+      k: Int = 10): DataFrame = {
+    val v = df.select(col(groupCol), col(idCol), asDouble(col(vecCol)).as("v"))
+    val cent = v
+      .select(col(groupCol), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(graft.ExactAgg.davg(col("x")).as("m"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("cm"))
+      .select(col(groupCol),
+        transform(col("cm"), s => s.getField("m")).as("centroid"))
+    // negate: topk_by_score keeps the HIGHEST scores, we want the least
+    // similar; ties break on the smaller id, matching ORDER BY sim, id
+    val scored = v.join(broadcast(cent), Seq(groupCol))
+      .withColumn("neg_sim", -cosine(col("v"), col("centroid")))
+    scored.groupBy(col(groupCol))
+      .agg(call_function("topk_by_score",
+        col("neg_sim"), col(idCol), lit(k)).as("tk"))
+      .select(col(groupCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(groupCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * restricted to multi-band LSH-bucket collisions (the scalable
     * formulation of "all pairs with cosine > t"). planesPerBand sets the

@@ -134,6 +134,41 @@ object ScaleQueries extends QueryModule {
        |ORDER BY a, b""".stripMargin
   }
 
+  // ------------------------------- C44: embedding outliers per label
+  // The k vectors least cosine-similar to their label's centroid. The
+  // centroid is the per-dimension EXACT scaled-sum mean, so DuckDB
+  // re-derives identical centroids; the ranked output (no raw cosine
+  // emitted) follows the q_ann_* oracle pattern.
+  private def qEmbedOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.groupOutliers(embs(s, dir), "vec_id", "embedding", "label",
+      k = 5)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy("label", "rnk")
+
+  private val qEmbedOutliersSql = {
+    val avg = graft.ExactAgg.sqlAvg("x")
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |d AS (
+       |  SELECT label, UNNEST(v) AS x, UNNEST(range(len(v))) AS dim FROM v),
+       |cdim AS (SELECT label, dim, $avg AS m FROM d GROUP BY label, dim),
+       |cent AS (SELECT label, list(m ORDER BY dim) AS centroid
+       |         FROM cdim GROUP BY label),
+       |scored AS (
+       |  SELECT v.label, v.vec_id,
+       |    list_cosine_similarity(v.v, c.centroid) AS sim
+       |  FROM v JOIN cent c USING (label))
+       |SELECT label,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |    ORDER BY sim ASC, vec_id) AS INTEGER) AS rnk,
+       |  vec_id
+       |FROM scored
+       |QUALIFY rnk <= 5
+       |ORDER BY label, rnk""".stripMargin
+  }
+
   // ------------------------------------------------- C14: skew-salted join
   // Salted fact↔dim equi-join; results must equal the plain join (the
   // oracle), proving salting changes the shuffle layout, not the answer.
@@ -445,6 +480,7 @@ object ScaleQueries extends QueryModule {
     "q_dedup_minhash_capped" -> qDedupMinhashCapped _,
     "q_ann_ivf" -> qAnnIvf _,
     "q_neardup_pairs" -> qNeardupPairs _,
+    "q_embed_outliers" -> qEmbedOutliers _,
     "q_skew_join" -> qSkewJoin _,
     "q_sample_stratified" -> qSampleStratified _,
     "q_stream_sessionize" -> qStreamSessionize _,
@@ -458,6 +494,7 @@ object ScaleQueries extends QueryModule {
   override val oracleSql: Map[String, String] = Map(
     "q_dedup_minhash_capped" -> qDedupMinhashCappedSql,
     "q_neardup_pairs" -> qNeardupPairsSql,
+    "q_embed_outliers" -> qEmbedOutliersSql,
     "q_skew_join" -> qSkewJoinSql,
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,

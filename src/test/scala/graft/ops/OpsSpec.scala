@@ -395,6 +395,22 @@ class OpsSpec extends SparkSpec {
     assert(rt.getString(0) == "jpeg" && rt.getInt(1) == 320 && rt.getInt(2) == 160)
   }
 
+  test("group outliers: the planted off-centroid vector ranks first") {
+    // group "a": five vectors near (1, 0), one planted at (0, 1);
+    // group "b": uniform — its outlier ranking is just the id tie-break
+    val df = (Seq(
+      (1L, "a", Array(1.0f, 0.0f)), (2L, "a", Array(0.9f, 0.1f)),
+      (3L, "a", Array(1.0f, 0.1f)), (4L, "a", Array(0.95f, 0.0f)),
+      (5L, "a", Array(0.9f, 0.05f)),
+      (6L, "a", Array(0.0f, 1.0f)), // the outlier
+      (7L, "b", Array(0.5f, 0.5f)), (8L, "b", Array(0.5f, 0.5f))))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.groupOutliers(df, "vec_id", "embedding", "label", k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out(("a", 1)) == 6L) // least similar to the "a" centroid
+    assert(out(("b", 1)) == 7L && out(("b", 2)) == 8L) // ties -> id order
+  }
+
   test("bigram LM: conditional probabilities and doc scores match hand math") {
     // corpus bigrams: "a b" x4 (docs 1,2,3,5), "a c" x2 (docs 4,5),
     // "b a" x1 (doc 5) -> P(b|a)=4/6, P(c|a)=2/6, P(a|b)=1
