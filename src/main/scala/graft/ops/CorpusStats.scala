@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distribution analytics for mixture design: how similar
+  * are the token distributions of two sources? A high overlap between
+  * sources means adding both to the mix buys less diversity than their
+  * sizes suggest.
+  */
+object CorpusStats {
+
+  /** Pairwise histogram intersection of unigram distributions:
+    * sum over token types of min(p_a, p_b), where p is the token's
+    * share of its source's total occurrences. 1 = identical
+    * distributions, 0 = disjoint vocabularies.
+    *
+    * Engine-portable: shares are exact long/long IEEE divisions, min is
+    * exact, and the cross-type sum runs through the scaled-integer
+    * reduction at 1e9 (shares are tiny; the default 1e-6 resolution
+    * would floor most of the mass) — headroom: vocab·1e9 ≪ 2^63.
+    *
+    * Scale shape: one (source, token) aggregate, a token-keyed
+    * self-join (linear in vocabulary × source pairs sharing the token,
+    * never doc×doc), one tiny per-pair aggregate.
+    *
+    * Output: src_a < src_b, overlap ∈ [0, 1]. */
+  def sourceOverlap(
+      df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).as("g"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val shares = toks.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("g"))).cast("double"))
+    val a = shares.select(col("g").as("src_a"), col("tok"), col("p").as("pa"))
+    val b = shares.select(col("g").as("src_b"), col("tok"), col("p").as("pb"))
+    a.join(b, Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(graft.ExactAgg.dsumAt(least(col("pa"), col("pb")), 1e9)
+        .as("overlap"))
+  }
+}
