@@ -38,6 +38,25 @@ object ExactAgg {
     ((s2 - (s * s) / n) / (n - lit(1.0))).cast("double")
   }
 
+  /** dsum at a caller-chosen scale — for summing many tiny values
+    * (e.g. probability shares), where the default micro-unit scale
+    * would floor most of the mass away. The caller owns the headroom
+    * check: |x|·scale summed must fit a long. */
+  def dsumAt(c: Column, scale: Double): Column = {
+    require(scale > 0, "scale must be positive")
+    (sum(floor(c * lit(scale)).cast("long")).cast("double") / lit(scale))
+      .cast("double")
+  }
+
+  /** SQL twin of [[dsumAt]]. The scale is emitted via Double.toString
+    * (e.g. "1.0E9") — a lossless SQL literal for ANY double, so the
+    * SQL side can never silently use a different scale than the Spark
+    * side (fixed-decimal formatting would corrupt e.g. 1e-3 to 0.0). */
+  def sqlSumAt(x: String, scale: Double): String = {
+    require(scale > 0, "scale must be positive")
+    s"CAST(CAST(SUM(CAST(FLOOR(($x) * ${scale}) AS BIGINT)) AS DOUBLE) / ${scale} AS DOUBLE)"
+  }
+
   // DuckDB-side twins (same arithmetic, token-for-token).
   def sqlLSum(x: String): String =
     s"SUM(CAST(FLOOR(($x) * 1000000.0) AS BIGINT))"

@@ -25,7 +25,9 @@ object CorpusStats {
     * self-join (linear in vocabulary × source pairs sharing the token,
     * never doc×doc), one tiny per-pair aggregate.
     *
-    * Output: src_a < src_b, overlap ∈ [0, 1]. */
+    * Output: one row for EVERY source pair src_a < src_b (disjoint
+    * vocabularies emit overlap = 0, not a missing row — callers build
+    * the full pairwise matrix), overlap ∈ [0, 1]. */
   def sourceOverlap(
       df: DataFrame, textCol: String, groupCol: String): DataFrame = {
     val toks = df.select(col(groupCol).as("g"),
@@ -37,10 +39,17 @@ object CorpusStats {
         sum(col("n")).over(Window.partitionBy(col("g"))).cast("double"))
     val a = shares.select(col("g").as("src_a"), col("tok"), col("p").as("pa"))
     val b = shares.select(col("g").as("src_b"), col("tok"), col("p").as("pb"))
-    a.join(b, Seq("tok"))
+    val overlaps = a.join(b, Seq("tok"))
       .filter(col("src_a") < col("src_b"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(graft.ExactAgg.dsumAt(least(col("pa"), col("pb")), 1e9)
         .as("overlap"))
+    // every pair appears: sources are few, so the pair skeleton is tiny
+    val gs = shares.select(col("g")).distinct()
+    gs.select(col("g").as("src_a"))
+      .crossJoin(gs.select(col("g").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+      .join(overlaps, Seq("src_a", "src_b"), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0.0)))
   }
 }

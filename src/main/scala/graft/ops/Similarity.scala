@@ -236,6 +236,19 @@ object Similarity {
       queries, queryIdCol, vecCol, k, nProbe, centroids)
   }
 
+  /** Per-(key, dim) mean of an array column's components — the one
+    * distributed mean-vector pipeline behind both Lloyd refinement and
+    * group centroids. exact=true uses the scaled-sum mean
+    * (engine-portable, for oracle-checked paths); false the native avg
+    * (Lloyd's engine-internal refinement). Output: keyCol, dim, m. */
+  private def perDimMeans(
+      df: DataFrame, keyCol: String, vecCol: String,
+      exact: Boolean): DataFrame =
+    df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(keyCol), col("dim"))
+      .agg((if (exact) graft.ExactAgg.davg(col("x")) else avg(col("x")))
+        .as("m"))
+
   private def prepCandidates(
       candidates: DataFrame, candIdCol: String, vecCol: String): DataFrame =
     candidates.select(col(candIdCol).as("neighbor_id"),
@@ -257,10 +270,7 @@ object Similarity {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toList) }
     for (_ <- 1 to lloydIters) {
       val assigned = assignCells(c, centroids, "cv")
-      val means = assigned
-        .select(col("cell"), posexplode(col("cv")).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+      val means = perDimMeans(assigned, "cell", "cv", exact = false)
         .groupBy(col("cell"))
         .agg(map_from_arrays(
           collect_list(col("dim")), collect_list(col("m"))).as("mm"))
@@ -337,18 +347,20 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, groupCol: String,
       k: Int = 10): DataFrame = {
     val v = df.select(col(groupCol), col(idCol), asDouble(col(vecCol)).as("v"))
-    val cent = v
-      .select(col(groupCol), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col(groupCol), col("dim"))
-      .agg(graft.ExactAgg.davg(col("x")).as("m"))
+    val cent = perDimMeans(v, groupCol, "v", exact = true)
       .groupBy(col(groupCol))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("cm"))
       .select(col(groupCol),
         transform(col("cm"), s => s.getField("m")).as("centroid"))
     // negate: topk_by_score keeps the HIGHEST scores, we want the least
-    // similar; ties break on the smaller id, matching ORDER BY sim, id
+    // similar; ties break on the smaller id, matching ORDER BY sim, id.
+    // Unscorable vectors (zero norm / length mismatch → NULL cosine)
+    // are excluded EXPLICITLY: TopKByScore would skip null scores
+    // anyway, but a silent skip would diverge from any external
+    // re-derivation that ranks NaN rows.
     val scored = v.join(broadcast(cent), Seq(groupCol))
       .withColumn("neg_sim", -cosine(col("v"), col("centroid")))
+      .filter(col("neg_sim").isNotNull)
     scored.groupBy(col(groupCol))
       .agg(call_function("topk_by_score",
         col("neg_sim"), col(idCol), lit(k)).as("tk"))

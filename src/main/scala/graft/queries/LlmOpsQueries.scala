@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.ops.{Dedup, LangModel, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{CorpusStats, Dedup, LangModel, Multimodal, Sampling, Similarity, TextOps}
 
 /** Training-data pipeline operators (SURVEY.md §2 C1–C11) as
   * driver-checkable queries over documents/embeddings.
@@ -793,6 +793,36 @@ object LlmOpsQueries extends QueryModule {
        |FROM documents d LEFT JOIN scored s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------- C45: source-distribution overlap
+  // Pairwise histogram intersection of per-source unigram
+  // distributions — the mixture-design "how much does source X
+  // duplicate source Y" signal. Shares are exact long/long divisions;
+  // the cross-vocabulary sum runs through the scaled reduction at 1e9
+  // on both engines.
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.sourceOverlap(docs(s, dir), "text", "source")
+      .orderBy("src_a", "src_b")
+
+  private val qSourceOverlapSql =
+    s"""WITH toks AS (
+       |  SELECT source AS g, t.tok FROM (
+       |    SELECT source, UNNEST($sqlToks) AS tok FROM documents) t
+       |  WHERE length(t.tok) > 0),
+       |shares AS (
+       |  SELECT g, tok, CAST(n AS DOUBLE) /
+       |    CAST(SUM(n) OVER (PARTITION BY g) AS DOUBLE) AS p
+       |  FROM (SELECT g, tok, COUNT(*) AS n FROM toks GROUP BY g, tok)),
+       |ov AS (
+       |  SELECT a.g AS src_a, b.g AS src_b,
+       |    ${graft.ExactAgg.sqlSumAt("LEAST(a.p, b.p)", 1e9)} AS overlap
+       |  FROM shares a JOIN shares b ON a.tok = b.tok AND a.g < b.g
+       |  GROUP BY a.g, b.g),
+       |gs AS (SELECT DISTINCT g FROM shares)
+       |SELECT a.g AS src_a, b.g AS src_b, COALESCE(o.overlap, 0.0) AS overlap
+       |FROM gs a JOIN gs b ON a.g < b.g
+       |LEFT JOIN ov o ON o.src_a = a.g AND o.src_b = b.g
+       |ORDER BY src_a, src_b""".stripMargin
+
   // -------------------------------------- C27: repetition signals
   // Gopher/C4-style within-document repetition quality signals: the
   // fraction of tokens that are repeats and the fraction of bigrams that
@@ -897,7 +927,8 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_resize" -> qMultimodalResize _,
     "q_tfidf" -> qTfidf _,
     "q_chunk" -> qChunk _,
-    "q_lm_score" -> qLmScore _)
+    "q_lm_score" -> qLmScore _,
+    "q_source_overlap" -> qSourceOverlap _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
@@ -928,5 +959,6 @@ object LlmOpsQueries extends QueryModule {
     "q_multimodal_resize" -> qMultimodalResizeSql,
     "q_tfidf" -> qTfidfSql,
     "q_chunk" -> qChunkSql,
-    "q_lm_score" -> qLmScoreSql)
+    "q_lm_score" -> qLmScoreSql,
+    "q_source_overlap" -> qSourceOverlapSql)
 }

@@ -165,6 +165,7 @@ object ScaleQueries extends QueryModule {
        |    ORDER BY sim ASC, vec_id) AS INTEGER) AS rnk,
        |  vec_id
        |FROM scored
+       |WHERE sim IS NOT NULL AND NOT isnan(sim)
        |QUALIFY rnk <= 5
        |ORDER BY label, rnk""".stripMargin
   }

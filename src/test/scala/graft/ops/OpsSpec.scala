@@ -395,6 +395,25 @@ class OpsSpec extends SparkSpec {
     assert(rt.getString(0) == "jpeg" && rt.getInt(1) == 320 && rt.getInt(2) == 160)
   }
 
+  test("source overlap: identical sources = 1, disjoint = 0, hand-mixed between") {
+    val df = Seq(
+      ("x", "aa bb"), ("x", "aa bb"),      // x: p(aa)=p(bb)=0.5
+      ("y", "aa bb aa bb"),                // y: identical distribution
+      ("z", "cc dd"),                      // z: disjoint vocabulary
+      ("w", "aa cc"))                      // w: half-shared with both
+      .toDF("source", "text")
+    val out = CorpusStats.sourceOverlap(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-6)   // same distribution
+    assert(out(("x", "z")) == 0.0) // disjoint: explicit 0 row, not absent
+    assert(out.size == 6)          // the full C(4,2) pair matrix
+    // w vs x: min(0.5,0.5) on "aa" = 0.5; "cc" unshared
+    assert(math.abs(out(("w", "x")) - 0.5) < 1e-6)
+    // w vs z: min(0.5,0.5) on "cc" = 0.5
+    assert(math.abs(out(("w", "z")) - 0.5) < 1e-6)
+  }
+
   test("group outliers: the planted off-centroid vector ranks first") {
     // group "a": five vectors near (1, 0), one planted at (0, 1);
     // group "b": uniform — its outlier ranking is just the id tie-break

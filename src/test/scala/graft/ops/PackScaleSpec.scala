@@ -19,19 +19,30 @@ class PackScaleSpec extends SparkSpec {
     val t0 = System.nanoTime()
     val packed = Curation.packSequences(docs, "doc_id", $"ntok",
       seqLen = 2048, numBuckets = 256).cache()
-    // distributed checks only:
-    // 1. offsets are a permutation-free gapless layout: for every doc,
-    //    start_offset == sum of all earlier docs' tokens. Verified via
-    //    the self-join-free identity start_offset + n_tokens ==
-    //    next doc's start_offset (window lead), plus first == 0.
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-    val gaps = packed
-      .withColumn("next_start", lead(col("start_offset"), 1).over(w))
+    // Distributed checks only — the verification must not itself funnel
+    // 10^6 rows through a single-partition global window:
+    // 1. gapless layout, two levels: WITHIN id buckets the window is
+    //    partitioned (parallel); ACROSS buckets only the ~100 bucket
+    //    summary rows see an unpartitioned window.
+    val bucketed = packed.withColumn("bk", expr("doc_id div 10000"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("doc_id"))
+    val gapsWithin = bucketed
+      .withColumn("next_start", lead(col("start_offset"), 1).over(wIn))
       .filter(col("next_start").isNotNull &&
         col("next_start") =!= col("start_offset") + col("n_tokens"))
       .limit(1).count()
-    assert(gaps == 0, "layout must be gapless in id order")
-    val first = packed.orderBy("doc_id").select("start_offset").head().getLong(0)
+    assert(gapsWithin == 0, "layout must be gapless within id buckets")
+    val wBk = org.apache.spark.sql.expressions.Window.orderBy(col("bk"))
+    val gapsAcross = bucketed.groupBy(col("bk"))
+      .agg(min(col("start_offset")).as("bstart"),
+        max(col("start_offset") + col("n_tokens")).as("bend"))
+      .withColumn("next_bstart", lead(col("bstart"), 1).over(wBk))
+      .filter(col("next_bstart").isNotNull &&
+        col("next_bstart") =!= col("bend"))
+      .limit(1).count()
+    assert(gapsAcross == 0, "layout must be continuous across buckets")
+    val first = packed.agg(min(col("start_offset"))).head().getLong(0)
     assert(first == 0L)
     // 2. the final sequence index is consistent with the total token count
     val totals = packed.agg(
