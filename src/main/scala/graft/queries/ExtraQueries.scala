@@ -37,6 +37,60 @@ object ExtraQueries extends QueryModule {
       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
 
+  // ---------------------------------------- A35: date spine scaffolding
+  // The dbt_utils.date_spine pattern: generate the full calendar range,
+  // left join daily facts, zero-fill gaps — days with NO events must
+  // appear (that is the point of a spine; events only span January).
+  private def qDateSpine(s: SparkSession, dir: String): DataFrame = {
+    val spine = s.range(1).select(explode(sequence(
+      to_date(lit("2023-12-25")), to_date(lit("2024-02-05")),
+      expr("interval 1 day"))).as("d"))
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n_events"))
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("d")
+  }
+
+  private val qDateSpineSql =
+    """WITH spine AS (
+      |  SELECT CAST(g AS DATE) AS d
+      |  FROM generate_series(DATE '2023-12-25', DATE '2024-02-05',
+      |                       INTERVAL 1 DAY) AS t(g)),
+      |daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT s.d, COALESCE(n_events, 0) AS n_events
+      |FROM spine s LEFT JOIN daily USING (d)
+      |ORDER BY d""".stripMargin
+
+  // ------------------------------------- A36: explicit GROUPING SETS
+  // Arbitrary grouping-set combinations + GROUPING() markers (the
+  // disambiguator between "NULL key value" and "aggregated-away key").
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "orders").createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio,
+      |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   // ------------------------------------------------- A24: exact percentiles
   // percentile_disc picks actual data values (no interpolation): exact and
   // engine-portable, unlike interpolated percentiles whose float
@@ -270,6 +324,8 @@ object ExtraQueries extends QueryModule {
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rollup" -> qRollup _,
+    "q_date_spine" -> qDateSpine _,
+    "q_grouping_sets" -> qGroupingSets _,
     "q_cube" -> qCube _,
     "q_percentiles" -> qPercentiles _,
     "q_set_ops" -> qSetOps _,
@@ -285,6 +341,8 @@ object ExtraQueries extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "q_rollup" -> qRollupSql,
+    "q_date_spine" -> qDateSpineSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_cube" -> qCubeSql,
     "q_percentiles" -> qPercentilesSql,
     "q_set_ops" -> qSetOpsSql,
