@@ -57,4 +57,16 @@ object Macros {
       operations: Seq[String] = Seq("I", "U", "D"),
       changeTypeColumn: String = "__cdc_operation"): DataFrame =
     src.filter(col(changeTypeColumn).isin(operations: _*))
+
+  /** date_spine (the dbt_utils macro): one row per calendar day in
+    * [start, end], for scaffolding gap-free daily models — left join
+    * facts onto it so empty days appear (see q_date_spine). One
+    * generated literal sequence; no table scan. */
+  def dateSpine(
+      spark: org.apache.spark.sql.SparkSession,
+      startDate: String, endDate: String,
+      dateCol: String = "date_day"): DataFrame =
+    spark.range(1).select(explode(sequence(
+      to_date(lit(startDate)), to_date(lit(endDate)),
+      expr("interval 1 day"))).as(dateCol))
 }

@@ -42,9 +42,7 @@ object ExtraQueries extends QueryModule {
   // left join daily facts, zero-fill gaps — days with NO events must
   // appear (that is the point of a spine; events only span January).
   private def qDateSpine(s: SparkSession, dir: String): DataFrame = {
-    val spine = s.range(1).select(explode(sequence(
-      to_date(lit("2023-12-25")), to_date(lit("2024-02-05")),
-      expr("interval 1 day"))).as("d"))
+    val spine = graft.model.Macros.dateSpine(s, "2023-12-25", "2024-02-05", "d")
     val daily = Tables.load(s, dir, "events")
       .groupBy(to_date(col("ts")).as("d"))
       .agg(count(lit(1)).as("n_events"))

@@ -157,6 +157,30 @@ class CurationSpec extends SparkSpec {
     assert(wide == expected)
   }
 
+  test("packSequences differential: random corpora match the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    for (seed <- Seq(11, 42, 1337)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered + negative + far-flung ids, including adjacent runs
+      val ids = (Seq.fill(200)(rnd.nextLong() % 100000L) ++
+        (0L until 50L) ++ Seq(Long.MinValue / 2, Long.MaxValue / 2)).distinct
+      val rows = ids.map(id => (id, (math.abs(id) % 97) + rnd.nextInt(5).toLong))
+      val df = rows.toDF("doc_id", "ntok")
+      val fast = Curation.packSequences(df, "doc_id", $"ntok", seqLen = 7,
+          numBuckets = 16)
+        .select($"doc_id", $"start_offset", $"first_seq", $"last_seq")
+      val naive = df
+        .withColumn("start_offset",
+          coalesce(sum($"ntok").over(Window.orderBy($"doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"doc_id", $"start_offset",
+          expr("start_offset div 7").as("first_seq"),
+          expr("(start_offset + greatest(ntok, 1L) - 1) div 7").as("last_seq"))
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"seed $seed: two-level prefix sum must equal the naive window")
+    }
+  }
+
   test("packSequences: full-range ids don't collapse buckets; null ids excluded") {
     // hi - lo overflows a long here: the BigInt width math must keep
     // bucketing sane instead of one-bucket-per-doc
