@@ -451,6 +451,40 @@ object ScaleQueries extends QueryModule {
       |FROM events WHERE event_id % 7 = 0
       |ORDER BY event_id""".stripMargin
 
+  // --------------------------- B21: JSON and ORC source round-trips
+  // Same shape as q_source_csv: write a filtered slice through the
+  // format, read it back with an explicit schema, and let the oracle
+  // (which reads the original parquet) pin that the round-trip is
+  // lossless. Long/string/double columns only — JSON has no native
+  // timestamp type and the formats' timestamp affinities differ.
+  private def qSourceJson(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 11 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val out = scratchDir("graft_json_") + "/events_json"
+    Sources.write(ev, out, "json")
+    Sources.read(s, out, "json", Some(ev.schema)).orderBy("event_id")
+  }
+
+  private val qSourceJsonSql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id % 11 = 0
+      |ORDER BY event_id""".stripMargin
+
+  private def qSourceOrc(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .filter(col("event_id") % 13 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val out = scratchDir("graft_orc_") + "/events_orc"
+    Sources.write(ev, out, "orc")
+    Sources.read(s, out, "orc", Some(ev.schema)).orderBy("event_id")
+  }
+
+  private val qSourceOrcSql =
+    """SELECT event_id, user_id, event_type, value
+      |FROM events WHERE event_id % 13 = 0
+      |ORDER BY event_id""".stripMargin
+
   // ------------------------------------- B22: partition-pruned model read
   // Materializes a partition_by model, then reads one partition back; the
   // pruned-scan plan shape is pinned by PlanShapeSpec.
@@ -490,6 +524,8 @@ object ScaleQueries extends QueryModule {
     "q_attribution" -> qAttribution _,
     "q_stream_ivf" -> qStreamIvf _,
     "q_source_csv" -> qSourceCsv _,
+    "q_source_json" -> qSourceJson _,
+    "q_source_orc" -> qSourceOrc _,
     "q_partition_prune" -> qPartitionPrune _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -504,6 +540,8 @@ object ScaleQueries extends QueryModule {
     "q_attribution" -> qAttributionSql,
     "q_stream_ivf" -> qStreamIvfSql,
     "q_source_csv" -> qSourceCsvSql,
+    "q_source_json" -> qSourceJsonSql,
+    "q_source_orc" -> qSourceOrcSql,
     "q_partition_prune" -> qPartitionPruneSql)
     // q_ann_ivf: rows-only (centroid means are engine-internal floats)
 }
