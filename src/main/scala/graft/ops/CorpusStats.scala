@@ -44,8 +44,12 @@ object CorpusStats {
       .groupBy(col("src_a"), col("src_b"))
       .agg(graft.ExactAgg.dsumAt(least(col("pa"), col("pb")), 1e9)
         .as("overlap"))
-    // every pair appears: sources are few, so the pair skeleton is tiny
-    val gs = shares.select(col("g")).distinct()
+    // every pair appears: sources are few, so the pair skeleton is tiny.
+    // Built from the INPUT's sources, not the share table — a source
+    // whose documents are all empty/whitespace has no token shares but
+    // must still appear in the matrix (overlap 0 with everything), or
+    // "one row for EVERY source pair" above would silently not hold.
+    val gs = df.select(col(groupCol).as("g")).distinct()
     gs.select(col("g").as("src_a"))
       .crossJoin(gs.select(col("g").as("src_b")))
       .filter(col("src_a") < col("src_b"))

@@ -76,10 +76,15 @@ object CurationPipeline {
       .cache()
 
     // 3. decontamination: drop surviving training docs that share
-    // >= minShared distinct shingles with any eval doc
+    // >= minShared distinct shingles with any eval doc. The COALESCED
+    // flag (not the raw isEval) must flow through: contaminationPairs
+    // filters both flag and !flag, so a NULL flag would silently drop
+    // the row from BOTH sides — a contaminated doc with a dirty NULL
+    // flag would survive decontamination while this pipeline routed it
+    // to the training side.
     val contaminated = Dedup.contaminationPairs(
       deduped.unionByName(evalSide), idCol, textCol, cfg.contaminationN,
-      isEval, cfg.contaminationMinShared, cfg.contaminationMaxDf)
+      evalFlag, cfg.contaminationMinShared, cfg.contaminationMaxDf)
       .select(col(idCol)).distinct()
     val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
 
@@ -94,12 +99,18 @@ object CurationPipeline {
       scored.select(col(idCol)), idCol,
       clusters.withColumnRenamed("a", idCol), cfg.trainPct, cfg.valPct)
       .select(col(idCol), col("split"))
-    // localCheckpoint: everything below (packSequences' driver-side
-    // bounds read, its bucketed windows, and the final left join) reads
+    // Checkpoint: everything below (packSequences' driver-side bounds
+    // read, its bucketed windows, and the final left join) reads
     // withSplit several times — without truncation each read would
-    // re-execute the dedup/contamination/quality lineage. Same
-    // speed-for-fault-tolerance trade duplicateClusters makes per round.
-    val withSplit = scored.join(split, Seq(idCol)).localCheckpoint()
+    // re-execute the dedup/contamination/quality lineage. Durability
+    // (fast local vs executor-loss-safe reliable) follows the same
+    // session conf as duplicateClusters — see graft.Checkpoints.
+    val withSplit = graft.Checkpoints.truncate(scored.join(split, Seq(idCol)))
+    // The eager localCheckpoint above was the cache's last consumer
+    // (everything below reads the checkpointed withSplit) — release it
+    // now so repeated curate() calls in a long-lived session (bench
+    // reruns, notebooks) don't accumulate cached partitions.
+    deduped.unpersist()
 
     // 6. pack the train split into fixed-length sequences
     val packed = Curation.packSequences(

@@ -70,26 +70,27 @@ object Dedup {
     // Materialize the (tiny relative to corpus) edge set once; every
     // round is checkpointed eagerly so lineage stays one round deep and
     // the convergence check is a trivial scan of the just-materialized
-    // result, not a recomputation.
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    // result, not a recomputation. Durability (fast localCheckpoint vs
+    // executor-loss-safe reliable checkpoint) is a session conf — see
+    // graft.Checkpoints.
+    val edges = graft.Checkpoints.truncate(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    var labels = graft.Checkpoints.truncate(
+      edges.select(col("u").as("id")).distinct()
+        .withColumn("label", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-      val next = labels
+      val next = graft.Checkpoints.truncate(labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("label").as("__old"))
-        .localCheckpoint()
+          col("label").as("__old")))
       converged =
         next.filter(col("label") =!= col("__old")).limit(1).count() == 0
       labels = next.drop("__old")
@@ -292,11 +293,27 @@ object Dedup {
   /** Exact pairwise n-gram Jaccard similarity for a candidate id set —
     * the verification stage after LSH. Output: a, b, inter, union_n,
     * jaccard. Intersections come from a shingle-keyed self-join (shuffle
-    * on shingle), set sizes from one aggregation — no N² scan. */
+    * on shingle), set sizes from one aggregation — no N² scan.
+    *
+    * `maxShingleDf` bounds the per-shingle self-join fan-out exactly as
+    * in [[contaminationPairs]]: a shingle present in D documents emits
+    * O(D²) join rows for that key, so handing this operator a raw corpus
+    * (instead of the documented LSH candidate set) with one boilerplate
+    * shingle in 10^6 docs would alone emit 10^12 rows. Shingles with
+    * document frequency above the cap are dropped from BOTH the
+    * intersection join and the per-doc set sizes — i.e. jaccard is
+    * computed over the non-boilerplate shingle space, consistently for
+    * numerator and denominator (an inconsistent cap would report
+    * inter > union). Pass Int.MaxValue for the exact uncapped verify
+    * path when the caller guarantees a bounded candidate set. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int): DataFrame = {
-    val sh = shingles(df, idCol, textCol, shingleSize)
+      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, shingleSize)
+    // The DF-cap window partitions on shingle — the same hash
+    // partitioning the self-join below needs, so AQE reuses the exchange.
+    val sh = if (maxShingleDf == Int.MaxValue) sh0
+             else boundBuckets(sh0, Seq("shingle"), maxShingleDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("shingle"), col(idCol).as("a"))
       .join(sh.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))

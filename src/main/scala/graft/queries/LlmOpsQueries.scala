@@ -163,11 +163,14 @@ object LlmOpsQueries extends QueryModule {
   private val qJaccardSql =
     s"""WITH norm AS (
        |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id < 40),
-       |sh AS (
+       |sh0 AS (
        |  SELECT DISTINCT doc_id, s FROM (
        |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+1], ' ')
        |      for i in range(1, len(toks))]) AS s
        |    FROM norm WHERE len(toks) >= 2)),
+       |sh AS (
+       |  SELECT doc_id, s FROM sh0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
@@ -817,7 +820,7 @@ object LlmOpsQueries extends QueryModule {
        |    ${graft.ExactAgg.sqlSumAt("LEAST(a.p, b.p)", 1e9)} AS overlap
        |  FROM shares a JOIN shares b ON a.tok = b.tok AND a.g < b.g
        |  GROUP BY a.g, b.g),
-       |gs AS (SELECT DISTINCT g FROM shares)
+       |gs AS (SELECT DISTINCT source AS g FROM documents)
        |SELECT a.g AS src_a, b.g AS src_b, COALESCE(o.overlap, 0.0) AS overlap
        |FROM gs a JOIN gs b ON a.g < b.g
        |LEFT JOIN ov o ON o.src_a = a.g AND o.src_b = b.g

@@ -223,7 +223,14 @@ object ScaleQueries extends QueryModule {
     * restore the batch width after; results are partition-count
     * independent (every one of these queries is oracle-pinned). On a
     * real cluster this is the same knob, sized to stream key
-    * cardinality rather than batch shuffle width. */
+    * cardinality rather than batch shuffle width.
+    *
+    * The set/restore mutates the SESSION-global shuffle width for the
+    * stream's duration, so any query planned concurrently in the same
+    * session would silently pick up the narrowed width. Safe here
+    * because bench/driver runs are strictly sequential; if concurrent
+    * driver runs ever appear, scope the conf via a cloned
+    * SparkSession (`s.cloneSession()`) instead. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

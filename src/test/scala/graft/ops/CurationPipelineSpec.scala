@@ -70,6 +70,27 @@ class CurationPipelineSpec extends SparkSpec {
     assert(splits.nonEmpty && splits.toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("a contaminated doc with a NULL eval flag is still decontaminated") {
+    // The documented contract is "NULL counts as not-eval": a dirty row
+    // with a NULL flag is routed to the training side — and must then
+    // be visible to decontamination like any other training doc. (The
+    // regression: passing the raw flag into contaminationPairs made
+    // filter(flag)/filter(!flag) BOTH drop the NULL row, so it could
+    // never be flagged contaminated.)
+    val dirty = Seq(
+      (1L, "introduction comes first and then " + sEval, null.asInstanceOf[java.lang.Boolean]),
+      (2L, "a completely different story about ships sailing across the wide ocean",
+        java.lang.Boolean.FALSE),
+      (9L, sEval, java.lang.Boolean.TRUE))
+      .toDF("doc_id", "text", "is_eval")
+    val kept = CurationPipeline.curate(dirty, "doc_id", "text", col("is_eval"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L),
+      "NULL-flag doc carrying the eval sentence must be dropped as contaminated")
+    assert(kept.contains(2L))
+    assert(!kept.contains(9L), "the eval doc itself is held out")
+  }
+
   test("train split is packed; other splits carry null packing columns") {
     val rows = out.select($"doc_id", $"split", $"start_offset", $"n_tokens")
       .collect()

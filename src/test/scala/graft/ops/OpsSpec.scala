@@ -61,6 +61,34 @@ class OpsSpec extends SparkSpec {
       Dedup.duplicateClusters(chain, "a", "b", maxIter = 2).collect())
   }
 
+  test("reliable-checkpoint conf switches truncation to the checkpoint dir") {
+    // Cluster deployments flip spark.graft.reliableCheckpoints=true so
+    // iterative lineage truncation survives executor loss; results must
+    // be identical to the localCheckpoint default.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_").toString
+    spark.conf.set(graft.Checkpoints.ReliableConfKey, "true")
+    try {
+      // without a checkpoint dir the helper must fail loudly, not NPE
+      // somewhere inside Spark
+      spark.sparkContext.setCheckpointDir(null)
+      assertThrows[IllegalStateException](
+        Dedup.duplicateClusters(pairs, "a", "b").collect())
+      spark.sparkContext.setCheckpointDir(ckDir)
+      val got = Dedup.duplicateClusters(pairs, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the reliable path actually wrote round snapshots to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "reliable checkpoint must materialize to the checkpoint dir")
+    } finally {
+      spark.conf.unset(graft.Checkpoints.ReliableConfKey)
+      spark.sparkContext.setCheckpointDir(null)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
+    }
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
@@ -119,6 +147,28 @@ class OpsSpec extends SparkSpec {
     // tokens{1}= {a,b,c,d}, tokens{2}={a,b,c,e}: inter 3, union 5
     assert(math.abs(pairs((1L, 2L)) - 0.6) < 1e-12)
     assert(!pairs.contains((1L, 3L))) // no shared shingles -> no pair row
+  }
+
+  test("jaccard DF cap bounds fan-out when one shingle is in every doc") {
+    // Adversarial raw corpus: token "the" appears in all 400 docs. The
+    // uncapped shingle self-join would emit C(400,2) ≈ 80k rows for that
+    // one key alone; the default cap drops it before the join, and
+    // jaccard is computed consistently over the remaining shingle space
+    // (numerator AND denominator, so inter <= union always holds).
+    val docs = (1L to 400L).map(i => (i, s"the unique$i token$i")).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 1, maxShingleDf = 100)
+    assert(pairs.count() == 0, "hot shingle dropped -> no pair shares anything")
+    // with two docs sharing a benign shingle, only that pair survives and
+    // its sizes exclude the dropped hot shingle
+    val docs2 = docs.union(Seq(
+      (1001L, "the rare pair"), (1002L, "the rare solo")).toDF("doc_id", "text"))
+    val p2 = Dedup.jaccardPairs(docs2, "doc_id", "text", 1, maxShingleDf = 100)
+      .collect()
+    assert(p2.length == 1)
+    val r = p2.head
+    assert((r.getLong(0), r.getLong(1)) == (1001L, 1002L))
+    // shingle space sans "the": {rare, pair} vs {rare, solo} -> 1/3
+    assert(r.getAs[Long]("inter") == 1L && r.getAs[Long]("union_n") == 3L)
   }
 
   test("brute-force ANN: nearest neighbor of a vector is its near-copy") {
@@ -412,6 +462,17 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(("w", "x")) - 0.5) < 1e-6)
     // w vs z: min(0.5,0.5) on "cc" = 0.5
     assert(math.abs(out(("w", "z")) - 0.5) < 1e-6)
+  }
+
+  test("source overlap: a token-less source still appears in the pair matrix") {
+    val df = Seq(("x", "aa bb"), ("y", "aa bb"), ("empty", "   "))
+      .toDF("source", "text")
+    val out = CorpusStats.sourceOverlap(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.size == 3, "all C(3,2) pairs, including the whitespace-only source")
+    assert(out(("empty", "x")) == 0.0 && out(("empty", "y")) == 0.0)
+    assert(math.abs(out(("x", "y")) - 1.0) < 1e-6)
   }
 
   test("group outliers: the planted off-centroid vector ranks first") {
