@@ -126,18 +126,45 @@ object Curation {
     *
     * `priority` columns order candidates within a stratum (e.g. quality
     * DESC, then id for tie-breaks — pass a total order or ties make the
-    * prefix ambiguous). One window scan per stratum, no driver state.
+    * prefix ambiguous). The FIRST priority column doubles as the bucket
+    * key and must therefore be numeric (cast to double); later priority
+    * columns are unrestricted tie-breaks.
+    *
+    * The running sum is a two-level distributed prefix sum (see
+    * [[Bucketing]]), NEVER a per-stratum single-partition window: with a
+    * handful of strata (source / language — the realistic case) a plain
+    * window would funnel ~N/strata corpus rows through one sorted task.
+    * Here each stratum is cut into `numBuckets` priority-quantile
+    * buckets, the bucket totals (strata × numBuckets rows) are
+    * prefix-summed and broadcast back, and the in-bucket window is
+    * partitioned by (stratum, bucket) — equal first-priority values
+    * share a bucket, so the composition equals the flat window exactly.
     *
     * Returns df's rows + (n_tokens, cum_tokens), filtered to the kept
     * prefix. */
   def tokenBudget(
       df: DataFrame, strataCol: String, tokens: Column,
-      budgetTokens: Long, priority: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(col(strataCol)).orderBy(priority: _*)
+      budgetTokens: Long, priority: Seq[Column],
+      numBuckets: Int = 64): DataFrame = {
+    require(priority.nonEmpty, "priority must order candidates within a stratum")
+    // ascending bucket key from the first priority column; nulls map to
+    // the end Spark's sort puts them at (asc -> first, desc -> last)
+    val (k0, desc) = org.apache.spark.sql.graftext.Bridge.sortKey(priority.head)
+    val k = k0.cast("double")
+    val key = if (desc) coalesce(-k, lit(Double.PositiveInfinity))
+              else coalesce(k, lit(Double.NegativeInfinity))
+    val base = df.withColumn("n_tokens", tokens.cast("long"))
+    val bucketed = Bucketing.quantileBuckets(base, key, Seq(strataCol), numBuckets)
+    val offsets = Bucketing.bucketOffsets(
+      bucketed, Seq(strataCol), col("n_tokens"))
+    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
+      .orderBy(priority: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("n_tokens", tokens.cast("long"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    Bucketing.joinOffsets(bucketed, offsets, Seq(strataCol))
+      .withColumn("cum_tokens",
+        col("__boffset") + sum(col("n_tokens")).over(wIn))
       .filter(col("cum_tokens") <= budgetTokens)
+      .drop(Bucketing.BucketCol, "__boffset")
   }
 
   // -------------------------------------------------- sequence packing
@@ -151,16 +178,18 @@ object Curation {
     *
     * The global running sum is computed as a two-level distributed
     * prefix sum — NEVER a global single-partition window:
-    *   1. docs map to contiguous id-range buckets (order-preserving);
+    *   1. docs map to buckets contiguous in id order, cut at sampled id
+    *      QUANTILES (see [[Bucketing]]) — balanced for any id
+    *      distribution, dense lake sequence numbers and sparse
+    *      hash-derived ids alike, with no driver-side bounds pass;
     *   2. per-bucket token totals (one tiny aggregate, `numBuckets`
     *      rows) are prefix-summed on a single trivial partition and
     *      broadcast-joined back;
     *   3. the within-bucket running sum is a window PARTITIONED by
     *      bucket — all buckets proceed in parallel.
-    * Driver state is two scalars (min/max id); everything else is
-    * linear, one shuffle for the bucket window. Id-range bucketing
-    * assumes roughly uniform ids (lake sequence numbers); heavy id skew
-    * concentrates windows, not correctness.
+    * The cut points only steer balance: assignment is monotone in id
+    * with ties impossible (ids are the sort key), so the composed sum
+    * equals the flat global window for any sketch outcome.
     *
     * Rows with a null id are excluded (a null has no position in the
     * concatenation order).
@@ -176,34 +205,16 @@ object Curation {
     val base = df.select(col(idCol).cast("long").as(idCol),
       tokens.cast("long").as("n_tokens"))
       .filter(col(idCol).isNotNull)
-    val bounds = base.agg(min(col(idCol)), max(col(idCol))).collect().head
-    if (bounds.isNullAt(0))
-      return base.withColumn("start_offset", lit(0L))
-        .withColumn("first_seq", lit(0L)).withColumn("last_seq", lit(0L))
-        .limit(0)
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    // BigInt: hi - lo overflows a long when ids span more than 2^63
-    // (hash-derived ids) — a wrapped width of 1 would give one bucket
-    // per document and funnel the whole corpus through the "tiny"
-    // offsets window.
-    val width = ((BigInt(hi) - BigInt(lo)) / numBuckets + 1)
-      .max(1).min(BigInt(Long.MaxValue)).toLong
-    // id div width is monotone and never subtracts (no overflow for any
-    // id range); normalizing by lo div width keeps buckets near zero.
-    val bucketed = base.withColumn("__bucket",
-      expr(s"(`$idCol` div ${width}L) - ${lo / width}L"))
-    // per-bucket totals -> exclusive prefix: numBuckets rows, the window
-    // over them is deliberately unpartitioned (tiny by construction)
-    val bucketOffsets = bucketed.groupBy(col("__bucket"))
-      .agg(sum(col("n_tokens")).as("__btotal"))
-      .withColumn("__boffset",
-        coalesce(sum(col("__btotal")).over(
-          Window.orderBy(col("__bucket"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__btotal")
-    val wIn = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+    // Bucket on the id itself. The long->double key cast can collide
+    // above 2^53, but collisions share a bucket (strictly-below cut
+    // counting) and the in-bucket window orders by the exact long id,
+    // so the layout stays exact for the full long id range.
+    val bucketed = Bucketing.quantileBuckets(
+      base, col(idCol), Nil, numBuckets)
+    val bucketOffsets = Bucketing.bucketOffsets(bucketed, Nil, col("n_tokens"))
+    val wIn = Window.partitionBy(col(Bucketing.BucketCol)).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(bucketOffsets), Seq("__bucket"))
+    Bucketing.joinOffsets(bucketed, bucketOffsets, Nil)
       .withColumn("start_offset",
         col("__boffset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
       // integral div, not float: exact for any corpus size

@@ -1,18 +1,35 @@
 package org.apache.spark.sql.graftext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
+import org.apache.spark.sql.internal.{SortOrder => SortNode}
 
 /** Minimal bridge into Spark's `private[sql]` surface: wrapping a custom
   * LogicalPlan (graft.plans.AsOfJoinNode) in a Dataset requires
-  * `Dataset.ofRows`, which Spark scopes to its own package — the same
-  * technique Spark-native table formats and connectors use for their
-  * custom operators. Nothing else from the internal API is touched, and
-  * this object contains no logic of its own.
+  * `Dataset.ofRows`, and unpacking a user-supplied sort Column (e.g.
+  * `col("quality").desc`) into its ordered-by child + direction requires
+  * the Column's internal ColumnNode — both of which Spark scopes to its
+  * own package. The same technique Spark-native table formats and
+  * connectors use for their custom operators. Nothing else from the
+  * internal API is touched, and this object contains almost no logic of
+  * its own.
   */
 object Bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Unwrap a possibly-SortOrder Column (`c.desc` / `c.asc`) into
+    * (the ordered-by Column, isDescending). A plain Column is its own
+    * ascending key. Used by operators that need a scalar KEY from a
+    * caller's ordering spec (e.g. Curation.tokenBudget's bucket key).
+    * The unwrap happens on the ColumnNode (Column↔Expression conversion
+    * is lazy in Spark 4 — a SortOrder would otherwise survive into a
+    * value position and fail codegen). */
+  def sortKey(c: Column): (Column, Boolean) = c.node match {
+    case SortNode(child, direction, _, _) =>
+      (Column(child), direction == SortNode.Descending)
+    case _ => (c, false)
+  }
 }

@@ -147,6 +147,28 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 2, p)
   }
 
+  test("token budget: per-stratum running sum is two-level, never one task per stratum") {
+    val df = ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents"))
+    val q = ops.Curation.tokenBudget(
+      df.select(col("doc_id"), col("source"),
+        ops.TextOps.qualityScore(col("text")).as("quality"), col("text")),
+      "source", ops.TextOps.tokenCount(col("text")), 600L,
+      Seq(col("quality").desc, col("doc_id")))
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p) // bucket offsets broadcast back
+    // Every corpus-row window (the ones ordered by the DESC priority)
+    // must be partitioned by (stratum, __bucket) — a window partitioned
+    // by stratum alone would funnel ~N/strata rows through one sorted
+    // task at scale. The only stratum-alone window is the tiny
+    // bucket-totals prefix (ordered by __bucket ASC over strata×buckets
+    // aggregate rows).
+    val specs = "windowspecdefinition\\([^)]*\\)".r.findAllIn(p).toList
+    val corpusSpecs = specs.filter(_.contains("DESC"))
+    assert(corpusSpecs.nonEmpty, p)
+    assert(corpusSpecs.forall(_.contains("__bucket")),
+      s"corpus-row window must include the bucket in its partition spec:\n$p")
+  }
+
   test("native as-of join: two clustered exchanges, no union, no window") {
     val ev = Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")

@@ -125,7 +125,55 @@ class CurationSpec extends SparkSpec {
 
   // ------------------------------------------------------- token budgets
 
+  test("tokenBudget differential: bucketed prefix equals the flat stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    // heavy first-priority ties (few distinct qualities) spanning bucket
+    // cut points — the case where a non-tie-sharing bucket assignment
+    // would break the prefix — plus a null-quality doc per stratum
+    // (desc -> nulls last).
+    for (seed <- Seq(7, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (1 to 500).map { i =>
+        val q: java.lang.Double =
+          if (i % 50 == 0) null else (rnd.nextInt(5) / 10.0): java.lang.Double
+        (i.toLong, s"s${i % 3}", q, (rnd.nextInt(20) + 1).toLong)
+      }
+      val df = rows.toDF("doc_id", "src", "quality", "ntok")
+      val priority = Seq($"quality".desc, $"doc_id")
+      val fast = Curation.tokenBudget(df, "src", $"ntok", 700L, priority,
+        numBuckets = 8)
+        .select($"doc_id", $"cum_tokens")
+      val naive = df.withColumn("cum_tokens",
+          sum($"ntok").over(Window.partitionBy($"src").orderBy(priority: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter($"cum_tokens" <= 700L)
+        .select($"doc_id", $"cum_tokens")
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"seed $seed: two-level budget prefix must equal the flat window")
+    }
+  }
+
   // ----------------------------------------------------- sequence packing
+
+  test("quantile bucketing balances pathologically clustered ids") {
+    // Two dense runs 2^60 apart (hash-derived id shape): fixed-width
+    // id-range bucketing would land everything in 2 of 64 buckets; the
+    // quantile cuts must spread them evenly regardless of the gap.
+    for (seed <- Seq(3, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val lowBase = rnd.nextLong() % (1L << 20)
+      val ids = ((0 until 5000).map(i => lowBase + i) ++
+        (0 until 5000).map(i => (1L << 60) + lowBase + i * 3L)).map(_.toLong)
+      val df = ids.toDF("doc_id")
+      val sizes = Bucketing.quantileBuckets(df, $"doc_id", Nil, 64)
+        .groupBy(col(Bucketing.BucketCol)).count()
+        .collect().map(_.getLong(1))
+      assert(sizes.length > 32,
+        s"seed $seed: most of the 64 buckets must be used, got ${sizes.length}")
+      assert(sizes.max <= ids.length / 64 * 4,
+        s"seed $seed: worst bucket ${sizes.max} of ${ids.length} rows is skewed")
+    }
+  }
 
   test("packSequences equals the single-window global prefix sum") {
     // sparse, non-contiguous ids across many buckets; token counts chosen
