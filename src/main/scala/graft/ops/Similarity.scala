@@ -238,16 +238,18 @@ object Similarity {
 
   /** Per-(key, dim) mean of an array column's components — the one
     * distributed mean-vector pipeline behind both Lloyd refinement and
-    * group centroids. exact=true uses the scaled-sum mean
-    * (engine-portable, for oracle-checked paths); false the native avg
-    * (Lloyd's engine-internal refinement). Output: keyCol, dim, m. */
+    * group centroids. ALWAYS the scaled-sum exact mean
+    * ([[graft.ExactAgg.davg]]): bit-identical across engines AND
+    * partitionings, which makes Lloyd-trained centroids re-derivable by
+    * the DuckDB oracle (q_ann_ivf) and Lloyd itself reproducible
+    * run-to-run on a cluster (a float avg drifts with partition merge
+    * order, so the same corpus could train different centroids on
+    * different cluster widths). Output: keyCol, dim, m. */
   private def perDimMeans(
-      df: DataFrame, keyCol: String, vecCol: String,
-      exact: Boolean): DataFrame =
+      df: DataFrame, keyCol: String, vecCol: String): DataFrame =
     df.select(col(keyCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
       .groupBy(col(keyCol), col("dim"))
-      .agg((if (exact) graft.ExactAgg.davg(col("x")) else avg(col("x")))
-        .as("m"))
+      .agg(graft.ExactAgg.davg(col("x")).as("m"))
 
   private def prepCandidates(
       candidates: DataFrame, candIdCol: String, vecCol: String): DataFrame =
@@ -270,7 +272,7 @@ object Similarity {
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toList) }
     for (_ <- 1 to lloydIters) {
       val assigned = assignCells(c, centroids, "cv")
-      val means = perDimMeans(assigned, "cell", "cv", exact = false)
+      val means = perDimMeans(assigned, "cell", "cv")
         .groupBy(col("cell"))
         .agg(map_from_arrays(
           collect_list(col("dim")), collect_list(col("m"))).as("mm"))
@@ -347,7 +349,7 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String, groupCol: String,
       k: Int = 10): DataFrame = {
     val v = df.select(col(groupCol), col(idCol), asDouble(col(vecCol)).as("v"))
-    val cent = perDimMeans(v, groupCol, "v", exact = true)
+    val cent = perDimMeans(v, groupCol, "v")
       .groupBy(col(groupCol))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("cm"))
       .select(col(groupCol),

@@ -80,18 +80,81 @@ object ScaleQueries extends QueryModule {
        |ORDER BY a, b""".stripMargin
   }
 
-  // --------------------------------------------- C15: IVF ANN (rows-only)
-  // Cell assignment / Lloyd refinement is engine-internal (floating-point
-  // centroid means), so like q_ann_lsh this is a rows-only entry; the
-  // recall property is pinned by ScaleOpsSpec.
+  // ------------------------------------------------------ C15: IVF ANN
+  // Fully oracle-checked: Lloyd means run through ExactAgg.davg (scaled
+  // long sums — bit-identical across engines and partitionings), so the
+  // DuckDB oracle re-derives the ENTIRE pipeline value-for-value: seed
+  // centroids (lowest-id vectors), seed assignment, exact per-dim means,
+  // re-assignment to the trained centroids, multi-probe cell ranking,
+  // and the final top-k. Ranks are emitted, never raw cosines (ExactAgg
+  // discipline); assignment tie-break (sim DESC, cell DESC) mirrors
+  // assignCells' reverse(array_sort(...)); top-k tie-break is
+  // (sim DESC, id ASC) like q_ann_bruteforce. The recall property is
+  // additionally pinned by ScaleOpsSpec.
+  private val IvfTrainCells = 8
+  private val IvfProbe = 4
+  private val IvfK = 10
+
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     Similarity.ivfTopK(
       e.filter(col("vec_id") < 10), e, "vec_id", "vec_id", "embedding",
-      k = 10, numCells = 8, nProbe = 4, lloydIters = 1)
-      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"),
-        col("cosine_sim"))
+      k = IvfK, numCells = IvfTrainCells, nProbe = IvfProbe, lloydIters = 1)
+      .select(col("query_id"), col("rank").as("rnk"), col("neighbor_id"))
       .orderBy("query_id", "rnk")
+  }
+
+  private val qAnnIvfSql = {
+    val exactMean = graft.ExactAgg.sqlAvg("x")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
+       |  FROM v ORDER BY vec_id LIMIT $IvfTrainCells),
+       |a0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, s.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY list_cosine_similarity(x.v, s.v) DESC, s.cell DESC) AS rn
+       |    FROM v x CROSS JOIN seeds s) WHERE rn = 1),
+       |comp AS (
+       |  SELECT a0.cell, r.j AS dim, v.v[r.j] AS x
+       |  FROM v JOIN a0 USING (vec_id),
+       |    UNNEST(range(1, len(v.v) + 1)) AS r(j)),
+       |means AS (
+       |  SELECT cell, dim, $exactMean AS m
+       |  FROM comp GROUP BY cell, dim),
+       |cents AS (
+       |  SELECT cell, list(m ORDER BY dim) AS v FROM means GROUP BY cell),
+       |idx AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT x.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+       |        ORDER BY list_cosine_similarity(x.v, c.v) DESC, c.cell DESC) AS rn
+       |    FROM v x CROSS JOIN cents c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+       |qcells AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cell DESC) AS rn
+       |    FROM q CROSS JOIN cents c) WHERE rn <= $IvfProbe),
+       |scored AS (
+       |  SELECT qc.query_id, i.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qq.qv, nv.v) AS sim
+       |  FROM qcells qc
+       |  JOIN idx i ON i.cell = qc.cell
+       |  JOIN v nv ON nv.vec_id = i.vec_id
+       |  JOIN q qq ON qq.query_id = qc.query_id
+       |  WHERE i.vec_id <> qc.query_id)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rnk, neighbor_id
+       |FROM (SELECT query_id, neighbor_id,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id
+       |          ORDER BY sim DESC, neighbor_id) AS rn
+       |      FROM scored)
+       |WHERE rn <= $IvfK
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   // ------------------------------------- C13: embedding near-dup pairs
@@ -394,8 +457,7 @@ object ScaleQueries extends QueryModule {
   // assignment value-for-value) — and appended to a cell-partitioned
   // parquet index, which the query reads back. Probe equality (streamed
   // index == batch probe) is pinned by StreamingSpec; Lloyd-trained IVF
-  // (engine-internal float means) stays rows-only as q_ann_ivf with its
-  // recall spec.
+  // is oracled end-to-end as q_ann_ivf (ExactAgg centroid means).
   private val IvfCells = 8
 
   private def qStreamIvf(s: SparkSession, dir: String): DataFrame = {
@@ -536,6 +598,7 @@ object ScaleQueries extends QueryModule {
     "q_partition_prune" -> qPartitionPrune _)
 
   override val oracleSql: Map[String, String] = Map(
+    "q_ann_ivf" -> qAnnIvfSql,
     "q_dedup_minhash_capped" -> qDedupMinhashCappedSql,
     "q_neardup_pairs" -> qNeardupPairsSql,
     "q_embed_outliers" -> qEmbedOutliersSql,
@@ -550,5 +613,4 @@ object ScaleQueries extends QueryModule {
     "q_source_json" -> qSourceJsonSql,
     "q_source_orc" -> qSourceOrcSql,
     "q_partition_prune" -> qPartitionPruneSql)
-    // q_ann_ivf: rows-only (centroid means are engine-internal floats)
 }
