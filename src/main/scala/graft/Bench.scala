@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
-  private def loadAvg(): Double =
+  private[graft] def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
@@ -109,13 +109,20 @@ object Bench {
   }
 
   /** Write the audit copy; never let a bad path break the stdout
-    * contract (the driver's record is the printed line). */
+    * contract (the driver's record is the printed line) — but never
+    * fail SILENTLY either: the target is deleted first (a stale file
+    * from a previous run must not masquerade as this run's record) and
+    * a failure is reported on stderr. */
   def writeAudit(path: String, json: String): Unit =
     try {
       val p = java.nio.file.Paths.get(path)
       if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.deleteIfExists(p)
       java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"bench audit write failed for $path: $e")
+    }
 
   def session(cpus: String): SparkSession = {
     val builder = SparkSession.builder()

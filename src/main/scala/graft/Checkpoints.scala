@@ -25,6 +25,15 @@ import org.apache.spark.sql.DataFrame
   * Selection is by session conf so a deployment flips ONE switch
   * (`spark.graft.reliableCheckpoints=true` + `sc.setCheckpointDir`)
   * without threading a parameter through every operator signature.
+  *
+  * Storage lifecycle in reliable mode: Spark does NOT delete checkpoint
+  * data when the frame is garbage-collected unless
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a static
+  * conf, off by default). Iterative operators checkpoint once per round,
+  * so long-lived reliable-mode applications should set that cleaner
+  * conf at submit time — or point the checkpoint dir at storage with a
+  * TTL/lifecycle rule — to avoid accumulating one materialized copy per
+  * round until application exit.
   */
 object Checkpoints {
 

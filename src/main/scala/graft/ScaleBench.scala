@@ -56,17 +56,25 @@ object ScaleBench {
           .withColumn("user_id", shifted("user_id")).drop("__k")
       case "documents" =>
         // rotate text by __k tokens: same bag of tokens, different
-        // shingles — replicas are distinct documents, not exact dups
+        // shingles — replicas are distinct documents, not exact dups.
+        // Rotation wraps for docs shorter than the factor (a 3-token
+        // doc has only 3 distinct rotations), so wrapped replicas get a
+        // replica-tag token appended — otherwise the short-doc tail
+        // would plant cross-replica EXACT duplicate clusters that don't
+        // exist at 1x and skew the dedup benchmarks this tool compares.
         val toks = split(col("text"), " ")
         val n = size(toks)
         val sh = when(n > 0, pmod(col("__k"), n.cast("long")).cast("int"))
           .otherwise(0)
+        val rotated = when(n > 1, concat_ws(" ",
+          concat(slice(toks, sh + 1, n - sh), slice(toks, lit(1), sh))))
+          .otherwise(col("text"))
         df.select(col("*"), k)
           .withColumn("doc_id", shifted("doc_id"))
           .withColumn("text",
-            when(n > 1, concat_ws(" ",
-              concat(slice(toks, sh + 1, n - sh), slice(toks, lit(1), sh))))
-              .otherwise(col("text")))
+            when(col("__k") >= greatest(n.cast("long"), lit(1L)),
+              concat(rotated, lit(" x"), col("__k")))
+              .otherwise(rotated))
           .drop("__k")
       case "embeddings" =>
         df.select(col("*"), k)
@@ -82,17 +90,25 @@ object ScaleBench {
   }
 
   /** Build (or reuse) the scaled directory. A marker file records the
-    * factor so a stale dir from a different factor is rebuilt. */
+    * (factor, baseDir) the data was built from; a dir whose marker
+    * disagrees (reused SPARK_GRAFT_SCALE_DIR across factors or bases)
+    * is REBUILT — benching factor-5 numbers over leftover factor-10
+    * data would silently corrupt the scale comparison. */
   def buildScaled(
       spark: SparkSession, baseDir: String, scaledDir: String,
       factor: Int): Unit = {
-    val marker = new java.io.File(scaledDir, s"_SCALED_x$factor")
-    if (marker.exists()) return
+    val marker = new java.io.File(scaledDir, "_SCALED")
+    val stamp = s"factor=$factor base=$baseDir"
+    if (marker.exists() &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          "UTF-8").trim == stamp)
+      return
+    java.nio.file.Files.deleteIfExists(marker.toPath) // invalidate first
     Tables.names.foreach { t =>
       replicate(Tables.load(spark, baseDir, t), t, factor)
         .write.mode("overwrite").parquet(Tables.path(scaledDir, t))
     }
-    marker.createNewFile()
+    java.nio.file.Files.write(marker.toPath, (stamp + "\n").getBytes("UTF-8"))
     ()
   }
 
@@ -107,11 +123,9 @@ object ScaleBench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq
       else SparkEntry.queries.keys.filter(args.contains).toSeq
-    val loadStart = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadStart = Bench.loadAvg()
     val results = Bench.measure(spark, scaledDir, selected)
-    val loadEnd = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
+    val loadEnd = Bench.loadAvg()
     val json = Bench.renderJson(results, scaledDir, cpus, loadStart, loadEnd,
       extraFields = Seq(s""""factor":$factor,"base_sf":"$baseDir""""),
       withSamples = true)

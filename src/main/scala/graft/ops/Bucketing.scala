@@ -39,25 +39,38 @@ object Bucketing {
   val BucketCol = "__bucket"
 
   /** Assign each row a bucket in [0, numBuckets) per `groupCols` group,
-    * monotone non-decreasing in ascending `key` order (equal keys share
-    * a bucket). `key` must be numeric and non-null (callers coalesce
-    * nulls to ±infinity per their null-ordering semantics); NaN sorts
-    * after +infinity, matching Spark's sort order. `groupCols` may be
-    * empty (one global group) and may contain nulls (null groups are
-    * matched null-safely). */
+    * monotone non-decreasing in the caller's sort order over the
+    * numeric `key` (equal keys share a bucket):
+    *
+    *   - `descending=false`: bucket = cut points strictly BELOW key —
+    *     monotone in ascending key order; NaN (which Spark sorts as the
+    *     largest double) lands in the last bucket because every cut
+    *     compares below it.
+    *   - `descending=true`: bucket = cut points strictly ABOVE key —
+    *     the key is NOT negated (negation breaks NaN: -NaN = NaN would
+    *     land a desc-first NaN in the last bucket); NaN lands in bucket
+    *     0, matching desc-first ordering.
+    *   - null keys go to bucket 0 (`nullsFirst`) or the last bucket,
+    *     matching the caller's NULLS FIRST/LAST window ordering — a
+    *     misplaced null bucket would silently corrupt downstream
+    *     prefix sums for every null-key row.
+    *
+    * `groupCols` may be empty (one global group) and may contain nulls
+    * (null groups are matched null-safely). */
   def quantileBuckets(
       df: DataFrame, key: Column, groupCols: Seq[String],
-      numBuckets: Int): DataFrame = {
+      numBuckets: Int, descending: Boolean = false,
+      nullsFirst: Boolean = true): DataFrame = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     if (numBuckets == 1) return df.withColumn(BucketCol, lit(0))
-    val keyed =
-      if (groupCols.nonEmpty) df.withColumn("__qkey", key.cast("double"))
-      else df.withColumn("__qkey", key.cast("double"))
-        .withColumn("__qgrp", lit(0))
+    val k = df.withColumn("__qkey", key.cast("double"))
+    val keyed = if (groupCols.nonEmpty) k else k.withColumn("__qgrp", lit(0))
     val gcols = if (groupCols.nonEmpty) groupCols else Seq("__qgrp")
     val pcts = array(
       (1 until numBuckets).map(i => lit(i.toDouble / numBuckets)): _*)
     // rank error ~1/accuracy; 10k keeps it far below a 1/numBuckets slot
+    // (percentile_approx ignores null keys — they get an explicit
+    // bucket below, not a cut-derived one)
     val cuts = keyed.groupBy(gcols.map(col): _*)
       .agg(percentile_approx(col("__qkey"), pcts, lit(10000)).as("__qcuts"))
       .select(gcols.zipWithIndex.map { case (g, i) =>
@@ -67,9 +80,13 @@ object Bucketing {
     val cond = gcols.zipWithIndex
       .map { case (g, i) => keyed(g) <=> cuts(s"__qg$i") }
       .reduce(_ && _)
+    val nullBucket = if (nullsFirst) 0 else numBuckets - 1
+    val cutCount =
+      if (descending) size(filter(col("__qcuts"), c => c > col("__qkey")))
+      else size(filter(col("__qcuts"), c => c < col("__qkey")))
     keyed.join(broadcast(cuts), cond)
       .withColumn(BucketCol,
-        size(filter(col("__qcuts"), c => c < col("__qkey"))))
+        when(col("__qkey").isNull, lit(nullBucket)).otherwise(cutCount))
       .drop("__qkey" +: "__qcuts" +: "__qgrp" +:
         gcols.indices.map(i => s"__qg$i"): _*)
   }

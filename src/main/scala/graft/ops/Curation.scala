@@ -147,14 +147,15 @@ object Curation {
       budgetTokens: Long, priority: Seq[Column],
       numBuckets: Int = 64): DataFrame = {
     require(priority.nonEmpty, "priority must order candidates within a stratum")
-    // ascending bucket key from the first priority column; nulls map to
-    // the end Spark's sort puts them at (asc -> first, desc -> last)
-    val (k0, desc) = org.apache.spark.sql.graftext.Bridge.sortKey(priority.head)
-    val k = k0.cast("double")
-    val key = if (desc) coalesce(-k, lit(Double.PositiveInfinity))
-              else coalesce(k, lit(Double.NegativeInfinity))
+    // Bucket key = the first priority column, with its direction AND
+    // null ordering carried through (desc_nulls_first etc.) — bucket
+    // placement must agree with the window's sort or the composed
+    // prefix sum silently corrupts for null/NaN first-priority rows.
+    val (k0, desc, nullsFirst) =
+      org.apache.spark.sql.graftext.Bridge.sortKey(priority.head)
     val base = df.withColumn("n_tokens", tokens.cast("long"))
-    val bucketed = Bucketing.quantileBuckets(base, key, Seq(strataCol), numBuckets)
+    val bucketed = Bucketing.quantileBuckets(base, k0.cast("double"),
+      Seq(strataCol), numBuckets, descending = desc, nullsFirst = nullsFirst)
     val offsets = Bucketing.bucketOffsets(
       bucketed, Seq(strataCol), col("n_tokens"))
     val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))

@@ -20,16 +20,20 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
-  /** Unwrap a possibly-SortOrder Column (`c.desc` / `c.asc`) into
-    * (the ordered-by Column, isDescending). A plain Column is its own
-    * ascending key. Used by operators that need a scalar KEY from a
-    * caller's ordering spec (e.g. Curation.tokenBudget's bucket key).
-    * The unwrap happens on the ColumnNode (Column↔Expression conversion
-    * is lazy in Spark 4 — a SortOrder would otherwise survive into a
-    * value position and fail codegen). */
-  def sortKey(c: Column): (Column, Boolean) = c.node match {
-    case SortNode(child, direction, _, _) =>
-      (Column(child), direction == SortNode.Descending)
-    case _ => (c, false)
+  /** Unwrap a possibly-SortOrder Column (`c.desc` / `c.asc` /
+    * `c.desc_nulls_first` / ...) into (the ordered-by Column,
+    * isDescending, nullsFirst). A plain Column is its own ascending
+    * nulls-first key (Spark's ascending default). Used by operators
+    * that need a scalar KEY from a caller's ordering spec (e.g.
+    * Curation.tokenBudget's bucket key) — the null ordering MUST ride
+    * along or a two-level prefix sum would bucket null keys at the
+    * wrong end. The unwrap happens on the ColumnNode
+    * (Column↔Expression conversion is lazy in Spark 4 — a SortOrder
+    * would otherwise survive into a value position and fail codegen). */
+  def sortKey(c: Column): (Column, Boolean, Boolean) = c.node match {
+    case SortNode(child, direction, nullOrdering, _) =>
+      (Column(child), direction == SortNode.Descending,
+        nullOrdering == SortNode.NullsFirst)
+    case _ => (c, false, true)
   }
 }

@@ -153,6 +153,39 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudget honors non-default null ordering and NaN priorities") {
+    import org.apache.spark.sql.expressions.Window
+    // Regression: the bucket key must carry the priority's null
+    // ordering and survive NaN. desc_nulls_first puts null-quality docs
+    // at the FRONT of the priority order (bucket 0, not last); NaN
+    // (which Spark sorts as the largest double -> first under desc)
+    // must also land in bucket 0 — the old negated key sent both to the
+    // last bucket and corrupted every cum_tokens after them.
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { i =>
+      val q: java.lang.Double =
+        if (i % 17 == 0) null
+        else if (i % 23 == 0) Double.NaN
+        else (rnd.nextInt(7) / 10.0): java.lang.Double
+      (i.toLong, s"s${i % 2}", q, (rnd.nextInt(9) + 1).toLong)
+    }
+    val df = rows.toDF("doc_id", "src", "quality", "ntok")
+    for (priority <- Seq(
+        Seq($"quality".desc_nulls_first, $"doc_id"),
+        Seq($"quality".desc, $"doc_id"),
+        Seq($"quality".asc_nulls_last, $"doc_id"))) {
+      val fast = Curation.tokenBudget(df, "src", $"ntok", 400L, priority,
+        numBuckets = 8).select($"doc_id", $"cum_tokens")
+      val naive = df.withColumn("cum_tokens",
+          sum($"ntok").over(Window.partitionBy($"src").orderBy(priority: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter($"cum_tokens" <= 400L)
+        .select($"doc_id", $"cum_tokens")
+      assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+        s"priority $priority: bucketed budget must equal the flat window")
+    }
+  }
+
   // ----------------------------------------------------- sequence packing
 
   test("quantile bucketing balances pathologically clustered ids") {
