@@ -256,6 +256,42 @@ object Dedup {
       minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
       idCol, numHashes, bandSize, maxBucketSize)
 
+  /** Signature-based Jaccard ESTIMATE for LSH candidate pairs: the
+    * fraction of MinHash signature components on which the two documents
+    * agree — an unbiased estimator of true Jaccard with stderr
+    * ~sqrt(J(1-J)/numHashes). This is the 100 TB verification path: it
+    * re-joins only the (id, numHashes-strings) signature table on the
+    * candidate ids, never re-touching the raw text or re-exploding
+    * shingles the way exact [[jaccardPairs]] does. Use it to rank/filter
+    * candidates cheaply and reserve the exact operator for the
+    * survivors. Engine-portable: md5-string equality and a small-int
+    * division are exact on every engine.
+    *
+    * At corpus scale, persist the signature frame and reuse it for both
+    * banding and this verification (here the plan recomputes the
+    * map-side signature stage, which is pure codegen).
+    *
+    * Output: a, b, n_agree, est_jaccard. */
+  def jaccardEstimate(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
+    val pairs = lshCandidatePairs(sigs, idCol, numHashes, bandSize, maxBucketSize)
+    val la = sigs.select(col(idCol).as("a") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)
+    val lb = sigs.select(col(idCol).as("b") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__b$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(la, Seq("a")).join(lb, Seq("b"))
+      .withColumn("n_agree", agree)
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(numHashes.toDouble))
+      .select(col("a"), col("b"), col("n_agree"), col("est_jaccard"))
+  }
+
   /** SimHash (60-bit, sign-safe): per token, take 15 hex chars of md5 as
     * a 60-bit integer; each bit votes +1/-1; the fingerprint sets bits
     * with positive vote sums. Computed by the native SimHash60Expr

@@ -76,6 +76,32 @@ object LlmOpsQueries extends QueryModule {
   private val qDedupMinhashSql =
     s"$qDedupMinhashCtes\nSELECT a, b FROM pairs ORDER BY a, b"
 
+  // ---------------------- C46: signature-based Jaccard estimation
+  // The 100 TB verification path: estimate Jaccard for every LSH
+  // candidate pair from signature agreement alone (id-keyed joins of
+  // the signature table — never re-touching text). n_agree/numHashes is
+  // exact small-int arithmetic, so the oracle hash-matches the estimate
+  // itself, not just ranks.
+  private def qJaccardMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardEstimate(docs(s, dir), "doc_id", "text",
+      ShingleN, NumHashes, BandSize)
+      .orderBy("a", "b")
+
+  private val qJaccardMinhashSql = {
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN la.h$j = lb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""$qDedupMinhashCtes,
+       |agree AS (
+       |  SELECT p.a, p.b, $agree AS n_agree
+       |  FROM pairs p
+       |  JOIN mh la ON la.doc_id = p.a
+       |  JOIN mh lb ON lb.doc_id = p.b)
+       |SELECT a, b, CAST(n_agree AS INTEGER) AS n_agree,
+       |  CAST(n_agree AS DOUBLE) / ${NumHashes}.0 AS est_jaccard
+       |FROM agree ORDER BY a, b""".stripMargin
+  }
+
   // --------------------------------- C31: duplicate clusters (conn. comp.)
   // Pairs → clusters: connected components over the MinHash pair graph
   // with the smallest member as the canonical representative. Spark runs
@@ -913,6 +939,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_keep" -> qDedupKeep _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_jaccard" -> qJaccard _,
+    "q_jaccard_minhash" -> qJaccardMinhash _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh" -> qAnnLsh _,
     "q_ann_lsh_recall" -> qAnnLshRecall _,
@@ -945,6 +972,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_keep" -> qDedupKeepSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_jaccard" -> qJaccardSql,
+    "q_jaccard_minhash" -> qJaccardMinhashSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,
     "q_ann_lsh_recall" -> qAnnLshRecallSql,

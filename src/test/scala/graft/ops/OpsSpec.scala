@@ -149,6 +149,21 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L))) // no shared shingles -> no pair row
   }
 
+  test("signature jaccard estimate: identical docs estimate 1.0, near-dups less") {
+    val near1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val df = Seq((1L, near1), (2L, near1), (3L, near2)).toDF("doc_id", "text")
+    val est = Dedup.jaccardEstimate(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getAs[Double]("est_jaccard")))).toMap
+    // identical text -> identical signatures -> all components agree
+    assert(est((1L, 2L)) == ((8, 1.0)))
+    // one trailing token apart: LSH-collides, but not full agreement is
+    // the EXPECTED shape (estimate <= 1); both orientations present
+    assert(est.contains((1L, 3L)) && est((1L, 3L))._2 <= 1.0)
+    assert(est((1L, 3L))._1 == math.round(est((1L, 3L))._2 * 8).toInt)
+  }
+
   test("jaccard DF cap bounds fan-out when one shingle is in every doc") {
     // Adversarial raw corpus: token "the" appears in all 400 docs. The
     // uncapped shingle self-join would emit C(400,2) ≈ 80k rows for that
