@@ -332,6 +332,33 @@ object Similarity {
         explode(transform(slice(top, 1, topN), s => s.getField("cell"))))
   }
 
+  /** Per-vector symmetric int8 quantization: component j maps to
+    * round(x_j / scale) with scale = max|x| / 127 — the standard
+    * storage layout for billion-vector ANN corpora (4× smaller than
+    * float32, dequantized error ≤ scale/2 per component). Pure map
+    * stage, exact IEEE arithmetic: abs/max/divide/floor are exactly
+    * rounded, and rounding is floor(x + 0.5) — ties toward +inf,
+    * chosen over a platform round() because round-half-even vs
+    * half-away differs between engines while floor is exact on all of
+    * them — so the bytes are bit-identical. An all-zero vector gets
+    * scale 0 and zero bytes (no division happens).
+    *
+    * Output: original columns + scale (double) + qvec (array<tinyint>).
+    * Reconstruct with [[dequantize]]; [[bruteForceTopK]] over
+    * dequantized vectors is the recall check (spec-pinned). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("scale",
+      array_max(transform(asDouble(col(vecCol)), x => abs(x))) / lit(127.0))
+      .withColumn("qvec",
+        transform(asDouble(col(vecCol)), x =>
+          when(col("scale") > 0,
+            floor(x / col("scale") + lit(0.5)).cast("byte"))
+            .otherwise(lit(0).cast("byte"))))
+
+  /** Reconstruct a double vector from int8 quantization. */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
   /** Embedding outlier detection: each group's centroid is the per-
     * dimension EXACT scaled-sum mean ([[graft.ExactAgg.davg]] — bit-
     * identical across engines and partitionings, unlike a naive float

@@ -157,6 +157,35 @@ object ScaleQueries extends QueryModule {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  // --------------------------------- C47: int8 embedding quantization
+  // The storage layout for billion-vector ANN: 4x smaller than float32.
+  // Quantized bytes and the per-vector scale are exact IEEE arithmetic
+  // (abs/max/divide/floor, ties toward +inf), so the oracle hash-matches
+  // every byte, exploded to scalars for a robust value compare.
+  private def qEmbedQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(
+      embs(s, dir).select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("qvec")).as(Seq("dim", "q")))
+      .select(col("vec_id"), col("dim"), col("q").cast("int").as("q"),
+        col("scale"))
+      .orderBy("vec_id", "dim")
+
+  private val qEmbedQuantizeSql =
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM v)
+      |SELECT vec_id, CAST(r.j - 1 AS INTEGER) AS dim,
+      |  CASE WHEN scale > 0 THEN CAST(FLOOR(v[r.j] / scale + 0.5) AS INTEGER)
+      |       ELSE 0 END AS q,
+      |  scale
+      |FROM s, UNNEST(range(1, len(v) + 1)) AS r(j)
+      |ORDER BY vec_id, dim""".stripMargin
+
   // ------------------------------------- C13: embedding near-dup pairs
   // Multi-band hyperplane LSH collision pairs above a cosine threshold.
   // The DuckDB oracle re-derives the md5-seeded hyperplanes, per-band
@@ -583,6 +612,7 @@ object ScaleQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_capped" -> qDedupMinhashCapped _,
     "q_ann_ivf" -> qAnnIvf _,
+    "q_embed_quantize" -> qEmbedQuantize _,
     "q_neardup_pairs" -> qNeardupPairs _,
     "q_embed_outliers" -> qEmbedOutliers _,
     "q_skew_join" -> qSkewJoin _,
@@ -599,6 +629,7 @@ object ScaleQueries extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> qAnnIvfSql,
+    "q_embed_quantize" -> qEmbedQuantizeSql,
     "q_dedup_minhash_capped" -> qDedupMinhashCappedSql,
     "q_neardup_pairs" -> qNeardupPairsSql,
     "q_embed_outliers" -> qEmbedOutliersSql,

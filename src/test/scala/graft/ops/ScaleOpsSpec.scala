@@ -72,6 +72,37 @@ class ScaleOpsSpec extends SparkSpec {
     assert(dropped.filter($"lang" === "xx").count() == 0)
   }
 
+  test("int8 quantization: error bounded by scale/2, ANN recall survives") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val quant = Similarity.quantizeInt8(e.select($"vec_id", $"embedding"),
+      "embedding")
+    // per-component reconstruction error <= scale/2 (the rounding bound)
+    val viol = quant
+      .select($"vec_id", $"scale",
+        Similarity.dequantize($"qvec", $"scale").as("dq"),
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .select($"vec_id", $"scale",
+        aggregate(zip_with($"dq", $"v", (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("maxerr"))
+      .filter($"maxerr" > $"scale" / 2 + lit(1e-12))
+      .count()
+    assert(viol == 0, "dequantized error must stay within scale/2 per component")
+    // recall@5 of brute-force ANN over DEQUANTIZED vectors vs originals:
+    // int8 keeps neighborhoods (the point of shipping 4x fewer bytes)
+    val q = e.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(q, e, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dq = quant.select($"vec_id",
+      Similarity.dequantize($"qvec", $"scale").as("embedding"))
+    val approx = Similarity.bruteForceTopK(
+      dq.filter($"vec_id" < 5), dq, "vec_id", "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall=$recall")
+  }
+
   test("LSH ANN recall@10 clears the floor and is driver-visible") {
     val rec = graft.SparkEntry.queries("q_ann_lsh_recall")(spark, sfDir)
       .collect().map(_.getDouble(1))
