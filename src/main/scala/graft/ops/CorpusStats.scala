@@ -11,6 +11,40 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Per-document shingle novelty: the fraction of a document's
+    * distinct n-gram shingles whose FIRST occurrence (smallest doc id)
+    * is this document — "how much new content does this doc add to the
+    * corpus", the dedup-lite ordering signal curation pipelines rank on
+    * (a near-copy of earlier material scores ~0 without any pair
+    * enumeration).
+    *
+    * Scale shape: one distinct (id, shingle) explode, one shingle-keyed
+    * min aggregate, one id-keyed count — all linear, shuffle on the
+    * shingle key once. Exact integer counts and one per-row IEEE
+    * division, so the score itself is oracle-hashable.
+    *
+    * Docs too short for any shingle get n_shingles 0 and a NULL novelty
+    * (no content to judge — callers decide the policy).
+    *
+    * Output: idCol, n_shingles, n_novel, novelty. */
+  def shingleNovelty(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, n)
+    val firsts = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    val perDoc = sh.join(firsts, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
   /** Pairwise histogram intersection of unigram distributions:
     * sum over token types of min(p_a, p_b), where p is the token's
     * share of its source's total occurrences. 1 = identical

@@ -822,6 +822,37 @@ object LlmOpsQueries extends QueryModule {
        |FROM documents d LEFT JOIN scored s USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------- C48: per-document shingle novelty
+  // Fraction of a doc's distinct 3-gram shingles first seen in THIS doc
+  // (smallest doc_id wins) — the dedup-lite "new content" ordering
+  // signal. Exact counts + one per-row division: the score itself
+  // hash-matches.
+  private val NoveltyN = 3
+
+  private def qNovelty(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.shingleNovelty(docs(s, dir), "doc_id", "text", NoveltyN)
+      .orderBy("doc_id")
+
+  private val qNoveltySql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${NoveltyN - 1}], ' ')
+       |      for i in range(1, len(toks) - ${NoveltyN - 2})]) AS s
+       |    FROM norm WHERE len(toks) >= $NoveltyN)),
+       |firsts AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s),
+       |per AS (
+       |  SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       |    SUM(CASE WHEN f.first_id = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+       |  FROM sh JOIN firsts f ON f.s = sh.s GROUP BY sh.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+       |  CAST(p.n_novel AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS novelty
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN per p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------------------- C45: source-distribution overlap
   // Pairwise histogram intersection of per-source unigram
   // distributions — the mixture-design "how much does source X
@@ -958,7 +989,8 @@ object LlmOpsQueries extends QueryModule {
     "q_tfidf" -> qTfidf _,
     "q_chunk" -> qChunk _,
     "q_lm_score" -> qLmScore _,
-    "q_source_overlap" -> qSourceOverlap _)
+    "q_source_overlap" -> qSourceOverlap _,
+    "q_novelty" -> qNovelty _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_repetition" -> qRepetitionSql,
@@ -991,5 +1023,6 @@ object LlmOpsQueries extends QueryModule {
     "q_tfidf" -> qTfidfSql,
     "q_chunk" -> qChunkSql,
     "q_lm_score" -> qLmScoreSql,
-    "q_source_overlap" -> qSourceOverlapSql)
+    "q_source_overlap" -> qSourceOverlapSql,
+    "q_novelty" -> qNoveltySql)
 }

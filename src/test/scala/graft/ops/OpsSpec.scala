@@ -479,6 +479,23 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(out(("w", "z")) - 0.5) < 1e-6)
   }
 
+  test("shingle novelty: originals score 1, copies 0, partial overlap between") {
+    val df = Seq(
+      (1L, "a b c d e"),        // all 3 trigrams first seen here -> 1.0
+      (2L, "a b c d e"),        // exact copy of an earlier doc -> 0.0
+      (3L, "a b c x y z"),      // shares trigram "a b c" with doc 1 -> 3/4
+      (4L, "a b"))              // too short for a trigram -> NULL novelty
+      .toDF("doc_id", "text")
+    val out = CorpusStats.shingleNovelty(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out(1L) == ((3L, 3L, Some(1.0))))
+    assert(out(2L) == ((3L, 0L, Some(0.0))))
+    assert(out(3L) == ((4L, 3L, Some(0.75))))
+    assert(out(4L) == ((0L, 0L, None)))
+  }
+
   test("source overlap: a token-less source still appears in the pair matrix") {
     val df = Seq(("x", "aa bb"), ("y", "aa bb"), ("empty", "   "))
       .toDF("source", "text")
