@@ -55,26 +55,28 @@ object ScaleBench {
           .withColumn("event_id", shifted("event_id"))
           .withColumn("user_id", shifted("user_id")).drop("__k")
       case "documents" =>
-        // rotate text by __k tokens: same bag of tokens, different
-        // shingles — replicas are distinct documents, not exact dups.
-        // Rotation wraps for docs shorter than the factor (a 3-token
-        // doc has only 3 distinct rotations), so wrapped replicas get a
-        // replica-tag token appended — otherwise the short-doc tail
-        // would plant cross-replica EXACT duplicate clusters that don't
-        // exist at 1x and skew the dedup benchmarks this tool compares.
+        // Per-replica deterministic token SHUFFLE (sort by
+        // md5(token#pos#replica)) + a replica-tag token: same vocabulary
+        // and length distribution, but shingle sets are fully
+        // decorrelated across replicas. NOT a rotation — rotating a
+        // token sequence preserves its circular n-grams, so every
+        // replica would be a planted MinHash near-dup of its base and
+        // replica groups would form factor-sized clusters with ~factor²
+        // candidate pairs: the dedup benchmarks would measure that
+        // artifact, not the corpus. Replica 0 stays verbatim, so the
+        // base data is a strict subset.
         val toks = split(col("text"), " ")
-        val n = size(toks)
-        val sh = when(n > 0, pmod(col("__k"), n.cast("long")).cast("int"))
-          .otherwise(0)
-        val rotated = when(n > 1, concat_ws(" ",
-          concat(slice(toks, sh + 1, n - sh), slice(toks, lit(1), sh))))
-          .otherwise(col("text"))
+        val shuffled = concat_ws(" ", transform(
+          array_sort(transform(toks, (t, i) => struct(
+            md5(concat_ws("#", t, i.cast("string"),
+              col("__k").cast("string"))).as("h"),
+            t.as("t")))),
+          s => s.getField("t")))
         df.select(col("*"), k)
           .withColumn("doc_id", shifted("doc_id"))
           .withColumn("text",
-            when(col("__k") >= greatest(n.cast("long"), lit(1L)),
-              concat(rotated, lit(" x"), col("__k")))
-              .otherwise(rotated))
+            when(col("__k") === 0, col("text"))
+              .otherwise(concat(shuffled, lit(" x"), col("__k"))))
           .drop("__k")
       case "embeddings" =>
         df.select(col("*"), k)

@@ -189,14 +189,21 @@ object ScaleQueries extends QueryModule {
   // ------------------------------------- C13: embedding near-dup pairs
   // Multi-band hyperplane LSH collision pairs above a cosine threshold.
   // The DuckDB oracle re-derives the md5-seeded hyperplanes, per-band
-  // sign-bit buckets, and the bucket-restricted pair set value-for-value.
+  // sign-bit buckets, the bucket cap, and the bucket-restricted pair
+  // set value-for-value. The cap matters at scale: with a fixed bucket
+  // space (numBands·2^planes) bucket sizes grow linearly with the
+  // corpus, so the per-bucket self-join grows quadratically — the 30×
+  // scale probe measured slope 1.64 UNCAPPED; capped, the fan-out is
+  // bounded like every other bucket join in the engine.
   private val NdBands = 2
   private val NdPlanes = 4
   private val NdThreshold = 0.35
+  private val NdMaxBucket = 256
 
   private def qNeardupPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding",
-      NdThreshold, numBands = NdBands, planesPerBand = NdPlanes)
+      NdThreshold, numBands = NdBands, planesPerBand = NdPlanes,
+      maxBucketSize = NdMaxBucket)
       .select("a", "b")
       .orderBy("a", "b")
 
@@ -217,8 +224,11 @@ object ScaleQueries extends QueryModule {
     s"""WITH v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |buckets0 AS (
+       |  $bandSelects),
        |buckets AS (
-       |  $bandSelects)
+       |  SELECT vec_id, v, band_id, bucket FROM buckets0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_id, bucket) <= $NdMaxBucket)
        |SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
        |FROM buckets l JOIN buckets r
        |  ON l.band_id = r.band_id AND l.bucket = r.bucket AND l.vec_id < r.vec_id
