@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   *   - fact ids shift by `replica × 10^12` (orders/lineitem share the
   *     stride so FKs stay consistent; events shift user_id too, scaling
   *     streaming key cardinality);
-  *   - document text is ROTATED by `replica` tokens (token and length
-  *     distributions preserved, shingle sets decorrelated — naive copies
-  *     would make every doc a 10-way exact duplicate and turn the dedup
-  *     benchmarks into a different, artificially-degenerate workload);
+  *   - document text is deterministically TOKEN-SHUFFLED per replica
+  *     (+1 replica-tag token): vocabulary preserved and lengths
+  *     preserved within one token, shingle sets fully decorrelated.
+  *     Naive copies would make every doc a 10-way exact duplicate, and
+  *     rotation (the first design) preserves circular n-grams — both
+  *     turn the dedup benchmarks into artificially-degenerate
+  *     workloads;
   *   - embeddings perturb component 0 by `replica × 1e-3` (distinct
   *     vectors, near-identical distribution);
   *   - dimension tables (region/nation/customer/supplier/part) are
@@ -56,9 +59,10 @@ object ScaleBench {
           .withColumn("user_id", shifted("user_id")).drop("__k")
       case "documents" =>
         // Per-replica deterministic token SHUFFLE (sort by
-        // md5(token#pos#replica)) + a replica-tag token: same vocabulary
-        // and length distribution, but shingle sets are fully
-        // decorrelated across replicas. NOT a rotation — rotating a
+        // md5(token#pos#replica)) + a replica-tag token: vocabulary
+        // preserved (plus factor-1 tag types), lengths preserved within
+        // the one appended token, and shingle sets fully decorrelated
+        // across replicas. NOT a rotation — rotating a
         // token sequence preserves its circular n-grams, so every
         // replica would be a planted MinHash near-dup of its base and
         // replica groups would form factor-sized clusters with ~factor²

@@ -18,10 +18,13 @@ object CorpusStats {
     * (a near-copy of earlier material scores ~0 without any pair
     * enumeration).
     *
-    * Scale shape: one distinct (id, shingle) explode, one shingle-keyed
-    * min aggregate, one id-keyed count — all linear, shuffle on the
-    * shingle key once. Exact integer counts and one per-row IEEE
-    * division, so the score itself is oracle-hashable.
+    * Scale shape: one distinct (id, shingle) explode, ONE
+    * shingle-partitioned window computing the per-shingle min id (the
+    * same hash partitioning a min-aggregate would need, but without a
+    * second shuffle consumer re-deriving the exploded frame for the
+    * join back — the [[Dedup.boundBuckets]] trick), one id-keyed
+    * count. Exact integer counts and one per-row IEEE division, so the
+    * score itself is oracle-hashable.
     *
     * Docs too short for any shingle get n_shingles 0 and a NULL novelty
     * (no content to judge — callers decide the policy).
@@ -30,8 +33,9 @@ object CorpusStats {
   def shingleNovelty(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val sh = Dedup.shingles(df, idCol, textCol, n)
-    val firsts = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
-    val perDoc = sh.join(firsts, Seq("shingle"))
+    val perDoc = sh
+      .withColumn("__first",
+        min(col(idCol)).over(Window.partitionBy(col("shingle"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("__first") === col(idCol), 1L).otherwise(0L))

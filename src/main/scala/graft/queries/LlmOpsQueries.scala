@@ -47,6 +47,20 @@ object LlmOpsQueries extends QueryModule {
 
   /** The full MinHash+LSH pipeline as CTEs ending in `pairs(a, b)` —
     * shared by the pair query and the clusters query's oracle. */
+  /** The shared `norm` + `sh` distinct-shingle CTEs over the FULL
+    * documents table — one definition, so a semantic fix to the DuckDB
+    * twin of TextOps.tokens / Dedup.shingleArray can't silently
+    * desynchronize one oracle from another. Variant sites (doc-id
+    * filters, eval flags, DF caps, different column names) deliberately
+    * inline their own copies. */
+  private[queries] def sqlShingleCtes(n: Int): String =
+    s"""norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${n - 1}], ' ')
+       |      for i in range(1, len(toks) - ${n - 2})]) AS s
+       |    FROM norm WHERE len(toks) >= $n))""".stripMargin
+
   private[queries] val qDedupMinhashCtes = {
     val minhashes = (0 until NumHashes)
       .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
@@ -55,12 +69,7 @@ object LlmOpsQueries extends QueryModule {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_id, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, s FROM (
-       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${ShingleN - 1}], ' ')
-       |      for i in range(1, len(toks) - ${ShingleN - 2})]) AS s
-       |    FROM norm WHERE len(toks) >= $ShingleN)),
+    s"""WITH ${sqlShingleCtes(ShingleN)},
        |mh AS (
        |  SELECT doc_id,
        |    $minhashes
@@ -834,12 +843,7 @@ object LlmOpsQueries extends QueryModule {
       .orderBy("doc_id")
 
   private val qNoveltySql =
-    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
-       |sh AS (
-       |  SELECT DISTINCT doc_id, s FROM (
-       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${NoveltyN - 1}], ' ')
-       |      for i in range(1, len(toks) - ${NoveltyN - 2})]) AS s
-       |    FROM norm WHERE len(toks) >= $NoveltyN)),
+    s"""WITH ${sqlShingleCtes(NoveltyN)},
        |firsts AS (SELECT s, MIN(doc_id) AS first_id FROM sh GROUP BY s),
        |per AS (
        |  SELECT sh.doc_id, COUNT(*) AS n_shingles,

@@ -29,7 +29,7 @@ class ScaleBenchSpec extends SparkSpec {
 
   test("replicated docs are pairwise distinct even when shorter than the factor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_scale_").toString
-    val factor = 12 // > token count of short docs: rotation wraps
+    val factor = 12 // > token count of short docs (few distinct shuffles)
     ScaleBench.buildScaled(spark, sfDir, dir, factor)
     val docs = spark.read.parquet(Tables.path(dir, "documents"))
     // no two replicas of any base doc share text: group by (base id,
@@ -38,7 +38,7 @@ class ScaleBenchSpec extends SparkSpec {
       .groupBy(pmod($"doc_id", lit(1000000000000L)), $"text")
       .count().filter($"count" > 1).count()
     assert(dupReplicas == 0,
-      "wrapped rotations must be tagged, not exact cross-replica duplicates")
+      "replicas must be tagged/shuffled, never exact cross-replica duplicates")
     // facts stay FK-consistent: every replicated lineitem row still
     // joins an orders row (same stride on both sides)
     val li = spark.read.parquet(Tables.path(dir, "lineitem"))

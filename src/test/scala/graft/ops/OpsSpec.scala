@@ -159,8 +159,9 @@ class OpsSpec extends SparkSpec {
     // identical text -> identical signatures -> all components agree
     assert(est((1L, 2L)) == ((8, 1.0)))
     // one trailing token apart: LSH-collides, but not full agreement is
-    // the EXPECTED shape (estimate <= 1); both orientations present
-    assert(est.contains((1L, 3L)) && est((1L, 3L))._2 <= 1.0)
+    // the EXPECTED shape (estimate <= 1); pairs are canonical a < b only
+    assert(est.contains((1L, 3L)) && !est.contains((3L, 1L)))
+    assert(est((1L, 3L))._2 <= 1.0)
     assert(est((1L, 3L))._1 == math.round(est((1L, 3L))._2 * 8).toInt)
   }
 
