@@ -267,16 +267,27 @@ object Dedup {
     * survivors. Engine-portable: md5-string equality and a small-int
     * division are exact on every engine.
     *
-    * At corpus scale, persist the signature frame and reuse it for both
-    * banding and this verification (here the plan recomputes the
-    * map-side signature stage, which is pure codegen).
-    *
     * Output: a, b, n_agree, est_jaccard. */
   def jaccardEstimate(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = Int.MaxValue): DataFrame =
+    jaccardEstimateFromSignatures(
+      minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
+      idCol, numHashes, bandSize, maxBucketSize)
+
+  /** [[jaccardEstimate]] over an EXISTING signature frame
+    * ((idCol, h0..h{numHashes-1}), from [[minHashSignatures]] or read
+    * back from a materialized signature table) — the production form:
+    * at corpus scale the signatures ARE the dedup index, computed once
+    * and persisted, and this plan touches only that table (banding +
+    * two id-keyed joins; plan-asserted to never re-derive signatures
+    * or enumerate pairs). The text-facing convenience overload above
+    * recomputes the map-side signature stage once per plan consumer —
+    * fine for ad-hoc runs, wasteful at scale. */
+  def jaccardEstimateFromSignatures(
+      sigs: DataFrame, idCol: String, numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, shingleSize, numHashes)
     val pairs = lshCandidatePairs(sigs, idCol, numHashes, bandSize, maxBucketSize)
     val la = sigs.select(col(idCol).as("a") +:
       (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)

@@ -169,6 +169,34 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus-row window must include the bucket in its partition spec:\n$p")
   }
 
+  test("int8 quantization is a pure map — no exchange of any kind") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = plan(ops.Similarity.quantizeInt8(
+      e.select(col("vec_id"), col("embedding")), "embedding"))
+    assert(exchanges(p) == 0, p) // per-vector scale + bytes: map-side only
+  }
+
+  test("signature jaccard estimate touches only the signature table") {
+    // production form: signatures are materialized once (the index);
+    // the estimate plan must never re-derive them from text nor
+    // enumerate pairs outside the banded join
+    val sigs = ops.Dedup.minHashSignatures(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3, 8)
+      .localCheckpoint()
+    val p = plan(ops.Dedup.jaccardEstimateFromSignatures(sigs, "doc_id"))
+    assert(!p.contains("minhash_sig"), p) // no signature re-computation
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("shingle novelty: first-occurrence is a window, not agg + re-join") {
+    val df = ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents"))
+    val p = plan(ops.CorpusStats.shingleNovelty(df, "doc_id", "text", 3))
+    // window form: the exploded shingle frame has ONE shuffle consumer;
+    // an aggregate + join-back would re-derive the explode twice
+    assert("windowspecdefinition".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("native as-of join: two clustered exchanges, no union, no window") {
     val ev = Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")
