@@ -131,6 +131,56 @@ object Dedup {
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol), explode(shingleArray(textCol, n)).as("shingle")).distinct()
 
+  /** Exact substring duplication, the Lee et al. 2021 signal
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): a w-token window is DUPLICATED when its
+    * normalized text occurs more than once anywhere in the corpus —
+    * across documents (copied passages, boilerplate) or within one
+    * (degenerate repetition). Unlike document-level MinHash, this
+    * catches a duplicated paragraph inside two otherwise-different
+    * documents. One row per window position; windows are md5-hashed so
+    * the shuffle carries 32-byte keys, never window text.
+    *
+    * Scale shape: one posexplode, ONE hash-partitioned window count on
+    * the window hash (the same exchange a count-aggregate would need,
+    * but with no join back re-deriving the explode — the
+    * [[CorpusStats.shingleNovelty]] shape). Occurrence counts are
+    * bounded by corpus size, not squared: a window appearing a million
+    * times emits a million flagged rows, not 10^12 pairs.
+    *
+    * Output: idCol, pos (0-based first-token index), h (window md5),
+    * n_occ (corpus-wide occurrence count). */
+  def windowDups(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    df.select(col(idCol),
+      posexplode(shingleArray(textCol, w)).as(Seq("pos", "__s")))
+      .select(col(idCol), col("pos"), md5(col("__s")).as("h"))
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+
+  /** Per-document summary of [[windowDups]]: how much of each document
+    * is text that exists elsewhere — the removal/ranking signal a
+    * curation pipeline thresholds on (Lee et al. cut documents or spans
+    * above a duplicated fraction). Every input document gets a row;
+    * docs too short for any w-window report 0 windows and a NULL
+    * fraction (no evidence either way — callers decide the policy,
+    * mirroring [[CorpusStats.shingleNovelty]]).
+    *
+    * Output: idCol, n_windows, n_dup, dup_frac. */
+  def windowDupStats(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val perDoc = windowDups(df, idCol, textCol, w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (col("n_dup").cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** MinHash signatures: numHashes md5-derived min-hashes per document.
     * Hash j of shingle s is md5("j:" + s); the signature component is the
     * lexicographic min — string min is engine-portable. Computed by the

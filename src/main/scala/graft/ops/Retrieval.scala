@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text relevance retrieval over the corpus — the tooling a
+  * curation pipeline uses to FIND things in 100 TB of text: retrieval-
+  * based contamination auditing (score eval questions against the
+  * training corpus), targeted quality sampling, and building retrieval
+  * training sets (query → top-k positives).
+  *
+  * Ref behavior: reference/testing.py and polars_utils.py stop at exact
+  * string predicates; ranked retrieval is part of the extended
+  * LLM-pipeline surface (builder brief), not a reference port.
+  */
+object Retrieval {
+
+  /** BM25 ranked retrieval with RATIONAL (pre-log) Robertson/Spärck
+    * Jones idf: idf(t) = (N - df + 0.5) / (df + 0.5). Dropping the log
+    * keeps every step — integer counts, IEEE divide/multiply, floor —
+    * bit-identical across engines and partitionings (ln() is the one
+    * BM25 term whose last-ulp value is libm-dependent), so scores are
+    * exactly reproducible and oracle-hashable. The transform is
+    * monotone in classic idf; rankings differ from log-BM25 only in how
+    * hard rare terms dominate multi-term queries — acceptable for
+    * corpus tooling, and documented so nobody mistakes it for
+    * Lucene-compatible scoring.
+    *
+    * Per matched (query, doc, term):
+    *   contrib = idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * dl/avgdl))
+    * summed per doc as floor(contrib * 1e6) longs (exact,
+    * order-independent — the [[graft.ExactAgg]] discipline). Headroom:
+    * idf < 2N, so N * 2.2 * 1e6 * |query terms| must fit a long —
+    * fine to ~10^11 docs.
+    *
+    * Scale shape: doc lengths are a pure map (no explode); the token
+    * explode is pre-filtered by a BROADCAST semi-join on the query term
+    * set, so only matching tokens reach the one (doc, term) aggregate —
+    * at 100 TB the shuffle carries rows ∝ postings of the query terms,
+    * not the corpus token count. Term df and the query fan-out are
+    * broadcast joins (≤ query-term-set cardinality). Corpus constants
+    * (N, avgdl) are a 2-scalar driver collect, same as
+    * [[Curation]]'s bounds. Final ranking shuffles ≤ matched docs per
+    * query.
+    *
+    * Output: query_id, rank (1-based), idCol, score_scaled (floor of
+    * 1e6 × BM25-rational score — exact long), n_terms (matched query
+    * terms). Ties break on smaller id. */
+  def bm25(
+      docs: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String,
+      queryIdCol: String, queryTextCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("dl"))
+    // N and avgdl: exact longs, divided once driver-side (IEEE-exact on
+    // every engine). Bounded 2-scalar collect.
+    val Array(cs) = toks
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).collect()
+    val nDocs = cs.getLong(0)
+    // Empty corpus: no rows ever reach the scoring expressions (matched
+    // is empty), so any finite avgdl yields the correct empty result
+    // with the right schema — just avoid the 0/0 literal.
+    val avgdl = if (nDocs == 0L) 1.0 else cs.getLong(1).toDouble / nDocs.toDouble
+
+    val qterms = queries.select(col(queryIdCol).as("query_id"),
+      explode(TextOps.tokens(col(queryTextCol))).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val termSet = qterms.select(col("term")).distinct()
+
+    val matched = toks
+      .select(col(idCol), col("dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(termSet), Seq("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = matched.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+
+    // Parenthesization mirrors the DuckDB oracle token-for-token: each
+    // intermediate is a single exactly-rounded IEEE op on identical
+    // inputs, so the floor()ed scaled contribution is bit-identical.
+    val idf = (lit(nDocs).cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfc = (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / lit(avgdl))))
+    val scored = matched
+      .join(broadcast(dfT), Seq("term"))
+      .join(broadcast(qterms), Seq("term"))
+      .withColumn("contrib", floor((idf * tfc) * lit(1e6)).cast("long"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("contrib")).as("score_scaled"),
+        count(lit(1)).as("n_terms"))
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("score_scaled").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol),
+        col("score_scaled"), col("n_terms"))
+  }
+}

@@ -430,4 +430,69 @@ object Similarity {
       .select(col("a"), col("b"), col("cosine_sim"))
       .dropDuplicates("a", "b") // same pair via several bands → keep once
   }
+
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into cells, and
+    * inside each cell drop every vector that is ≥ threshold cosine-
+    * similar to a HIGHER-PRIORITY cell-mate, where priority is
+    * (lower centroid similarity, then lower id) — the paper's "keep
+    * the member farthest from the centroid" rule made into a total
+    * order, so the kept set is deterministic without computing
+    * transitive closure. Cells here are the deterministic md5
+    * [[hashCentroids]] (engine-reproducible, oracle-checkable);
+    * production swaps in [[trainCentroids]] output — the paper's
+    * k-means — without touching the pruning logic.
+    *
+    * Scale shape: cell assignment is a pure map (centroids ride along
+    * as literals); the only pairwise work is the within-cell self-join,
+    * which is the SemDeDup design point — numCells grows with the
+    * corpus so cells stay ~constant-sized, and `maxCellSize` hard-
+    * bounds the fan-out against a degenerate cell (a spike of
+    * near-identical junk vectors) exactly like [[Dedup.boundBuckets]]
+    * does for LSH. The join carries (id, csim, vector) and exchanges
+    * hash-partition on cell — never all-pairs across cells.
+    *
+    * Output: one row per vector that survived `maxCellSize` bounding:
+    * idCol, cell, csim (cosine to own centroid), kept (false = pruned
+    * as a semantic duplicate). */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      numCells: Int, threshold: Double,
+      maxCellSize: Int = Int.MaxValue): DataFrame = {
+    val dim = vecDim(df, vecCol)
+    if (dim == 0)
+      return df.select(col(idCol), lit(0).cast("int").as("cell"),
+        lit(0.0).as("csim"), lit(true).as("kept")).limit(0)
+    val centroids = hashCentroids(numCells, dim)
+    // assignCells keeps only the winning cell id; here the winner's
+    // similarity IS the priority key, so keep (cell, csim) together.
+    val scoredCells = array(centroids.map { case (i, vec) =>
+      val cvec = array(vec.map(lit): _*)
+      struct(cosine(col("v"), cvec).as("sim"), lit(i).as("cell"))
+    }: _*)
+    val a0 = df.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .withColumn("__top", reverse(array_sort(scoredCells)).getItem(0))
+      .select(col(idCol), col("v"),
+        col("__top").getField("cell").as("cell"),
+        col("__top").getField("sim").as("csim"))
+    val a =
+      if (maxCellSize == Int.MaxValue) a0
+      else Dedup.boundBuckets(a0, Seq("cell"), maxCellSize)
+    // x is pruned iff some cell-mate y with strictly-smaller
+    // (csim, id) is ≥ threshold similar. Left-semi: the dropped set,
+    // one row per x regardless of how many y's kill it.
+    val dropped = a.select(col("cell"), col(idCol).as("__x"),
+      col("csim").as("__xs"), col("v").as("__xv"))
+      .join(a.select(col("cell"), col(idCol).as("__y"),
+        col("csim").as("__ys"), col("v").as("__yv")),
+        Seq("cell"))
+      .filter((col("__ys") < col("__xs")) ||
+        (col("__ys") === col("__xs") && col("__y") < col("__x")))
+      .filter(cosine(col("__xv"), col("__yv")) >= threshold)
+      .select(col("__x")).distinct()
+      .withColumn("__dropped", lit(true))
+    a.join(dropped, a(idCol) === dropped("__x"), "left")
+      .select(a(idCol), col("cell").cast("int").as("cell"), col("csim"),
+        not(coalesce(col("__dropped"), lit(false))).as("kept"))
+  }
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.ops.{Dedup, Retrieval, Similarity}
+
+/** Corpus retrieval + span-level dedup queries (SURVEY.md §2 C49–C51):
+  * exact substring duplication (Lee et al. 2021), rational-idf BM25
+  * ranked retrieval, and SemDeDup semantic pruning. Every query is
+  * hash-compared against a DuckDB oracle that re-derives the full
+  * pipeline — window hashes, integer-scaled BM25 contributions, md5
+  * centroids and the greedy keep rule — value for value.
+  */
+object RetrievalQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "embeddings"))
+
+  import LlmOpsQueries.sqlToks
+
+  // --------------------- C49: exact substring (w-token window) duplication
+  private val DupW = 5
+
+  private def qDupSubstrings(s: SparkSession, dir: String): DataFrame =
+    Dedup.windowDupStats(docs(s, dir), "doc_id", "text", DupW)
+      .orderBy("doc_id")
+
+  // range(1, len-W+2) ≡ shingleArray's "len(toks) >= W yields len-W+1
+  // windows"; COUNT OVER (PARTITION BY h) mirrors the one-shuffle
+  // window count; NULL dup_frac for window-less docs mirrors the
+  // non-coalesced division.
+  private val qDupSubstringsSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, UNNEST([md5(array_to_string(toks[i:i+${DupW - 1}], ' '))
+       |    for i in range(1, len(toks) - ${DupW - 2})]) AS h
+       |  FROM norm),
+       |occ AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS n_occ FROM w),
+       |st AS (
+       |  SELECT doc_id, COUNT(*) AS nw,
+       |    SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS nd
+       |  FROM occ GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(st.nw, 0) AS BIGINT) AS n_windows,
+       |  CAST(COALESCE(st.nd, 0) AS BIGINT) AS n_dup,
+       |  CAST(st.nd AS DOUBLE) / CAST(st.nw AS DOUBLE) AS dup_frac
+       |FROM documents d LEFT JOIN st USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------- C50: BM25 ranked retrieval (rational idf)
+  // Query texts are already TextOps.normalized-form (lowercase, single
+  // spaces) so the oracle tokenizes them with a bare string_split; one
+  // term ('strategy') is deliberately out-of-vocabulary.
+  private val Bm25Queries = Seq(
+    0 -> "hash join strategy",
+    1 -> "window agg stream",
+    2 -> "customer order merge",
+    3 -> "vector scan filter",
+    4 -> "spark table query")
+  private val Bm25K = 10
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  private def qBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qdf = Bm25Queries.toDF("query_id", "qtext")
+    Retrieval.bm25(docs(s, dir), qdf, "doc_id", "text", "query_id", "qtext",
+      k = Bm25K, k1 = Bm25K1, b = Bm25B)
+      .orderBy("query_id", "rank")
+  }
+
+  // Constants are emitted via Double.toString from the SAME driver-side
+  // doubles the Spark plan uses (k1+1 computed once, not re-parsed as a
+  // decimal that could round differently); parenthesization mirrors
+  // Retrieval.bm25 token-for-token so every IEEE intermediate is
+  // bit-identical before the floor.
+  private val qBm25Sql = {
+    val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
+    val k1p1 = (Bm25K1 + 1.0).toString
+    val oneMinusB = (1.0 - Bm25B).toString
+    s"""WITH d AS (
+       |  SELECT doc_id, toks, len(toks) AS dl
+       |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS DOUBLE) AS avgdl
+       |  FROM d),
+       |q(query_id, qtext) AS (VALUES $vals),
+       |qt AS (
+       |  SELECT DISTINCT query_id, t AS term
+       |  FROM q, UNNEST(string_split(qtext, ' ')) AS u(t) WHERE len(t) > 0),
+       |m AS (
+       |  SELECT doc_id, dl, t AS term, COUNT(*) AS tf
+       |  FROM d, UNNEST(toks) AS u(t)
+       |  WHERE t IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, dl, t),
+       |dft AS (SELECT term, COUNT(*) AS df FROM m GROUP BY term),
+       |sc AS (
+       |  SELECT qt.query_id, m.doc_id,
+       |    CAST(FLOOR((
+       |      ((CAST(c.n AS DOUBLE) - CAST(dft.df AS DOUBLE) + 0.5)
+       |        / (CAST(dft.df AS DOUBLE) + 0.5))
+       |      * ((CAST(m.tf AS DOUBLE) * $k1p1)
+       |        / (CAST(m.tf AS DOUBLE) + $Bm25K1
+       |          * ($oneMinusB + $Bm25B * (CAST(m.dl AS DOUBLE) / c.avgdl))))
+       |    ) * 1000000.0) AS BIGINT) AS contrib
+       |  FROM m JOIN dft USING (term) JOIN qt USING (term) CROSS JOIN c),
+       |agg AS (
+       |  SELECT query_id, doc_id, SUM(contrib) AS score_scaled,
+       |    COUNT(*) AS n_terms
+       |  FROM sc GROUP BY query_id, doc_id)
+       |SELECT CAST(query_id AS INTEGER) AS query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rank,
+       |  doc_id,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled,
+       |  CAST(n_terms AS BIGINT) AS n_terms
+       |FROM agg
+       |QUALIFY rank <= $Bm25K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------------------------- C51: SemDeDup semantic pruning
+  private val SemCells = 8
+  // Corpus-calibrated: the synthetic embeddings top out near cosine 0.5,
+  // so "semantic duplicate" here is ≥ 0.35 (the paper tunes ε per corpus
+  // the same way).
+  private val SemThreshold = 0.35
+
+  private def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
+      numCells = SemCells, threshold = SemThreshold)
+      .orderBy("vec_id")
+
+  // Centroid re-derivation + (sim DESC, cell DESC) tie-break mirror
+  // q_stream_ivf's oracle; the greedy priority (csim, vec_id) is the
+  // deterministic total order semDedup documents.
+  private val qSemDedupSql = {
+    def centroid(c: Int): String =
+      s"""list_transform(v, (x, j) ->
+         |      (CAST('0x' || substr(md5('cell$c:' || CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+         |        / 16777216.0) - 0.5)""".stripMargin
+    val sims = (0 until SemCells).map { c =>
+      s"SELECT vec_id, $c AS cell,\n    list_cosine_similarity(v, ${centroid(c)}) AS sim FROM v"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |sims AS (
+       |  $sims),
+       |assigned AS (
+       |  SELECT vec_id, cell, sim AS csim FROM sims
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, cell DESC) = 1),
+       |a2 AS (SELECT a.vec_id, a.cell, a.csim, v.v
+       |       FROM assigned a JOIN v USING (vec_id)),
+       |dropped AS (
+       |  SELECT DISTINCT x.vec_id FROM a2 x JOIN a2 y
+       |  ON x.cell = y.cell
+       |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
+       |  WHERE list_cosine_similarity(x.v, y.v) >= $SemThreshold)
+       |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, a.csim,
+       |  (d.vec_id IS NULL) AS kept
+       |FROM assigned a LEFT JOIN dropped d USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dup_substrings" -> qDupSubstrings _,
+    "q_bm25" -> qBm25 _,
+    "q_semdedup" -> qSemDedup _)
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dup_substrings" -> qDupSubstringsSql,
+    "q_bm25" -> qBm25Sql,
+    "q_semdedup" -> qSemDedupSql)
+}

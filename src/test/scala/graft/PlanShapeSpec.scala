@@ -197,6 +197,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("window dup stats: one window-hash shuffle consumer, no pair join") {
+    val df = ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents"))
+    val p = plan(ops.Dedup.windowDupStats(df, "doc_id", "text", 5))
+    // occurrence counting is the shingleNovelty window shape: the
+    // exploded frame has ONE hash-partitioned consumer, never an
+    // aggregate + join-back re-deriving the explode, and duplication is
+    // counted (linear), never enumerated as pairs (quadratic)
+    assert("windowspecdefinition".r.findAllIn(p).nonEmpty, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bm25: corpus explode is broadcast-filtered before any aggregation") {
+    import spark.implicits._
+    val q = Seq((0, "hash join"), (1, "window agg")).toDF("query_id", "qtext")
+    val p = plan(ops.Retrieval.bm25(
+      ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents")), q,
+      "doc_id", "text", "query_id", "qtext"))
+    // every join (term-set semi, df, query fan-out) is broadcast — the
+    // only shuffles are the keyed aggregates and the per-query ranking
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("semDedup: pairwise work stays cell-partitioned, assignment is a map") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = plan(ops.Similarity.semDedup(e, "vec_id", "embedding", 8, 0.35))
+    // centroids ride as literals: no join or shuffle computes the cell;
+    // the self-join is an EQUI-join keyed on cell (broadcast at this SF,
+    // cell-hash-partitioned when stats outgrow the broadcast threshold)
+    // — never a cartesian product with the cosine as a filter
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cell#".r
+      .findFirstIn(p).nonEmpty, p)
+  }
+
   test("native as-of join: two clustered exchanges, no union, no window") {
     val ev = Tables.load(spark, sfDir, "events")
     val l = ev.filter(col("event_type") === "purchase")

@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit coverage for the retrieval + span-dedup layer (SURVEY §2
+  * C49–C51): exact substring duplication, rational-idf BM25, SemDeDup.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------ C49: window dup stats
+
+  test("window dups: cross-doc and within-doc repeats flagged, short docs NULL") {
+    val df = Seq(
+      (1L, "a b c d e f"),      // w=3 windows: abc bcd cde def
+      (2L, "z b c d q"),        // shares window "b c d" with doc 1
+      (3L, "x y x y x y"),      // xyx yxy xyx yxy — all self-duplicated
+      (4L, "p q")               // too short for any 3-window
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupStats(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(out(1L) == ((4L, 1L, Some(0.25))))  // only "b c d" duplicated
+    assert(out(2L) == ((3L, 1L, Some(1.0 / 3.0))))
+    assert(out(3L) == ((4L, 4L, Some(1.0))))   // fully self-repeating
+    assert(out(4L) == ((0L, 0L, None)))        // no windows → NULL fraction
+  }
+
+  test("window dups: per-position rows carry corpus-wide occurrence counts") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = Dedup.windowDups(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // "a b c" occurs at doc1 pos0 and doc2 pos0 (n_occ 2); "b c d" once
+    assert(rows.toSet == Set((1L, 0, 2L), (1L, 1, 1L), (2L, 0, 2L)))
+  }
+
+  // --------------------------------------------- C50: BM25 rational idf
+
+  private val bmDocs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "apple cherry"),
+    (3L, "durian durian durian")).toDF("doc_id", "text")
+
+  test("bm25: hand-derived score, tf saturation, rarity ordering") {
+    val q = Seq((0, "apple"), (1, "durian cherry")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25(bmDocs, q, "doc_id", "text", "query_id", "qtext")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // Same arithmetic as the operator (and the DuckDB oracle): exact
+    // re-derivation, not an approximate bound.
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def score(tf: Double, df: Double, dl: Double): Long = {
+      val idf = (n - df + 0.5) / (df + 0.5)
+      val tfc = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+      math.floor((idf * tfc) * 1e6).toLong
+    }
+    assert(out((0, 1)) == ((1L, score(2, 2, 3), 1L))) // apple×2 beats apple×1
+    assert(out((0, 2)) == ((2L, score(1, 2, 2), 1L)))
+    assert(!out.contains((0, 3)))                     // doc3 has no query term
+    // query 1: doc3 matches rare 'durian', doc2 matches 'cherry' (also
+    // df=1) — doc3's tf=3 saturates higher
+    assert(out((1, 1)) == ((3L, score(3, 1, 3), 1L)))
+    assert(out((1, 2)) == ((2L, score(1, 1, 2), 1L)))
+  }
+
+  test("bm25: out-of-vocabulary query terms contribute nothing") {
+    val q = Seq((0, "apple"), (1, "apple zebra")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25(bmDocs, q, "doc_id", "text", "query_id", "qtext")
+      .collect().map(r => ((r.getInt(0), r.getLong(2)), r.getLong(3))).toMap
+    assert(out((0, 1L)) == out((1, 1L)) && out((0, 2L)) == out((1, 2L)))
+  }
+
+  test("bm25: k bounds results per query; ties break on smaller doc id") {
+    val docs = Seq.tabulate(6)(i => (i.toLong, "same text here")).toDF("doc_id", "text")
+    val q = Seq((0, "same")).toDF("query_id", "qtext")
+    val out = Retrieval.bm25(docs, q, "doc_id", "text", "query_id", "qtext", k = 4)
+      .orderBy("rank").collect().map(r => r.getLong(2))
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L)) // identical scores → id order
+  }
+
+  test("bm25: empty corpus yields empty result, not a failure") {
+    val q = Seq((0, "apple")).toDF("query_id", "qtext")
+    assert(Retrieval.bm25(bmDocs.limit(0), q,
+      "doc_id", "text", "query_id", "qtext").count() == 0)
+  }
+
+  // ------------------------------------------------- C51: SemDeDup
+
+  test("semDedup: exact copy pruned (higher id), singleton kept, all rows out") {
+    val base = Array.tabulate(8)(i => math.sin(i * 1.7 + 1).toFloat)
+    val other = Array.tabulate(8)(i => math.cos(i * 2.3).toFloat)
+    val df = Seq(
+      (1L, base), (2L, base),   // identical pair: equal csim → id breaks tie
+      (3L, other)               // different direction, likely another cell
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      numCells = 4, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.size == 3)
+    assert(out(1L) && !out(2L)) // lower id survives an identical pair
+    // vec 3 is far from the pair (different direction), so whether or
+    // not it lands in their cell it is below threshold → kept
+    assert(out(3L))
+  }
+
+  test("semDedup: below-threshold cell-mates all survive") {
+    // near-orthogonal vectors: nothing reaches a 0.9 threshold
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)), (4L, Array(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      numCells = 2, threshold = 0.9).collect()
+    assert(out.length == 4 && out.forall(_.getBoolean(3)))
+  }
+
+  test("semDedup: maxCellSize drops oversized cells like boundBuckets") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq.tabulate(6)(i => (i.toLong, v)).toDF("vec_id", "embedding")
+    // all six identical → one cell of 6 > cap 3 → bounded away entirely
+    val out = Similarity.semDedup(df, "vec_id", "embedding",
+      numCells = 4, threshold = 0.9, maxCellSize = 3)
+    assert(out.count() == 0)
+  }
+
+  test("semDedup: empty corpus short-circuits before centroid literals") {
+    val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding").limit(0)
+    assert(Similarity.semDedup(df, "vec_id", "embedding", 4, 0.9).count() == 0)
+  }
+}
