@@ -60,10 +60,12 @@ object Retrieval {
     val Array(cs) = toks
       .agg(count(lit(1)).as("n"), sum(col("dl")).as("tot")).collect()
     val nDocs = cs.getLong(0)
-    // Empty corpus: no rows ever reach the scoring expressions (matched
-    // is empty), so any finite avgdl yields the correct empty result
-    // with the right schema — just avoid the 0/0 literal.
-    val avgdl = if (nDocs == 0L) 1.0 else cs.getLong(1).toDouble / nDocs.toDouble
+    // Empty corpus, or non-empty with every text NULL (sum(dl) is then
+    // NULL): no row ever reaches the scoring expressions (matched is
+    // empty), so any finite avgdl yields the correct empty result with
+    // the right schema — just avoid the 0/0 literal and the null unbox.
+    val avgdl = if (nDocs == 0L || cs.isNullAt(1)) 1.0
+      else cs.getLong(1).toDouble / nDocs.toDouble
 
     val qterms = queries.select(col(queryIdCol).as("query_id"),
       explode(TextOps.tokens(col(queryTextCol))).as("term"))

@@ -448,13 +448,22 @@ object Similarity {
     * which is the SemDeDup design point — numCells grows with the
     * corpus so cells stay ~constant-sized, and `maxCellSize` hard-
     * bounds the fan-out against a degenerate cell (a spike of
-    * near-identical junk vectors) exactly like [[Dedup.boundBuckets]]
-    * does for LSH. The join carries (id, csim, vector) and exchanges
+    * near-identical junk vectors). Unlike [[Dedup.boundBuckets]]' row
+    * drop, oversized cells are EXEMPTED, not erased: their members come
+    * back kept=true with bounded=true, so a caller filtering
+    * kept=false never silently retains a junk spike without a signal —
+    * route bounded=true rows to exact/LSH dedup (the standard
+    * practice). The cell-size window uses the same hash partitioning
+    * the join needs. The join carries (id, csim, vector) and exchanges
     * hash-partition on cell — never all-pairs across cells.
     *
-    * Output: one row per vector that survived `maxCellSize` bounding:
-    * idCol, cell, csim (cosine to own centroid), kept (false = pruned
-    * as a semantic duplicate). */
+    * Zero-norm / NULL vectors have NULL csim and NULL pair cosines:
+    * they are never pruned and never prune others (comparisons with
+    * NULL are false) — the caller decides their policy.
+    *
+    * Output: one row per input vector: idCol, cell, csim (cosine to
+    * own centroid), kept (false = pruned as a semantic duplicate),
+    * bounded (true = cell exceeded maxCellSize, pruning skipped). */
   def semDedup(
       df: DataFrame, idCol: String, vecCol: String,
       numCells: Int, threshold: Double,
@@ -462,7 +471,8 @@ object Similarity {
     val dim = vecDim(df, vecCol)
     if (dim == 0)
       return df.select(col(idCol), lit(0).cast("int").as("cell"),
-        lit(0.0).as("csim"), lit(true).as("kept")).limit(0)
+        lit(0.0).as("csim"), lit(true).as("kept"),
+        lit(false).as("bounded")).limit(0)
     val centroids = hashCentroids(numCells, dim)
     // assignCells keeps only the winning cell id; here the winner's
     // similarity IS the priority key, so keep (cell, csim) together.
@@ -476,14 +486,16 @@ object Similarity {
         col("__top").getField("cell").as("cell"),
         col("__top").getField("sim").as("csim"))
     val a =
-      if (maxCellSize == Int.MaxValue) a0
-      else Dedup.boundBuckets(a0, Seq("cell"), maxCellSize)
+      if (maxCellSize == Int.MaxValue) a0.withColumn("bounded", lit(false))
+      else a0.withColumn("bounded",
+        count(lit(1)).over(Window.partitionBy(col("cell"))) > maxCellSize)
+    val joinable = a.filter(!col("bounded"))
     // x is pruned iff some cell-mate y with strictly-smaller
     // (csim, id) is ≥ threshold similar. Left-semi: the dropped set,
     // one row per x regardless of how many y's kill it.
-    val dropped = a.select(col("cell"), col(idCol).as("__x"),
+    val dropped = joinable.select(col("cell"), col(idCol).as("__x"),
       col("csim").as("__xs"), col("v").as("__xv"))
-      .join(a.select(col("cell"), col(idCol).as("__y"),
+      .join(joinable.select(col("cell"), col(idCol).as("__y"),
         col("csim").as("__ys"), col("v").as("__yv")),
         Seq("cell"))
       .filter((col("__ys") < col("__xs")) ||
@@ -493,6 +505,7 @@ object Similarity {
       .withColumn("__dropped", lit(true))
     a.join(dropped, a(idCol) === dropped("__x"), "left")
       .select(a(idCol), col("cell").cast("int").as("cell"), col("csim"),
-        not(coalesce(col("__dropped"), lit(false))).as("kept"))
+        not(coalesce(col("__dropped"), lit(false))).as("kept"),
+        col("bounded"))
   }
 }

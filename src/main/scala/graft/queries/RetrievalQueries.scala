@@ -130,9 +130,15 @@ object RetrievalQueries extends QueryModule {
   // the same way).
   private val SemThreshold = 0.35
 
+  // csim (a raw cosine double) is deliberately NOT in the checked
+  // output — the codebase's rank-not-value float discipline: the
+  // decisions derived from it (cell argmax, kept) are what the oracle
+  // hash-checks, so a last-ulp accumulation change in either engine's
+  // cosine can't flake the gate (cf. q_ann_bruteforce emitting ranks).
   private def qSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semDedup(embs(s, dir), "vec_id", "embedding",
       numCells = SemCells, threshold = SemThreshold)
+      .select("vec_id", "cell", "kept", "bounded")
       .orderBy("vec_id")
 
   // Centroid re-derivation + (sim DESC, cell DESC) tie-break mirror
@@ -162,8 +168,8 @@ object RetrievalQueries extends QueryModule {
        |  ON x.cell = y.cell
        |    AND (y.csim < x.csim OR (y.csim = x.csim AND y.vec_id < x.vec_id))
        |  WHERE list_cosine_similarity(x.v, y.v) >= $SemThreshold)
-       |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell, a.csim,
-       |  (d.vec_id IS NULL) AS kept
+       |SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+       |  (d.vec_id IS NULL) AS kept, FALSE AS bounded
        |FROM assigned a LEFT JOIN dropped d USING (vec_id)
        |ORDER BY vec_id""".stripMargin
   }

@@ -177,15 +177,24 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("signature jaccard estimate touches only the signature table") {
-    // production form: signatures are materialized once (the index);
-    // the estimate plan must never re-derive them from text nor
-    // enumerate pairs outside the banded join
-    val sigs = ops.Dedup.minHashSignatures(
+    // production form: signatures are materialized once (the index) and
+    // the estimate runs off the table on disk. A localCheckpoint would
+    // make the no-re-derivation assert vacuous (the subtree physically
+    // can't appear); a real parquet round-trip keeps it meaningful.
+    val sigDir = java.nio.file.Files
+      .createTempDirectory("graft_sig_idx_").toString
+    ops.Dedup.minHashSignatures(
       Tables.load(spark, sfDir, "documents"), "doc_id", "text", 3, 8)
-      .localCheckpoint()
+      .write.mode("overwrite").parquet(sigDir)
+    val sigs = spark.read.parquet(sigDir)
     val p = plan(ops.Dedup.jaccardEstimateFromSignatures(sigs, "doc_id"))
     assert(!p.contains("minhash_sig"), p) // no signature re-computation
     assert(!p.contains("CartesianProduct"), p)
+    // contrast: the text-facing convenience overload DOES carry the
+    // signature stage in-plan — pins that the assert above can fail
+    val pText = plan(ops.Dedup.jaccardEstimate(
+      Tables.load(spark, sfDir, "documents"), "doc_id", "text"))
+    assert(pText.contains("minhash_sig"), pText)
   }
 
   test("shingle novelty: first-occurrence is a window, not agg + re-join") {

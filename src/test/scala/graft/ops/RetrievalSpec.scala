@@ -117,13 +117,21 @@ class RetrievalSpec extends SparkSpec {
     assert(out.length == 4 && out.forall(_.getBoolean(3)))
   }
 
-  test("semDedup: maxCellSize drops oversized cells like boundBuckets") {
+  test("semDedup: oversized cells are exempted with bounded=true, not erased") {
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val df = Seq.tabulate(6)(i => (i.toLong, v)).toDF("vec_id", "embedding")
-    // all six identical → one cell of 6 > cap 3 → bounded away entirely
+    // all six identical → one cell of 6 > cap 3 → pruning skipped, but
+    // every row still comes back, flagged, so a kept=false filter can't
+    // silently retain the junk spike without a signal
     val out = Similarity.semDedup(df, "vec_id", "embedding",
-      numCells = 4, threshold = 0.9, maxCellSize = 3)
-    assert(out.count() == 0)
+      numCells = 4, threshold = 0.9, maxCellSize = 3).collect()
+    assert(out.length == 6)
+    assert(out.forall(r => r.getBoolean(3) && r.getBoolean(4))) // kept, bounded
+    // same corpus without the cap: pruning applies, nothing bounded
+    val uncapped = Similarity.semDedup(df, "vec_id", "embedding",
+      numCells = 4, threshold = 0.9).collect()
+    assert(uncapped.count(r => !r.getBoolean(3)) == 5)
+    assert(uncapped.forall(r => !r.getBoolean(4)))
   }
 
   test("semDedup: empty corpus short-circuits before centroid literals") {
