@@ -273,10 +273,11 @@ object Dedup {
     * work is proportional to bucket sizes, never N². `maxBucketSize`
     * bounds the per-bucket fan-out (see [[boundBuckets]]); pass
     * Int.MaxValue for exhaustive candidates. */
-  def lshCandidatePairs(
+  /** (id, band_id, sig) banding of a signature frame — the LSH bucket
+    * key layout shared by every banded join (self- and cross-table). */
+  private def bandFrame(
       signatures: DataFrame, idCol: String,
-      numHashes: Int, bandSize: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      numHashes: Int, bandSize: Int): DataFrame = {
     require(numHashes % bandSize == 0, "numHashes must be divisible by bandSize")
     val numBands = numHashes / bandSize
     val bandCols = (0 until numBands).map { b =>
@@ -284,9 +285,16 @@ object Dedup {
         concat_ws("|", (0 until bandSize).map(k => col(s"h${b * bandSize + k}")): _*)
           .as("sig"))
     }
-    val banded0 = signatures
+    signatures
       .select(col(idCol), explode(array(bandCols: _*)).as("band"))
       .select(col(idCol), col("band.band_id"), col("band.sig"))
+  }
+
+  def lshCandidatePairs(
+      signatures: DataFrame, idCol: String,
+      numHashes: Int, bandSize: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val banded0 = bandFrame(signatures, idCol, numHashes, bandSize)
     val banded =
       if (maxBucketSize == Int.MaxValue) banded0
       else boundBuckets(banded0, Seq("band_id", "sig"), maxBucketSize)
@@ -351,6 +359,82 @@ object Dedup {
       .withColumn("est_jaccard",
         col("n_agree").cast("double") / lit(numHashes.toDouble))
       .select(col("a"), col("b"), col("n_agree"), col("est_jaccard"))
+  }
+
+  /** Incremental near-duplicate detection: flag NEW documents that are
+    * near-dups of an EXISTING corpus, given only the corpus's
+    * materialized MinHash signature index — the continuous-ingestion
+    * shape. The 100-TB corpus is never re-read, re-shingled, or
+    * re-paired against itself: the new batch's signatures are computed
+    * map-side, banded, and joined against the (pre-banded-on-read)
+    * index on (band_id, sig); agreement is then estimated exactly like
+    * [[jaccardEstimateFromSignatures]] via two id-keyed signature
+    * joins. With a small batch against a huge index, the band join's
+    * new side broadcasts and the candidate set is ∝ colliding buckets,
+    * not batch × corpus.
+    *
+    * `maxBucketSize` bounds the CORPUS side's bucket fan-out (a hot
+    * boilerplate band in a web-scale index would otherwise fan every
+    * colliding new doc into millions of candidates); bounded buckets
+    * mean those near-dups go undetected — standard practice routes such
+    * docs to exact dedup, cf. [[boundBuckets]].
+    *
+    * Output: ONE row per signature-bearing new document: idCol,
+    * matched, match_id (corpus doc with the highest agreement; ties →
+    * smaller id), n_agree, est_jaccard — the last three NULL when
+    * unmatched. Use the text-facing overload below to also surface
+    * shingle-less new docs (trivially unmatched). */
+  def incrementalNearDupFromSignatures(
+      newSigs: DataFrame, corpusSigs: DataFrame, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2, minEstimate: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val nb = bandFrame(newSigs, idCol, numHashes, bandSize)
+      .select(col("band_id"), col("sig"), col(idCol).as("__new"))
+    val ob0 = bandFrame(corpusSigs, idCol, numHashes, bandSize)
+    val ob = (if (maxBucketSize == Int.MaxValue) ob0
+      else boundBuckets(ob0, Seq("band_id", "sig"), maxBucketSize))
+      .select(col("band_id"), col("sig"), col(idCol).as("__old"))
+    val cand = nb.join(ob, Seq("band_id", "sig"))
+      .select(col("__new"), col("__old")).distinct()
+    val la = newSigs.select(col(idCol).as("__new") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)
+    val lb = corpusSigs.select(col(idCol).as("__old") +:
+      (0 until numHashes).map(j => col(s"h$j").as(s"__b$j")): _*)
+    val agree = (0 until numHashes)
+      .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val best = cand.join(la, Seq("__new")).join(lb, Seq("__old"))
+      .withColumn("n_agree", agree)
+      .withColumn("est_jaccard",
+        col("n_agree").cast("double") / lit(numHashes.toDouble))
+      .filter(col("est_jaccard") >= minEstimate)
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("__new"))
+        .orderBy(col("n_agree").desc, col("__old"))))
+      .filter(col("__rn") === 1)
+      .select(col("__new").as(idCol), col("__old").as("match_id"),
+        col("n_agree"), col("est_jaccard"))
+    newSigs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("match_id").isNotNull.as("matched"),
+        col("match_id"), col("n_agree"), col("est_jaccard"))
+  }
+
+  /** [[incrementalNearDupFromSignatures]] from raw new-batch text; also
+    * emits docs too short for any shingle (trivially unmatched), so the
+    * result is one row per new document. */
+  def incrementalNearDup(
+      newDf: DataFrame, corpusSigs: DataFrame,
+      idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      minEstimate: Double = 0.5,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val res = incrementalNearDupFromSignatures(
+      minHashSignatures(newDf, idCol, textCol, shingleSize, numHashes),
+      corpusSigs, idCol, numHashes, bandSize, minEstimate, maxBucketSize)
+    newDf.select(col(idCol)).distinct()
+      .join(res, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("matched"), lit(false)).as("matched"),
+        col("match_id"), col("n_agree"), col("est_jaccard"))
   }
 
   /** SimHash (60-bit, sign-safe): per token, take 15 hex chars of md5 as

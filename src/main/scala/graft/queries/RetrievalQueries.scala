@@ -123,6 +123,55 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ----------------- C52: incremental near-dup vs existing corpus index
+  // Split is doc_id % 5: 20% "new batch" vs 80% "existing corpus" at
+  // any SF. The corpus side enters as a signature frame only — the
+  // production contract (index read from parquet; corpus text never
+  // re-touched).
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val corpusSigs = Dedup.minHashSignatures(
+      all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+      LlmOpsQueries.ShingleN, LlmOpsQueries.NumHashes)
+    Dedup.incrementalNearDup(
+      all.filter(col("doc_id") % 5 === 0), corpusSigs, "doc_id", "text",
+      LlmOpsQueries.ShingleN, LlmOpsQueries.NumHashes, LlmOpsQueries.BandSize)
+      .orderBy("doc_id")
+  }
+
+  // Reuses the ONE shared norm/sh/mh/bands definition (qDedupMinhashCtes
+  // — its trailing self-join `pairs` CTE goes unreferenced); the split
+  // predicates live only in cand, exactly like the Spark side's filters.
+  private val qDedupIncrementalSql = {
+    val agree = (0 until LlmOpsQueries.NumHashes)
+      .map(j => s"CASE WHEN la.h$j = lb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val nh = LlmOpsQueries.NumHashes
+    s"""${LlmOpsQueries.qDedupMinhashCtes},
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bands n JOIN bands o
+       |    ON n.band_id = o.band_id AND n.sig = o.sig
+       |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+       |agr AS (
+       |  SELECT c.new_id, c.old_id, $agree AS n_agree
+       |  FROM cand c
+       |  JOIN mh la ON la.doc_id = c.new_id
+       |  JOIN mh lb ON lb.doc_id = c.old_id),
+       |best AS (
+       |  SELECT new_id, old_id, n_agree FROM agr
+       |  WHERE CAST(n_agree AS DOUBLE) / ${nh}.0 >= 0.5
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY new_id
+       |    ORDER BY n_agree DESC, old_id) = 1)
+       |SELECT d.doc_id, (b.new_id IS NOT NULL) AS matched,
+       |  b.old_id AS match_id,
+       |  CAST(b.n_agree AS INTEGER) AS n_agree,
+       |  CAST(b.n_agree AS DOUBLE) / ${nh}.0 AS est_jaccard
+       |FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+       |WHERE d.doc_id % 5 = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ------------------------------------- C51: SemDeDup semantic pruning
   private val SemCells = 8
   // Corpus-calibrated: the synthetic embeddings top out near cosine 0.5,
@@ -177,10 +226,12 @@ object RetrievalQueries extends QueryModule {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_substrings" -> qDupSubstrings _,
     "q_bm25" -> qBm25 _,
-    "q_semdedup" -> qSemDedup _)
+    "q_semdedup" -> qSemDedup _,
+    "q_dedup_incremental" -> qDedupIncremental _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
     "q_bm25" -> qBm25Sql,
-    "q_semdedup" -> qSemDedupSql)
+    "q_semdedup" -> qSemDedupSql,
+    "q_dedup_incremental" -> qDedupIncrementalSql)
 }

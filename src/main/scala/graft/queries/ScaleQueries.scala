@@ -412,6 +412,43 @@ object ScaleQueries extends QueryModule {
        |GROUP BY window_start_us, event_type
        |ORDER BY window_start_us, event_type""".stripMargin
 
+  // ------------------- C53: stream-static enrichment join + windowed agg
+  // Runs the real streaming plan: events stream ⋈ broadcast(customer ⋈
+  // nation) on user_id, hourly watermarked aggregate per nation. One
+  // file + Trigger.AvailableNow → single batch → update mode emits each
+  // window's final value exactly once, so the result equals the batch
+  // join+aggregate the oracle computes (same finite-input reasoning as
+  // q_stream_window_live).
+  private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    val inDir = scratchDir("graft_stream_enrich_")
+    Tables.load(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val dim = Tables.load(s, dir, "customer")
+      .join(Tables.load(s, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val sink = s"graft_enrich_${streamRun.incrementAndGet()}"
+    withStatePartitions(s, 4) {
+      val q = EventStreams.enrichedWindowedCounts(
+        EventStreams.eventStream(s, inDir), dim, "c_custkey", "n_name")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink).orderBy("window_start_us", "n_name")
+  }
+
+  private val qStreamEnrichSql =
+    s"""SELECT epoch_us(DATE_TRUNC('hour', ts)) AS window_start_us, n_name,
+       |  COUNT(*) AS n, ${graft.ExactAgg.sqlSum("value")} AS total_value
+       |FROM events e
+       |LEFT JOIN customer c ON e.user_id = c.c_custkey
+       |LEFT JOIN nation nn ON c.c_nationkey = nn.n_nationkey
+       |GROUP BY window_start_us, n_name
+       |ORDER BY window_start_us, n_name""".stripMargin
+
   // --------------------------------- C17: streaming exact dedup (driver)
   // Runs the real watermark-bounded streaming dedup over the events
   // table with planted duplicates (every third event re-arrives under a
@@ -629,6 +666,7 @@ object ScaleQueries extends QueryModule {
     "q_sample_stratified" -> qSampleStratified _,
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_stream_window_live" -> qStreamWindowLive _,
+    "q_stream_enrich" -> qStreamEnrich _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_attribution" -> qAttribution _,
     "q_stream_ivf" -> qStreamIvf _,
@@ -647,6 +685,7 @@ object ScaleQueries extends QueryModule {
     "q_sample_stratified" -> qSampleStratifiedSql,
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_stream_window_live" -> qStreamWindowLiveSql,
+    "q_stream_enrich" -> qStreamEnrichSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_attribution" -> qAttributionSql,
     "q_stream_ivf" -> qStreamIvfSql,

@@ -87,6 +87,54 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", "query_id", "qtext").count() == 0)
   }
 
+  // ------------------------------------- C52: incremental near-dup
+
+  test("incremental near-dup: new batch vs corpus signature index only") {
+    val near = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearCopy = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val far = "completely unrelated content talking about spark query engines at scale"
+    val corpus = Seq((1L, near), (2L, far)).toDF("doc_id", "text")
+    val corpusSigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 8)
+    val batch = Seq(
+      (10L, nearCopy),          // near-dup of corpus doc 1
+      (11L, "fresh novel writing with entirely different vocabulary choices"),
+      (12L, "xy")               // too short for any shingle
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, corpusSigs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(out.size == 3)                  // one row per new doc, incl. short
+    assert(out(10L) == ((true, Some(1L)))) // matched to its corpus original
+    assert(out(11L) == ((false, None)))
+    assert(out(12L) == ((false, None)))
+  }
+
+  test("incremental near-dup: corpus never pairs with itself") {
+    // two identical docs in the CORPUS must produce no output at all for
+    // an unrelated batch — the operator compares batch×corpus only
+    val dup = "same corpus text repeated verbatim in two corpus documents here"
+    val corpusSigs = Dedup.minHashSignatures(
+      Seq((1L, dup), (2L, dup)).toDF("doc_id", "text"), "doc_id", "text", 3, 8)
+    val batch = Seq((10L, "entirely different new material")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(batch, corpusSigs, "doc_id", "text")
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(10L))
+    assert(!out.head.getBoolean(1))
+  }
+
+  test("incremental near-dup: best match is highest agreement, ties to smaller id") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    // corpus docs 1 and 2 are identical → both agree 8/8 with the copy;
+    // the deterministic winner is the smaller id
+    val corpusSigs = Dedup.minHashSignatures(
+      Seq((2L, text), (1L, text)).toDF("doc_id", "text"), "doc_id", "text", 3, 8)
+    val out = Dedup.incrementalNearDup(
+      Seq((10L, text)).toDF("doc_id", "text"), corpusSigs, "doc_id", "text")
+      .collect().head
+    assert(out.getBoolean(1) && out.getLong(2) == 1L && out.getInt(3) == 8)
+  }
+
   // ------------------------------------------------- C51: SemDeDup
 
   test("semDedup: exact copy pruned (higher id), singleton kept, all rows out") {

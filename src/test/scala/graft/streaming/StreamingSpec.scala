@@ -49,6 +49,37 @@ class StreamingSpec extends SparkSpec {
       s"closed windows missing: ${(closed -- streamed).take(3)}")
   }
 
+  test("stream-static enrichment: dim attr grouped, missing dim rows kept as NULL") {
+    val dir = Files.createTempDirectory("graft_enrich_src_").toString
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 1.5),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:15:00"), 1L, "click", 2.5),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:25:00"), 2L, "click", 4.0),
+      // user 99 has NO dim row: the left join must keep it (NULL segment)
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 10:35:00"), 99L, "click", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val dim = Seq((1L, "gold"), (2L, "basic"))
+      .toDF("cust_id", "segment")
+    val q = enrichedWindowedCounts(eventStream(spark, dir), dim,
+      "cust_id", "segment")
+      .writeStream.format("memory").queryName("enrich_win")
+      .outputMode("update")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("enrich_win")
+      .collect()
+      .map(r => (Option(r.get(1)).map(_.toString), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      (Some("gold"), 2L, 4.0),   // users joined to their segment
+      (Some("basic"), 1L, 4.0),
+      (None, 1L, 8.0)))          // unmatched user kept under NULL
+  }
+
   test("stream-stream attribution join equals the batch join") {
     val src = stageEvents()
     def side(t: String) =
