@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-size mergeable sketches for unbounded-cardinality streams and
+  * corpora. A 100-TB corpus's vocabulary does not fit anywhere; a
+  * count-min sketch is d×w longs no matter the input, merges by
+  * cell-wise ADDITION (commutative + associative → bit-identical on any
+  * engine, partitioning, or arrival order — unlike order-sensitive
+  * sketches such as Misra-Gries), and answers point frequency queries
+  * with a one-sided error: estimates never undercount, and overcount by
+  * ≤ εN with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉ (Cormode &
+  * Muthukrishnan 2005).
+  *
+  * Hashing is md5-based like every other graft hash (row r of token t
+  * buckets at int(md5("cm{r}:{t}")[0:6]) mod w), so a DuckDB oracle
+  * re-derives every cell and every estimate value-for-value.
+  */
+object Sketches {
+
+  private def cmCell(r: Int, token: Column, w: Int): Column =
+    pmod(conv(substring(md5(concat(lit(s"cm$r:"), token)), 1, 6), 16, 10)
+      .cast("long"), lit(w.toLong))
+
+  /** Build the sketch over a (possibly weighted) token column: one row
+    * per touched (r, cell), cnt = number of token occurrences hashing
+    * there (or sum of `weightCol`). At most d×w rows regardless of
+    * corpus size; partial aggregation caps what any partition emits at
+    * the same d×w, so the shuffle is sketch-sized, not corpus-sized.
+    * Empty tokens are ignored (split() artifacts, cf. the shingle SQL
+    * twins). */
+  def countMinBuild(
+      df: DataFrame, tokenCol: String, d: Int = 4, w: Int = 1024,
+      weightCol: Option[String] = None): DataFrame = {
+    require(d > 0 && w > 0, "count-min needs positive depth and width")
+    val rows = array((0 until d).map { r =>
+      struct(lit(r).as("r"), cmCell(r, col(tokenCol), w).as("cell"))
+    }: _*)
+    val wcol = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    df.filter(length(col(tokenCol)) > 0)
+      .select(explode(rows).as("__rc"), wcol.as("__w"))
+      .groupBy(col("__rc.r").as("r"), col("__rc.cell").as("cell"))
+      .agg(sum(col("__w")).as("cnt"))
+  }
+
+  /** Point frequency estimates for a set of query tokens: min over the
+    * d rows of that token's cell counts (0 for a never-touched cell).
+    * The sketch is ≤ d×w rows — broadcast; the query side is whatever
+    * the caller asks about. Output: tokenCol, est. */
+  def countMinEstimate(
+      sketch: DataFrame, queries: DataFrame, tokenCol: String,
+      d: Int = 4, w: Int = 1024): DataFrame = {
+    val rows = array((0 until d).map { r =>
+      struct(lit(r).as("r"), cmCell(r, col(tokenCol), w).as("cell"))
+    }: _*)
+    queries.select(col(tokenCol)).distinct()
+      .select(col(tokenCol), explode(rows).as("__rc"))
+      .select(col(tokenCol), col("__rc.r").as("r"), col("__rc.cell").as("cell"))
+      .join(broadcast(sketch), Seq("r", "cell"), "left")
+      .groupBy(col(tokenCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

@@ -3,14 +3,16 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.ops.{Dedup, Retrieval, Similarity}
+import graft.ops.{Dedup, Retrieval, Similarity, Sketches}
 
-/** Corpus retrieval + span-level dedup queries (SURVEY.md §2 C49–C51):
-  * exact substring duplication (Lee et al. 2021), rational-idf BM25
-  * ranked retrieval, and SemDeDup semantic pruning. Every query is
-  * hash-compared against a DuckDB oracle that re-derives the full
-  * pipeline — window hashes, integer-scaled BM25 contributions, md5
-  * centroids and the greedy keep rule — value for value.
+/** Corpus retrieval, span/semantic/incremental dedup, and sketch
+  * queries (SURVEY.md §2 C49–C54): exact substring duplication (Lee et
+  * al. 2021), rational-idf BM25 ranked retrieval, SemDeDup semantic
+  * pruning, incremental corpus dedup, and count-min frequency
+  * estimation. Every query is hash-compared against a DuckDB oracle
+  * that re-derives the full pipeline — window hashes, integer-scaled
+  * BM25 contributions, md5 centroids/cells and the greedy keep rule —
+  * value for value.
   */
 object RetrievalQueries extends QueryModule {
 
@@ -223,15 +225,54 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // -------------------------- C54: count-min sketch frequency estimates
+  private val CmD = 4
+  private val CmW = 1024
+  // Probes mix frequent words, mid-frequency words, and one
+  // never-occurring token (its estimate is whatever collisions put in
+  // its cells — identically derived on both engines).
+  private val CmProbes = Seq("data", "query", "spark", "the", "vector",
+    "customer", "zz_absent")
+
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = docs(s, dir)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+    val sketch = Sketches.countMinBuild(toks, "tok", CmD, CmW)
+    Sketches.countMinEstimate(sketch, CmProbes.toDF("tok"), "tok", CmD, CmW)
+      .orderBy("tok")
+  }
+
+  private val qHeavyHittersSql = {
+    val vals = CmProbes.map(t => s"('$t')").mkString(", ")
+    def cell(tok: String) =
+      s"CAST('0x' || substr(md5('cm' || CAST(r AS VARCHAR) || ':' || $tok), 1, 6) AS BIGINT) % $CmW"
+    s"""WITH t AS (SELECT UNNEST($sqlToks) AS tok FROM documents),
+       |tt AS (SELECT tok FROM t WHERE len(tok) > 0),
+       |rr AS (SELECT UNNEST(range($CmD)) AS r),
+       |cells AS (
+       |  SELECT r, ${cell("tok")} AS cell, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tt CROSS JOIN rr GROUP BY r, cell),
+       |q(tok) AS (VALUES $vals),
+       |pr AS (SELECT q.tok, rr.r, ${cell("q.tok")} AS cell
+       |       FROM q CROSS JOIN rr)
+       |SELECT pr.tok, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+       |FROM pr LEFT JOIN cells c ON c.r = pr.r AND c.cell = pr.cell
+       |GROUP BY pr.tok
+       |ORDER BY pr.tok""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_substrings" -> qDupSubstrings _,
     "q_bm25" -> qBm25 _,
     "q_semdedup" -> qSemDedup _,
-    "q_dedup_incremental" -> qDedupIncremental _)
+    "q_dedup_incremental" -> qDedupIncremental _,
+    "q_heavy_hitters" -> qHeavyHitters _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
     "q_bm25" -> qBm25Sql,
     "q_semdedup" -> qSemDedupSql,
-    "q_dedup_incremental" -> qDedupIncrementalSql)
+    "q_dedup_incremental" -> qDedupIncrementalSql,
+    "q_heavy_hitters" -> qHeavyHittersSql)
 }

@@ -231,6 +231,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("count-min build: partial-aggregated, shuffle is sketch-sized") {
+    val toks = Tables.load(spark, sfDir, "documents")
+      .select(explode(ops.TextOps.tokens(col("text"))).as("tok"))
+    val p = plan(ops.Sketches.countMinBuild(toks, "tok"))
+    // the combiner caps per-partition output at d×w cells, so the one
+    // exchange carries sketch rows, never corpus token rows
+    assert(p.contains("partial_sum"), p)
+    assert("hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("semDedup: pairwise work stays cell-partitioned, assignment is a map") {
     val e = Tables.load(spark, sfDir, "embeddings")
     val p = plan(ops.Similarity.semDedup(e, "vec_id", "embedding", 8, 0.35))

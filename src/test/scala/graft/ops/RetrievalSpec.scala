@@ -135,6 +135,54 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getBoolean(1) && out.getLong(2) == 1L && out.getInt(3) == 8)
   }
 
+  // ------------------------------------- C54: count-min sketch
+
+  test("count-min: estimates equal exact counts when width avoids collisions") {
+    val toks = Seq.fill(5)("apple") ++ Seq.fill(3)("banana") ++ Seq("cherry")
+    val df = toks.toDF("tok")
+    val sketch = Sketches.countMinBuild(df, "tok", d = 4, w = 4096)
+    val est = Sketches.countMinEstimate(sketch,
+      Seq("apple", "banana", "cherry", "durian").toDF("tok"), "tok", 4, 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3 tokens into 4096 cells: no collisions → exact; durian unseen → 0
+    assert(est == Map("apple" -> 5L, "banana" -> 3L, "cherry" -> 1L,
+      "durian" -> 0L))
+  }
+
+  test("count-min: never undercounts, even with forced collisions") {
+    val words = (0 until 50).map(i => s"w$i")
+    val df = words.flatMap(t => Seq.fill((t.drop(1).toInt % 7) + 1)(t)).toDF("tok")
+    val exact = df.groupBy("tok").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w=8: heavy collisions guaranteed; the CM bound is one-sided
+    val sketch = Sketches.countMinBuild(df, "tok", d = 3, w = 8)
+    val est = Sketches.countMinEstimate(sketch, words.toDF("tok"), "tok", 3, 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach(t => assert(est(t) >= exact(t),
+      s"$t: est ${est(t)} < exact ${exact(t)}"))
+  }
+
+  test("count-min: sketch of a union equals cell-wise sum of sketches") {
+    val a = Seq("x", "y", "x").toDF("tok")
+    val b = Seq("y", "z").toDF("tok")
+    val merged = Sketches.countMinBuild(a.union(b), "tok", 4, 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = (Sketches.countMinBuild(a, "tok", 4, 64).collect() ++
+      Sketches.countMinBuild(b, "tok", 4, 64).collect())
+      .groupBy(r => (r.getInt(0), r.getLong(1)))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(merged == summed) // commutative cell-add: THE distributed merge
+  }
+
+  test("count-min: weighted build sums weights instead of occurrences") {
+    val df = Seq(("x", 10L), ("x", 5L), ("y", 2L)).toDF("tok", "wt")
+    val sketch = Sketches.countMinBuild(df, "tok", 2, 256, Some("wt"))
+    val est = Sketches.countMinEstimate(sketch,
+      Seq("x", "y").toDF("tok"), "tok", 2, 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("x" -> 15L, "y" -> 2L))
+  }
+
   // ------------------------------------------------- C51: SemDeDup
 
   test("semDedup: exact copy pruned (higher id), singleton kept, all rows out") {
