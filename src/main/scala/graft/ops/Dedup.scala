@@ -508,4 +508,40 @@ object Dedup {
         col("inter").cast("double") / col("union_n").cast("double"))
       .select(col("a"), col("b"), col("inter"), col("union_n"), col("jaccard"))
   }
+
+  /** Exact pairwise shingle CONTAINMENT — |A∩B| / |A| and |A∩B| / |B| —
+    * the ASYMMETRIC near-dup signal resemblance misses: a short
+    * document fully quoted inside a long one has jaccard ≈ |A|/|B|
+    * (small) but containment_a = 1.0. Standard web-dedup keeps jaccard
+    * for same-length near-copies and containment for
+    * wrapped/quoted/expanded content (Broder 1997 distinguishes
+    * resemblance and containment for exactly this reason).
+    *
+    * Same skeleton, cap semantics, and scale shape as [[jaccardPairs]]:
+    * one shingle-keyed self-join with the per-shingle DF cap applied to
+    * numerator and denominators consistently, never an N² scan. Pairs
+    * are emitted once (a < b) with both directions' containment.
+    *
+    * Output: a, b, inter, sz_a, sz_b, containment_a, containment_b. */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, shingleSize)
+    val sh = if (maxShingleDf == Int.MaxValue) sh0
+             else boundBuckets(sh0, Seq("shingle"), maxShingleDf)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("shingle"), col(idCol).as("a"))
+      .join(sh.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), Seq("b"))
+      .withColumn("containment_a",
+        col("inter").cast("double") / col("sz_a").cast("double"))
+      .withColumn("containment_b",
+        col("inter").cast("double") / col("sz_b").cast("double"))
+      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
+        col("containment_a"), col("containment_b"))
+  }
 }

@@ -225,6 +225,43 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------ C55: asymmetric containment (quoted-content dedup)
+  // Same bounded candidate-set contract as q_jaccard (doc_id < 40, DF
+  // cap 1000); the threshold keeps only pairs where either side is
+  // meaningfully contained in the other.
+  private def qContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2)
+      .filter(col("containment_a") >= 0.05 || col("containment_b") >= 0.05)
+      .orderBy("a", "b")
+
+  private val qContainmentSql =
+    s"""WITH norm AS (
+       |  SELECT doc_id, $sqlToks AS toks FROM documents WHERE doc_id < 40),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+1], ' ')
+       |      for i in range(1, len(toks))]) AS s
+       |    FROM norm WHERE len(toks) >= 2)),
+       |sh AS (
+       |  SELECT doc_id, s FROM sh0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY s) <= 1000),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS inter
+       |  FROM sh l JOIN sh r ON l.s = r.s
+       |  WHERE l.doc_id < r.doc_id GROUP BY l.doc_id, r.doc_id)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(sa.sz AS BIGINT) AS sz_a, CAST(sb.sz AS BIGINT) AS sz_b,
+       |  CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_a,
+       |  CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_b
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a
+       |JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.05
+       |   OR CAST(inter AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= 0.05
+       |ORDER BY a, b""".stripMargin
+
   // -------------------------- C54: count-min sketch frequency estimates
   private val CmD = 4
   private val CmW = 1024
@@ -267,12 +304,14 @@ object RetrievalQueries extends QueryModule {
     "q_bm25" -> qBm25 _,
     "q_semdedup" -> qSemDedup _,
     "q_dedup_incremental" -> qDedupIncremental _,
-    "q_heavy_hitters" -> qHeavyHitters _)
+    "q_heavy_hitters" -> qHeavyHitters _,
+    "q_containment" -> qContainment _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
     "q_bm25" -> qBm25Sql,
     "q_semdedup" -> qSemDedupSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
-    "q_heavy_hitters" -> qHeavyHittersSql)
+    "q_heavy_hitters" -> qHeavyHittersSql,
+    "q_containment" -> qContainmentSql)
 }

@@ -183,6 +183,34 @@ class RetrievalSpec extends SparkSpec {
     assert(est == Map("x" -> 15L, "y" -> 2L))
   }
 
+  // ---------------------------------- C55: asymmetric containment
+
+  test("containment: a short doc quoted inside a long one scores 1.0 vs low jaccard") {
+    val quoted = "alpha beta gamma delta"
+    val long = s"intro words first then $quoted and then much more material " +
+      "follows with plenty of additional distinct vocabulary to dilute overlap"
+    val df = Seq((1L, quoted), (2L, long)).toDF("doc_id", "text")
+    val c = Dedup.containmentPairs(df, "doc_id", "text", 2).collect().head
+    assert(c.getLong(0) == 1L && c.getLong(1) == 2L)
+    assert(c.getDouble(5) == 1.0) // every 2-shingle of the quote is in the long doc
+    assert(c.getDouble(6) < 0.3)  // but the long doc is NOT contained in the quote
+    val j = Dedup.jaccardPairs(df, "doc_id", "text", 2).collect().head
+    assert(j.getDouble(4) < 0.3)  // resemblance alone would miss this pair
+  }
+
+  test("containment: DF cap applies to numerator and denominators consistently") {
+    // one shingle shared by every doc (boilerplate) + per-doc unique ones;
+    // cap 1 removes the hot shingle from inter AND sizes, so containment
+    // can never exceed 1.0 or count boilerplate as contained content
+    val df = Seq(
+      (1L, "common x1 y1"), (2L, "common x2 y2"), (3L, "common x3 y3"))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 1, maxShingleDf = 1)
+      .collect()
+    assert(out.forall(r => r.getDouble(5) <= 1.0 && r.getDouble(6) <= 1.0))
+    assert(out.forall(_.getLong(2) == 0L) || out.isEmpty) // no shared non-hot shingle
+  }
+
   // ------------------------------------------------- C51: SemDeDup
 
   test("semDedup: exact copy pruned (higher id), singleton kept, all rows out") {
