@@ -655,6 +655,35 @@ object ScaleQueries extends QueryModule {
       |FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-05'
       |ORDER BY event_id""".stripMargin
 
+  // ---------------- B32: range-clustered layout (CLUSTER BY) round-trip
+  // Writes events range-clustered on ts (disjoint per-file ranges →
+  // parquet min/max stats skip row groups on range scans; the disjoint-
+  // ness itself is unit-asserted in WarehouseSpec), then answers a
+  // 2-day slice through the clustered table.
+  private def qRangeCluster(s: SparkSession, dir: String): DataFrame = {
+    val whDir = scratchDir("graft_wh_range_")
+    val wh = new Warehouse(s, whDir, StateStore(whDir + "/state"))
+    wh.writeVersionRangeClustered("ev_range",
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value")),
+      Seq("ts"), numFiles = 8)
+    wh.read("ev_range")
+      .filter(col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-07 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.ExactAgg.dsum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private val qRangeClusterSql =
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  ${graft.ExactAgg.sqlSum("value")} AS total_value
+       |FROM events
+       |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+       |  AND ts < TIMESTAMP '2024-01-07 00:00:00'
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ----------------------------------------------------------------------
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_capped" -> qDedupMinhashCapped _,
@@ -673,7 +702,8 @@ object ScaleQueries extends QueryModule {
     "q_source_csv" -> qSourceCsv _,
     "q_source_json" -> qSourceJson _,
     "q_source_orc" -> qSourceOrc _,
-    "q_partition_prune" -> qPartitionPrune _)
+    "q_partition_prune" -> qPartitionPrune _,
+    "q_range_cluster" -> qRangeCluster _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> qAnnIvfSql,
@@ -692,5 +722,6 @@ object ScaleQueries extends QueryModule {
     "q_source_csv" -> qSourceCsvSql,
     "q_source_json" -> qSourceJsonSql,
     "q_source_orc" -> qSourceOrcSql,
-    "q_partition_prune" -> qPartitionPruneSql)
+    "q_partition_prune" -> qPartitionPruneSql,
+    "q_range_cluster" -> qRangeClusterSql)
 }

@@ -237,6 +237,29 @@ class MaterializerSpec extends SparkSpec {
     }
   }
 
+  test("range-clustered write: per-file key ranges are disjoint, data intact") {
+    val wh = freshWh()
+    // ids arrive shuffled; range clustering must still produce files
+    // whose [min,max] id intervals do not overlap
+    val df = new scala.util.Random(7).shuffle((0 until 1000).toList)
+      .map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    wh.writeVersionRangeClustered("rc", df, Seq("id"), numFiles = 8)
+    assert(wh.read("rc").count() == 1000)
+    assert(wh.read("rc").select("id").distinct().count() == 1000)
+    val files = new java.io.File(wh.currentPath("rc").get)
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length > 1, "range clustering should produce several files")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(col("id")), max(col("id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: $hi >= $lo (ranges: ${ranges.toSeq})")
+      case _ =>
+    }
+  }
+
   test("time incremental skips rows at or before the watermark") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val cfg = ModelConfig("ti", materialized = "incremental",
