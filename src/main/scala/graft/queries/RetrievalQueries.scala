@@ -225,6 +225,45 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------- C56: hashed linear quality-classifier scoring
+  private val QmBuckets = 4096
+
+  private def qQualityModel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.score(docs(s, dir), "doc_id", "text",
+      graft.ops.QualityModel.hashWeights(s, QmBuckets), QmBuckets)
+      .orderBy("doc_id")
+
+  private val qQualityModelSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |uni AS (
+       |  SELECT doc_id, 'qf:' || t AS f
+       |  FROM norm, UNNEST(toks) AS u(t) WHERE len(t) > 0),
+       |bi AS (
+       |  SELECT doc_id, UNNEST(['qf2:' || array_to_string(toks[i:i+1], ' ')
+       |    for i in range(1, len(toks))]) AS f
+       |  FROM norm WHERE len(toks) >= 2),
+       |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+       |b AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(f), 1, 6) AS BIGINT) % $QmBuckets AS bucket
+       |  FROM feats),
+       |w AS (
+       |  SELECT r AS bucket,
+       |    CAST('0x' || substr(md5('qw' || CAST(r AS VARCHAR)), 1, 6) AS BIGINT)
+       |      - 8388608 AS w_scaled
+       |  FROM (SELECT UNNEST(range($QmBuckets)) AS r)),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_feats,
+       |    SUM(COALESCE(w.w_scaled, 0)) AS logit_scaled
+       |  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_feats, 0) AS BIGINT) AS n_feats,
+       |  CAST(a.logit_scaled AS BIGINT) AS logit_scaled,
+       |  CAST((CAST(a.logit_scaled AS DOUBLE) / 1000000.0)
+       |    / CAST(a.n_feats AS DOUBLE) AS DOUBLE) AS logit
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ------------------ C55: asymmetric containment (quoted-content dedup)
   // Same bounded candidate-set contract as q_jaccard (doc_id < 40, DF
   // cap 1000); the threshold keeps only pairs where either side is
@@ -305,7 +344,8 @@ object RetrievalQueries extends QueryModule {
     "q_semdedup" -> qSemDedup _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_heavy_hitters" -> qHeavyHitters _,
-    "q_containment" -> qContainment _)
+    "q_containment" -> qContainment _,
+    "q_quality_model" -> qQualityModel _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
@@ -313,5 +353,6 @@ object RetrievalQueries extends QueryModule {
     "q_semdedup" -> qSemDedupSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
-    "q_containment" -> qContainmentSql)
+    "q_containment" -> qContainmentSql,
+    "q_quality_model" -> qQualityModelSql)
 }

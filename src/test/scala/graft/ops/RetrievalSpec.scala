@@ -183,6 +183,47 @@ class RetrievalSpec extends SparkSpec {
     assert(est == Map("x" -> 15L, "y" -> 2L))
   }
 
+  // ------------------------- C56: hashed linear quality scoring
+
+  test("quality model: uniform weights give exact logit, feature counts right") {
+    val df = Seq((1L, "a b"), (2L, "x y z"), (3L, "")).toDF("doc_id", "text")
+    // every bucket weighs exactly 1.0 → logit must be exactly 1.0
+    // independent of which buckets the features hash into
+    val uniform = spark.range(64)
+      .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
+    val out = QualityModel.score(df, "doc_id", "text", uniform, 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((3L, Some(1.0))))  // 2 unigrams + 1 bigram
+    assert(out(2L) == ((5L, Some(1.0))))  // 3 unigrams + 2 bigrams
+    assert(out(3L) == ((0L, None)))       // no features → NULL logit
+  }
+
+  test("quality model: sparse weight tables treat missing buckets as zero") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val empty = spark.range(0).selectExpr("id as bucket", "id as w_scaled")
+    val out = QualityModel.score(df, "doc_id", "text", empty, 64)
+      .collect().head
+    assert(out.getLong(1) == 7L && out.getLong(2) == 0L && out.getDouble(3) == 0.0)
+  }
+
+  test("quality model: unigram-only mode counts tokens exactly") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val w = QualityModel.hashWeights(spark, 32)
+    val out = QualityModel.score(df, "doc_id", "text", w, 32, useBigrams = false)
+      .collect().head
+    assert(out.getLong(1) == 3L)
+  }
+
+  test("quality model: hashWeights is deterministic and centered") {
+    val w = QualityModel.hashWeights(spark, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w2 = QualityModel.hashWeights(spark, 256).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w == w2 && w.size == 256)
+    assert(w.values.forall(v => v > -8388608L && v < 8388608L))
+  }
+
   // ---------------------------------- C55: asymmetric containment
 
   test("containment: a short doc quoted inside a long one scores 1.0 vs low jaccard") {
