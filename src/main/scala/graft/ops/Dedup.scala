@@ -361,6 +361,64 @@ object Dedup {
       .select(col("a"), col("b"), col("n_agree"), col("est_jaccard"))
   }
 
+  /** Span-level duplicate REMOVAL — the fix [[windowDups]] is the
+    * diagnosis for (Lee et al. 2021 cut duplicated spans, not whole
+    * docs): every token covered by a w-window whose normalized text
+    * already occurred earlier in the corpus is dropped, and the
+    * document is reassembled from the surviving tokens.
+    *
+    * keepFirst=true (default, the paper's semantics): the globally
+    * FIRST occurrence of each window — ordered by (id, pos), a total
+    * deterministic order — survives; later occurrences are removed.
+    * keepFirst=false removes every occurrence of any duplicated window
+    * (aggressive boilerplate purge; keeps only corpus-unique text).
+    *
+    * Scale shape: same single window-hash exchange as [[windowDups]]
+    * (row_number and count share one partition spec), then covered
+    * positions explode ×w from FLAGGED windows only (removal volume,
+    * not corpus volume), one id-keyed anti-join against token
+    * positions, and one id-keyed reassembly aggregate whose
+    * collect_list is bounded by document length — the same per-doc
+    * bound every tokenizer stage already carries. Reassembly sorts by
+    * position inside the aggregate, so the result is deterministic
+    * under any partitioning.
+    *
+    * Output: idCol, n_tokens, n_removed, text_clean. */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, w: Int,
+      keepFirst: Boolean = true): DataFrame = {
+    val wins = df.select(col(idCol),
+      posexplode(shingleArray(textCol, w)).as(Seq("pos", "__s")))
+      .select(col(idCol), col("pos"), md5(col("__s")).as("h"))
+    val flagged =
+      if (keepFirst)
+        wins.withColumn("__rn", row_number().over(
+          Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
+          .filter(col("__rn") > 1)
+      else
+        wins.withColumn("__n",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
+          .filter(col("__n") > 1)
+    val covered = flagged
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(w - 1))).as("p"))
+      .distinct()
+    val toksPos = df.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("p", "tok")))
+    val agg = toksPos.join(covered, Seq(idCol, "p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          s => s.getField("tok")), " ").as("text_clean"))
+    df.select(col(idCol),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Incremental near-duplicate detection: flag NEW documents that are
     * near-dups of an EXISTING corpus, given only the corpus's
     * materialized MinHash signature index — the continuous-ingestion

@@ -225,6 +225,45 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------- C57: span-level duplicate removal (keep-first)
+  private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", DupW)
+      .orderBy("doc_id")
+
+  // Position bases differ (Spark posexplode 0-based, SQL ranges
+  // 1-based) but each side is self-consistent; the keep-first order
+  // (doc_id, pos) and the reassembled text are identical.
+  private val qDedupSpansSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i:i+${DupW - 1}], ' ')) AS h
+       |  FROM norm, UNNEST(range(1, len(toks) - ${DupW - 2})) AS t(i)),
+       |flagged AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM w) WHERE rn > 1),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, pp FROM flagged,
+       |    UNNEST(range(pos, pos + $DupW)) AS c(pp)),
+       |tp AS (
+       |  SELECT doc_id, i AS p, toks[i] AS tok
+       |  FROM norm, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM tp t
+       |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pp = t.p
+       |  WHERE c.pp IS NULL),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY p) AS text_clean
+       |  FROM kept GROUP BY doc_id)
+       |SELECT n.doc_id, CAST(len(n.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(n.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  COALESCE(a.text_clean, '') AS text_clean
+       |FROM norm n LEFT JOIN agg a USING (doc_id)
+       |ORDER BY n.doc_id""".stripMargin
+
   // ---------------- C56: hashed linear quality-classifier scoring
   private val QmBuckets = 4096
 
@@ -345,7 +384,8 @@ object RetrievalQueries extends QueryModule {
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_containment" -> qContainment _,
-    "q_quality_model" -> qQualityModel _)
+    "q_quality_model" -> qQualityModel _,
+    "q_dedup_spans" -> qDedupSpans _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
@@ -354,5 +394,6 @@ object RetrievalQueries extends QueryModule {
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_containment" -> qContainmentSql,
-    "q_quality_model" -> qQualityModelSql)
+    "q_quality_model" -> qQualityModelSql,
+    "q_dedup_spans" -> qDedupSpansSql)
 }

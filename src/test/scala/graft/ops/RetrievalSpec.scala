@@ -183,6 +183,39 @@ class RetrievalSpec extends SparkSpec {
     assert(est == Map("x" -> 15L, "y" -> 2L))
   }
 
+  // ---------------------- C57: span-level duplicate removal
+
+  test("span removal keep-first: first occurrence survives, later ones cut") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // holds the FIRST "b c d" occurrence
+      (2L, "z b c d q"),     // its "b c d" is second → removed
+      (3L, "x y")            // no windows at all
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((6L, 0L, "a b c d e f")))
+    assert(out(2L) == ((5L, 3L, "z q")))
+    assert(out(3L) == ((2L, 0L, "x y")))
+  }
+
+  test("span removal aggressive mode purges every duplicated occurrence") {
+    val df = Seq((1L, "a b c d e"), (2L, "z b c d q")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", 3,
+      keepFirst = false)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a e" && out(2L) == "z q") // both sides lose "b c d"
+  }
+
+  test("span removal: fully-duplicated doc empties but still appears") {
+    val df = Seq((1L, "p q r"), (2L, "p q r")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((0L, "p q r"))) // the kept first occurrence
+    assert(out(2L) == ((3L, "")))      // wholly removed, row remains
+  }
+
   // ------------------------- C56: hashed linear quality scoring
 
   test("quality model: uniform weights give exact logit, feature counts right") {
