@@ -266,15 +266,10 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
-  /** LSH candidate pairs: documents sharing any band signature.
-    * Bands are concatenations of `bandSize` consecutive signature
-    * components; a self-join per band keyed on the band value yields the
-    * candidates (a < b). The join is hash-partitioned on the band value —
-    * work is proportional to bucket sizes, never N². `maxBucketSize`
-    * bounds the per-bucket fan-out (see [[boundBuckets]]); pass
-    * Int.MaxValue for exhaustive candidates. */
   /** (id, band_id, sig) banding of a signature frame — the LSH bucket
-    * key layout shared by every banded join (self- and cross-table). */
+    * key layout shared by every banded join (self- and cross-table).
+    * Bands are concatenations of `bandSize` consecutive signature
+    * components. */
   private def bandFrame(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bandSize: Int): DataFrame = {
@@ -290,6 +285,12 @@ object Dedup {
       .select(col(idCol), col("band.band_id"), col("band.sig"))
   }
 
+  /** LSH candidate pairs: documents sharing any band signature. A
+    * self-join per band keyed on the band value yields the candidates
+    * (a < b). The join is hash-partitioned on the band value — work is
+    * proportional to bucket sizes, never N². `maxBucketSize` bounds the
+    * per-bucket fan-out (see [[boundBuckets]]); pass Int.MaxValue for
+    * exhaustive candidates. */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bandSize: Int,
@@ -427,9 +428,13 @@ object Dedup {
     * map-side, banded, and joined against the (pre-banded-on-read)
     * index on (band_id, sig); agreement is then estimated exactly like
     * [[jaccardEstimateFromSignatures]] via two id-keyed signature
-    * joins. With a small batch against a huge index, the band join's
-    * new side broadcasts and the candidate set is ∝ colliding buckets,
-    * not batch × corpus.
+    * joins. The band join's new side carries an explicit broadcast
+    * hint (`broadcastBatch`, default on — an ingest batch is orders of
+    * magnitude smaller than the corpus index, and a computed signature
+    * frame has no stats, so leaving the choice to the optimizer risks
+    * a sort-merge join that shuffles the ENTIRE corpus band index);
+    * the candidate set is then ∝ colliding buckets, not batch ×
+    * corpus. Disable for batches too large to broadcast.
     *
     * `maxBucketSize` bounds the CORPUS side's bucket fan-out (a hot
     * boilerplate band in a web-scale index would otherwise fan every
@@ -445,9 +450,11 @@ object Dedup {
   def incrementalNearDupFromSignatures(
       newSigs: DataFrame, corpusSigs: DataFrame, idCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minEstimate: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val nb = bandFrame(newSigs, idCol, numHashes, bandSize)
+      maxBucketSize: Int = Int.MaxValue,
+      broadcastBatch: Boolean = true): DataFrame = {
+    val nb0 = bandFrame(newSigs, idCol, numHashes, bandSize)
       .select(col("band_id"), col("sig"), col(idCol).as("__new"))
+    val nb = if (broadcastBatch) broadcast(nb0) else nb0
     val ob0 = bandFrame(corpusSigs, idCol, numHashes, bandSize)
     val ob = (if (maxBucketSize == Int.MaxValue) ob0
       else boundBuckets(ob0, Seq("band_id", "sig"), maxBucketSize))
@@ -485,10 +492,12 @@ object Dedup {
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
       minEstimate: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = Int.MaxValue,
+      broadcastBatch: Boolean = true): DataFrame = {
     val res = incrementalNearDupFromSignatures(
       minHashSignatures(newDf, idCol, textCol, shingleSize, numHashes),
-      corpusSigs, idCol, numHashes, bandSize, minEstimate, maxBucketSize)
+      corpusSigs, idCol, numHashes, bandSize, minEstimate, maxBucketSize,
+      broadcastBatch)
     newDf.select(col(idCol)).distinct()
       .join(res, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("matched"), lit(false)).as("matched"),
@@ -545,27 +554,36 @@ object Dedup {
     * numerator and denominator (an inconsistent cap would report
     * inter > union). Pass Int.MaxValue for the exact uncapped verify
     * path when the caller guarantees a bounded candidate set. */
-  def jaccardPairs(
+  /** Shared skeleton of [[jaccardPairs]] / [[containmentPairs]]: the
+    * DF-capped shingle frame's pairwise intersection counts joined to
+    * both per-doc set sizes — (a, b, inter, sza, szb). The DF-cap
+    * window partitions on shingle — the same hash partitioning the
+    * self-join needs, so AQE reuses the exchange; the cap applies to
+    * numerator and denominators consistently (an inconsistent cap would
+    * report inter > union). */
+  private def shingleIntersections(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame = {
+      shingleSize: Int, maxShingleDf: Int): DataFrame = {
     val sh0 = shingles(df, idCol, textCol, shingleSize)
-    // The DF-cap window partitions on shingle — the same hash
-    // partitioning the self-join below needs, so AQE reuses the exchange.
     val sh = if (maxShingleDf == Int.MaxValue) sh0
              else boundBuckets(sh0, Seq("shingle"), maxShingleDf)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("shingle"), col(idCol).as("a"))
+    sh.select(col("shingle"), col(idCol).as("a"))
       .join(sh.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.select(col(idCol).as("a"), col("sz").as("sza")), Seq("a"))
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
+  }
+
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame =
+    shingleIntersections(df, idCol, textCol, shingleSize, maxShingleDf)
       .withColumn("union_n", col("sza") + col("szb") - col("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / col("union_n").cast("double"))
       .select(col("a"), col("b"), col("inter"), col("union_n"), col("jaccard"))
-  }
 
   /** Exact pairwise shingle CONTAINMENT — |A∩B| / |A| and |A∩B| / |B| —
     * the ASYMMETRIC near-dup signal resemblance misses: a short
@@ -583,23 +601,12 @@ object Dedup {
     * Output: a, b, inter, sz_a, sz_b, containment_a, containment_b. */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, shingleSize)
-    val sh = if (maxShingleDf == Int.MaxValue) sh0
-             else boundBuckets(sh0, Seq("shingle"), maxShingleDf)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val inter = sh.select(col("shingle"), col(idCol).as("a"))
-      .join(sh.select(col("shingle"), col(idCol).as("b")), Seq("shingle"))
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col(idCol).as("a"), col("sz").as("sz_a")), Seq("a"))
-      .join(sizes.select(col(idCol).as("b"), col("sz").as("sz_b")), Seq("b"))
-      .withColumn("containment_a",
-        col("inter").cast("double") / col("sz_a").cast("double"))
-      .withColumn("containment_b",
-        col("inter").cast("double") / col("sz_b").cast("double"))
-      .select(col("a"), col("b"), col("inter"), col("sz_a"), col("sz_b"),
-        col("containment_a"), col("containment_b"))
-  }
+      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame =
+    shingleIntersections(df, idCol, textCol, shingleSize, maxShingleDf)
+      .select(col("a"), col("b"), col("inter"),
+        col("sza").as("sz_a"), col("szb").as("sz_b"),
+        (col("inter").cast("double") / col("sza").cast("double"))
+          .as("containment_a"),
+        (col("inter").cast("double") / col("szb").cast("double"))
+          .as("containment_b"))
 }

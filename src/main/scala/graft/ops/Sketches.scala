@@ -19,9 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** A built count-min sketch: the (r, cell, cnt) cell table PLUS the
+    * (d, w) geometry it was hashed with. Estimates must probe with the
+    * SAME geometry or they silently undercount (probe cells land mod a
+    * different w), which is why the geometry travels with the cells
+    * instead of being re-supplied by the caller. Persist `cells` like
+    * any DataFrame and rewrap: `CMSketch(spark.read.parquet(p), d, w)`. */
+  final case class CMSketch(cells: DataFrame, d: Int, w: Int) {
+    require(d > 0 && w > 0, "count-min needs positive depth and width")
+  }
+
   private def cmCell(r: Int, token: Column, w: Int): Column =
     pmod(conv(substring(md5(concat(lit(s"cm$r:"), token)), 1, 6), 16, 10)
       .cast("long"), lit(w.toLong))
+
+  private def cellArray(tokenCol: String, d: Int, w: Int): Column =
+    array((0 until d).map { r =>
+      struct(lit(r).as("r"), cmCell(r, col(tokenCol), w).as("cell"))
+    }: _*)
 
   /** Build the sketch over a (possibly weighted) token column: one row
     * per touched (r, cell), cnt = number of token occurrences hashing
@@ -32,33 +47,29 @@ object Sketches {
     * twins). */
   def countMinBuild(
       df: DataFrame, tokenCol: String, d: Int = 4, w: Int = 1024,
-      weightCol: Option[String] = None): DataFrame = {
-    require(d > 0 && w > 0, "count-min needs positive depth and width")
-    val rows = array((0 until d).map { r =>
-      struct(lit(r).as("r"), cmCell(r, col(tokenCol), w).as("cell"))
-    }: _*)
+      weightCol: Option[String] = None): CMSketch = {
     val wcol = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
-    df.filter(length(col(tokenCol)) > 0)
-      .select(explode(rows).as("__rc"), wcol.as("__w"))
-      .groupBy(col("__rc.r").as("r"), col("__rc.cell").as("cell"))
-      .agg(sum(col("__w")).as("cnt"))
+    CMSketch(
+      df.filter(length(col(tokenCol)) > 0)
+        .select(explode(cellArray(tokenCol, d, w)).as("__rc"), wcol.as("__w"))
+        .groupBy(col("__rc.r").as("r"), col("__rc.cell").as("cell"))
+        .agg(sum(col("__w")).as("cnt")),
+      d, w)
   }
 
   /** Point frequency estimates for a set of query tokens: min over the
     * d rows of that token's cell counts (0 for a never-touched cell).
-    * The sketch is ≤ d×w rows — broadcast; the query side is whatever
-    * the caller asks about. Output: tokenCol, est. */
+    * The probe geometry comes from the sketch itself, so a build/query
+    * mismatch is unrepresentable. The cell table is ≤ d×w rows —
+    * broadcast; the query side is whatever the caller asks about.
+    * Output: tokenCol, est. */
   def countMinEstimate(
-      sketch: DataFrame, queries: DataFrame, tokenCol: String,
-      d: Int = 4, w: Int = 1024): DataFrame = {
-    val rows = array((0 until d).map { r =>
-      struct(lit(r).as("r"), cmCell(r, col(tokenCol), w).as("cell"))
-    }: _*)
+      sketch: CMSketch, queries: DataFrame, tokenCol: String): DataFrame =
     queries.select(col(tokenCol)).distinct()
-      .select(col(tokenCol), explode(rows).as("__rc"))
+      .select(col(tokenCol),
+        explode(cellArray(tokenCol, sketch.d, sketch.w)).as("__rc"))
       .select(col(tokenCol), col("__rc.r").as("r"), col("__rc.cell").as("cell"))
-      .join(broadcast(sketch), Seq("r", "cell"), "left")
+      .join(broadcast(sketch.cells), Seq("r", "cell"), "left")
       .groupBy(col(tokenCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-  }
 }

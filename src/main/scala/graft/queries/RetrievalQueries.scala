@@ -354,7 +354,7 @@ object RetrievalQueries extends QueryModule {
     val toks = docs(s, dir)
       .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
     val sketch = Sketches.countMinBuild(toks, "tok", CmD, CmW)
-    Sketches.countMinEstimate(sketch, CmProbes.toDF("tok"), "tok", CmD, CmW)
+    Sketches.countMinEstimate(sketch, CmProbes.toDF("tok"), "tok")
       .orderBy("tok")
   }
 

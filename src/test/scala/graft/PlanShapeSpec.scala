@@ -231,10 +231,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("incremental near-dup: batch side broadcasts into the corpus band index") {
+    val all = Tables.load(spark, sfDir, "documents")
+    val corpusSigs = ops.Dedup.minHashSignatures(
+      all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", 3, 8)
+    val p = plan(ops.Dedup.incrementalNearDup(
+      all.filter(col("doc_id") % 5 === 0), corpusSigs, "doc_id", "text"))
+    // the continuous-ingestion contract: the corpus band index is never
+    // shuffled for the candidate join — the (small) batch broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("count-min build: partial-aggregated, shuffle is sketch-sized") {
     val toks = Tables.load(spark, sfDir, "documents")
       .select(explode(ops.TextOps.tokens(col("text"))).as("tok"))
-    val p = plan(ops.Sketches.countMinBuild(toks, "tok"))
+    val p = plan(ops.Sketches.countMinBuild(toks, "tok").cells)
     // the combiner caps per-partition output at d×w cells, so the one
     // exchange carries sketch rows, never corpus token rows
     assert(p.contains("partial_sum"), p)

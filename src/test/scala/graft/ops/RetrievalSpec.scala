@@ -142,7 +142,7 @@ class RetrievalSpec extends SparkSpec {
     val df = toks.toDF("tok")
     val sketch = Sketches.countMinBuild(df, "tok", d = 4, w = 4096)
     val est = Sketches.countMinEstimate(sketch,
-      Seq("apple", "banana", "cherry", "durian").toDF("tok"), "tok", 4, 4096)
+      Seq("apple", "banana", "cherry", "durian").toDF("tok"), "tok")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // 3 tokens into 4096 cells: no collisions → exact; durian unseen → 0
     assert(est == Map("apple" -> 5L, "banana" -> 3L, "cherry" -> 1L,
@@ -156,7 +156,7 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // w=8: heavy collisions guaranteed; the CM bound is one-sided
     val sketch = Sketches.countMinBuild(df, "tok", d = 3, w = 8)
-    val est = Sketches.countMinEstimate(sketch, words.toDF("tok"), "tok", 3, 8)
+    val est = Sketches.countMinEstimate(sketch, words.toDF("tok"), "tok")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     words.foreach(t => assert(est(t) >= exact(t),
       s"$t: est ${est(t)} < exact ${exact(t)}"))
@@ -166,9 +166,9 @@ class RetrievalSpec extends SparkSpec {
     val a = Seq("x", "y", "x").toDF("tok")
     val b = Seq("y", "z").toDF("tok")
     val merged = Sketches.countMinBuild(a.union(b), "tok", 4, 64)
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val summed = (Sketches.countMinBuild(a, "tok", 4, 64).collect() ++
-      Sketches.countMinBuild(b, "tok", 4, 64).collect())
+      .cells.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val summed = (Sketches.countMinBuild(a, "tok", 4, 64).cells.collect() ++
+      Sketches.countMinBuild(b, "tok", 4, 64).cells.collect())
       .groupBy(r => (r.getInt(0), r.getLong(1)))
       .view.mapValues(_.map(_.getLong(2)).sum).toMap
     assert(merged == summed) // commutative cell-add: THE distributed merge
@@ -178,7 +178,7 @@ class RetrievalSpec extends SparkSpec {
     val df = Seq(("x", 10L), ("x", 5L), ("y", 2L)).toDF("tok", "wt")
     val sketch = Sketches.countMinBuild(df, "tok", 2, 256, Some("wt"))
     val est = Sketches.countMinEstimate(sketch,
-      Seq("x", "y").toDF("tok"), "tok", 2, 256)
+      Seq("x", "y").toDF("tok"), "tok")
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est == Map("x" -> 15L, "y" -> 2L))
   }
