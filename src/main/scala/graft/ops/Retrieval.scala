@@ -102,4 +102,50 @@ object Retrieval {
       .select(col("query_id"), col("rank"), col(idCol),
         col("score_scaled"), col("n_terms"))
   }
+
+  /** Deterministic negative sampling for contrastive / retrieval
+    * training sets: for each (query, positive) pair, draw k
+    * pseudo-random corpus documents as negatives. Draw i targets
+    * corpus id md5("neg:{query}:{positive}:{i}")[0:12] mod N — fully
+    * reproducible across runs, engines, and partitionings (no RNG
+    * state), which is what makes training-data builds auditable.
+    *
+    * Draws that hit the pair's own positive are discarded, and
+    * coinciding draws dedupe, so a pair yields UP TO k negatives
+    * (standard practice: with N ≫ k the shortfall is negligible; the
+    * draw index rides along for exact-k resampling downstream).
+    *
+    * Contract: the corpus id space should be roughly dense 0..N−1 —
+    * draws landing on a missing id are dropped by the join (rank-index
+    * a sparse corpus first, e.g. via [[graft.ops.Bucketing]] ranks).
+    * Scale shape: pairs explode ×k map-side, then ONE id-keyed join
+    * against the corpus — negatives ∝ pairs×k, never pairs×corpus; the
+    * N constant is a 1-scalar driver agg.
+    *
+    * Output: queryIdCol, posIdCol, draw, neg (corpus idCol value). */
+  def negativeSamples(
+      pairs: DataFrame, corpus: DataFrame,
+      queryIdCol: String, posIdCol: String, corpusIdCol: String,
+      k: Int = 4): DataFrame = {
+    require(k > 0, "k must be positive")
+    val n = corpus.select(col(corpusIdCol)).distinct().count()
+    if (n == 0) return pairs.select(col(queryIdCol), col(posIdCol))
+      .limit(0).withColumn("draw", lit(0)).withColumn("neg", lit(0L))
+    val drawn = pairs
+      .select(col(queryIdCol), col(posIdCol),
+        explode(array((0 until k).map(lit): _*)).as("draw"))
+      .withColumn("neg",
+        pmod(conv(substring(md5(concat(lit("neg:"),
+          col(queryIdCol).cast("string"), lit(":"),
+          col(posIdCol).cast("string"), lit(":"),
+          col("draw").cast("string"))), 1, 12), 16, 10).cast("long"),
+          lit(n)))
+      .filter(col("neg") =!= col(posIdCol))
+      // coinciding draws keep the SMALLEST draw index — deterministic,
+      // unlike dropDuplicates' arbitrary survivor
+      .groupBy(col(queryIdCol), col(posIdCol), col("neg"))
+      .agg(min(col("draw")).as("draw"))
+    drawn.join(corpus.select(col(corpusIdCol).as("neg")), Seq("neg"))
+      .select(col(queryIdCol), col(posIdCol), col("draw"), col("neg"))
+  }
 }

@@ -225,6 +225,74 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // --------------- C59: deterministic negative sampling (training pairs)
+  private val NegK = 4
+
+  private def qNegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // (query, positive) pairs: each of the first 20 docs paired with
+    // itself — the degenerate-but-deterministic pair source every
+    // corpus has; real callers feed retrieval or ANN output
+    val pairs = d.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("query_id"), col("doc_id").as("pos_id"))
+    Retrieval.negativeSamples(pairs, d, "query_id", "pos_id", "doc_id", NegK)
+      .orderBy("query_id", "draw", "neg")
+  }
+
+  private val qNegativeSamplesSql =
+    s"""WITH n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |pairs AS (
+       |  SELECT doc_id AS query_id, doc_id AS pos_id FROM documents
+       |  WHERE doc_id < 20),
+       |drawn AS (
+       |  SELECT query_id, pos_id, i AS draw,
+       |    CAST('0x' || substr(md5('neg:' || CAST(query_id AS VARCHAR)
+       |      || ':' || CAST(pos_id AS VARCHAR)
+       |      || ':' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) % n.n AS neg
+       |  FROM pairs CROSS JOIN n, UNNEST(range($NegK)) AS t(i)),
+       |ded AS (
+       |  SELECT query_id, pos_id, neg, CAST(MIN(draw) AS INTEGER) AS draw
+       |  FROM drawn WHERE neg <> pos_id
+       |  GROUP BY query_id, pos_id, neg)
+       |SELECT d.query_id, d.pos_id, d.draw, d.neg
+       |FROM ded d JOIN (SELECT DISTINCT doc_id FROM documents) c
+       |  ON c.doc_id = d.neg
+       |ORDER BY d.query_id, d.draw, d.neg""".stripMargin
+
+  // --------------------------- C58: per-source corpus health report
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.corpusReport(docs(s, dir)).orderBy("source")
+
+  private val qCorpusReportSql = {
+    import LlmOpsQueries.sqlNorm
+    s"""WITH base AS (
+       |  SELECT source, lang, doc_id, md5($sqlNorm) AS fp,
+       |    len($sqlToks) AS ntok
+       |  FROM documents),
+       |b2 AS (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS fpn FROM base),
+       |ps AS (
+       |  SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS total_tokens,
+       |    SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+       |    COUNT(DISTINCT lang) AS n_langs
+       |  FROM b2 GROUP BY source),
+       |dl AS (
+       |  SELECT source, lang AS dominant_lang FROM (
+       |    SELECT source, lang,
+       |      ROW_NUMBER() OVER (PARTITION BY source
+       |        ORDER BY COUNT(*) DESC, lang ASC NULLS LAST) AS rn
+       |    FROM b2 GROUP BY source, lang) WHERE rn = 1)
+       |SELECT ps.source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(total_tokens AS BIGINT) AS total_tokens,
+       |  CAST(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DOUBLE)
+       |    AS avg_tokens,
+       |  CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+       |  CAST(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DOUBLE)
+       |    AS dup_frac,
+       |  CAST(n_langs AS BIGINT) AS n_langs, dl.dominant_lang
+       |FROM ps JOIN dl USING (source)
+       |ORDER BY ps.source""".stripMargin
+  }
+
   // ------------------- C57: span-level duplicate removal (keep-first)
   private def qDedupSpans(s: SparkSession, dir: String): DataFrame =
     Dedup.removeDuplicateSpans(docs(s, dir), "doc_id", "text", DupW)
@@ -385,7 +453,9 @@ object RetrievalQueries extends QueryModule {
     "q_heavy_hitters" -> qHeavyHitters _,
     "q_containment" -> qContainment _,
     "q_quality_model" -> qQualityModel _,
-    "q_dedup_spans" -> qDedupSpans _)
+    "q_dedup_spans" -> qDedupSpans _,
+    "q_corpus_report" -> qCorpusReport _,
+    "q_negative_samples" -> qNegativeSamples _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
@@ -395,5 +465,7 @@ object RetrievalQueries extends QueryModule {
     "q_heavy_hitters" -> qHeavyHittersSql,
     "q_containment" -> qContainmentSql,
     "q_quality_model" -> qQualityModelSql,
-    "q_dedup_spans" -> qDedupSpansSql)
+    "q_dedup_spans" -> qDedupSpansSql,
+    "q_corpus_report" -> qCorpusReportSql,
+    "q_negative_samples" -> qNegativeSamplesSql)
 }

@@ -87,6 +87,59 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", "query_id", "qtext").count() == 0)
   }
 
+  // ------------------------------------- C58: corpus health report
+
+  test("corpus report: cross-source duplicate counted for both sources") {
+    val df = Seq(
+      (1L, "same text", "en", "srcA"),
+      (2L, "same text", "de", "srcB"),   // exact copy ACROSS sources
+      (3L, "unique alpha content", "en", "srcA"),
+      (4L, "unique beta content here", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.corpusReport(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(6), r.getString(7)))
+      .toMap
+    // srcA: 3 docs, 2+3+4=9 tokens, 1 dup doc, 1 lang, dominant en
+    assert(out("srcA") == ((3L, 9L, 1L, 1L, "en")))
+    // srcB's single doc IS a dup (its copy lives in srcA)
+    assert(out("srcB") == ((1L, 2L, 1L, 1L, "de")))
+  }
+
+  test("corpus report: dominant language ties break lexicographically") {
+    val df = Seq(
+      (1L, "x", "en", "s"), (2L, "y", "de", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.corpusReport(df).collect().head
+    assert(out.getString(7) == "de") // 1 vs 1 → lexicographic min
+    assert(out.getLong(6) == 2L)
+  }
+
+  // ------------------------------- C59: deterministic negative sampling
+
+  test("negative samples: deterministic, never the positive, always in corpus") {
+    val corpus = Seq.tabulate(50)(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 7L), (2L, 13L)).toDF("query_id", "pos_id")
+    val run1 = Retrieval.negativeSamples(pairs, corpus,
+      "query_id", "pos_id", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val run2 = Retrieval.negativeSamples(pairs, corpus,
+      "query_id", "pos_id", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(run1.toSet == run2.toSet)            // reproducible, no RNG state
+    assert(run1.forall { case (_, p, _, n) => n != p })
+    assert(run1.forall { case (_, _, _, n) => n >= 0 && n < 50 })
+    val perPair = run1.groupBy(t => (t._1, t._2)).view.mapValues(_.length)
+    assert(perPair.values.forall(_ <= 4))       // up to k after discards
+  }
+
+  test("negative samples: empty corpus yields empty result") {
+    val corpus = Seq((1L, "x")).toDF("doc_id", "text").limit(0)
+    val pairs = Seq((1L, 7L)).toDF("query_id", "pos_id")
+    assert(Retrieval.negativeSamples(pairs, corpus,
+      "query_id", "pos_id", "doc_id").count() == 0)
+  }
+
   // ------------------------------------- C52: incremental near-dup
 
   test("incremental near-dup: new batch vs corpus signature index only") {
