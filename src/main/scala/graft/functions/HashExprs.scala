@@ -22,7 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * reachable from both `spark.sql` text and the Column API.
   */
 object HashExprs {
-  import org.apache.spark.sql.functions.{call_function, lit}
+  import org.apache.spark.sql.functions.{call_function, conv, lit, md5, pmod, substring}
+
+  /** md5-derived deterministic long: the first `hexWidth` hex chars of
+    * md5(tagged) read as an unsigned integer — the ONE shared primitive
+    * behind every composed hash-bucket/draw expression (feature
+    * hashing, count-min cells, negative-sampling draws, sampling
+    * buckets/fractions), so a width or base typo can't silently skew
+    * one caller's distribution. DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1, w) AS BIGINT)`. */
+  def md5Long(tagged: Column, hexWidth: Int): Column = {
+    require(hexWidth > 0 && hexWidth <= 15, "hexWidth in [1,15] fits a long")
+    conv(substring(md5(tagged), 1, hexWidth), 16, 10).cast("long")
+  }
+
+  /** [[md5Long]] mod m — a deterministic bucket in [0, m). */
+  def md5Mod(tagged: Column, hexWidth: Int, m: Column): Column =
+    pmod(md5Long(tagged, hexWidth), m)
 
   /** 60-bit SimHash of a token array (empty tokens ignored). */
   def simhash60(tokens: Column): Column =

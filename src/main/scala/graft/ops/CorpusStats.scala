@@ -49,6 +49,60 @@ object CorpusStats {
           .as("novelty"))
   }
 
+  /** Per-source corpus health report — the one-table answer to "what
+    * is in this corpus and which sources need attention" a curation
+    * team refreshes after every ingest: volume (docs, tokens, exact
+    * avg length), exact-duplicate exposure (docs whose normalized
+    * fingerprint occurs more than once ANYWHERE in the corpus — cross-
+    * source copies count for both sources, which is the point), and
+    * language profile (distinct langs + dominant lang, ties broken
+    * lexicographically so the report is deterministic).
+    *
+    * Scale shape: one map pass (fingerprint + token count), ONE
+    * fingerprint-partitioned window for corpus-wide copy counts (the
+    * [[shingleNovelty]] no-join-back shape), then ONE (source, lang)
+    * aggregate — the single corpus-side reduction, whose exchange both
+    * downstream branches (per-source totals, dominant lang) share via
+    * exchange reuse; everything after operates on source×lang rows.
+    * NULL sources or langs group as NULL — visible in the report,
+    * never dropped (the final join is null-SAFE: a NULL-source bucket
+    * still gets its row).
+    *
+    * Output: sourceCol, n_docs, total_tokens, avg_tokens, n_dup_docs,
+    * dup_frac, n_langs, dominant_lang. */
+  def corpusReport(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      sourceCol: String = "source", langCol: String = "lang"): DataFrame = {
+    val base = df.select(col(sourceCol), col(langCol), col(idCol),
+      TextOps.fingerprint(col(textCol)).as("__fp"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__ntok"))
+      .withColumn("__fpn",
+        count(lit(1)).over(Window.partitionBy(col("__fp"))))
+    val perSL = base.groupBy(col(sourceCol), col(langCol)).agg(
+      count(lit(1)).as("__nd"),
+      sum(col("__ntok")).as("__tt"),
+      sum(when(col("__fpn") > 1, 1L).otherwise(0L)).as("__ndup"))
+    val perSource = perSL.groupBy(col(sourceCol)).agg(
+      sum(col("__nd")).as("n_docs"),
+      sum(col("__tt")).as("total_tokens"),
+      sum(col("__ndup")).as("n_dup_docs"),
+      count(when(col(langCol).isNotNull, lit(1))).as("n_langs"))
+    val domLang = perSL
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__nd").desc, col(langCol).asc_nulls_last)))
+      .filter(col("__rn") === 1)
+      .select(col(sourceCol).as("__dl_src"), col(langCol).as("dominant_lang"))
+    perSource.join(domLang, perSource(sourceCol) <=> col("__dl_src"))
+      .select(perSource(sourceCol), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avg_tokens"),
+        col("n_dup_docs"),
+        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"),
+        col("n_langs"), col("dominant_lang"))
+  }
+
   /** Pairwise histogram intersection of unigram distributions:
     * sum over token types of min(p_a, p_b), where p is the token's
     * share of its source's total occurrences. 1 = identical
@@ -66,53 +120,6 @@ object CorpusStats {
     * Output: one row for EVERY source pair src_a < src_b (disjoint
     * vocabularies emit overlap = 0, not a missing row — callers build
     * the full pairwise matrix), overlap ∈ [0, 1]. */
-  /** Per-source corpus health report — the one-table answer to "what
-    * is in this corpus and which sources need attention" a curation
-    * team refreshes after every ingest: volume (docs, tokens, exact
-    * avg length), exact-duplicate exposure (docs whose normalized
-    * fingerprint occurs more than once ANYWHERE in the corpus — cross-
-    * source copies count for both sources, which is the point), and
-    * language profile (distinct langs + dominant lang, ties broken
-    * lexicographically so the report is deterministic).
-    *
-    * Scale shape: one map pass (fingerprint + token count), ONE
-    * fingerprint-partitioned window for corpus-wide copy counts (the
-    * [[shingleNovelty]] no-join-back shape), then source-keyed
-    * aggregates whose cardinality is the source count. NULL sources or
-    * langs group as NULL — visible in the report, never dropped.
-    *
-    * Output: sourceCol, n_docs, total_tokens, avg_tokens, n_dup_docs,
-    * dup_frac, n_langs, dominant_lang. */
-  def corpusReport(
-      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      sourceCol: String = "source", langCol: String = "lang"): DataFrame = {
-    val base = df.select(col(sourceCol), col(langCol), col(idCol),
-      TextOps.fingerprint(col(textCol)).as("__fp"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("__ntok"))
-      .withColumn("__fpn",
-        count(lit(1)).over(Window.partitionBy(col("__fp"))))
-    val perSource = base.groupBy(col(sourceCol)).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("__ntok")).as("total_tokens"),
-      sum(when(col("__fpn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
-      count_distinct(col(langCol)).as("n_langs"))
-    val domLang = base.groupBy(col(sourceCol), col(langCol))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col(sourceCol))
-          .orderBy(col("__n").desc, col(langCol).asc_nulls_last)))
-      .filter(col("__rn") === 1)
-      .select(col(sourceCol), col(langCol).as("dominant_lang"))
-    perSource.join(domLang, Seq(sourceCol))
-      .select(col(sourceCol), col("n_docs"), col("total_tokens"),
-        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
-          .as("avg_tokens"),
-        col("n_dup_docs"),
-        (col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
-          .as("dup_frac"),
-        col("n_langs"), col("dominant_lang"))
-  }
-
   def sourceOverlap(
       df: DataFrame, textCol: String, groupCol: String): DataFrame = {
     val toks = df.select(col(groupCol).as("g"),

@@ -28,8 +28,8 @@ import org.apache.spark.sql.functions._
 object QualityModel {
 
   private def bucket(prefix: String, feature: Column, numBuckets: Int): Column =
-    pmod(conv(substring(md5(concat(lit(prefix), feature)), 1, 6), 16, 10)
-      .cast("long"), lit(numBuckets.toLong))
+    graft.functions.HashExprs.md5Mod(
+      concat(lit(prefix), feature), 6, lit(numBuckets.toLong))
 
   /** Deterministic md5 stub weights over the full bucket space, centered
     * 24-bit integers in (−2^23, 2^23) scaled units — the test/oracle
@@ -37,8 +37,9 @@ object QualityModel {
   def hashWeights(spark: SparkSession, numBuckets: Int): DataFrame =
     spark.range(numBuckets.toLong).select(
       col("id").as("bucket"),
-      (conv(substring(md5(concat(lit("qw"), col("id").cast("string"))), 1, 6),
-        16, 10).cast("long") - lit(8388608L)).as("w_scaled"))
+      (graft.functions.HashExprs.md5Long(
+        concat(lit("qw"), col("id").cast("string")), 6) - lit(8388608L))
+        .as("w_scaled"))
 
   /** Score documents: logit = (Σ w_scaled of hashed features / 1e6) /
     * n_feats. Features are all unigrams (each occurrence counts, bag

@@ -135,17 +135,21 @@ object Retrieval {
       .select(col(queryIdCol), col(posIdCol),
         explode(array((0 until k).map(lit): _*)).as("draw"))
       .withColumn("neg",
-        pmod(conv(substring(md5(concat(lit("neg:"),
-          col(queryIdCol).cast("string"), lit(":"),
-          col(posIdCol).cast("string"), lit(":"),
-          col("draw").cast("string"))), 1, 12), 16, 10).cast("long"),
-          lit(n)))
-      .filter(col("neg") =!= col(posIdCol))
+        graft.functions.HashExprs.md5Mod(
+          concat(lit("neg:"),
+            col(queryIdCol).cast("string"), lit(":"),
+            col(posIdCol).cast("string"), lit(":"),
+            col("draw").cast("string")), 12, lit(n)))
+      // null-SAFE discard: a NULL positive id equals no corpus id, so
+      // its pair still draws k negatives instead of silently losing all
+      .filter(!(col("neg") <=> col(posIdCol)))
       // coinciding draws keep the SMALLEST draw index — deterministic,
       // unlike dropDuplicates' arbitrary survivor
       .groupBy(col(queryIdCol), col(posIdCol), col("neg"))
       .agg(min(col("draw")).as("draw"))
-    drawn.join(corpus.select(col(corpusIdCol).as("neg")), Seq("neg"))
+    // distinct: mirrors the N computation (and the oracle) — duplicate
+    // corpus ids must not duplicate output rows
+    drawn.join(corpus.select(col(corpusIdCol).as("neg")).distinct(), Seq("neg"))
       .select(col(queryIdCol), col(posIdCol), col("draw"), col("neg"))
   }
 }

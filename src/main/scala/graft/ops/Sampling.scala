@@ -16,8 +16,7 @@ object Sampling {
 
   /** Stable bucket in [0, buckets) from the id's md5. */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
-      .cast("long") % buckets
+    graft.functions.HashExprs.md5Long(id.cast("string"), 8) % buckets
 
   /** Deterministic pct% sample (0-100) keyed on `idCol`. */
   def deterministicSample(df: DataFrame, idCol: String, pct: Int): DataFrame = {
@@ -43,7 +42,7 @@ object Sampling {
   /** Stable uniform fraction in [0, 1) from the id's md5 (first 8 hex
     * digits — exact in a double, engine-portable). */
   def hashFrac(id: Column): Column =
-    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+    graft.functions.HashExprs.md5Long(id.cast("string"), 8)
       .cast("double") / lit(4294967296.0)
 
   /** Deterministic importance sampling: keep each row with probability

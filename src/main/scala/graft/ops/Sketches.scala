@@ -30,8 +30,8 @@ object Sketches {
   }
 
   private def cmCell(r: Int, token: Column, w: Int): Column =
-    pmod(conv(substring(md5(concat(lit(s"cm$r:"), token)), 1, 6), 16, 10)
-      .cast("long"), lit(w.toLong))
+    graft.functions.HashExprs.md5Mod(
+      concat(lit(s"cm$r:"), token), 6, lit(w.toLong))
 
   private def cellArray(tokenCol: String, d: Int, w: Int): Column =
     array((0 until d).map { r =>

@@ -252,7 +252,7 @@ object RetrievalQueries extends QueryModule {
        |  FROM pairs CROSS JOIN n, UNNEST(range($NegK)) AS t(i)),
        |ded AS (
        |  SELECT query_id, pos_id, neg, CAST(MIN(draw) AS INTEGER) AS draw
-       |  FROM drawn WHERE neg <> pos_id
+       |  FROM drawn WHERE neg IS DISTINCT FROM pos_id
        |  GROUP BY query_id, pos_id, neg)
        |SELECT d.query_id, d.pos_id, d.draw, d.neg
        |FROM ded d JOIN (SELECT DISTINCT doc_id FROM documents) c
@@ -289,7 +289,7 @@ object RetrievalQueries extends QueryModule {
        |  CAST(CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE) AS DOUBLE)
        |    AS dup_frac,
        |  CAST(n_langs AS BIGINT) AS n_langs, dl.dominant_lang
-       |FROM ps JOIN dl USING (source)
+       |FROM ps JOIN dl ON ps.source IS NOT DISTINCT FROM dl.source
        |ORDER BY ps.source""".stripMargin
   }
 

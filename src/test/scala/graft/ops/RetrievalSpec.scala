@@ -106,6 +106,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out("srcB") == ((1L, 2L, 1L, 1L, "de")))
   }
 
+  test("corpus report: NULL-source docs keep their own report row") {
+    val df = Seq(
+      (1L, "a b", "en", "srcA"),
+      (2L, "c d e", "en", null.asInstanceOf[String]),
+      (3L, "f", "de", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.corpusReport(df)
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getString(7))).toMap
+    assert(out(Some("srcA")) == ((1L, 2L, "en")))
+    // the unattributed bucket is VISIBLE, not silently dropped
+    assert(out(None) == ((2L, 4L, "de"))) // tie 1-1 → lexicographic min
+  }
+
   test("corpus report: dominant language ties break lexicographically") {
     val df = Seq(
       (1L, "x", "en", "s"), (2L, "y", "de", "s"))
@@ -126,6 +140,7 @@ class RetrievalSpec extends SparkSpec {
     val run2 = Retrieval.negativeSamples(pairs, corpus,
       "query_id", "pos_id", "doc_id", k = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    assert(run1.nonEmpty)                       // guards the foralls below
     assert(run1.toSet == run2.toSet)            // reproducible, no RNG state
     assert(run1.forall { case (_, p, _, n) => n != p })
     assert(run1.forall { case (_, _, _, n) => n >= 0 && n < 50 })
