@@ -449,6 +449,47 @@ object ScaleQueries extends QueryModule {
        |GROUP BY window_start_us, n_name
        |ORDER BY window_start_us, n_name""".stripMargin
 
+  // ------------------- C60: native session_window aggregation (batch)
+  // The declarative twin of the flatMapGroupsWithState sessionizer
+  // (C12) and the lag/cumsum islands formulation (A21): Spark's
+  // session_window operator merges events into gap-bounded sessions
+  // inside the aggregate itself — no window-function pass, no state
+  // function, usable identically in batch and streaming. Semantics
+  // note mirrored in the oracle: session_window starts a NEW session
+  // when the gap is >= the duration (window ends are exclusive),
+  // whereas A21's islands use strict >.
+  private def qSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_us")
+
+  private val qSessionWindowSql =
+    """WITH ordered AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM ordered),
+      |sessions AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+      |  FROM flagged)
+      |SELECT user_id, MIN(us) AS session_start_us,
+      |  MAX(us) + 1800000000 AS session_end_us,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_num
+      |ORDER BY user_id, session_start_us""".stripMargin
+
   // --------------------------------- C17: streaming exact dedup (driver)
   // Runs the real watermark-bounded streaming dedup over the events
   // table with planted duplicates (every third event re-arrives under a
@@ -696,6 +737,7 @@ object ScaleQueries extends QueryModule {
     "q_stream_sessionize" -> qStreamSessionize _,
     "q_stream_window_live" -> qStreamWindowLive _,
     "q_stream_enrich" -> qStreamEnrich _,
+    "q_session_window" -> qSessionWindow _,
     "q_stream_dedup" -> qStreamDedup _,
     "q_attribution" -> qAttribution _,
     "q_stream_ivf" -> qStreamIvf _,
@@ -716,6 +758,7 @@ object ScaleQueries extends QueryModule {
     "q_stream_sessionize" -> qStreamSessionizeSql,
     "q_stream_window_live" -> qStreamWindowLiveSql,
     "q_stream_enrich" -> qStreamEnrichSql,
+    "q_session_window" -> qSessionWindowSql,
     "q_stream_dedup" -> qStreamDedupSql,
     "q_attribution" -> qAttributionSql,
     "q_stream_ivf" -> qStreamIvfSql,
