@@ -103,6 +103,34 @@ object CorpusStats {
         col("n_langs"), col("dominant_lang"))
   }
 
+  /** Corpus snapshot diff — the bookkeeping between two ingest
+    * versions: per document id, whether it was added, removed, changed
+    * (normalized-content fingerprint differs), or unchanged. The
+    * input to incremental re-processing (re-embed/re-score only
+    * added+changed) and to audit trails ("what did this refresh do").
+    *
+    * Presence is tracked with explicit flags, not fingerprint
+    * NULL-ness, so a document with NULL text still diffs correctly
+    * (NULL fingerprints compare null-safely: NULL → NULL is
+    * unchanged). Scale shape: two map passes (fingerprint), one
+    * id-keyed full outer join — never content × content.
+    *
+    * Output: idCol, status ∈ {added, removed, changed, unchanged}. */
+  def snapshotDiff(
+      before: DataFrame, after: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val b = before.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("__fb"), lit(true).as("__pb"))
+    val a = after.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("__fa"), lit(true).as("__pa"))
+    b.join(a, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(!coalesce(col("__pb"), lit(false)), "added")
+          .when(!coalesce(col("__pa"), lit(false)), "removed")
+          .when(col("__fb") <=> col("__fa"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Pairwise histogram intersection of unigram distributions:
     * sum over token types of min(p_a, p_b), where p is the token's
     * share of its source's total occurrences. 1 = identical

@@ -225,6 +225,68 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ----------------------------- C61: corpus snapshot diff (v1 vs v2)
+  // Deterministic synthetic v2: drop doc_id < 50 (removed), append a
+  // " v2" marker to every doc_id % 7 == 0 survivor (changed), add
+  // clones under doc_id + 10000 for doc_id < 25 (added).
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val v2 = d.filter(col("doc_id") >= 50)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .unionByName(d.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    graft.ops.CorpusStats.snapshotDiff(d, v2, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val qSnapshotDiffSql = {
+    import LlmOpsQueries.sqlNorm
+    s"""WITH v1 AS (SELECT doc_id, md5($sqlNorm) AS fp FROM documents),
+       |v2src AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id >= 50
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text
+       |  FROM documents WHERE doc_id < 25),
+       |v2 AS (SELECT doc_id, md5($sqlNorm) AS fp FROM v2src)
+       |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       |       WHEN v2.doc_id IS NULL THEN 'removed'
+       |       WHEN v1.fp IS NOT DISTINCT FROM v2.fp THEN 'unchanged'
+       |       ELSE 'changed' END AS status
+       |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------ B33: source freshness (dbt semantics)
+  // asOf pinned to a literal after the events table's max timestamp so
+  // the check is deterministic; thresholds chosen so the data exercises
+  // all three statuses per event_type at any SF.
+  private val FreshAsOf = "2024-01-31 12:00:00"
+
+  private def qFreshness(s: SparkSession, dir: String): DataFrame =
+    graft.model.Freshness.check(
+      Tables.load(s, dir, "events"), "ts", "event_type",
+      lit(FreshAsOf).cast("timestamp"),
+      warnAfterS = 43920L, errorAfterS = 86400L)
+      .orderBy("event_type")
+
+  private val qFreshnessSql =
+    s"""SELECT event_type,
+       |  MAX(epoch_us(ts)) AS max_ts_us,
+       |  epoch_us(TIMESTAMP '$FreshAsOf') - MAX(epoch_us(ts)) AS age_us,
+       |  CASE WHEN epoch_us(TIMESTAMP '$FreshAsOf') - MAX(epoch_us(ts)) IS NULL
+       |         OR epoch_us(TIMESTAMP '$FreshAsOf') - MAX(epoch_us(ts)) > 86400000000
+       |       THEN 'error'
+       |       WHEN epoch_us(TIMESTAMP '$FreshAsOf') - MAX(epoch_us(ts)) > 43920000000
+       |       THEN 'warn'
+       |       ELSE 'ok' END AS status
+       |FROM events GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   // --------------- C59: deterministic negative sampling (training pairs)
   private val NegK = 4
 
@@ -455,7 +517,9 @@ object RetrievalQueries extends QueryModule {
     "q_quality_model" -> qQualityModel _,
     "q_dedup_spans" -> qDedupSpans _,
     "q_corpus_report" -> qCorpusReport _,
-    "q_negative_samples" -> qNegativeSamples _)
+    "q_negative_samples" -> qNegativeSamples _,
+    "q_snapshot_diff" -> qSnapshotDiff _,
+    "q_freshness" -> qFreshness _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
@@ -467,5 +531,7 @@ object RetrievalQueries extends QueryModule {
     "q_quality_model" -> qQualityModelSql,
     "q_dedup_spans" -> qDedupSpansSql,
     "q_corpus_report" -> qCorpusReportSql,
-    "q_negative_samples" -> qNegativeSamplesSql)
+    "q_negative_samples" -> qNegativeSamplesSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_freshness" -> qFreshnessSql)
 }

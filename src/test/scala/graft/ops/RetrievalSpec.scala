@@ -87,6 +87,37 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", "query_id", "qtext").count() == 0)
   }
 
+  // ----------------------------------- C61: corpus snapshot diff
+
+  test("snapshot diff: added/removed/changed/unchanged, NULL text handled") {
+    val v1 = Seq((1L, "same"), (2L, "old"), (3L, "gone"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same"), (2L, "new"), (5L, "fresh"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = CorpusStats.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      5L -> "added", 4L -> "unchanged")) // NULL text: present+equal → unchanged
+  }
+
+  // ----------------------------------- B33: source freshness
+
+  test("freshness: ok/warn/error per group, all-NULL timestamps alarm") {
+    val asOf = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    val df = Seq(
+      ("fresh", java.sql.Timestamp.valueOf("2024-06-01 11:30:00")),
+      ("stale", java.sql.Timestamp.valueOf("2024-06-01 06:00:00")),
+      ("dead", java.sql.Timestamp.valueOf("2024-05-25 00:00:00")),
+      ("silent", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("src", "ts")
+    val out = graft.model.Freshness.check(df, "ts", "src",
+      lit("2024-06-01 12:00:00").cast("timestamp"),
+      warnAfterS = 3600L, errorAfterS = 86400L)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out == Map("fresh" -> "ok", "stale" -> "warn",
+      "dead" -> "error", "silent" -> "error"))
+  }
+
   // ------------------------------------- C58: corpus health report
 
   test("corpus report: cross-source duplicate counted for both sources") {
