@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The composed INCREMENTAL ingest funnel — the continuous-ingestion
+  * twin of [[CurationPipeline]]'s batch flagship: a new crawl batch is
+  * admitted against the EXISTING corpus using only its materialized
+  * dedup artifacts (fingerprints + MinHash signature index; the corpus
+  * text is never re-read), then cleaned and quality-gated:
+  *
+  *   1. exact:   batch docs whose normalized fingerprint already exists
+  *               in the corpus → status `dup_exact`;
+  *   2. near:    survivors whose signatures band-collide with the index
+  *               at ≥ minEstimate agreement → `dup_near`
+  *               ([[Dedup.incrementalNearDupFromSignatures]] — batch
+  *               side broadcasts, corpus index never shuffles);
+  *   3. spans:   survivors are span-cleaned WITHIN the batch
+  *               ([[Dedup.removeDuplicateSpans]], keep-first) — intra-
+  *               batch copied passages are cut, not whole docs;
+  *   4. quality: the CLEANED text is scored by the hashed linear model
+  *               ([[QualityModel.score]]); logit < minLogit (or no
+  *               scorable features) → `low_quality`, else `accepted`.
+  *
+  * Every batch document gets exactly one output row with its terminal
+  * status; accepted rows carry the cleaned text and its token count —
+  * the frame a caller appends to the corpus (and whose fingerprints/
+  * signatures update the index for the next batch).
+  *
+  * Scale shape: stage 1 is a fingerprint-keyed LEFT join against the
+  * corpus fingerprint table (hash-partitioned on a 32-byte key); stage
+  * 2 is the plan-asserted broadcast band join; stages 3–4 touch only
+  * batch survivors. Nothing is ever corpus × corpus or batch × corpus
+  * beyond colliding buckets.
+  */
+object IngestPipeline {
+
+  /** corpusFps: (fingerprint) — e.g. Dedup.exact output's fingerprint
+    * column, read from the corpus catalog. corpusSigs: (idCol,
+    * h0..h{numHashes-1}) signature index. Output: idCol, status ∈
+    * {dup_exact, dup_near, low_quality, accepted}, n_tokens_clean +
+    * text_clean (NULL unless accepted). */
+  def ingest(
+      newBatch: DataFrame, corpusFps: DataFrame, corpusSigs: DataFrame,
+      weights: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      minEstimate: Double = 0.5, spanW: Int = 5,
+      numBuckets: Int = 4096, minLogit: Double = 0.0): DataFrame = {
+    val batch = newBatch.select(col(idCol), col(textCol))
+
+    // 1. exact vs corpus fingerprints
+    val fp = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+    val marked = fp.join(
+      corpusFps.select(col("fingerprint").as("__fp"),
+        lit(true).as("__hit")).distinct(),
+      Seq("__fp"), "left")
+    val exactSurvivors = marked.filter(col("__hit").isNull)
+      .select(col(idCol), col(textCol))
+
+    // 2. near-dup vs the corpus signature index
+    val near = Dedup.incrementalNearDup(
+      exactSurvivors, corpusSigs, idCol, textCol,
+      shingleSize, numHashes, bandSize, minEstimate)
+    val nearSurvivors = exactSurvivors.join(
+      near.filter(col("matched")).select(col(idCol)), Seq(idCol),
+      "left_anti")
+
+    // 3. intra-batch span cleaning (keep-first) over the survivors
+    val cleaned = Dedup.removeDuplicateSpans(
+      nearSurvivors, idCol, textCol, spanW)
+
+    // 4. quality gate over the CLEANED text
+    val scored = QualityModel.score(
+      cleaned.select(col(idCol), col("text_clean").as(textCol)),
+      idCol, textCol, weights, numBuckets)
+    val accepted = scored
+      .withColumn("__ok",
+        col("logit").isNotNull && col("logit") >= minLogit)
+
+    batch.select(col(idCol))
+      .join(marked.filter(col("__hit").isNotNull)
+        .select(col(idCol), lit("dup_exact").as("__s1")), Seq(idCol), "left")
+      .join(near.filter(col("matched"))
+        .select(col(idCol), lit("dup_near").as("__s2")), Seq(idCol), "left")
+      .join(accepted.select(col(idCol),
+        when(col("__ok"), "accepted").otherwise("low_quality").as("__s4")),
+        Seq(idCol), "left")
+      .join(cleaned.select(col(idCol),
+        (col("n_tokens") - col("n_removed")).as("__ntc"),
+        col("text_clean").as("__tc")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__s1"), col("__s2"), col("__s4")).as("status"),
+        when(coalesce(col("__s1"), col("__s2"), col("__s4")) === "accepted",
+          col("__ntc")).as("n_tokens_clean"),
+        when(coalesce(col("__s1"), col("__s2"), col("__s4")) === "accepted",
+          col("__tc")).as("text_clean"))
+  }
+}

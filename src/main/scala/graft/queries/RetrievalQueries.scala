@@ -23,8 +23,14 @@ object RetrievalQueries extends QueryModule {
 
   import LlmOpsQueries.sqlToks
 
-  // --------------------- C49: exact substring (w-token window) duplication
+  // Shared constants — declared FIRST: object vals initialize in
+  // declaration order, and an oracle-SQL val interpolating a constant
+  // declared below it would silently bake in the default 0 (exactly
+  // this bit q_ingest_pipeline's first draft: `% 0` buckets).
   private val DupW = 5
+  private val QmBuckets = 4096
+
+  // --------------------- C49: exact substring (w-token window) duplication
 
   private def qDupSubstrings(s: SparkSession, dir: String): DataFrame =
     Dedup.windowDupStats(docs(s, dir), "doc_id", "text", DupW)
@@ -225,6 +231,148 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // -------------- C62: composed incremental-ingest funnel (capstone)
+  // Same %5 batch/corpus split as q_dedup_incremental; the oracle
+  // re-derives ALL four stages (exact vs corpus fingerprints, near-dup
+  // vs the signature index, intra-batch keep-first span cleaning over
+  // the survivors, quality gate over the CLEANED text) end to end.
+  private def qIngestPipeline(s: SparkSession, dir: String): DataFrame = {
+    val all = docs(s, dir)
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    graft.ops.IngestPipeline.ingest(
+      all.filter(col("doc_id") % 5 === 0),
+      Dedup.exact(corpus, "doc_id", "text").select(col("fingerprint")),
+      Dedup.minHashSignatures(corpus, "doc_id", "text",
+        LlmOpsQueries.ShingleN, LlmOpsQueries.NumHashes),
+      graft.ops.QualityModel.hashWeights(s, QmBuckets),
+      "doc_id", "text",
+      LlmOpsQueries.ShingleN, LlmOpsQueries.NumHashes, LlmOpsQueries.BandSize,
+      minEstimate = 0.5, spanW = DupW, numBuckets = QmBuckets,
+      minLogit = 0.0)
+      .orderBy("doc_id")
+  }
+
+  private val qIngestPipelineSql = {
+    import LlmOpsQueries.sqlNorm
+    val nh = LlmOpsQueries.NumHashes
+    val bs = LlmOpsQueries.BandSize
+    val sn = LlmOpsQueries.ShingleN
+    val mins = (0 until nh)
+      .map(j => s"MIN(md5('$j:' || sgl)) AS h$j").mkString(",\n    ")
+    val bands = (0 until nh / bs).map { b =>
+      val sig = (0 until bs).map(k => s"h${b * bs + k}")
+        .mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_id, $sig AS sig FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    val agree = (0 until nh)
+      .map(j => s"CASE WHEN la.h$j = lb.h$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH norm AS (
+       |  SELECT doc_id, md5($sqlNorm) AS fp, $sqlToks AS toks FROM documents),
+       |cfp AS (SELECT DISTINCT fp FROM norm WHERE doc_id % 5 <> 0),
+       |batch AS (SELECT * FROM norm WHERE doc_id % 5 = 0),
+       |s1 AS (SELECT b.doc_id FROM batch b JOIN cfp ON cfp.fp = b.fp),
+       |surv1 AS (
+       |  SELECT * FROM batch
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM s1)),
+       |sgl AS (
+       |  SELECT DISTINCT doc_id, sgl FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+${sn - 1}], ' ')
+       |      for i in range(1, len(toks) - ${sn - 2})]) AS sgl
+       |    FROM norm WHERE len(toks) >= $sn)),
+       |mh AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sgl GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+       |  FROM bands n JOIN bands o
+       |    ON n.band_id = o.band_id AND n.sig = o.sig
+       |  WHERE n.doc_id IN (SELECT doc_id FROM surv1)
+       |    AND o.doc_id % 5 <> 0),
+       |agr AS (
+       |  SELECT c.new_id, $agree AS n_agree
+       |  FROM cand c
+       |  JOIN mh la ON la.doc_id = c.new_id
+       |  JOIN mh lb ON lb.doc_id = c.old_id),
+       |s2 AS (
+       |  SELECT DISTINCT new_id AS doc_id FROM agr
+       |  WHERE CAST(n_agree AS DOUBLE) / ${nh}.0 >= 0.5),
+       |surv2 AS (
+       |  SELECT doc_id, toks FROM surv1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM s2)),
+       |w AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(toks[i:i+${DupW - 1}], ' ')) AS h
+       |  FROM surv2, UNNEST(range(1, len(toks) - ${DupW - 2})) AS t(i)),
+       |flagged AS (
+       |  SELECT doc_id, pos FROM (
+       |    SELECT doc_id, pos,
+       |      ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |    FROM w) WHERE rn > 1),
+       |covered AS (
+       |  SELECT DISTINCT doc_id, pp FROM flagged,
+       |    UNNEST(range(pos, pos + $DupW)) AS c(pp)),
+       |tp AS (
+       |  SELECT doc_id, i AS p, toks[i] AS tok
+       |  FROM surv2, UNNEST(range(1, len(toks) + 1)) AS t(i)),
+       |kept AS (
+       |  SELECT t.doc_id, t.p, t.tok FROM tp t
+       |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pp = t.p
+       |  WHERE c.pp IS NULL),
+       |cln AS (
+       |  SELECT s.doc_id, COALESCE(k.n, 0) AS ntc,
+       |    COALESCE(k.txt, '') AS text_clean
+       |  FROM surv2 s LEFT JOIN (
+       |    SELECT doc_id, COUNT(*) AS n,
+       |      string_agg(tok, ' ' ORDER BY p) AS txt
+       |    FROM kept GROUP BY doc_id) k USING (doc_id)),
+       |ctoks AS (SELECT doc_id, string_split(text_clean, ' ') AS ct FROM cln),
+       |uni AS (
+       |  SELECT doc_id, 'qf:' || t AS f
+       |  FROM ctoks, UNNEST(ct) AS u(t) WHERE len(t) > 0),
+       |bi AS (
+       |  SELECT doc_id, UNNEST(['qf2:' || array_to_string(ct[i:i+1], ' ')
+       |    for i in range(1, len(ct))]) AS f
+       |  FROM ctoks WHERE len(ct) >= 2),
+       |feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+       |bkt AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(f), 1, 6) AS BIGINT) % $QmBuckets AS bucket
+       |  FROM feats),
+       |wtab AS (
+       |  SELECT r AS bucket,
+       |    CAST('0x' || substr(md5('qw' || CAST(r AS VARCHAR)), 1, 6) AS BIGINT)
+       |      - 8388608 AS w
+       |  FROM (SELECT UNNEST(range($QmBuckets)) AS r)),
+       |ql AS (
+       |  SELECT doc_id, COUNT(*) AS nf,
+       |    SUM(COALESCE(wtab.w, 0)) AS ls
+       |  FROM bkt LEFT JOIN wtab USING (bucket) GROUP BY doc_id),
+       |s4 AS (
+       |  SELECT c.doc_id, c.ntc, c.text_clean,
+       |    CASE WHEN ql.doc_id IS NULL
+       |           OR (CAST(ql.ls AS DOUBLE) / 1000000.0)
+       |              / CAST(ql.nf AS DOUBLE) < 0.0
+       |         THEN 'low_quality' ELSE 'accepted' END AS st
+       |  FROM cln c LEFT JOIN ql USING (doc_id)),
+       |statused AS (
+       |  SELECT b.doc_id,
+       |    CASE WHEN b.doc_id IN (SELECT doc_id FROM s1) THEN 'dup_exact'
+       |         WHEN b.doc_id IN (SELECT doc_id FROM s2) THEN 'dup_near'
+       |         ELSE s4.st END AS status,
+       |    s4.ntc, s4.text_clean
+       |  FROM batch b LEFT JOIN s4 USING (doc_id))
+       |SELECT doc_id, status,
+       |  CASE WHEN status = 'accepted' THEN CAST(ntc AS BIGINT) END
+       |    AS n_tokens_clean,
+       |  CASE WHEN status = 'accepted' THEN text_clean END AS text_clean
+       |FROM statused
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------- C61: corpus snapshot diff (v1 vs v2)
   // Deterministic synthetic v2: drop doc_id < 50 (removed), append a
   // " v2" marker to every doc_id % 7 == 0 survivor (changed), add
@@ -395,8 +543,6 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY n.doc_id""".stripMargin
 
   // ---------------- C56: hashed linear quality-classifier scoring
-  private val QmBuckets = 4096
-
   private def qQualityModel(s: SparkSession, dir: String): DataFrame =
     graft.ops.QualityModel.score(docs(s, dir), "doc_id", "text",
       graft.ops.QualityModel.hashWeights(s, QmBuckets), QmBuckets)
@@ -519,7 +665,8 @@ object RetrievalQueries extends QueryModule {
     "q_corpus_report" -> qCorpusReport _,
     "q_negative_samples" -> qNegativeSamples _,
     "q_snapshot_diff" -> qSnapshotDiff _,
-    "q_freshness" -> qFreshness _)
+    "q_freshness" -> qFreshness _,
+    "q_ingest_pipeline" -> qIngestPipeline _)
 
   override def oracleSql: Map[String, String] = Map(
     "q_dup_substrings" -> qDupSubstringsSql,
@@ -533,5 +680,6 @@ object RetrievalQueries extends QueryModule {
     "q_corpus_report" -> qCorpusReportSql,
     "q_negative_samples" -> qNegativeSamplesSql,
     "q_snapshot_diff" -> qSnapshotDiffSql,
-    "q_freshness" -> qFreshnessSql)
+    "q_freshness" -> qFreshnessSql,
+    "q_ingest_pipeline" -> qIngestPipelineSql)
 }

@@ -87,6 +87,55 @@ class RetrievalSpec extends SparkSpec {
       "doc_id", "text", "query_id", "qtext").count() == 0)
   }
 
+  // ------------------------- C62: composed incremental-ingest funnel
+
+  test("ingest funnel: each stage catches its planted doc, survivors cleaned") {
+    val corpusDoc = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, corpusDoc),
+      (2L, "completely unrelated corpus content about query engines at scale"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, corpusDoc),  // exact copy of corpus doc 1
+      (11L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup
+      (12L, "alpha beta gamma delta epsilon zeta eta theta iota"),  // clean
+      // shares a 5-token span with doc 12 (later id → span removed)
+      (13L, "prefix words here alpha beta gamma delta epsilon and a different tail")
+    ).toDF("doc_id", "text")
+    // uniform positive weights: quality accepts anything with features
+    val uniform = spark.range(64)
+      .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
+    val out = IngestPipeline.ingest(batch,
+      Dedup.exact(corpus, "doc_id", "text").select(col("fingerprint")),
+      Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 8),
+      uniform, "doc_id", "text", spanW = 5, numBuckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(3)).map(_.toString))).toMap
+    assert(out(10L)._1 == "dup_exact")
+    assert(out(11L)._1 == "dup_near")
+    assert(out(12L) == (("accepted",
+      Some("alpha beta gamma delta epsilon zeta eta theta iota"))))
+    // doc 13 survives but its copied span is cut (keep-first: 12 < 13)
+    assert(out(13L)._1 == "accepted")
+    assert(out(13L)._2 == Some("prefix words here and a different tail"))
+  }
+
+  test("ingest funnel: empty-after-cleaning doc is low_quality, not dropped") {
+    val text = "p q r s t"
+    val corpus = Seq((1L, "unrelated corpus body")).toDF("doc_id", "text")
+    val batch = Seq((10L, text), (11L, text)).toDF("doc_id", "text")
+    // identical batch docs that are NOT in the corpus: exact stage
+    // passes both (it checks the corpus only), span stage wipes the
+    // later one entirely → no features → low_quality, row retained
+    val uniform = spark.range(64)
+      .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
+    val out = IngestPipeline.ingest(batch,
+      Dedup.exact(corpus, "doc_id", "text").select(col("fingerprint")),
+      Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 8),
+      uniform, "doc_id", "text", spanW = 5, numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(10L -> "accepted", 11L -> "low_quality"))
+  }
+
   // ----------------------------------- C61: corpus snapshot diff
 
   test("snapshot diff: added/removed/changed/unchanged, NULL text handled") {
