@@ -207,6 +207,46 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == ev.count())
   }
 
+  test("continuous ingest: batch 2 dedups against what batch 1 accepted") {
+    import graft.ops.{Dedup, QualityModel, TextOps}
+    val root = Files.createTempDirectory("graft_ingest_stream_").toString
+    val (srcDir, corpusDir, fpDir, sigDir) =
+      (s"$root/src", s"$root/corpus", s"$root/fp", s"$root/sig")
+    // seed: a one-doc corpus and its artifacts
+    val seed = Seq((1L, "seed corpus document about engines")).toDF("doc_id", "text")
+    seed.write.parquet(corpusDir)
+    seed.select(TextOps.fingerprint($"text").as("fingerprint"))
+      .write.parquet(fpDir)
+    Dedup.minHashSignatures(seed, "doc_id", "text", 3, 8)
+      .write.parquet(sigDir)
+    val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    // two source files; maxFilesPerTrigger=1 forces SEQUENTIAL batches
+    Seq((10L, novel)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/b1")
+    Seq((20L, novel),                        // exact copy of batch-1 doc
+      (21L, "totally fresh second wave content with new vocabulary"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/b2")
+    val uniform = spark.range(64)
+      .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
+    val stream = spark.readStream
+      .schema(seed.schema).option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/*")
+    val q = IngestStreams.ingestStream(stream, corpusDir, fpDir, sigDir,
+      uniform, "doc_id", "text",
+      Files.createTempDirectory("graft_ckpt_").toString,
+      numBuckets = 64, trigger = Some(Trigger.AvailableNow()))
+    q.awaitTermination(180000)
+    val corpus = spark.read.parquet(corpusDir)
+      .collect().map(_.getLong(0)).toSet
+    // doc 20 must be REJECTED: its twin (doc 10) was accepted in an
+    // EARLIER micro-batch and is only visible via the updated artifacts
+    assert(corpus == Set(1L, 10L, 21L), s"got $corpus")
+    // and the artifacts grew with the accepted docs
+    assert(spark.read.parquet(fpDir).count() == 3)
+    assert(spark.read.parquet(sigDir).count() == 3)
+  }
+
   test("cdc stream applies micro-batches through the shared materializer") {
     val whDir = Files.createTempDirectory("graft_wh_").toString
     val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
