@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed INCREMENTAL ingest funnel — the continuous-ingestion
@@ -10,7 +11,9 @@ import org.apache.spark.sql.functions._
   * text is never re-read), then cleaned and quality-gated:
   *
   *   1. exact:   batch docs whose normalized fingerprint already exists
-  *               in the corpus → status `dup_exact`;
+  *               in the corpus OR earlier in the batch itself
+  *               (keep-first by id — an admitted batch must not
+  *               introduce duplicate pairs either) → `dup_exact`;
   *   2. near:    survivors whose signatures band-collide with the index
   *               at ≥ minEstimate agreement → `dup_near`
   *               ([[Dedup.incrementalNearDupFromSignatures]] — batch
@@ -48,13 +51,17 @@ object IngestPipeline {
       numBuckets: Int = 4096, minLogit: Double = 0.0): DataFrame = {
     val batch = newBatch.select(col(idCol), col(textCol))
 
-    // 1. exact vs corpus fingerprints
+    // 1. exact vs corpus fingerprints + keep-first within the batch
     val fp = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col(idCol))))
     val marked = fp.join(
       corpusFps.select(col("fingerprint").as("__fp"),
         lit(true).as("__hit")).distinct(),
       Seq("__fp"), "left")
-    val exactSurvivors = marked.filter(col("__hit").isNull)
+      .withColumn("__exactDup",
+        col("__hit").isNotNull || col("__rn") > 1)
+    val exactSurvivors = marked.filter(!col("__exactDup"))
       .select(col(idCol), col(textCol))
 
     // 2. near-dup vs the corpus signature index
@@ -78,7 +85,7 @@ object IngestPipeline {
         col("logit").isNotNull && col("logit") >= minLogit)
 
     batch.select(col(idCol))
-      .join(marked.filter(col("__hit").isNotNull)
+      .join(marked.filter(col("__exactDup"))
         .select(col(idCol), lit("dup_exact").as("__s1")), Seq(idCol), "left")
       .join(near.filter(col("matched"))
         .select(col(idCol), lit("dup_near").as("__s2")), Seq(idCol), "left")

@@ -271,7 +271,12 @@ object RetrievalQueries extends QueryModule {
        |  SELECT doc_id, md5($sqlNorm) AS fp, $sqlToks AS toks FROM documents),
        |cfp AS (SELECT DISTINCT fp FROM norm WHERE doc_id % 5 <> 0),
        |batch AS (SELECT * FROM norm WHERE doc_id % 5 = 0),
-       |s1 AS (SELECT b.doc_id FROM batch b JOIN cfp ON cfp.fp = b.fp),
+       |s1 AS (
+       |  SELECT doc_id FROM (
+       |    SELECT b.doc_id, cfp.fp AS hit,
+       |      ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+       |    FROM batch b LEFT JOIN cfp ON cfp.fp = b.fp)
+       |  WHERE hit IS NOT NULL OR rn > 1),
        |surv1 AS (
        |  SELECT * FROM batch
        |  WHERE doc_id NOT IN (SELECT doc_id FROM s1)),

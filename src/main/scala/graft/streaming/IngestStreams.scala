@@ -8,36 +8,51 @@ import graft.ops.{Dedup, IngestPipeline, TextOps}
 /** Continuous corpus ingestion (the streaming driver of SURVEY §2
   * C62): each arriving micro-batch of raw documents runs the full
   * [[IngestPipeline.ingest]] funnel against the corpus's CURRENT
-  * materialized artifacts, and the accepted survivors update those
-  * artifacts — so batch N+1 dedups against everything accepted through
-  * batch N, closing the loop a one-shot batch job leaves open.
+  * artifacts, and the accepted survivors grow those artifacts — so
+  * batch N+1 dedups against everything accepted through batch N,
+  * closing the loop a one-shot batch job leaves open.
   *
-  * Per micro-batch (foreachBatch — the same bridge the CDC stream
-  * uses to share one merge implementation with batch mode):
-  *   1. read the fingerprint table and signature index FRESH from
-  *      their directories (they grew during earlier batches);
-  *   2. run the 4-stage funnel (exact → near → span-clean → quality);
-  *   3. append accepted rows (cleaned text) to the corpus directory,
-  *      and their fingerprints + MinHash signatures to the artifact
-  *      directories.
+  * The corpus and its dedup artifacts live in ONE combined table
+  * (id, text, fingerprint, h0..h{n-1}) appended with a SINGLE write
+  * per micro-batch. That is the crash-replay design point: with three
+  * separate tables, a crash between appends desynchronizes them —
+  * e.g. fingerprints written but signatures not, so a replayed batch
+  * sees its own fingerprints, accepts nothing, and the signatures are
+  * lost FOREVER (every future near-dup of those docs admitted
+  * silently). One append keeps every row's content, fingerprint, and
+  * signature consistent under replay; the residual failure mode is
+  * duplicated ROWS (a partially-visible append re-run), which dedup
+  * against a duplicated fingerprint still classifies correctly — and
+  * which a transactional table format (the production deployment of
+  * this directory) eliminates entirely, with the funnel unchanged.
   *
-  * Durability note: the three appends are not one atomic commit — a
-  * crash between them can duplicate artifact rows on replay (statuses
-  * stay correct: dedup against a duplicated fingerprint row is still
-  * dedup). Production deployments put the corpus behind a
-  * transactional table format and make step 3 a single commit; the
-  * funnel itself is unchanged — same contract as the reference's
-  * non-transactional warehouse writes.
-  *
-  * The directories must be SEEDED (existing corpus artifacts, possibly
-  * from an empty corpus's explicit empty write) — reading schema from
-  * data keeps this self-contained, exactly like [[IndexStreams]]'
-  * index directory contract.
+  * The artifact directory must be SEEDED ([[artifacts]] over the
+  * existing corpus, possibly zero rows written explicitly) — reading
+  * schema from data keeps this self-contained, exactly like
+  * [[IndexStreams]]' index directory contract.
   */
 object IngestStreams {
 
+  /** The combined artifact frame for a (possibly already-cleaned)
+    * document set: idCol, textCol, fingerprint, h0..h{numHashes-1}.
+    * Docs too short for any shingle carry NULL signature columns (they
+    * participate in exact dedup; there is no signature to index). */
+  def artifacts(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8): DataFrame =
+    df.select(col(idCol), col(textCol),
+      TextOps.fingerprint(col(textCol)).as("fingerprint"))
+      .join(Dedup.minHashSignatures(df, idCol, textCol,
+        shingleSize, numHashes), Seq(idCol), "left")
+
+  /** Signature-index view of an artifact table ([[artifacts]] schema):
+    * only signature-bearing rows, only the columns banding needs. */
+  def sigView(art: DataFrame, idCol: String, numHashes: Int = 8): DataFrame =
+    art.filter(col("h0").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(j => col(s"h$j")): _*)
+
   def ingestStream(
-      docs: DataFrame, corpusDir: String, fpDir: String, sigDir: String,
+      docs: DataFrame, artifactDir: String,
       weights: DataFrame, idCol: String, textCol: String,
       checkpointDir: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
@@ -48,25 +63,20 @@ object IngestStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val fps = spark.read.parquet(fpDir)
-        val sigs = spark.read.parquet(sigDir)
+        val art = spark.read.parquet(artifactDir)
         val out = IngestPipeline.ingest(
-          batch, fps, sigs, weights, idCol, textCol,
+          batch, art.select(col("fingerprint")),
+          sigView(art, idCol, numHashes), weights, idCol, textCol,
           shingleSize, numHashes, bandSize, minEstimate, spanW,
           numBuckets, minLogit)
-        val accepted = out.filter(col("status") === "accepted")
-          .select(col(idCol), col("text_clean").as(textCol))
-          // the funnel re-reads this frame three times below; one
-          // materialization beats three re-plans of the 4-stage funnel
-          .localCheckpoint()
-        accepted.write.mode("append").parquet(corpusDir)
-        accepted
-          .select(TextOps.fingerprint(col(textCol)).as("fingerprint"))
-          .distinct()
-          .write.mode("append").parquet(fpDir)
-        Dedup.minHashSignatures(accepted, idCol, textCol,
-          shingleSize, numHashes)
-          .write.mode("append").parquet(sigDir)
+        // one materialization beats re-planning the 4-stage funnel for
+        // the artifact build; durability follows the deployment switch
+        // (spark.graft.reliableCheckpoints) like every iterative op
+        val accepted = graft.Checkpoints.truncate(
+          out.filter(col("status") === "accepted")
+            .select(col(idCol), col("text_clean").as(textCol)))
+        artifacts(accepted, idCol, textCol, shingleSize, numHashes)
+          .write.mode("append").parquet(artifactDir)
         ()
       }
     trigger.map(w.trigger).getOrElse(w).start()

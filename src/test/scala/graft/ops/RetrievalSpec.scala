@@ -119,21 +119,27 @@ class RetrievalSpec extends SparkSpec {
     assert(out(13L)._2 == Some("prefix words here and a different tail"))
   }
 
-  test("ingest funnel: empty-after-cleaning doc is low_quality, not dropped") {
-    val text = "p q r s t"
+  test("ingest funnel: intra-batch exact twin rejected; span-emptied doc retained") {
     val corpus = Seq((1L, "unrelated corpus body")).toDF("doc_id", "text")
-    val batch = Seq((10L, text), (11L, text)).toDF("doc_id", "text")
-    // identical batch docs that are NOT in the corpus: exact stage
-    // passes both (it checks the corpus only), span stage wipes the
-    // later one entirely → no features → low_quality, row retained
+    val batch = Seq(
+      (10L, "a b c d e f g h i j"),
+      (11L, "a b c d e f g h i j"),  // exact twin INSIDE the batch
+      // strict suffix of doc 10: every 5-window it has already occurs
+      // there, so span cleaning empties it → low_quality, row retained
+      (12L, "b c d e f g h i j")
+    ).toDF("doc_id", "text")
     val uniform = spark.range(64)
       .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
     val out = IngestPipeline.ingest(batch,
       Dedup.exact(corpus, "doc_id", "text").select(col("fingerprint")),
       Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 8),
-      uniform, "doc_id", "text", spanW = 5, numBuckets = 64)
+      uniform, "doc_id", "text", spanW = 5, numBuckets = 64,
+      // suffix docs are near-dups too; disable the near stage so the
+      // span path is what classifies doc 12
+      minEstimate = 1.1)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(out == Map(10L -> "accepted", 11L -> "low_quality"))
+    assert(out == Map(10L -> "accepted", 11L -> "dup_exact",
+      12L -> "low_quality"))
   }
 
   // ----------------------------------- C61: corpus snapshot diff

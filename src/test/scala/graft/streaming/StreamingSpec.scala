@@ -208,43 +208,49 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("continuous ingest: batch 2 dedups against what batch 1 accepted") {
-    import graft.ops.{Dedup, QualityModel, TextOps}
     val root = Files.createTempDirectory("graft_ingest_stream_").toString
-    val (srcDir, corpusDir, fpDir, sigDir) =
-      (s"$root/src", s"$root/corpus", s"$root/fp", s"$root/sig")
-    // seed: a one-doc corpus and its artifacts
+    val (srcDir, artDir) = (s"$root/src", s"$root/artifacts")
+    // seed: a one-doc corpus as the combined artifact table
     val seed = Seq((1L, "seed corpus document about engines")).toDF("doc_id", "text")
-    seed.write.parquet(corpusDir)
-    seed.select(TextOps.fingerprint($"text").as("fingerprint"))
-      .write.parquet(fpDir)
-    Dedup.minHashSignatures(seed, "doc_id", "text", 3, 8)
-      .write.parquet(sigDir)
+    IngestStreams.artifacts(seed, "doc_id", "text").write.parquet(artDir)
     val novel = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
-    // two source files; maxFilesPerTrigger=1 forces SEQUENTIAL batches
+    // two source files; maxFilesPerTrigger=1 + explicit mtimes force
+    // SEQUENTIAL batches in a deterministic order (coarse-mtime
+    // filesystems could otherwise tie-break arbitrarily)
     Seq((10L, novel)).toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$srcDir/b1")
     Seq((20L, novel),                        // exact copy of batch-1 doc
+      // near-dup of the batch-1 doc (one token edited): only the
+      // SIGNATURES appended after batch 1 can catch this
+      (22L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
       (21L, "totally fresh second wave content with new vocabulary"))
       .toDF("doc_id", "text")
       .coalesce(1).write.parquet(s"$srcDir/b2")
+    def touch(dir: String, offsetS: Long): Unit =
+      Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala.foreach(p =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + offsetS * 1000)))
+    touch(s"$srcDir/b1", -60)
+    touch(s"$srcDir/b2", 0)
     val uniform = spark.range(64)
       .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
     val stream = spark.readStream
       .schema(seed.schema).option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/*")
-    val q = IngestStreams.ingestStream(stream, corpusDir, fpDir, sigDir,
+    val q = IngestStreams.ingestStream(stream, artDir,
       uniform, "doc_id", "text",
       Files.createTempDirectory("graft_ckpt_").toString,
       numBuckets = 64, trigger = Some(Trigger.AvailableNow()))
-    q.awaitTermination(180000)
-    val corpus = spark.read.parquet(corpusDir)
-      .collect().map(_.getLong(0)).toSet
-    // doc 20 must be REJECTED: its twin (doc 10) was accepted in an
-    // EARLIER micro-batch and is only visible via the updated artifacts
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+    val art = spark.read.parquet(artDir)
+    val corpus = art.collect().map(_.getLong(0)).toSet
+    // docs 20 (exact) and 22 (near) must be REJECTED: their twins were
+    // accepted in an EARLIER micro-batch and are visible only via the
+    // artifact rows appended between batches
     assert(corpus == Set(1L, 10L, 21L), s"got $corpus")
-    // and the artifacts grew with the accepted docs
-    assert(spark.read.parquet(fpDir).count() == 3)
-    assert(spark.read.parquet(sigDir).count() == 3)
+    // the one-table design keeps fingerprints and signatures row-consistent
+    assert(art.filter($"fingerprint".isNull || $"h0".isNull).count() == 0)
   }
 
   test("cdc stream applies micro-batches through the shared materializer") {
