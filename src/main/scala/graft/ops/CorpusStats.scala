@@ -66,7 +66,10 @@ object CorpusStats {
     * exchange reuse; everything after operates on source×lang rows.
     * NULL sources or langs group as NULL — visible in the report,
     * never dropped (the final join is null-SAFE: a NULL-source bucket
-    * still gets its row).
+    * still gets its row). NULL text has a NULL fingerprint = no content
+    * evidence, so NULL-text docs never count toward n_dup_docs (they
+    * are unjudgeable, not copies of each other — the same "NULL = no
+    * evidence" rule as [[graft.ops.IngestPipeline]] and windowDupStats).
     *
     * Output: sourceCol, n_docs, total_tokens, avg_tokens, n_dup_docs,
     * dup_frac, n_langs, dominant_lang. */
@@ -81,7 +84,8 @@ object CorpusStats {
     val perSL = base.groupBy(col(sourceCol), col(langCol)).agg(
       count(lit(1)).as("__nd"),
       sum(col("__ntok")).as("__tt"),
-      sum(when(col("__fpn") > 1, 1L).otherwise(0L)).as("__ndup"))
+      sum(when(col("__fp").isNotNull && col("__fpn") > 1, 1L).otherwise(0L))
+        .as("__ndup"))
     val perSource = perSL.groupBy(col(sourceCol)).agg(
       sum(col("__nd")).as("n_docs"),
       sum(col("__tt")).as("total_tokens"),

@@ -148,14 +148,35 @@ object Dedup {
     * bounded by corpus size, not squared: a window appearing a million
     * times emits a million flagged rows, not 10^12 pairs.
     *
+    * `maxOccurrences` (default unbounded) is the hot-key bound the rest
+    * of this file applies via [[boundBuckets]]: the default path counts
+    * with ONE window-hash window, which funnels all occurrences of a
+    * hash through a single task — linear, but a boilerplate window
+    * occurring 10^8 times is 10^8 rows on one task. With a cap set,
+    * counts come from a groupBy aggregate instead (map-side partial
+    * aggregation absorbs any skew; the join back is AQE-skew-splittable)
+    * and positions of windows hotter than the cap are DROPPED — they are
+    * certain boilerplate duplicates carrying no per-position signal;
+    * route their documents to [[exact]] dedup or
+    * [[removeDuplicateSpans]]' purge path, cf. [[boundBuckets]].
+    *
     * Output: idCol, pos (0-based first-token index), h (window md5),
     * n_occ (corpus-wide occurrence count). */
   def windowDups(
-      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
-    df.select(col(idCol),
+      df: DataFrame, idCol: String, textCol: String, w: Int,
+      maxOccurrences: Int = Int.MaxValue): DataFrame = {
+    val wins = df.select(col(idCol),
       posexplode(shingleArray(textCol, w)).as(Seq("pos", "__s")))
       .select(col(idCol), col("pos"), md5(col("__s")).as("h"))
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("h"))))
+    if (maxOccurrences == Int.MaxValue)
+      wins.withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+    else
+      wins.join(wins.groupBy(col("h")).agg(count(lit(1)).as("n_occ")),
+        Seq("h"))
+        .filter(col("n_occ") <= maxOccurrences)
+        .select(col(idCol), col("pos"), col("h"), col("n_occ"))
+  }
 
   /** Per-document summary of [[windowDups]]: how much of each document
     * is text that exists elsewhere — the removal/ranking signal a
@@ -165,10 +186,30 @@ object Dedup {
     * fraction (no evidence either way — callers decide the policy,
     * mirroring [[CorpusStats.shingleNovelty]]).
     *
+    * `skewSafe` switches the corpus-wide occurrence count from the
+    * single-exchange window (all occurrences of one hash on one task —
+    * the [[windowDups]] default) to a groupBy aggregate + join back:
+    * map-side partial aggregation absorbs hot window-hashes and AQE can
+    * split the skewed join, at the cost of a second exchange. Output is
+    * IDENTICAL either way (nothing is dropped — stats need no cap, only
+    * a skew-immune plan); flip it on for corpora where one boilerplate
+    * window can dominate a task.
+    *
     * Output: idCol, n_windows, n_dup, dup_frac. */
   def windowDupStats(
-      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val perDoc = windowDups(df, idCol, textCol, w)
+      df: DataFrame, idCol: String, textCol: String, w: Int,
+      skewSafe: Boolean = false): DataFrame = {
+    val wins0 = df.select(col(idCol),
+      posexplode(shingleArray(textCol, w)).as(Seq("pos", "__s")))
+      .select(col(idCol), col("pos"), md5(col("__s")).as("h"))
+    val wins =
+      if (!skewSafe)
+        wins0.withColumn("n_occ",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
+      else
+        wins0.join(wins0.groupBy(col("h")).agg(count(lit(1)).as("n_occ")),
+          Seq("h"))
+    val perDoc = wins
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("n_occ") > 1, 1L).otherwise(0L)).as("n_dup"))
@@ -384,15 +425,41 @@ object Dedup {
     * position inside the aggregate, so the result is deterministic
     * under any partitioning.
     *
+    * `maxOccurrences` (default unbounded) bounds the window-hash
+    * partitions the keep-first row_number scans: the default path sorts
+    * all occurrences of one hash on a single task (linear but
+    * single-task for a 10^8-occurrence boilerplate window — the
+    * [[boundBuckets]] skew family). With a cap set, occurrence counts
+    * come from a skew-immune groupBy aggregate, hashes at or below the
+    * cap go through the (now-bounded) keep-first window, and hashes
+    * ABOVE the cap have ALL their occurrences removed — text that
+    * common is boilerplate with no meaningful "first" occurrence (the
+    * purge semantics of keepFirst=false, applied only to the hot tail);
+    * callers wanting to preserve one copy of such text route those
+    * documents through [[exact]] dedup instead, cf. [[boundBuckets]].
+    *
     * Output: idCol, n_tokens, n_removed, text_clean. */
   def removeDuplicateSpans(
       df: DataFrame, idCol: String, textCol: String, w: Int,
-      keepFirst: Boolean = true): DataFrame = {
+      keepFirst: Boolean = true,
+      maxOccurrences: Int = Int.MaxValue): DataFrame = {
     val wins = df.select(col(idCol),
       posexplode(shingleArray(textCol, w)).as(Seq("pos", "__s")))
       .select(col(idCol), col("pos"), md5(col("__s")).as("h"))
     val flagged =
-      if (keepFirst)
+      if (maxOccurrences != Int.MaxValue) {
+        val wc = wins.join(
+          wins.groupBy(col("h")).agg(count(lit(1)).as("__n")), Seq("h"))
+        val hot = wc.filter(col("__n") > maxOccurrences)
+        val warm =
+          if (keepFirst)
+            wc.filter(col("__n") > 1 && col("__n") <= maxOccurrences)
+              .withColumn("__rn", row_number().over(
+                Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
+              .filter(col("__rn") > 1).drop("__rn")
+          else wc.filter(col("__n") > 1 && col("__n") <= maxOccurrences)
+        hot.unionByName(warm).drop("__n")
+      } else if (keepFirst)
         wins.withColumn("__rn", row_number().over(
           Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))))
           .filter(col("__rn") > 1)
@@ -538,22 +605,6 @@ object Dedup {
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()
   }
 
-  /** Exact pairwise n-gram Jaccard similarity for a candidate id set —
-    * the verification stage after LSH. Output: a, b, inter, union_n,
-    * jaccard. Intersections come from a shingle-keyed self-join (shuffle
-    * on shingle), set sizes from one aggregation — no N² scan.
-    *
-    * `maxShingleDf` bounds the per-shingle self-join fan-out exactly as
-    * in [[contaminationPairs]]: a shingle present in D documents emits
-    * O(D²) join rows for that key, so handing this operator a raw corpus
-    * (instead of the documented LSH candidate set) with one boilerplate
-    * shingle in 10^6 docs would alone emit 10^12 rows. Shingles with
-    * document frequency above the cap are dropped from BOTH the
-    * intersection join and the per-doc set sizes — i.e. jaccard is
-    * computed over the non-boilerplate shingle space, consistently for
-    * numerator and denominator (an inconsistent cap would report
-    * inter > union). Pass Int.MaxValue for the exact uncapped verify
-    * path when the caller guarantees a bounded candidate set. */
   /** Shared skeleton of [[jaccardPairs]] / [[containmentPairs]]: the
     * DF-capped shingle frame's pairwise intersection counts joined to
     * both per-doc set sizes — (a, b, inter, sza, szb). The DF-cap
@@ -576,9 +627,31 @@ object Dedup {
       .join(sizes.select(col(idCol).as("b"), col("sz").as("szb")), Seq("b"))
   }
 
+  /** Exact pairwise n-gram Jaccard similarity for a candidate id set —
+    * the verification stage after LSH. Output: a, b, inter, union_n,
+    * jaccard. Intersections come from a shingle-keyed self-join (shuffle
+    * on shingle), set sizes from one aggregation — no N² scan.
+    *
+    * `maxShingleDf` bounds the per-shingle self-join fan-out exactly as
+    * in [[contaminationPairs]]: a shingle present in D documents emits
+    * O(D²) join rows for that key, so handing this operator a raw corpus
+    * (instead of the documented LSH candidate set) with one boilerplate
+    * shingle in 10^6 docs would alone emit 10^12 rows. Shingles with
+    * document frequency above the cap are dropped from BOTH the
+    * intersection join and the per-doc set sizes — i.e. jaccard is
+    * computed over the non-boilerplate shingle space, consistently for
+    * numerator and denominator (an inconsistent cap would report
+    * inter > union).
+    *
+    * The DEFAULT is uncapped exact Jaccard — this is the verify-stage
+    * operator and its contract is a bounded candidate set; callers
+    * handing it corpus-shaped input opt into a cap explicitly, the same
+    * explicit-bounding convention as [[lshCandidatePairs]] /
+    * [[contaminationPairs]] (a silently capped default would change
+    * results under existing callers' feet). */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame =
+      shingleSize: Int, maxShingleDf: Int = Int.MaxValue): DataFrame =
     shingleIntersections(df, idCol, textCol, shingleSize, maxShingleDf)
       .withColumn("union_n", col("sza") + col("szb") - col("inter"))
       .withColumn("jaccard",
@@ -593,15 +666,17 @@ object Dedup {
     * wrapped/quoted/expanded content (Broder 1997 distinguishes
     * resemblance and containment for exactly this reason).
     *
-    * Same skeleton, cap semantics, and scale shape as [[jaccardPairs]]:
-    * one shingle-keyed self-join with the per-shingle DF cap applied to
-    * numerator and denominators consistently, never an N² scan. Pairs
-    * are emitted once (a < b) with both directions' containment.
+    * Same skeleton, cap semantics (uncapped exact by default — callers
+    * opt into `maxShingleDf` explicitly), and scale shape as
+    * [[jaccardPairs]]: one shingle-keyed self-join with the per-shingle
+    * DF cap applied to numerator and denominators consistently, never
+    * an N² scan. Pairs are emitted once (a < b) with both directions'
+    * containment.
     *
     * Output: a, b, inter, sz_a, sz_b, containment_a, containment_b. */
   def containmentPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, maxShingleDf: Int = 1000): DataFrame =
+      shingleSize: Int, maxShingleDf: Int = Int.MaxValue): DataFrame =
     shingleIntersections(df, idCol, textCol, shingleSize, maxShingleDf)
       .select(col("a"), col("b"), col("inter"),
         col("sza").as("sz_a"), col("szb").as("sz_b"),

@@ -42,7 +42,13 @@ object IngestPipeline {
     * column, read from the corpus catalog. corpusSigs: (idCol,
     * h0..h{numHashes-1}) signature index. Output: idCol, status ∈
     * {dup_exact, dup_near, low_quality, accepted}, n_tokens_clean +
-    * text_clean (NULL unless accepted). */
+    * text_clean (NULL unless accepted).
+    *
+    * Contract: one output row per DISTINCT batch id. A crawl batch can
+    * carry the same id twice (re-fetches); duplicate ids would fan out
+    * every id-keyed join below, so the funnel keeps exactly one row per
+    * id up front — deterministically (smallest text first, NULL text
+    * last), never dropDuplicates' arbitrary survivor. */
   def ingest(
       newBatch: DataFrame, corpusFps: DataFrame, corpusSigs: DataFrame,
       weights: DataFrame, idCol: String, textCol: String,
@@ -50,8 +56,18 @@ object IngestPipeline {
       minEstimate: Double = 0.5, spanW: Int = 5,
       numBuckets: Int = 4096, minLogit: Double = 0.0): DataFrame = {
     val batch = newBatch.select(col(idCol), col(textCol))
+      .withColumn("__idrn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col(textCol).asc_nulls_last)))
+      .filter(col("__idrn") === 1).drop("__idrn")
 
-    // 1. exact vs corpus fingerprints + keep-first within the batch
+    // 1. exact vs corpus fingerprints + keep-first within the batch.
+    //    NULL text has a NULL fingerprint = NO content evidence: it can
+    //    never match a corpus fingerprint (equi-join) and is EXEMPT from
+    //    the intra-batch keep-first window — two NULL-text docs are not
+    //    copies of each other, they are both unjudgeable and fall
+    //    through to the quality gate (which routes featureless text to
+    //    low_quality). Mirrors windowDupStats / semDedup's "NULL = no
+    //    evidence, caller decides" discipline.
     val fp = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(col(idCol))))
@@ -60,7 +76,7 @@ object IngestPipeline {
         lit(true).as("__hit")).distinct(),
       Seq("__fp"), "left")
       .withColumn("__exactDup",
-        col("__hit").isNotNull || col("__rn") > 1)
+        col("__hit").isNotNull || (col("__fp").isNotNull && col("__rn") > 1))
     val exactSurvivors = marked.filter(!col("__exactDup"))
       .select(col(idCol), col(textCol))
 

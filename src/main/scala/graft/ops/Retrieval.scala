@@ -31,8 +31,13 @@ object Retrieval {
     *   contrib = idf * (tf * (k1+1)) / (tf + k1 * ((1-b) + b * dl/avgdl))
     * summed per doc as floor(contrib * 1e6) longs (exact,
     * order-independent — the [[graft.ExactAgg]] discipline). Headroom:
-    * idf < 2N, so N * 2.2 * 1e6 * |query terms| must fit a long —
-    * fine to ~10^11 docs.
+    * idf < 2N + 1 and the tf factor < k1 + 1 = 2.2, so a document's
+    * summed scaled score is bounded by 2N · 2.2e6 · |matched query
+    * terms|; against Long.MaxValue ≈ 9.2e18 that is safe while
+    * N · |matched terms| ≲ 2·10^12 — ~10^12 docs for a 2-term query,
+    * ~10^11 at 20 matched terms. Beyond that the per-(query, doc) sum
+    * would overflow silently; keep 2N · 2.2e6 · |terms| < 2^63 (chunk
+    * the query or shrink the scale factor).
     *
     * Scale shape: doc lengths are a pure map (no explode); the token
     * explode is pre-filtered by a BROADCAST semi-join on the query term

@@ -191,7 +191,8 @@ object LlmOpsQueries extends QueryModule {
 
   // ------------------------------------------------- C4: n-gram Jaccard
   private def qJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2)
+    Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2,
+      maxShingleDf = 1000)
       .filter(col("jaccard") >= 0.02)
       .orderBy("a", "b")
 

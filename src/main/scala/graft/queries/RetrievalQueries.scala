@@ -276,7 +276,7 @@ object RetrievalQueries extends QueryModule {
        |    SELECT b.doc_id, cfp.fp AS hit,
        |      ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
        |    FROM batch b LEFT JOIN cfp ON cfp.fp = b.fp)
-       |  WHERE hit IS NOT NULL OR rn > 1),
+       |  WHERE hit IS NOT NULL OR (fp IS NOT NULL AND rn > 1)),
        |surv1 AS (
        |  SELECT * FROM batch
        |  WHERE doc_id NOT IN (SELECT doc_id FROM s1)),
@@ -487,7 +487,8 @@ object RetrievalQueries extends QueryModule {
        |b2 AS (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS fpn FROM base),
        |ps AS (
        |  SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS total_tokens,
-       |    SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS n_dup_docs,
+       |    SUM(CASE WHEN fp IS NOT NULL AND fpn > 1 THEN 1 ELSE 0 END)
+       |      AS n_dup_docs,
        |    COUNT(DISTINCT lang) AS n_langs
        |  FROM b2 GROUP BY source),
        |dl AS (
@@ -590,7 +591,8 @@ object RetrievalQueries extends QueryModule {
   // meaningfully contained in the other.
   private def qContainment(s: SparkSession, dir: String): DataFrame =
     Dedup.containmentPairs(
-      docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2)
+      docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2,
+      maxShingleDf = 1000)
       .filter(col("containment_a") >= 0.05 || col("containment_b") >= 0.05)
       .orderBy("a", "b")
 

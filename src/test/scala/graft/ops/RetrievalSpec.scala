@@ -36,6 +36,51 @@ class RetrievalSpec extends SparkSpec {
     assert(rows.toSet == Set((1L, 0, 2L), (1L, 1, 1L), (2L, 0, 2L)))
   }
 
+  test("window dups: occurrence cap drops hot windows, keeps the rest intact") {
+    // "b c d" occurs 3× (boilerplate); cap 2 drops all three positions
+    val df = Seq((1L, "a b c d e"), (2L, "b c d"), (3L, "z b c d"))
+      .toDF("doc_id", "text")
+    val base = Dedup.windowDups(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    val capped = Dedup.windowDups(df, "doc_id", "text", 3, maxOccurrences = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3))).toSet
+    assert(base.count(_._3 == 3L) == 3) // the hot window really exists
+    assert(capped == base.filter(_._3 <= 2L))
+  }
+
+  test("windowDupStats: skew-safe aggregate path is output-identical") {
+    val df = Seq((1L, "a b c d e f"), (2L, "z b c d q"),
+      (3L, "x y x y x y"), (4L, "p q")).toDF("doc_id", "text")
+    val dflt = Dedup.windowDupStats(df, "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val safe = Dedup.windowDupStats(df, "doc_id", "text", 3, skewSafe = true)
+      .collect().map(_.toSeq).toSet
+    assert(dflt == safe)
+  }
+
+  test("span removal: occurrence cap purges boilerplate windows entirely") {
+    // The 3-occurrence window is purged EVERYWHERE (no keep-first
+    // survivor); the 2-occurrence window still keeps its first copy.
+    val df = Seq(
+      (1L, "x y z w v"), (2L, "x y z w v"), (3L, "x y z w v"),
+      (4L, "a b c d e"), (5L, "a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, "doc_id", "text", 5,
+      maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "" && out(2L) == "" && out(3L) == "")
+    assert(out(4L) == "a b c d e" && out(5L) == "")
+  }
+
+  test("span removal: a non-binding cap reproduces the default keep-first output") {
+    val df = Seq((1L, "a b c d e f"), (2L, "p q a b c d e r"))
+      .toDF("doc_id", "text")
+    val dflt = Dedup.removeDuplicateSpans(df, "doc_id", "text", 3)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.removeDuplicateSpans(df, "doc_id", "text", 3,
+      maxOccurrences = 100).collect().map(_.toSeq).toSet
+    assert(dflt == capped)
+  }
+
   // --------------------------------------------- C50: BM25 rational idf
 
   private val bmDocs = Seq(
@@ -142,6 +187,47 @@ class RetrievalSpec extends SparkSpec {
       12L -> "low_quality"))
   }
 
+  test("ingest funnel: NULL-text docs are unjudgeable, not exact dups of each other") {
+    val corpus = Seq((1L, "corpus body text")).toDF("doc_id", "text")
+    val uniform = spark.range(64)
+      .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
+    val batch = Seq(
+      (10L, null.asInstanceOf[String]),
+      (11L, null.asInstanceOf[String]), // NOT a dup of doc 10 — no evidence
+      (12L, "alpha beta gamma delta")
+    ).toDF("doc_id", "text")
+    val out = IngestPipeline.ingest(batch,
+      Dedup.exact(corpus, "doc_id", "text").select(col("fingerprint")),
+      Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 8),
+      uniform, "doc_id", "text", spanW = 5, numBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // both NULL-text docs fall through to the quality gate (featureless
+    // → low_quality), neither is marked dup_exact on zero evidence
+    assert(out == Map(10L -> "low_quality", 11L -> "low_quality",
+      12L -> "accepted"))
+  }
+
+  test("ingest funnel: duplicate batch ids collapse to one deterministic row") {
+    val corpus = Seq((1L, "unrelated corpus body")).toDF("doc_id", "text")
+    val uniform = spark.range(64)
+      .selectExpr("id as bucket", "CAST(1000000 AS LONG) as w_scaled")
+    val batch = Seq(
+      (10L, "kept smallest text variant"),
+      (10L, "zzz later variant must not fan out the joins"),
+      (11L, "some unique body here")
+    ).toDF("doc_id", "text")
+    val rows = IngestPipeline.ingest(batch,
+      Dedup.exact(corpus, "doc_id", "text").select(col("fingerprint")),
+      Dedup.minHashSignatures(corpus, "doc_id", "text", 3, 8),
+      uniform, "doc_id", "text", spanW = 5, numBuckets = 64)
+      .collect()
+    assert(rows.length == 2) // exactly one row per distinct id
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(3))).toMap
+    assert(byId(10L) == (("accepted", "kept smallest text variant")))
+    assert(byId(11L)._1 == "accepted")
+  }
+
   // ----------------------------------- C61: corpus snapshot diff
 
   test("snapshot diff: added/removed/changed/unchanged, NULL text handled") {
@@ -204,6 +290,19 @@ class RetrievalSpec extends SparkSpec {
     assert(out(Some("srcA")) == ((1L, 2L, "en")))
     // the unattributed bucket is VISIBLE, not silently dropped
     assert(out(None) == ((2L, 4L, "de"))) // tie 1-1 → lexicographic min
+  }
+
+  test("corpus report: NULL-text docs carry no duplicate evidence") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "en", "srcA"),
+      (2L, null.asInstanceOf[String], "en", "srcA"), // NOT copies of each other
+      (3L, "real text body", "en", "srcA"),
+      (4L, "real text body", "en", "srcA")) // genuine exact pair
+      .toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.corpusReport(df).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(1) == 4L) // all docs counted
+    assert(out.head.getLong(4) == 2L) // only the real-text pair is dup
   }
 
   test("corpus report: dominant language ties break lexicographically") {
