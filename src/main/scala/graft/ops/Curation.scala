@@ -168,6 +168,53 @@ object Curation {
       .drop(Bucketing.BucketCol, "__boffset")
   }
 
+  // ----------------------------------------------- curriculum ordering
+
+  /** Exact global curriculum rank: order the corpus by a difficulty
+    * score (ascending — easy first, the standard curriculum-learning
+    * schedule) and cut it into `stages` contiguous stages of near-equal
+    * size. `rank` is the EXACT 1-based global position under
+    * (score, id) — a total order, so stages are reproducible across
+    * runs, engines, and partitionings; stage = ((rank−1) · stages)
+    * div N (integral).
+    *
+    * The global rank is a two-level distributed prefix COUNT — NEVER a
+    * global single-partition window (the [[Bucketing]] machinery shared
+    * with [[tokenBudget]] / [[packSequences]]): rows bucket at sampled
+    * score quantiles, per-bucket counts prefix-sum on a trivial
+    * `numBuckets`-row partition and broadcast back, and row_number runs
+    * within each bucket in parallel. Equal scores share a bucket, so
+    * the composed rank equals the flat global window exactly for any
+    * sketch outcome.
+    *
+    * Contract: `score` is numeric; rows with a NULL id are excluded (no
+    * position in the order); NULL scores rank FIRST (unscored docs
+    * surface at the start of the schedule, explicitly — don't let them
+    * hide at a sketch-dependent position). N is one driver count, like
+    * [[graft.ops.Retrieval.bm25]]'s corpus constant.
+    *
+    * Returns (idCol, rank, stage). */
+  def curriculum(
+      df: DataFrame, idCol: String, score: Column, stages: Int,
+      numBuckets: Int = 256): DataFrame = {
+    require(stages >= 1, "stages must be >= 1")
+    val base = df.select(col(idCol), score.as("__score"))
+      .filter(col(idCol).isNotNull)
+    val n = base.count()
+    if (n == 0L)
+      return base.select(col(idCol), lit(0L).as("rank"), lit(0).as("stage"))
+    val bucketed = Bucketing.quantileBuckets(
+      base, col("__score"), Nil, numBuckets)
+    val offsets = Bucketing.bucketOffsets(bucketed, Nil, lit(1L))
+    val wIn = Window.partitionBy(col(Bucketing.BucketCol))
+      .orderBy(col("__score").asc_nulls_first, col(idCol))
+    Bucketing.joinOffsets(bucketed, offsets, Nil)
+      .withColumn("rank", col("__boffset") + row_number().over(wIn))
+      .withColumn("stage",
+        expr(s"CAST(((rank - 1) * $stages) div ${n}L AS INT)"))
+      .select(col(idCol), col("rank"), col("stage"))
+  }
+
   // -------------------------------------------------- sequence packing
 
   /** Concat-and-chunk sequence packing: documents are laid end to end in

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.ops.{Conversations, Curation, Dedup, Graph, TextOps}
+
+/** Training-data preparation queries (SURVEY.md §2 C63–C66): link-graph
+  * quality signals (deterministic integer PageRank + degree stats over
+  * a reproducible synthetic hyperlink graph), multi-turn conversation
+  * flattening for instruction data, and exact skew-safe curriculum
+  * ranking. Every query is hash-compared against a DuckDB oracle that
+  * re-derives the full pipeline — md5-drawn edges, the unrolled integer
+  * PageRank iterations, JSON turn construction, and the global rank —
+  * value for value.
+  */
+object TrainingPrepQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
+
+  import LlmOpsQueries.sqlNorm
+
+  // Shared constants — declared first (object init order; see
+  // RetrievalQueries).
+  private val LinksPerDoc = 3
+  private val PrIters = 3
+  private val PrDamping = 85
+  private val PrTotal = 1000000000000L
+  private val CurrStages = 4
+
+  /** Deterministic synthetic hyperlink graph: each document draws
+    * [[LinksPerDoc]] out-links, draw i targeting doc
+    * md5("link:{id}:{i}")[0:12] mod N — the [[graft.ops.Retrieval
+    * .negativeSamples]] reproducible-draw idiom. Self-draws are
+    * dropped; coinciding draws dedupe (the operator dedups edges
+    * anyway). Both engines derive the identical edge set. */
+  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    d.select(col("doc_id").as("src"),
+      explode(array((0 until LinksPerDoc).map(lit): _*)).as("draw"))
+      .withColumn("dst",
+        graft.functions.HashExprs.md5Mod(
+          concat(lit("link:"), col("src").cast("string"), lit(":"),
+            col("draw").cast("string")), 12, lit(n)))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+  }
+
+  // NOTE: a raw margin-bearing fragment — embedded into the outer query
+  // templates BEFORE their single .stripMargin (stripping twice would
+  // eat the leading '|' of a line-initial '||' concat).
+  private val sqlEdges =
+    s"""n AS (SELECT COUNT(*) AS n FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS u,
+       |    CAST('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR) ||
+       |      ':' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) % n.n AS v
+       |  FROM documents CROSS JOIN n, UNNEST(range($LinksPerDoc)) AS t(i)),
+       |e AS (SELECT DISTINCT u, v FROM e0 WHERE u <> v),
+       |nodes AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e),
+       |nn AS (SELECT COUNT(*) AS nn FROM nodes),
+       |outd AS (SELECT u, COUNT(*) AS od FROM e GROUP BY u)"""
+
+  // ------------------------- C63: deterministic integer PageRank
+  private def qPagerank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(linkEdges(s, dir), "src", "dst",
+      PrIters, PrDamping, PrTotal).orderBy("id")
+
+  private val qPagerankSql = {
+    // Unrolled iterations: r0 → (c1, r1) → … — each level is the exact
+    // integer recurrence the operator runs (init = total // N,
+    // base = ((100−d) · init) // 100, contribution = r // outdeg).
+    val levels = (1 to PrIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.v AS id, CAST(SUM(r${i - 1}.r // outd.od) AS BIGINT) AS cs
+         |  FROM e JOIN outd USING (u) JOIN r${i - 1} ON r${i - 1}.id = e.u
+         |  GROUP BY e.v),
+         |r$i AS (
+         |  SELECT nodes.id,
+         |    ((100 - $PrDamping) * ($PrTotal // nn.nn)) // 100
+         |      + ($PrDamping * COALESCE(c$i.cs, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.id = nodes.id)"""
+    }.mkString(",\n") // raw fragments: the outer template strips margins once
+    s"""WITH $sqlEdges,
+       |r0 AS (SELECT id, $PrTotal // nn.nn AS r FROM nodes CROSS JOIN nn),
+       |$levels
+       |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r$PrIters
+       |ORDER BY id""".stripMargin
+  }
+
+  // ------------------------------- C64: degree + reciprocity stats
+  private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
+    Graph.degreeStats(linkEdges(s, dir), "src", "dst").orderBy("id")
+
+  private val qGraphDegreesSql =
+    s"""WITH $sqlEdges,
+       |ind AS (SELECT v, COUNT(*) AS ind FROM e GROUP BY v),
+       |recip AS (
+       |  SELECT l.u, COUNT(*) AS rc
+       |  FROM e l JOIN e r ON r.u = l.v AND r.v = l.u
+       |  GROUP BY l.u)
+       |SELECT nodes.id,
+       |  CAST(COALESCE(outd.od, 0) AS BIGINT) AS out_deg,
+       |  CAST(COALESCE(ind.ind, 0) AS BIGINT) AS in_deg,
+       |  CAST(COALESCE(recip.rc, 0) AS BIGINT) AS n_reciprocal
+       |FROM nodes
+       |LEFT JOIN outd ON outd.u = nodes.id
+       |LEFT JOIN ind ON ind.v = nodes.id
+       |LEFT JOIN recip ON recip.u = nodes.id
+       |ORDER BY nodes.id""".stripMargin
+
+  // --------------------- C65: multi-turn conversation flattening
+  // Deterministic synthetic chat corpus: content slices come from the
+  // JSON-safe token stream (lowercase alphanumerics only — built
+  // IDENTICALLY on both engines), laid out as user/assistant/user.
+  private def convFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(TextOps.normalized(col("text")),
+        "[^a-z0-9 ]", ""), " "),
+      t => length(t) > 0)
+    def seg(from: Int): Column =
+      array_join(slice(toks, from, 12), " ")
+    docs(s, dir).select(col("doc_id"),
+      concat(lit("""[{"role":"user","content":""""), seg(1),
+        lit(""""},{"role":"assistant","content":""""), seg(13),
+        lit(""""},{"role":"user","content":""""), seg(25),
+        lit(""""}]""")).as("conv_json"))
+  }
+
+  private def qConversations(s: SparkSession, dir: String): DataFrame =
+    Conversations.flatten(convFrame(s, dir), "doc_id", "conv_json")
+      .orderBy("doc_id", "turn_idx")
+
+  // The oracle re-derives the turns from the same token stream (the
+  // construction is the spec); the Spark side must round-trip them
+  // through real JSON parsing to match.
+  private val qConversationsSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(
+       |      regexp_replace($sqlNorm, '[^a-z0-9 ]', '', 'g'), ' '),
+       |      t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |turns AS (
+       |  SELECT doc_id, 0 AS turn_idx, 'user' AS role,
+       |    COALESCE(array_to_string(tk[1:12], ' '), '') AS content FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, 1, 'assistant',
+       |    COALESCE(array_to_string(tk[13:24], ' '), '')
+       |  FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, 2, 'user',
+       |    COALESCE(array_to_string(tk[25:36], ' '), '')
+       |  FROM toks)
+       |SELECT doc_id, turn_idx, role, content,
+       |  CAST(len(string_split(content, ' ')) AS BIGINT) AS n_tokens
+       |FROM turns ORDER BY doc_id, turn_idx""".stripMargin
+
+  // ------------------------- C66: exact skew-safe curriculum rank
+  private def qCurriculum(s: SparkSession, dir: String): DataFrame =
+    Curation.curriculum(docs(s, dir), "doc_id",
+      TextOps.tokenCount(col("text")).cast("long"), CurrStages)
+      .orderBy("doc_id")
+
+  private val qCurriculumSql = {
+    import LlmOpsQueries.sqlToks
+    s"""WITH norm AS (
+       |  SELECT doc_id, len($sqlToks) AS ntok FROM documents),
+       |n AS (SELECT COUNT(*) AS n FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY ntok, doc_id) AS rank
+       |  FROM norm)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       |  CAST(((rank - 1) * $CurrStages) // n.n AS INTEGER) AS stage
+       |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_pagerank" -> qPagerank _,
+      "q_graph_degrees" -> qGraphDegrees _,
+      "q_conversations" -> qConversations _,
+      "q_curriculum" -> qCurriculum _)
+
+  override val oracleSql: Map[String, String] = Map(
+    "q_pagerank" -> qPagerankSql,
+    "q_graph_degrees" -> qGraphDegreesSql,
+    "q_conversations" -> qConversationsSql,
+    "q_curriculum" -> qCurriculumSql)
+}

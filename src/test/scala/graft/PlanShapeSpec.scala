@@ -147,6 +147,16 @@ class PlanShapeSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size == 2, p)
   }
 
+  test("curriculum: global rank is two-level, never a single-partition window") {
+    val df = ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents"))
+    val p = plan(ops.Curation.curriculum(
+      df, "doc_id", ops.TextOps.tokenCount(col("text")).cast("long"), 4))
+    assert(p.contains("BroadcastHashJoin"), p) // bucket offsets broadcast back
+    // exactly ONE SinglePartition exchange: the numBuckets-row offsets
+    // window — corpus rows rank inside per-bucket window partitions
+    assert("SinglePartition".r.findAllIn(p).size == 1, p)
+  }
+
   test("token budget: per-stratum running sum is two-level, never one task per stratum") {
     val df = ops.Dedup.fanOut(Tables.load(spark, sfDir, "documents"))
     val q = ops.Curation.tokenBudget(

@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkSpec
+
+/** Unit coverage for the training-prep layer (SURVEY §2 C63–C66):
+  * integer PageRank, degree/reciprocity stats, conversation
+  * flattening, and exact skew-safe curriculum ranking.
+  */
+class TrainingPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------- C63: integer PageRank
+
+  test("pagerank: hand-derived two-node exchange, exact integer values") {
+    // 1 → 2, 2 → 1: symmetric, so ranks stay at init forever.
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val out = Graph.pageRank(e, "s", "d", iterations = 4,
+      dampingPct = 85, totalScaled = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init = 1000/2 = 500; base = 15*500/100 = 75;
+    // each round: r = 75 + 85*500/100 = 75 + 425 = 500 — fixed point
+    assert(out == Map(1L -> 500L, 2L -> 500L))
+  }
+
+  test("pagerank: a sink hub accumulates, a dangling node decays to base") {
+    // 1 → 3, 2 → 3; 3 has no out-edges (dangling — its mass leaks).
+    val e = Seq((1L, 3L), (2L, 3L)).toDF("s", "d")
+    val out = Graph.pageRank(e, "s", "d", iterations = 1,
+      dampingPct = 85, totalScaled = 3000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // init = 1000, base = 150; after 1 round:
+    //   1, 2: no in-edges → base = 150
+    //   3: 150 + 85*(1000+1000)/100 = 150 + 1700 = 1850
+    assert(out == Map(1L -> 150L, 2L -> 150L, 3L -> 1850L))
+    // total mass never exceeds totalScaled (integral divs only shave)
+    assert(out.values.sum <= 3000L)
+  }
+
+  test("pagerank: deterministic under repartitioning") {
+    val e = (0L until 200L).map(i => (i, (i * 7 + 3) % 200)).toDF("s", "d")
+    val a = Graph.pageRank(e, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(e.repartition(13), "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  // ------------------------------- C64: degree + reciprocity stats
+
+  test("degree stats: out/in/reciprocal counts, isolated dst gets a row") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("s", "d")
+    val out = Graph.degreeStats(e, "s", "d")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // duplicate edge (1,3) dedupes; self-loop (3,3) is its own reciprocal
+    assert(out(1L) == ((2L, 1L, 1L))) // out: 2,3; in: 2→1; recip: 1↔2
+    assert(out(2L) == ((1L, 1L, 1L)))
+    assert(out(3L) == ((1L, 2L, 1L))) // out: self-loop; in: 1→3, 3→3
+  }
+
+  // --------------------- C65: conversation flattening + structure
+
+  test("conversations: turns flatten in order with token counts") {
+    val df = Seq(
+      (1L, """[{"role":"user","content":"hello there"},""" +
+        """{"role":"assistant","content":"hi"}]"""),
+      (2L, "not json at all")
+    ).toDF("conv_id", "j")
+    val rows = Conversations.flatten(df, "conv_id", "j").collect()
+    val good = rows.filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(good.toSeq.sortBy(_._1) == Seq(
+      (0, "user", "hello there", 2L), (1, "assistant", "hi", 1L)))
+    // malformed JSON stays visible: one row, NULL turn_idx
+    val bad = rows.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && bad.head.isNullAt(1))
+  }
+
+  test("conversations: stats flag broken alternation and empty convs") {
+    val df = Seq(
+      (1L, """[{"role":"user","content":"a"},""" +
+        """{"role":"assistant","content":"b c"},""" +
+        """{"role":"user","content":"d"}]"""),
+      (2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""),
+      (3L, "broken")
+    ).toDF("conv_id", "j")
+    val out = Conversations.stats(df, "conv_id", "j")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((3L, 2L, 1L, 4L, true)))
+    assert(out(2L) == ((2L, 2L, 0L, 2L, false))) // user twice in a row
+    assert(out(3L) == ((0L, 0L, 0L, 0L, false))) // unparseable
+  }
+
+  // ----------------------- C66: exact skew-safe curriculum ranking
+
+  test("curriculum: matches the naive global window on random scores") {
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 500L).map(i => (i, rng.nextInt(40).toLong))
+      .toDF("id", "score")
+    val out = Curation.curriculum(docs, "id", col("score"), 5,
+      numBuckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val naive = docs
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score"), col("id"))).cast("long"))
+      .withColumn("stage", expr("CAST(((rank - 1) * 5) div 500 AS INT)"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    assert(out == naive) // heavy ties across bucket cuts still exact
+  }
+
+  test("curriculum: stages are contiguous and near-equal") {
+    val docs = (0L until 100L).map(i => (i, i)).toDF("id", "score")
+    val out = Curation.curriculum(docs, "id", col("score"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // score == id here, so rank == id + 1 and stages cut at exact quarters
+    assert(out.forall { case (id, rank, stage) =>
+      rank == id + 1 && stage == (id * 4 / 100).toInt })
+  }
+}
