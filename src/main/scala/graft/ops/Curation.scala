@@ -215,6 +215,45 @@ object Curation {
       .select(col(idCol), col("rank"), col("stage"))
   }
 
+  /** Per-stratum exact quantile trimming: within each stratum (source /
+    * language), keep only the rows whose EXACT rank under (score, id)
+    * lies in the ((lowPct·n) div 100, (highPct·n) div 100] band — the
+    * "cut the freakishly short and freakishly long tails per source"
+    * curation filter, expressed as an integral rank rule so both engines
+    * agree row for row (no interpolation, no float percentile).
+    *
+    * Ranks come from the same two-level [[Bucketing]] prefix count as
+    * [[curriculum]], grouped per stratum — never a per-stratum
+    * single-partition window (the C38 lesson). Stratum sizes are one
+    * tiny aggregate broadcast back null-safely (a NULL stratum is a
+    * legitimate group). Rows with a NULL id are excluded (no position
+    * in the order); NULL scores rank first, so lowPct > 0 trims them
+    * before anything scored.
+    *
+    * Returns df's rows + rank (1-based within the stratum), filtered to
+    * the kept band. */
+  def quantileTrim(
+      df: DataFrame, idCol: String, strataCol: String, score: Column,
+      lowPct: Int, highPct: Int, numBuckets: Int = 64): DataFrame = {
+    require(0 <= lowPct && lowPct <= highPct && highPct <= 100,
+      "need 0 <= lowPct <= highPct <= 100")
+    val base = df.withColumn("__score", score)
+      .filter(col(idCol).isNotNull)
+    val bucketed = Bucketing.quantileBuckets(
+      base, col("__score"), Seq(strataCol), numBuckets)
+    val offsets = Bucketing.bucketOffsets(bucketed, Seq(strataCol), lit(1L))
+    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
+      .orderBy(col("__score").asc_nulls_first, col(idCol))
+    val sizes = base.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .select(col(strataCol).as("__qt_s"), col("__n"))
+    val ranked = Bucketing.joinOffsets(bucketed, offsets, Seq(strataCol))
+      .withColumn("rank", col("__boffset") + row_number().over(wIn))
+    ranked.join(broadcast(sizes), ranked(strataCol) <=> sizes("__qt_s"))
+      .filter(col("rank") > expr(s"($lowPct * __n) div 100") &&
+        col("rank") <= expr(s"($highPct * __n) div 100"))
+      .drop("__score", "__qt_s", "__n", "__boffset", Bucketing.BucketCol)
+  }
+
   // -------------------------------------------------- sequence packing
 
   /** Concat-and-chunk sequence packing: documents are laid end to end in

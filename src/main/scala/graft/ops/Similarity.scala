@@ -508,4 +508,87 @@ object Similarity {
         not(coalesce(col("__dropped"), lit(false))).as("kept"),
         col("bounded"))
   }
+
+  // ----------------------------------------- product quantization
+
+  /** Product-quantization (PQ) encoding — the storage layout for
+    * billion-vector ANN beyond [[quantizeInt8]] (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI):
+    * the vector splits into `m` contiguous subvectors, each quantized
+    * to the nearest of `k` subspace centroids by squared L2 (ties to
+    * the smaller code), so a dim-D float vector stores as m small codes
+    * — 4·D/m× compression with distances computable from per-query
+    * code tables.
+    *
+    * Centroids are the deterministic md5-derived stand-ins (component d
+    * of code c in subspace s = hashUnit("pq{s}:{c}:{d}")) so a DuckDB
+    * oracle re-derives the exact assignment — the [[hashCentroids]] /
+    * QualityModel.hashWeights model seam; production swaps per-subspace
+    * trained centroids (e.g. [[trainCentroids]] per slice) without
+    * touching the plan shape.
+    *
+    * Scale shape: centroids ride into the plan as literals; encoding is
+    * a PURE MAP over rows (m·k left-associated multiply-add folds,
+    * codegen'd, no hashing in the hot path, NO shuffle) — a
+    * billion-vector encode is one map stage fused into the scan. NULL
+    * or wrong-width vectors yield NULL codes, one row per subspace
+    * either way (no evidence → no silent drop, the [[quantizeInt8]]
+    * convention). Argmin compares IEEE doubles computed in the same
+    * order on both engines; md5 centroids make exact distance ties
+    * (beyond identical subvectors, which the code tie-break handles)
+    * not a practical concern — the [[semDedup]] float discipline.
+    *
+    * Output: idCol, sub (0-based subspace), code (0-based centroid). */
+  def pqEncode(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val dim = vecDim(df, vecCol)
+    require(m >= 1 && dim % m == 0,
+      s"vector dim $dim must split into m=$m equal subspaces")
+    require(k >= 2 && k <= 256, "k in [2, 256] (codes are byte-sized)")
+    val sub = dim / m
+    def codeFor(s: Int): Column = {
+      val cands = (0 until k).map { c =>
+        val cen = Array.tabulate(sub)(d => hashComponent(s"pq$s:$c:$d"))
+        val dist = (0 until sub).map { d =>
+          val diff = element_at(col(vecCol), s * sub + d + 1)
+            .cast("double") - lit(cen(d))
+          diff * diff
+        }.reduce(_ + _) // left-assoc: the oracle's flat + chain
+        struct(dist.as("dist"), lit(c).as("code"))
+      }
+      // struct ordering = (dist, code) lexicographic → argmin with
+      // ties to the smaller code
+      array_min(array(cands: _*)).getField("code")
+    }
+    val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim
+    val codes = array((0 until m).map(codeFor): _*)
+    val nulls = array((0 until m).map(_ => lit(null).cast("int")): _*)
+    graft.ops.Dedup.fanOut(df).select(col(idCol),
+      posexplode(when(valid, codes).otherwise(nulls))
+        .as(Seq("sub", "code")))
+  }
+
+  /** Reconstruct PQ-encoded vectors (centroid concatenation in subspace
+    * order) — the decode side for asymmetric-distance estimation and
+    * quantization-quality audits. Input is [[pqEncode]]'s (idCol, sub,
+    * code) rows with non-null codes; the per-id collect_list is bounded
+    * by m (a per-vector bound, like every reassembly aggregate here).
+    * Output: idCol, vec (array&lt;double&gt;, length dim). */
+  def pqDecode(
+      codes: DataFrame, idCol: String, m: Int, k: Int, dim: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, "dim must split into m subspaces")
+    val sub = dim / m
+    val cen = array((0 until m).map(s => array((0 until k).map(c =>
+      array((0 until sub).map(d =>
+        lit(hashComponent(s"pq$s:$c:$d"))): _*)): _*)): _*)
+    codes.filter(col("code").isNotNull)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("__cs"))
+      .select(col(idCol),
+        flatten(transform(col("__cs"), t =>
+          element_at(element_at(cen, t.getField("sub") + 1),
+            t.getField("code") + 1))).as("vec"))
+  }
 }

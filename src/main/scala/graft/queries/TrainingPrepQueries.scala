@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
-import graft.ops.{Conversations, Curation, Dedup, Graph, TextOps}
+import graft.ops.{Conversations, Curation, Dedup, Graph, Similarity, TextOps}
 
 /** Training-data preparation queries (SURVEY.md §2 C63–C66): link-graph
   * quality signals (deterministic integer PageRank + degree stats over
@@ -18,6 +18,8 @@ object TrainingPrepQueries extends QueryModule {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     Dedup.fanOut(Tables.load(s, dir, "documents"))
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "embeddings"))
 
   import LlmOpsQueries.sqlNorm
 
@@ -28,6 +30,13 @@ object TrainingPrepQueries extends QueryModule {
   private val PrDamping = 85
   private val PrTotal = 1000000000000L
   private val CurrStages = 4
+  private val TrimLow = 5
+  private val TrimHigh = 95
+  private val PqM = 4
+  private val PqK = 8
+  // testdata embeddings are 64-wide at every SF; the operator reads the
+  // width from the data (vecDim), the oracle needs it for slice bounds
+  private val PqDim = 64
 
   /** Deterministic synthetic hyperlink graph: each document draws
     * [[LinksPerDoc]] out-links, draw i targeting doc
@@ -178,16 +187,80 @@ object TrainingPrepQueries extends QueryModule {
        |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin
   }
 
+  // --------------------- C67: per-source exact quantile trimming
+  private def qQuantileTrim(s: SparkSession, dir: String): DataFrame =
+    Curation.quantileTrim(
+      docs(s, dir).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens")),
+      "doc_id", "source", col("n_tokens"), TrimLow, TrimHigh)
+      .orderBy("doc_id")
+
+  private val qQuantileTrimSql = {
+    import LlmOpsQueries.sqlToks
+    s"""WITH norm AS (
+       |  SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_tokens, doc_id) AS rank,
+       |    COUNT(*) OVER (PARTITION BY source) AS n
+       |  FROM norm)
+       |SELECT doc_id, source, n_tokens, CAST(rank AS BIGINT) AS rank
+       |FROM r
+       |WHERE rank > ($TrimLow * n) // 100 AND rank <= ($TrimHigh * n) // 100
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // --------------------------- C68: product-quantization encoding
+  private def qPqCodes(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqEncode(embs(s, dir), "vec_id", "embedding", PqM, PqK)
+      .orderBy("vec_id", "sub")
+
+  private val qPqCodesSql = {
+    val sub = PqDim / PqM
+    // One SELECT per (subspace, code): squared-L2 to the md5-derived
+    // centroid, summed by a left-fold list_reduce — the same
+    // left-associated + chain as the operator's reduce(_ + _).
+    val cands = (0 until PqM).flatMap { s =>
+      (0 until PqK).map { c =>
+        val lo = s * sub + 1
+        val hi = (s + 1) * sub
+        s"""SELECT vec_id, $s AS sub, $c AS code,
+           |    list_reduce(list_transform(
+           |      list_transform(v[$lo:$hi], (x, j) ->
+           |        x - ((CAST('0x' || substr(md5('pq$s:$c:' ||
+           |          CAST(j - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+           |          / 16777216.0) - 0.5)),
+           |      d -> d * d), (a, b) -> a + b) AS dist
+           |  FROM v""".stripMargin
+      }
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cands AS (
+       |  $cands)
+       |SELECT vec_id, sub, code FROM cands
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |  ORDER BY dist, code) = 1
+       |ORDER BY vec_id, sub""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_pagerank" -> qPagerank _,
       "q_graph_degrees" -> qGraphDegrees _,
       "q_conversations" -> qConversations _,
-      "q_curriculum" -> qCurriculum _)
+      "q_curriculum" -> qCurriculum _,
+      "q_quantile_trim" -> qQuantileTrim _,
+      "q_pq_codes" -> qPqCodes _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_graph_degrees" -> qGraphDegreesSql,
     "q_conversations" -> qConversationsSql,
-    "q_curriculum" -> qCurriculumSql)
+    "q_curriculum" -> qCurriculumSql,
+    "q_quantile_trim" -> qQuantileTrimSql,
+    "q_pq_codes" -> qPqCodesSql)
 }

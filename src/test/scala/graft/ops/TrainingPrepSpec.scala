@@ -114,6 +114,75 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out == naive) // heavy ties across bucket cuts still exact
   }
 
+  // ----------------------- C68: product-quantization encoding
+
+  test("pq: a vector equal to a centroid concat encodes to those codes") {
+    // dim 8, m 2, sub 4: build the exact concat of (sub 0, code 3) and
+    // (sub 1, code 1) centroids — distance 0 must win both subspaces
+    def cen(s: Int, d: Int, c: Int): Double =
+      graft.functions.HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
+    val v = ((0 until 4).map(d => cen(0, d, 3)) ++
+      (0 until 4).map(d => cen(1, d, 1))).map(_.toFloat).toArray
+    val df = Seq((1L, v)).toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, k = 4)
+      .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(out == Map(0 -> 3, 1 -> 1))
+  }
+
+  test("pq: NULL and wrong-width vectors yield NULL codes, rows kept") {
+    val good = Array.fill(8)(0.1f)
+    val df = Seq((1L, good), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val rows = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, k = 4)
+      .collect()
+    assert(rows.length == 6) // one row per (vector, subspace), always
+    assert(rows.filter(r => r.getLong(0) != 1L).forall(_.isNullAt(2)))
+    assert(rows.filter(_.getLong(0) == 1L).forall(!_.isNullAt(2)))
+  }
+
+  test("pq: decode reconstructs within quantization error, exact on centroids") {
+    def cen(s: Int, d: Int, c: Int): Double =
+      graft.functions.HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
+    val exact = ((0 until 4).map(d => cen(0, d, 2)) ++
+      (0 until 4).map(d => cen(1, d, 0))).map(_.toFloat).toArray
+    val df = Seq((7L, exact)).toDF("vec_id", "embedding")
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, k = 4)
+    val vec = Similarity.pqDecode(codes, "vec_id", m = 2, k = 4, dim = 8)
+      .collect().head.getSeq[Double](1)
+    // float-cast input reconstructs to the exact double centroids
+    assert(vec.zip(exact).forall { case (d, f) =>
+      math.abs(d - f.toDouble) < 1e-7 })
+  }
+
+  // ------------------- C67: per-stratum exact quantile trimming
+
+  test("quantile trim: matches the naive per-stratum window rule") {
+    val rng = new scala.util.Random(11)
+    val docs = (0L until 400L)
+      .map(i => (i, s"src${i % 3}", rng.nextInt(50).toLong))
+      .toDF("id", "src", "len")
+    val out = Curation.quantileTrim(docs, "id", "src", col("len"), 10, 90,
+      numBuckets = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val naive = docs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("len"), col("id")))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .filter(col("rank") > expr("(10 * n) div 100") &&
+        col("rank") <= expr("(90 * n) div 100"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == naive)
+  }
+
+  test("quantile trim: boundary percents keep everything / nothing") {
+    val docs = (0L until 50L).map(i => (i, "s", i)).toDF("id", "src", "len")
+    val all = Curation.quantileTrim(docs, "id", "src", col("len"), 0, 100)
+    assert(all.count() == 50L)
+    val none = Curation.quantileTrim(docs, "id", "src", col("len"), 50, 50)
+    assert(none.count() == 0L)
+  }
+
   test("curriculum: stages are contiguous and near-equal") {
     val docs = (0L until 100L).map(i => (i, i)).toDF("id", "score")
     val out = Curation.curriculum(docs, "id", col("score"), 4)
