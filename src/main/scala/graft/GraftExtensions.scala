@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{MinHashSigExpr, SimHash60Expr, TopKByScore, VecCosineExpr, VecDotExpr, VecNormExpr}
+import graft.functions.{BloomBuildAgg, MinHashSigExpr, SimHash60Expr, TopKByScore, VecCosineExpr, VecDotExpr, VecNormExpr}
 
 /** Session extensions registering graft's native Catalyst expressions as
   * SQL functions (usable from `spark.sql` text and via
@@ -77,6 +77,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"topk_by_score k must be an integer literal, got $other")
         }
         TopKByScore(args(0), args(1), k).toAggregateExpression()
+      }))
+
+    ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(classOf[BloomBuildAgg].getName, "bloom_build"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "bloom_build(key, numBits, numHashes) takes three arguments")
+        val lits = args.tail.map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"bloom_build numBits/numHashes must be integer literals, got $other")
+        }
+        BloomBuildAgg(args.head, lits(0), lits(1)).toAggregateExpression()
       }))
   }
 }

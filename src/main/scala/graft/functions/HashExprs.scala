@@ -81,6 +81,18 @@ object HashImpl {
     (java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0) - 0.5
   }
 
+  /** Bloom-probe bit position: md5("bloom{i}:" + key) first 15 hex
+    * chars mod numBits — the JVM twin of
+    * `md5Mod(concat(lit("bloom{i}:"), key), 15, numBits)`, pinned by
+    * BloomAgg's differential spec so aggregate-side and Column-side
+    * probes can never diverge. */
+  def bloomPos(hashIdx: Int, key: String, numBits: Int): Int = {
+    val md = localMd5.get()
+    md.reset()
+    val d = md.digest(s"bloom$hashIdx:$key".getBytes("UTF-8"))
+    (top60(d) % numBits).toInt
+  }
+
   private def toHex(d: Array[Byte]): String = {
     val out = new Array[Char](32)
     var i = 0

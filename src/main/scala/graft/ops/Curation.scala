@@ -254,6 +254,35 @@ object Curation {
       .drop("__score", "__qt_s", "__n", "__boffset", Bucketing.BucketCol)
   }
 
+  /** Per-domain frequency capping — the "no domain dominates the
+    * corpus" curation rule (cap docs per registered domain, keeping the
+    * highest-quality ones): retain at most `maxPerDomain` rows per
+    * domain by (score desc, id asc).
+    *
+    * Formulated as the bounded topk_by_score aggregate
+    * ([[graft.functions.TopKAgg]]), NOT a per-domain ranking window:
+    * partial aggregation caps what each map task ships per domain at
+    * maxPerDomain rows, so a hot domain (half the crawl being one host
+    * is normal) costs its cap, not its row count, through the shuffle —
+    * the same hot-key discipline as boundBuckets. A NULL domain is a
+    * legitimate group (capped like any other); rows with a NULL id or
+    * NULL score carry no keep evidence and are dropped (the aggregate
+    * skips them).
+    *
+    * Output: domainCol, rank (1-based within domain), idCol, score
+    * (double). Join back on id for full rows. */
+  def domainCap(
+      df: DataFrame, idCol: String, domainCol: String, score: Column,
+      maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain > 0, "maxPerDomain must be positive")
+    df.groupBy(col(domainCol))
+      .agg(call_function("topk_by_score",
+        score.cast("double"), col(idCol), lit(maxPerDomain)).as("tk"))
+      .select(col(domainCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(domainCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), col("e.score").as("score"))
+  }
+
   // -------------------------------------------------- sequence packing
 
   /** Concat-and-chunk sequence packing: documents are laid end to end in

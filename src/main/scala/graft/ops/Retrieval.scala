@@ -157,4 +157,53 @@ object Retrieval {
     drawn.join(corpus.select(col(corpusIdCol).as("neg")).distinct(), Seq("neg"))
       .select(col(queryIdCol), col(posIdCol), col("draw"), col("neg"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
+    * standard score-free hybrid-retrieval combiner (lexical BM25 +
+    * dense ANN being the canonical pair): each input list contributes
+    * `scale div (k0 + rank)` to every (query, id) it ranks, and results
+    * order by the summed contribution. PURE LONG ARITHMETIC — integer
+    * division, exact order-independent sums — so rankings are
+    * bit-identical across engines and partitionings (a float 1/(k0+r)
+    * formulation would drift with aggregation order). k0=60 is the
+    * paper's constant; scale=1e12 keeps div quotients distinct for
+    * ranks into the millions while 2^63 headroom allows billions of
+    * lists.
+    *
+    * Scale shape: inputs are already top-k lists (per-query bounded by
+    * construction), so the union, the (query, id)-keyed sum, and the
+    * per-query ranking window all touch ≤ Σk rows per query — list
+    * count × k, never corpus-shaped. Rows with a NULL id or NULL/
+    * non-positive rank carry no ranking evidence and are dropped.
+    *
+    * Output: query_id, rank (fused, 1-based, ties to smaller id), id,
+    * rrf_scaled (exact long), n_lists (lists that ranked the id). */
+  def rrfFuse(
+      lists: Seq[DataFrame], queryIdCol: String, idCol: String,
+      rankCol: String, k0: Int = 60, topK: Int = 10,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranked list")
+    require(k0 >= 0 && scale > 0, "k0 >= 0, scale > 0")
+    val contribs = lists.map { l =>
+      l.select(col(queryIdCol).as("query_id"), col(idCol).as("id"),
+        col(rankCol).cast("long").as("__r"))
+        .filter(col("id").isNotNull && col("__r") > 0)
+        .select(col("query_id"), col("id"),
+          // IntegralDivide (`div`), not `/`: Column `/` on longs is
+          // DOUBLE division, and a truncated double quotient can land
+          // one off the exact integer quotient
+          call_function("div", lit(scale),
+            lit(k0.toLong) + col("__r")).as("__c"))
+    }.reduce(_ unionByName _)
+    val fused = contribs
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("rrf_scaled"), count(lit(1)).as("n_lists"))
+    fused
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_scaled").desc, col("id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("id"),
+        col("rrf_scaled"), col("n_lists"))
+  }
 }

@@ -79,4 +79,55 @@ object Sampling {
     }
     weightedSample(df, idCol, rateExpr)
   }
+
+  /** Temperature-based source mixing at τ = 1/2 — the multilingual /
+    * multi-source LLM recipe (mT5, XLM-R: sample stratum s with
+    * probability ∝ n_s^τ, τ < 1 upweighting small strata): keep each
+    * row of stratum s with rate min(1, budget·√n_s / Σ√n / n_s), so
+    * kept counts target budget·√n_s/Σ√n — small sources keep a larger
+    * share of themselves than large ones. τ is FIXED at 1/2 because
+    * sqrt is IEEE-exactly-rounded on every engine while pow(x, τ) is
+    * libm-dependent — the one τ where rates are bit-reproducible
+    * cross-engine (the [[hashFrac]] determinism contract; other τ
+    * would need scaled-integer root extraction).
+    *
+    * The per-stratum rate math runs driver-side over the stratum-count
+    * collect (bounded by stratum cardinality — the [[rebalance]]
+    * precedent), folding Σ√n in NULL-first, ascending-key order so an
+    * external oracle reproduces the exact double. Rates ride back as
+    * literals: the filter is a pure map pass. A NULL stratum is a
+    * legitimate group (matched null-safely); NULL ids have no stable
+    * sampling identity and keep nothing (the [[deterministicSample]]
+    * rule). Requires budget < 2^53 (exact in a double).
+    *
+    * Output: df's rows (kept only) + p_scaled (floor 1e12-scaled kept
+    * rate — the auditable mixture weight). */
+  def temperatureMix(
+      df: DataFrame, idCol: String, strataCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0 && budget < (1L << 53), "budget in [0, 2^53)")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.get(0).toString),
+        r.getLong(1)))
+      .sortBy { case (k, _) => (k.isDefined, k.getOrElse("")) }
+    if (counts.isEmpty) return df.withColumn("p_scaled", lit(0L)).limit(0)
+    // Σ√n as a left fold in the sorted order above — the oracle's
+    // list_reduce twin. 0.0 + w0 == w0 exactly, so the seed is benign.
+    val sumW = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.sqrt(n.toDouble)
+    }
+    val rateExpr = counts.foldLeft(lit(0.0)) { case (acc, (k, n)) =>
+      // exact left-assoc op chain, mirrored in SQL: ((B·w)/Σw)/n
+      val rate = math.min(1.0,
+        budget.toDouble * math.sqrt(n.toDouble) / sumW / n.toDouble)
+      val cond = k.map(col(strataCol) <=> lit(_))
+        .getOrElse(col(strataCol).isNull)
+      when(cond, lit(rate)).otherwise(acc)
+    }
+    df.withColumn("__p", rateExpr)
+      .filter(hashFrac(col(idCol)) < col("__p"))
+      .withColumn("p_scaled", floor(col("__p") * lit(1e12)).cast("long"))
+      .drop("__p")
+  }
 }

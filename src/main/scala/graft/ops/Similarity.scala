@@ -549,12 +549,7 @@ object Similarity {
     val sub = dim / m
     def codeFor(s: Int): Column = {
       val cands = (0 until k).map { c =>
-        val cen = Array.tabulate(sub)(d => hashComponent(s"pq$s:$c:$d"))
-        val dist = (0 until sub).map { d =>
-          val diff = element_at(col(vecCol), s * sub + d + 1)
-            .cast("double") - lit(cen(d))
-          diff * diff
-        }.reduce(_ + _) // left-assoc: the oracle's flat + chain
+        val dist = pqSubDist(col(vecCol), s, c, sub)
         struct(dist.as("dist"), lit(c).as("code"))
       }
       // struct ordering = (dist, code) lexicographic → argmin with
@@ -567,6 +562,83 @@ object Similarity {
     graft.ops.Dedup.fanOut(df).select(col(idCol),
       posexplode(when(valid, codes).otherwise(nulls))
         .as(Seq("sub", "code")))
+  }
+
+  /** Squared L2 from the subvector starting at s·sub (1-based array
+    * slots) to md5 centroid (s, c): a left-associated + chain of
+    * exactly-rounded IEEE ops, mirrored token-for-token by the DuckDB
+    * oracles' list_reduce fold — shared by [[pqEncode]]'s argmin and
+    * [[pqSearch]]'s distance tables so the two sides can never
+    * disagree on a distance. */
+  private def pqSubDist(vec: Column, s: Int, c: Int, sub: Int): Column = {
+    val cen = Array.tabulate(sub)(d => hashComponent(s"pq$s:$c:$d"))
+    (0 until sub).map { d =>
+      val diff = element_at(vec, s * sub + d + 1).cast("double") - lit(cen(d))
+      diff * diff
+    }.reduce(_ + _) // left-assoc: the oracle's flat + chain
+  }
+
+  /** Scaled-integer factor for ADC distance table entries: per-subspace
+    * squared L2 is floored at 1e9 so per-(query, doc) sums are EXACT
+    * long adds (order-independent — the ExactAgg discipline; float sums
+    * across m subspaces would drift with aggregation order). Headroom:
+    * a subspace distance is ≤ sub·maxdiff²; at 1e9 scaling, unit-norm
+    * embeddings with 64 dims sum to ≪ 2^53, so the negated-double
+    * top-k trick below is exact too. */
+  private val AdcScale = 1e9
+
+  /** PQ asymmetric-distance (ADC) top-k search — the query side of
+    * [[pqEncode]] (Jégou et al. 2011 §IV): each query computes an m×k
+    * table of scaled subspace distances to every centroid, and a doc's
+    * distance is the sum of m table lookups selected by its codes —
+    * no float vectors touched at scan time.
+    *
+    * Scale shape: the per-query tables are data (they depend on the
+    * query vector), so they BROADCAST as one row per query; the code
+    * table reassembles to wide form once (one id-keyed bounded
+    * aggregate — a production layout would store codes wide and skip
+    * this), then scoring is a broadcast nested-loop over docs × queries
+    * fused into the scan, and ranking is the bounded topk_by_score
+    * aggregate — the shuffle carries ≤ topK rows per (query, map task),
+    * never the corpus. Docs with any NULL code (NULL/wrong-width
+    * vectors at encode time) have no complete code word and are
+    * excluded; invalid query vectors likewise contribute no output
+    * rows (no evidence — the [[quantizeInt8]] convention).
+    *
+    * Output: query_id, rank (1-based, ascending distance, ties to the
+    * smaller id), idCol, adc_scaled (exact long, floor-1e9-scaled). */
+  def pqSearch(
+      codes: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, queryVecCol: String,
+      m: Int, k: Int, dim: Int, topK: Int = 10): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(k >= 2 && k <= 256, "k in [2, 256]")
+    val sub = dim / m
+    val wide = codes.filter(col("code").isNotNull)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("__cs")) // bounded by m — a per-vector reassembly aggregate
+      .filter(size(col("__cs")) === m)
+      .select(col(idCol),
+        transform(col("__cs"), t => t.getField("code")).as("__codes"))
+    val valid = col(queryVecCol).isNotNull && size(col(queryVecCol)) === dim
+    val tbl = array((0 until m).map(s => array((0 until k).map(c =>
+      floor(pqSubDist(col(queryVecCol), s, c, sub) * lit(AdcScale))
+        .cast("long")): _*)): _*)
+    val q = queries.filter(valid)
+      .select(col(queryIdCol).as("query_id"), tbl.as("__tbl"))
+    val adc = (0 until m).map(s =>
+      element_at(element_at(col("__tbl"), s + 1),
+        element_at(col("__codes"), s + 1).cast("int") + 1))
+      .reduce(_ + _) // long adds — exact in any order
+    wide.crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol), adc.as("adc_scaled"))
+      .groupBy(col("query_id"))
+      .agg(call_function("topk_by_score",
+        -col("adc_scaled").cast("double"), col(idCol), lit(topK)).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), (-col("e.score")).cast("long").as("adc_scaled"))
   }
 
   /** Reconstruct PQ-encoded vectors (centroid concatenation in subspace

@@ -72,4 +72,55 @@ object Sketches {
       .join(broadcast(sketch.cells), Seq("r", "cell"), "left")
       .groupBy(col(tokenCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ------------------------------------------------------ Bloom filter
+
+  /** A built Bloom filter: the one-row bitmap DataFrame (column `bits`,
+    * array&lt;bigint&gt; of numBits/64 words) plus the (numBits,
+    * numHashes) geometry probes must reuse — the same
+    * geometry-travels-with-the-sketch contract as [[CMSketch]]. */
+  final case class BloomFilter(bitmap: DataFrame, numBits: Int, numHashes: Int)
+
+  /** Build a Bloom filter over a string key column in ONE aggregate
+    * pass ([[graft.functions.BloomBuildAgg]]): each map task ships a
+    * fixed numBits/64-long partial bitmap, merged by bitwise OR — the
+    * membership pre-filter for online dedup / decontamination at 100 TB
+    * (a few-KiB summary of a corpus-sized key set; probes then test
+    * locally against the broadcast bitmap instead of joining the
+    * corpus). NULL keys set no bits. */
+  def bloomBuild(
+      df: DataFrame, keyCol: String,
+      numBits: Int = 1 << 16, numHashes: Int = 7): BloomFilter =
+    BloomFilter(
+      df.agg(call_function("bloom_build",
+        col(keyCol), lit(numBits), lit(numHashes)).as("bits")),
+      numBits, numHashes)
+
+  /** Membership probe: for each probe row, `might_contain` is true iff
+    * ALL numHashes bit positions of the key are set — no false
+    * negatives; false positives at the sized rate. The one-row bitmap
+    * rides in via a broadcast nested-loop join (one row, no key), and
+    * the bit tests are pure integer expressions on the probe side
+    * (engine-stable md5 positions, so an oracle re-derives membership
+    * with set logic). NULL probe keys report NULL (no evidence — the
+    * caller decides, the [[Dedup]] NULL discipline).
+    * Output: probe columns + might_contain. */
+  def bloomMightContain(
+      filter: BloomFilter, probes: DataFrame, keyCol: String): DataFrame = {
+    val hits = (0 until filter.numHashes).map { i =>
+      val pos = graft.functions.HashExprs.md5Mod(
+        concat(lit(s"bloom$i:"), col(keyCol)), 15, lit(filter.numBits.toLong))
+      // Column-arg shifts go through call_function (the Scala helpers
+      // only take literal shift amounts); bitwiseAND sidesteps the
+      // arithmetic-shift sign trap on words with bit 63 set.
+      val word = element_at(col("__bloom_bits"),
+        call_function("shiftright", pos, lit(6)).cast("int") + 1)
+      word.bitwiseAND(
+        call_function("shiftleft", lit(1L), (pos % lit(64L)).cast("int"))) =!= lit(0L)
+    }.reduce(_ && _)
+    probes.crossJoin(broadcast(filter.bitmap.select(col("bits").as("__bloom_bits"))))
+      .withColumn("might_contain",
+        when(col(keyCol).isNull, lit(null).cast("boolean")).otherwise(hits))
+      .drop("__bloom_bits")
+  }
 }

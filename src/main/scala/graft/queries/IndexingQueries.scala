@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.ops.{Curation, Dedup, Retrieval, Sampling, Similarity, Sketches}
+
+/** Corpus indexing, hybrid retrieval, and mixture queries (SURVEY.md §2
+  * C69–C73): PQ asymmetric-distance ANN search, reciprocal-rank fusion
+  * of the lexical and dense retrieval legs, per-domain frequency
+  * capping, Bloom-filter membership pre-filtering, and temperature-
+  * based source mixing. Every query hash-matches a DuckDB oracle that
+  * re-derives the full pipeline — PQ code words and distance tables
+  * from the shared md5 centroids, integral RRF contributions, bloom
+  * bit positions via set logic, and the exact IEEE rate chain of the
+  * mixture sampler.
+  */
+object IndexingQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "embeddings"))
+
+  // Shared constants — declared FIRST (object vals initialize in
+  // declaration order; an oracle val interpolating one declared below
+  // it silently bakes in 0).
+  private val PqQueryCount = 5
+  private val PqTopK = 10
+  private val RrfK0 = 60
+  private val RrfScale = 1000000000000L
+  private val RrfTopK = 10
+  private val CapPerDomain = 10
+  private val BloomBits = 1 << 16
+  private val BloomHashes = 7
+  private val BloomCorpusMax = 400
+  private val MixBudget = 200L
+
+  // ------------------------------ C69: PQ asymmetric-distance search
+  private def qPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding",
+      TrainingPrepQueries.PqM, TrainingPrepQueries.PqK)
+    Similarity.pqSearch(codes, e.filter(col("vec_id") < PqQueryCount),
+      "vec_id", "vec_id", "embedding",
+      TrainingPrepQueries.PqM, TrainingPrepQueries.PqK,
+      TrainingPrepQueries.PqDim, PqTopK)
+      .orderBy("query_id", "rank")
+  }
+
+  // Codes and query distance tables both read the ONE shared cands CTE
+  // (TrainingPrepQueries.pqBaseCtes), exactly like the Spark side
+  // shares pqSubDist between encode and search.
+  private val qPqSearchSql = {
+    val m = TrainingPrepQueries.PqM
+    s"""WITH ${TrainingPrepQueries.pqBaseCtes},
+       |codes AS (
+       |  SELECT vec_id, sub, code FROM cands
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY dist, code) = 1),
+       |qtbl AS (
+       |  SELECT vec_id AS query_id, sub, code,
+       |    CAST(FLOOR(dist * 1000000000.0) AS BIGINT) AS dsub
+       |  FROM cands WHERE vec_id < $PqQueryCount),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id, SUM(q.dsub) AS adc_scaled
+       |  FROM codes c JOIN qtbl q ON c.sub = q.sub AND c.code = q.code
+       |  GROUP BY q.query_id, c.vec_id
+       |  HAVING COUNT(*) = $m)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY adc_scaled, vec_id) AS INTEGER) AS rank,
+       |  vec_id, CAST(adc_scaled AS BIGINT) AS adc_scaled
+       |FROM scored
+       |QUALIFY rank <= $PqTopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------- C70: reciprocal-rank fusion (lexical + dense)
+  private def qRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qdf = RetrievalQueries.Bm25Queries.toDF("query_id", "qtext")
+    val lex = Retrieval.bm25(docs(s, dir), qdf, "doc_id", "text",
+      "query_id", "qtext", k = RetrievalQueries.Bm25K,
+      k1 = RetrievalQueries.Bm25K1, b = RetrievalQueries.Bm25B)
+      .select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").as("id"), col("rank"))
+    val e = embs(s, dir)
+    val dense = Similarity.bruteForceTopK(
+      e.filter(col("vec_id") < PqQueryCount), e,
+      "vec_id", "vec_id", "embedding", k = RetrievalQueries.Bm25K)
+      .select(col("query_id"), col("neighbor_id").as("id"), col("rank"))
+    Retrieval.rrfFuse(Seq(lex, dense), "query_id", "id", "rank",
+      k0 = RrfK0, topK = RrfTopK, scale = RrfScale)
+      .orderBy("query_id", "rank")
+  }
+
+  // The lexical leg reuses RetrievalQueries.bm25Ctes verbatim (the
+  // q_bm25 derivation through `agg`); the dense leg is the
+  // q_ann_bruteforce shape over vec_id < 5. `//` is DuckDB integral
+  // division — the twin of the Spark side's `div`.
+  private val qRrfSql =
+    s"""WITH ${RetrievalQueries.bm25Ctes},
+       |lex AS (
+       |  SELECT query_id, doc_id AS id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, doc_id) AS r
+       |  FROM agg QUALIFY r <= ${RetrievalQueries.Bm25K}),
+       |dq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $PqQueryCount),
+       |dsc AS (
+       |  SELECT dq.qid AS query_id, e.vec_id AS id,
+       |    list_cosine_similarity(dq.qe, e.embedding) AS sim
+       |  FROM embeddings e, dq WHERE e.vec_id <> dq.qid),
+       |dense AS (
+       |  SELECT query_id, id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, id) AS r
+       |  FROM dsc QUALIFY r <= ${RetrievalQueries.Bm25K}),
+       |contrib AS (
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, id,
+       |    $RrfScale // ($RrfK0 + r) AS c FROM lex
+       |  UNION ALL
+       |  SELECT CAST(query_id AS BIGINT) AS query_id, id,
+       |    $RrfScale // ($RrfK0 + r) AS c FROM dense),
+       |fused AS (
+       |  SELECT query_id, id, SUM(c) AS rrf_scaled, COUNT(*) AS n_lists
+       |  FROM contrib GROUP BY query_id, id)
+       |SELECT query_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_scaled DESC, id) AS INTEGER) AS rank,
+       |  id, CAST(rrf_scaled AS BIGINT) AS rrf_scaled,
+       |  CAST(n_lists AS BIGINT) AS n_lists
+       |FROM fused
+       |QUALIFY rank <= $RrfTopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // --------------------------- C71: per-domain frequency capping
+  private def qDomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(docs(s, dir), "doc_id", "source",
+      col("n_chars").cast("double"), CapPerDomain)
+      .orderBy("source", "rank")
+
+  private val qDomainCapSql =
+    s"""WITH r AS (
+       |  SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rank
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL)
+       |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, score
+       |FROM r WHERE rank <= $CapPerDomain
+       |ORDER BY source, rank""".stripMargin
+
+  // --------------------------- C72: Bloom-filter membership probe
+  // Build over the text of doc_id < 400 (the "corpus"), probe ALL
+  // documents: members must report true (no false negatives); the
+  // 400-499 tail reports true only on a textual duplicate or a
+  // ~(1-e^{-kn/m})^k false positive. The oracle never builds a bitmap
+  // — it re-derives membership with set logic over the same md5 bit
+  // positions, so the aggregate's bit packing is differentially
+  // verified end to end.
+  private def qBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bf = Sketches.bloomBuild(d.filter(col("doc_id") < BloomCorpusMax),
+      "text", BloomBits, BloomHashes)
+    Sketches.bloomMightContain(bf, d.select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("might_contain"))
+      .orderBy("doc_id")
+  }
+
+  private val qBloomSql =
+    s"""WITH corpus AS (
+       |  SELECT DISTINCT text FROM documents
+       |  WHERE doc_id < $BloomCorpusMax AND text IS NOT NULL),
+       |setbits AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5('bloom' || i.range
+       |    || ':' || text), 1, 15) AS BIGINT) % $BloomBits AS pos
+       |  FROM corpus, range($BloomHashes) i),
+       |pp AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5('bloom' || i.range
+       |    || ':' || text), 1, 15) AS BIGINT) % $BloomBits AS pos
+       |  FROM documents, range($BloomHashes) i WHERE text IS NOT NULL),
+       |hit AS (
+       |  SELECT doc_id, BOOL_AND(pos IN (SELECT pos FROM setbits)) AS mc
+       |  FROM pp GROUP BY doc_id)
+       |SELECT d.doc_id, hit.mc AS might_contain
+       |FROM documents d LEFT JOIN hit USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // --------------------------- C73: temperature-based source mixing
+  private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureMix(
+      docs(s, dir).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", MixBudget)
+      .orderBy("doc_id")
+
+  // The rate chain mirrors temperatureMix op for op: Σ√n as a left
+  // list_reduce fold in NULL-first ascending lang order, then
+  // ((budget·√n)/Σ√n)/n under LEAST — every intermediate one
+  // exactly-rounded IEEE op on identical inputs.
+  private val qTemperatureMixSql = {
+    import LlmOpsQueries.sqlHashFrac
+    s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |sw AS (
+       |  SELECT list_reduce(list(sqrt(CAST(n AS DOUBLE))
+       |    ORDER BY lang ASC NULLS FIRST), (a, b) -> a + b) AS sumw
+       |  FROM cnt),
+       |rates AS (
+       |  SELECT lang, LEAST(1.0, CAST($MixBudget AS DOUBLE)
+       |    * sqrt(CAST(n AS DOUBLE)) / sw.sumw / CAST(n AS DOUBLE)) AS p
+       |  FROM cnt CROSS JOIN sw)
+       |SELECT d.doc_id, d.lang,
+       |  CAST(FLOOR(r.p * 1000000000000.0) AS BIGINT) AS p_scaled
+       |FROM documents d JOIN rates r ON d.lang IS NOT DISTINCT FROM r.lang
+       |WHERE $sqlHashFrac < r.p
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_pq_search" -> qPqSearch _,
+      "q_rrf" -> qRrf _,
+      "q_domain_cap" -> qDomainCap _,
+      "q_bloom" -> qBloom _,
+      "q_temperature_mix" -> qTemperatureMix _)
+
+  override val oracleSql: Map[String, String] = Map(
+    "q_pq_search" -> qPqSearchSql,
+    "q_rrf" -> qRrfSql,
+    "q_domain_cap" -> qDomainCapSql,
+    "q_bloom" -> qBloomSql,
+    "q_temperature_mix" -> qTemperatureMixSql)
+}

@@ -727,7 +727,7 @@ object LlmOpsQueries extends QueryModule {
   // longer documents) and source-mixture rebalancing toward a target
   // language mix. Membership is a pure function of doc_id, so both
   // engines agree row-for-row.
-  private val sqlHashFrac =
+  private[queries] val sqlHashFrac =
     "CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) / 4294967296.0"
 
   private def qSampleWeighted(s: SparkSession, dir: String): DataFrame = {

@@ -62,15 +62,15 @@ object RetrievalQueries extends QueryModule {
   // Query texts are already TextOps.normalized-form (lowercase, single
   // spaces) so the oracle tokenizes them with a bare string_split; one
   // term ('strategy') is deliberately out-of-vocabulary.
-  private val Bm25Queries = Seq(
+  private[queries] val Bm25Queries = Seq(
     0 -> "hash join strategy",
     1 -> "window agg stream",
     2 -> "customer order merge",
     3 -> "vector scan filter",
     4 -> "spark table query")
-  private val Bm25K = 10
-  private val Bm25K1 = 1.2
-  private val Bm25B = 0.75
+  private[queries] val Bm25K = 10
+  private[queries] val Bm25K1 = 1.2
+  private[queries] val Bm25B = 0.75
 
   private def qBm25(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -85,11 +85,15 @@ object RetrievalQueries extends QueryModule {
   // decimal that could round differently); parenthesization mirrors
   // Retrieval.bm25 token-for-token so every IEEE intermediate is
   // bit-identical before the floor.
-  private val qBm25Sql = {
+  /** The bm25 re-derivation through the summed-score `agg` CTE —
+    * shared with IndexingQueries' RRF fusion oracle, which ranks the
+    * same `agg` and fuses it with a dense list (one definition, so the
+    * lexical leg of the hybrid can never drift from q_bm25). */
+  private[queries] val bm25Ctes = {
     val vals = Bm25Queries.map { case (i, t) => s"($i, '$t')" }.mkString(", ")
     val k1p1 = (Bm25K1 + 1.0).toString
     val oneMinusB = (1.0 - Bm25B).toString
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id, toks, len(toks) AS dl
        |  FROM (SELECT doc_id, $sqlToks AS toks FROM documents)),
        |c AS (
@@ -119,7 +123,11 @@ object RetrievalQueries extends QueryModule {
        |agg AS (
        |  SELECT query_id, doc_id, SUM(contrib) AS score_scaled,
        |    COUNT(*) AS n_terms
-       |  FROM sc GROUP BY query_id, doc_id)
+       |  FROM sc GROUP BY query_id, doc_id)""".stripMargin
+  }
+
+  private val qBm25Sql =
+    s"""WITH $bm25Ctes
        |SELECT CAST(query_id AS INTEGER) AS query_id,
        |  CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |    ORDER BY score_scaled DESC, doc_id) AS INTEGER) AS rank,
@@ -129,7 +137,6 @@ object RetrievalQueries extends QueryModule {
        |FROM agg
        |QUALIFY rank <= $Bm25K
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   // ----------------- C52: incremental near-dup vs existing corpus index
   // Split is doc_id % 5: 20% "new batch" vs 80% "existing corpus" at

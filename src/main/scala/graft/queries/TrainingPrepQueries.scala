@@ -32,11 +32,11 @@ object TrainingPrepQueries extends QueryModule {
   private val CurrStages = 4
   private val TrimLow = 5
   private val TrimHigh = 95
-  private val PqM = 4
-  private val PqK = 8
+  private[queries] val PqM = 4
+  private[queries] val PqK = 8
   // testdata embeddings are 64-wide at every SF; the operator reads the
   // width from the data (vecDim), the oracle needs it for slice bounds
-  private val PqDim = 64
+  private[queries] val PqDim = 64
 
   /** Deterministic synthetic hyperlink graph: each document draws
     * [[LinksPerDoc]] out-links, draw i targeting doc
@@ -217,11 +217,15 @@ object TrainingPrepQueries extends QueryModule {
     Similarity.pqEncode(embs(s, dir), "vec_id", "embedding", PqM, PqK)
       .orderBy("vec_id", "sub")
 
-  private val qPqCodesSql = {
+  /** The PQ re-derivation through the per-(vector, subspace, code)
+    * distance CTE `cands` — shared with IndexingQueries' ADC search
+    * oracle (codes AND query tables both read the same distances, so
+    * the two PQ queries can never disagree on a centroid). One SELECT
+    * per (subspace, code): squared-L2 to the md5-derived centroid,
+    * summed by a left-fold list_reduce — the same left-associated +
+    * chain as the operator's reduce(_ + _). */
+  private[queries] val pqBaseCtes = {
     val sub = PqDim / PqM
-    // One SELECT per (subspace, code): squared-L2 to the md5-derived
-    // centroid, summed by a left-fold list_reduce — the same
-    // left-associated + chain as the operator's reduce(_ + _).
     val cands = (0 until PqM).flatMap { s =>
       (0 until PqK).map { c =>
         val lo = s * sub + 1
@@ -236,16 +240,19 @@ object TrainingPrepQueries extends QueryModule {
            |  FROM v""".stripMargin
       }
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |cands AS (
-       |  $cands)
+       |  $cands)""".stripMargin
+  }
+
+  private val qPqCodesSql =
+    s"""WITH $pqBaseCtes
        |SELECT vec_id, sub, code FROM cands
        |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
        |  ORDER BY dist, code) = 1
        |ORDER BY vec_id, sub""".stripMargin
-  }
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
