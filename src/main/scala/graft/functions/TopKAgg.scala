@@ -12,7 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded top-k aggregate: keeps the k (score, id) pairs with the
   * highest score (ties broken toward the smallest id) per group. Ids may
-  * be bigint (ANN neighbor ids) or string (TF-IDF terms, document keys).
+  * be bigint (ANN neighbor ids) or string (TF-IDF terms, document keys);
+  * scores may be double (cosine similarities) or bigint (scaled-integer
+  * exact scores — negate to rank ascending; long comparison never loses
+  * precision, unlike a >2^53 long cast to double).
   *
   * This is the scale-correct formulation of "top-k per key": a
   * TypedImperativeAggregate participates in partial aggregation, so each
@@ -30,43 +33,51 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Any, Any)]] {
 
   require(k > 0, "k must be positive")
 
+  private def scoreType: DataType = scoreExpr.dataType
+  private def scoreIsLong: Boolean = scoreType == LongType
   private def idType: DataType = idExpr.dataType
   private def idIsString: Boolean = idType == StringType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (scoreExpr.dataType != DoubleType)
-      TypeCheckResult.TypeCheckFailure(
-        s"topk_by_score score must be double, got ${scoreExpr.dataType}")
-    else idType match {
-      case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+    scoreType match {
+      case DoubleType | LongType => idType match {
+        case LongType | StringType => TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"topk_by_score id must be bigint or string, got $other")
+      }
       case other => TypeCheckResult.TypeCheckFailure(
-        s"topk_by_score id must be bigint or string, got $other")
+        s"topk_by_score score must be double or bigint, got $other")
     }
 
   @transient private lazy val idOrd: Ordering[Any] =
     org.apache.spark.sql.catalyst.util.TypeUtils
       .getInterpretedOrdering(idType)
 
+  private def compareScores(a: Any, b: Any): Int =
+    if (scoreIsLong) java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    else java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+
   // Min-heap: the head is the WORST kept element — lowest score, and
   // among equal scores the largest id (so smaller ids win ties).
   // compare(x, y) > 0 means "x is worse than y".
-  private def heapOrdering: Ordering[(Double, Any)] =
-    new Ordering[(Double, Any)] {
-      override def compare(x: (Double, Any), y: (Double, Any)): Int =
-        if (x._1 != y._1) java.lang.Double.compare(y._1, x._1)
-        else idOrd.compare(x._2, y._2)
+  private def heapOrdering: Ordering[(Any, Any)] =
+    new Ordering[(Any, Any)] {
+      override def compare(x: (Any, Any), y: (Any, Any)): Int = {
+        val c = compareScores(y._1, x._1)
+        if (c != 0) c else idOrd.compare(x._2, y._2)
+      }
     }
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Any, Any)] =
     mutable.PriorityQueue.empty(heapOrdering)
 
   override def update(
-      buf: mutable.PriorityQueue[(Double, Any)],
-      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
+      buf: mutable.PriorityQueue[(Any, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Any, Any)] = {
     val s = scoreExpr.eval(input)
     val id = idExpr.eval(input)
     if (s != null && id != null) {
@@ -76,28 +87,28 @@ case class TopKByScore(
         case u: UTF8String => u.clone()
         case other => other
       }
-      push(buf, (s.asInstanceOf[Double], stable))
+      push(buf, (s, stable))
     }
     buf
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(Double, Any)],
-      other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
+      buf: mutable.PriorityQueue[(Any, Any)],
+      other: mutable.PriorityQueue[(Any, Any)]): mutable.PriorityQueue[(Any, Any)] = {
     other.foreach(push(buf, _))
     buf
   }
 
   private def push(
-      buf: mutable.PriorityQueue[(Double, Any)],
-      e: (Double, Any)): Unit = {
+      buf: mutable.PriorityQueue[(Any, Any)],
+      e: (Any, Any)): Unit = {
     if (buf.size < k) buf.enqueue(e)
     else if (heapOrdering.lt(e, buf.head)) { // e beats the current worst
       buf.dequeue(); buf.enqueue(e)
     }
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any = {
+  override def eval(buf: mutable.PriorityQueue[(Any, Any)]): Any = {
     // heapOrdering ranks better elements lower, so ascending = best first
     val sorted = buf.toArray.sorted(heapOrdering)
     new GenericArrayData(sorted.map { case (s, id) =>
@@ -105,12 +116,13 @@ case class TopKByScore(
     }: Array[Any])
   }
 
-  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+  override def serialize(buf: mutable.PriorityQueue[(Any, Any)]): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.size)
     buf.foreach { case (s, id) =>
-      out.writeDouble(s)
+      if (scoreIsLong) out.writeLong(s.asInstanceOf[Long])
+      else out.writeDouble(s.asInstanceOf[Double])
       if (idIsString) {
         val b = id.asInstanceOf[UTF8String].getBytes
         out.writeInt(b.length); out.write(b)
@@ -120,12 +132,12 @@ case class TopKByScore(
     bytes.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Any, Any)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
     val n = in.readInt()
     (1 to n).foreach { _ =>
-      val s = in.readDouble()
+      val s: Any = if (scoreIsLong) in.readLong() else in.readDouble()
       val id: Any =
         if (idIsString) {
           val len = in.readInt()
@@ -139,7 +151,7 @@ case class TopKByScore(
   }
 
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", DoubleType, nullable = false),
+    StructField("score", scoreType, nullable = false),
     StructField("id", idType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(scoreExpr, idExpr)

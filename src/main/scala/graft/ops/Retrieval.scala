@@ -167,8 +167,10 @@ object Retrieval {
     * bit-identical across engines and partitionings (a float 1/(k0+r)
     * formulation would drift with aggregation order). k0=60 is the
     * paper's constant; scale=1e12 keeps div quotients distinct for
-    * ranks into the millions while 2^63 headroom allows billions of
-    * lists.
+    * ranks into the millions. Headroom: max contribution is
+    * scale/(k0+1) ≈ 1.6e10, so ~5.6e8 lists all ranking one id first
+    * would overflow the long sum — far beyond any ensemble, and ANSI
+    * mode fails loudly rather than mis-ranking if it is ever reached.
     *
     * Scale shape: inputs are already top-k lists (per-query bounded by
     * construction), so the union, the (query, id)-keyed sum, and the

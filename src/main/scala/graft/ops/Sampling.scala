@@ -106,11 +106,24 @@ object Sampling {
       df: DataFrame, idCol: String, strataCol: String,
       budget: Long): DataFrame = {
     require(budget >= 0 && budget < (1L << 53), "budget in [0, 2^53)")
+    // Stratum values stay NATIVE for rate matching (a toString
+    // round-trip would silently mis-match non-string strata — lit()
+    // fails loudly on an unsupported type instead); the string form is
+    // used ONLY to fix the fold order. That order is NULL first, then
+    // ascending UTF-8 BYTE order — DuckDB's VARCHAR ORDER BY — because
+    // Scala's default String ordering (UTF-16 code units) disagrees on
+    // supplementary characters and would shift the Σ√n fold's last ulp.
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
       .collect()
-      .map(r => (if (r.isNullAt(0)) None else Some(r.get(0).toString),
-        r.getLong(1)))
-      .sortBy { case (k, _) => (k.isDefined, k.getOrElse("")) }
+      .map(r => (if (r.isNullAt(0)) None else Some(r.get(0)), r.getLong(1)))
+      .sortWith {
+        case ((None, _), _) => true
+        case (_, (None, _)) => false
+        case ((Some(a), _), (Some(b), _)) =>
+          java.util.Arrays.compareUnsigned(
+            a.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            b.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+      }
     if (counts.isEmpty) return df.withColumn("p_scaled", lit(0L)).limit(0)
     // Σ√n as a left fold in the sorted order above — the oracle's
     // list_reduce twin. 0.0 + w0 == w0 exactly, so the seed is benign.
@@ -121,7 +134,7 @@ object Sampling {
       // exact left-assoc op chain, mirrored in SQL: ((B·w)/Σw)/n
       val rate = math.min(1.0,
         budget.toDouble * math.sqrt(n.toDouble) / sumW / n.toDouble)
-      val cond = k.map(col(strataCol) <=> lit(_))
+      val cond = k.map(v => col(strataCol) <=> lit(v))
         .getOrElse(col(strataCol).isNull)
       when(cond, lit(rate)).otherwise(acc)
     }

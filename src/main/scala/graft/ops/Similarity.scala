@@ -581,10 +581,11 @@ object Similarity {
   /** Scaled-integer factor for ADC distance table entries: per-subspace
     * squared L2 is floored at 1e9 so per-(query, doc) sums are EXACT
     * long adds (order-independent — the ExactAgg discipline; float sums
-    * across m subspaces would drift with aggregation order). Headroom:
-    * a subspace distance is ≤ sub·maxdiff²; at 1e9 scaling, unit-norm
-    * embeddings with 64 dims sum to ≪ 2^53, so the negated-double
-    * top-k trick below is exact too. */
+    * across m subspaces would drift with aggregation order). Ranking
+    * compares the longs directly (topk_by_score bigint scores), so
+    * exactness holds to 2^63 — components up to ~3e5 in a 64-dim
+    * vector; larger magnitudes overflow the long SUM loudly under
+    * ANSI, never silently mis-rank. */
   private val AdcScale = 1e9
 
   /** PQ asymmetric-distance (ADC) top-k search — the query side of
@@ -634,11 +635,14 @@ object Similarity {
     wide.crossJoin(broadcast(q))
       .select(col("query_id"), col(idCol), adc.as("adc_scaled"))
       .groupBy(col("query_id"))
+      // negated LONG score: topk keeps the highest, we want the least
+      // distance — and long comparison is exact at any magnitude
+      // (a double-cast score would quantize above 2^53)
       .agg(call_function("topk_by_score",
-        -col("adc_scaled").cast("double"), col(idCol), lit(topK)).as("tk"))
+        -col("adc_scaled"), col(idCol), lit(topK)).as("tk"))
       .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-        col("e.id").as(idCol), (-col("e.score")).cast("long").as("adc_scaled"))
+        col("e.id").as(idCol), (-col("e.score")).as("adc_scaled"))
   }
 
   /** Reconstruct PQ-encoded vectors (centroid concatenation in subspace

@@ -177,16 +177,17 @@ object IndexingQueries extends QueryModule {
        |  SELECT DISTINCT CAST('0x' || substr(md5('bloom' || i.range
        |    || ':' || text), 1, 15) AS BIGINT) % $BloomBits AS pos
        |  FROM corpus, range($BloomHashes) i),
-       |pp AS (
-       |  SELECT doc_id, CAST('0x' || substr(md5('bloom' || i.range
+       |txt AS (SELECT DISTINCT text FROM documents WHERE text IS NOT NULL),
+       |tpos AS (
+       |  SELECT text, CAST('0x' || substr(md5('bloom' || i.range
        |    || ':' || text), 1, 15) AS BIGINT) % $BloomBits AS pos
-       |  FROM documents, range($BloomHashes) i WHERE text IS NOT NULL),
-       |hit AS (
-       |  SELECT doc_id, BOOL_AND(pos IN (SELECT pos FROM setbits)) AS mc
-       |  FROM pp GROUP BY doc_id)
-       |SELECT d.doc_id, hit.mc AS might_contain
-       |FROM documents d LEFT JOIN hit USING (doc_id)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM txt, range($BloomHashes) i),
+       |tmc AS (
+       |  SELECT text, BOOL_AND(pos IN (SELECT pos FROM setbits)) AS mc
+       |  FROM tpos GROUP BY text)
+       |SELECT d.doc_id, t.mc AS might_contain
+       |FROM documents d LEFT JOIN tmc t ON d.text = t.text
+       |ORDER BY d.doc_id""".stripMargin
 
   // --------------------------- C73: temperature-based source mixing
   private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =

@@ -199,11 +199,11 @@ object TrainingPrepQueries extends QueryModule {
     import LlmOpsQueries.sqlToks
     s"""WITH norm AS (
        |  SELECT doc_id, source, CAST(len($sqlToks) AS BIGINT) AS n_tokens
-       |  FROM documents),
+       |  FROM documents WHERE doc_id IS NOT NULL),
        |r AS (
        |  SELECT doc_id, source, n_tokens,
        |    ROW_NUMBER() OVER (PARTITION BY source
-       |      ORDER BY n_tokens, doc_id) AS rank,
+       |      ORDER BY n_tokens ASC NULLS FIRST, doc_id) AS rank,
        |    COUNT(*) OVER (PARTITION BY source) AS n
        |  FROM norm)
        |SELECT doc_id, source, n_tokens, CAST(rank AS BIGINT) AS rank
@@ -240,19 +240,28 @@ object TrainingPrepQueries extends QueryModule {
            |  FROM v""".stripMargin
       }
     }.mkString("\n  UNION ALL\n  ")
+    // the validity filter mirrors pqEncode's `valid` predicate: NULL or
+    // wrong-width vectors get no distances, hence no code words — the
+    // codes oracle re-adds their NULL-code rows, the search oracle
+    // excludes them, exactly like the Spark side
     s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $PqDim),
        |cands AS (
        |  $cands)""".stripMargin
   }
 
   private val qPqCodesSql =
-    s"""WITH $pqBaseCtes
-       |SELECT vec_id, sub, code FROM cands
-       |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
-       |  ORDER BY dist, code) = 1
-       |ORDER BY vec_id, sub""".stripMargin
+    s"""WITH $pqBaseCtes,
+       |cw AS (
+       |  SELECT vec_id, sub, code FROM cands
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |    ORDER BY dist, code) = 1)
+       |SELECT e.vec_id, CAST(s.range AS INTEGER) AS sub, cw.code
+       |FROM embeddings e CROSS JOIN range($PqM) s
+       |LEFT JOIN cw ON cw.vec_id = e.vec_id AND cw.sub = s.range
+       |ORDER BY e.vec_id, sub""".stripMargin
 
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(

@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Component d of PQ subspace-s centroid c — the ONE test-side copy
+    * of Similarity's md5 centroid tag ("pq{s}:{c}:{d}"). */
+  protected def pqCen(s: Int, d: Int, c: Int): Double =
+    functions.HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
 }
 
 object SparkSpec {

@@ -14,17 +14,15 @@ class IndexingSpec extends SparkSpec {
 
   // ------------------------------------- C69: PQ ADC top-k search
 
-  private def cen(s: Int, d: Int, c: Int): Double =
-    HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
 
   test("pq search: a query equal to a doc's centroid word ranks it first") {
     // doc 1 IS the concat of (sub0, code2) and (sub1, code1) centroids;
     // doc 2 is a different word. Querying with doc 1's vector gives ADC
     // 0 to doc 1 — nothing can rank above it.
-    val v1 = ((0 until 4).map(d => cen(0, d, 2)) ++
-      (0 until 4).map(d => cen(1, d, 1))).map(_.toFloat).toArray
-    val v2 = ((0 until 4).map(d => cen(0, d, 0)) ++
-      (0 until 4).map(d => cen(1, d, 3))).map(_.toFloat).toArray
+    val v1 = ((0 until 4).map(d => pqCen(0, d, 2)) ++
+      (0 until 4).map(d => pqCen(1, d, 1))).map(_.toFloat).toArray
+    val v2 = ((0 until 4).map(d => pqCen(0, d, 0)) ++
+      (0 until 4).map(d => pqCen(1, d, 3))).map(_.toFloat).toArray
     val docs = Seq((1L, v1), (2L, v2)).toDF("id", "vec")
     val codes = Similarity.pqEncode(docs, "id", "vec", m = 2, k = 4)
     val q = Seq((100L, v1)).toDF("qid", "vec")

@@ -119,10 +119,8 @@ class TrainingPrepSpec extends SparkSpec {
   test("pq: a vector equal to a centroid concat encodes to those codes") {
     // dim 8, m 2, sub 4: build the exact concat of (sub 0, code 3) and
     // (sub 1, code 1) centroids — distance 0 must win both subspaces
-    def cen(s: Int, d: Int, c: Int): Double =
-      graft.functions.HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
-    val v = ((0 until 4).map(d => cen(0, d, 3)) ++
-      (0 until 4).map(d => cen(1, d, 1))).map(_.toFloat).toArray
+    val v = ((0 until 4).map(d => pqCen(0, d, 3)) ++
+      (0 until 4).map(d => pqCen(1, d, 1))).map(_.toFloat).toArray
     val df = Seq((1L, v)).toDF("vec_id", "embedding")
     val out = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, k = 4)
       .collect().map(r => r.getInt(1) -> r.getInt(2)).toMap
@@ -141,10 +139,8 @@ class TrainingPrepSpec extends SparkSpec {
   }
 
   test("pq: decode reconstructs within quantization error, exact on centroids") {
-    def cen(s: Int, d: Int, c: Int): Double =
-      graft.functions.HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
-    val exact = ((0 until 4).map(d => cen(0, d, 2)) ++
-      (0 until 4).map(d => cen(1, d, 0))).map(_.toFloat).toArray
+    val exact = ((0 until 4).map(d => pqCen(0, d, 2)) ++
+      (0 until 4).map(d => pqCen(1, d, 0))).map(_.toFloat).toArray
     val df = Seq((7L, exact)).toDF("vec_id", "embedding")
     val codes = Similarity.pqEncode(df, "vec_id", "embedding", m = 2, k = 4)
     val vec = Similarity.pqDecode(codes, "vec_id", m = 2, k = 4, dim = 8)
