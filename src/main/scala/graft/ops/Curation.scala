@@ -115,6 +115,30 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Leakage-safe k-fold assignment — cross-validation's twin of
+    * [[leakSafeSplit]]: every document lands in fold
+    * md5(cluster) mod k, keyed on the duplicate-cluster canonical id,
+    * so near-duplicates NEVER straddle folds (a held-out fold can't
+    * contain a near-copy of a training document). Deterministic and
+    * engine-portable like every hash draw here; unpaired documents are
+    * their own cluster. Expected fold sizes are uniform (md5 buckets),
+    * not exact-equal — exactness would need a global rank, and fold
+    * balance within ±√n is what CV needs.
+    *
+    * `clusters` columns: (idCol, cluster) — reuse one label-propagation
+    * run across dedup, split, and folds (the
+    * [[leakSafeSplitClusters]] contract). Returns (idCol, cluster,
+    * fold 0-based int). */
+  def leakSafeKFold(
+      df: DataFrame, idCol: String, clusters: DataFrame, k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    df.select(col(idCol))
+      .join(clusters, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("fold",
+        Sampling.hashBucket(col("cluster"), k).cast("int"))
+  }
+
   // ---------------------------------------------- token-budget selection
 
   /** Select documents per stratum (source / domain / language) in

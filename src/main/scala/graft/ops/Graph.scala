@@ -119,4 +119,40 @@ object Graph {
         coalesce(col("in_deg"), lit(0L)).as("in_deg"),
         coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
   }
+
+  /** Top anchor texts per link target — the Common-Crawl-style "what do
+    * other pages call this page" quality/topicality signal fed into
+    * crawl curation: for each destination, the `topN` anchor strings by
+    * number of DISTINCT referring pages (a page repeating an anchor
+    * counts once — link-farm repetition must not inflate the signal).
+    *
+    * Shapes: one distinct over (src, dst, anchor) triples, one
+    * (dst, anchor)-keyed count (map-side partial absorbs hot
+    * boilerplate anchors), then the bounded topk_by_score aggregate
+    * with STRING ids — each map task ships ≤ topN anchors per dst, so
+    * a hub page with millions of in-links costs its cap through the
+    * final shuffle. Ranking ties (equal counts) break toward the
+    * binary-ascending anchor — UTF8String comparison is UTF-8 byte
+    * order, the same collation the DuckDB oracle sorts by. Counts ride
+    * as exact doubles (distinct referrers ≪ 2^53). NULL src/dst/anchor
+    * and empty anchors carry no evidence.
+    *
+    * Output: dstCol, rank (1-based), anchorCol, n_refs. */
+  def anchorTexts(
+      edges: DataFrame, srcCol: String, dstCol: String, anchorCol: String,
+      topN: Int): DataFrame = {
+    require(topN > 0, "topN must be positive")
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(anchorCol).isNotNull && length(col(anchorCol)) > 0)
+      .select(col(srcCol), col(dstCol), col(anchorCol)).distinct()
+      .groupBy(col(dstCol), col(anchorCol))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col(dstCol))
+      .agg(call_function("topk_by_score",
+        col("__n").cast("double"), col(anchorCol), lit(topN)).as("tk"))
+      .select(col(dstCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(dstCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(anchorCol), col("e.score").cast("long").as("n_refs"))
+  }
 }

@@ -79,7 +79,11 @@ object CurationQueries extends QueryModule {
         LlmOpsQueries.BandSize))
       .orderBy("doc_id")
 
-  private val qSplitLeaksafeSql = {
+  /** MinHash pairs → recursive transitive closure → canonical cluster
+    * per document — the shared cluster re-derivation behind the
+    * leak-safe split AND the leak-safe k-fold (one definition, so the
+    * two leakage guards can never disagree on a cluster). */
+  private val leakClusterCtes = {
     val recursiveCtes =
       qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$recursiveCtes,
@@ -95,7 +99,11 @@ object CurationQueries extends QueryModule {
        |  FROM reach GROUP BY u),
        |assigned AS (
        |  SELECT d.doc_id, COALESCE(c.cluster, d.doc_id) AS cluster
-       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+       |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)""".stripMargin
+  }
+
+  private val qSplitLeaksafeSql =
+    s"""$leakClusterCtes
        |SELECT doc_id, cluster,
        |  CASE WHEN bkt < 80 THEN 'train'
        |       WHEN bkt < 90 THEN 'val'
@@ -105,7 +113,28 @@ object CurationQueries extends QueryModule {
        |             AS BIGINT) % 100 AS bkt
        |      FROM assigned)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  // ----------------------------------- C75: leakage-safe k-fold CV
+  private val NumFolds = 5
+
+  private def qKfold(s: SparkSession, dir: String): DataFrame =
+    Curation.leakSafeKFold(
+      docs(s, dir), "doc_id",
+      Dedup.duplicateClusters(
+        Dedup.minHashLsh(docs(s, dir), "doc_id", "text",
+          LlmOpsQueries.ShingleN, LlmOpsQueries.NumHashes,
+          LlmOpsQueries.BandSize), "a", "b")
+        .withColumnRenamed("a", "doc_id"),
+      NumFolds)
+      .orderBy("doc_id")
+
+  private val qKfoldSql =
+    s"""$leakClusterCtes
+       |SELECT doc_id, cluster,
+       |  CAST(CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+       |       AS BIGINT) % $NumFolds AS INTEGER) AS fold
+       |FROM assigned
+       |ORDER BY doc_id""".stripMargin
 
   // --------------------------------- C38: token-budget source mixing
   // Fill each source's slice of the training mix in quality order until
@@ -313,6 +342,7 @@ object CurationQueries extends QueryModule {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> qBoilerplate _,
     "q_split_leaksafe" -> qSplitLeaksafe _,
+    "q_kfold" -> qKfold _,
     "q_token_budget" -> qTokenBudget _,
     "q_pack_sequences" -> qPackSequences _,
     "q_curate_pipeline" -> qCuratePipeline _)
@@ -320,6 +350,7 @@ object CurationQueries extends QueryModule {
   def oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> qBoilerplateSql,
     "q_split_leaksafe" -> qSplitLeaksafeSql,
+    "q_kfold" -> qKfoldSql,
     "q_token_budget" -> qTokenBudgetSql,
     "q_pack_sequences" -> qPackSequencesSql,
     "q_curate_pipeline" -> qCuratePipelineSql)

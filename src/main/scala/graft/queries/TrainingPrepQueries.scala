@@ -167,6 +167,59 @@ object TrainingPrepQueries extends QueryModule {
        |  CAST(len(string_split(content, ' ')) AS BIGINT) AS n_tokens
        |FROM turns ORDER BY doc_id, turn_idx""".stripMargin
 
+  // ----------------------- C74: top anchor texts per link target
+  // Anchors draw from a 12-term vocabulary keyed on (src, draw) — the
+  // same reproducible-draw idiom as the edges themselves, so both
+  // engines derive the identical (src, dst, anchor) triples.
+  private val AnchorVocab = 12
+  private val AnchorTopN = 3
+
+  private def anchorEdges(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.count()
+    d.select(col("doc_id").as("src"),
+      explode(array((0 until LinksPerDoc).map(lit): _*)).as("draw"))
+      .withColumn("dst",
+        graft.functions.HashExprs.md5Mod(
+          concat(lit("link:"), col("src").cast("string"), lit(":"),
+            col("draw").cast("string")), 12, lit(n)))
+      .withColumn("anchor",
+        concat(lit("a"), graft.functions.HashExprs.md5Mod(
+          concat(lit("anchor:"), col("src").cast("string"), lit(":"),
+            col("draw").cast("string")), 8, lit(AnchorVocab.toLong))
+          .cast("string")))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), col("anchor"))
+  }
+
+  private def qAnchorText(s: SparkSession, dir: String): DataFrame =
+    Graph.anchorTexts(anchorEdges(s, dir), "src", "dst", "anchor",
+      AnchorTopN)
+      .orderBy("dst", "rank")
+
+  private val qAnchorTextSql =
+    s"""WITH n AS (SELECT COUNT(*) AS n FROM documents),
+       |e0 AS (
+       |  SELECT doc_id AS src,
+       |    CAST('0x' || substr(md5('link:' || CAST(doc_id AS VARCHAR) ||
+       |      ':' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) % n.n AS dst,
+       |    'a' || CAST(CAST('0x' || substr(md5('anchor:' ||
+       |      CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)
+       |      AS BIGINT) % $AnchorVocab AS VARCHAR) AS anchor
+       |  FROM documents CROSS JOIN n, UNNEST(range($LinksPerDoc)) AS t(i)),
+       |e AS (SELECT DISTINCT src, dst, anchor FROM e0 WHERE src <> dst),
+       |cnt AS (
+       |  SELECT dst, anchor, COUNT(*) AS n_refs FROM e GROUP BY dst, anchor),
+       |r AS (
+       |  SELECT dst, anchor, n_refs,
+       |    ROW_NUMBER() OVER (PARTITION BY dst
+       |      ORDER BY n_refs DESC, anchor) AS rank
+       |  FROM cnt)
+       |SELECT dst, CAST(rank AS INTEGER) AS rank, anchor,
+       |  CAST(n_refs AS BIGINT) AS n_refs
+       |FROM r WHERE rank <= $AnchorTopN
+       |ORDER BY dst, rank""".stripMargin
+
   // ------------------------- C66: exact skew-safe curriculum rank
   private def qCurriculum(s: SparkSession, dir: String): DataFrame =
     Curation.curriculum(docs(s, dir), "doc_id",
@@ -269,6 +322,7 @@ object TrainingPrepQueries extends QueryModule {
       "q_graph_degrees" -> qGraphDegrees _,
       "q_conversations" -> qConversations _,
       "q_curriculum" -> qCurriculum _,
+      "q_anchor_text" -> qAnchorText _,
       "q_quantile_trim" -> qQuantileTrim _,
       "q_pq_codes" -> qPqCodes _)
 
@@ -277,6 +331,7 @@ object TrainingPrepQueries extends QueryModule {
     "q_graph_degrees" -> qGraphDegreesSql,
     "q_conversations" -> qConversationsSql,
     "q_curriculum" -> qCurriculumSql,
+    "q_anchor_text" -> qAnchorTextSql,
     "q_quantile_trim" -> qQuantileTrimSql,
     "q_pq_codes" -> qPqCodesSql)
 }

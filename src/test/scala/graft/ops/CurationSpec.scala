@@ -316,4 +316,32 @@ class CurationSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("doc_id")).sorted
     assert(again.toSeq == Seq(1L, 2L, 3L))
   }
+
+  // ----------------------------------- C75: leakage-safe k-fold CV
+
+  test("k-fold: near-duplicates share a fold, singletons self-cluster") {
+    val docs = (0L until 40L).map(i => Tuple1(i)).toDF("id")
+    // 0-1-2 one cluster, 10-11 another
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 0L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    val out = Curation.leakSafeKFold(docs, "id", clusters, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(Set(out(0L), out(1L), out(2L)).size == 1) // same cluster+fold
+    assert(out(10L) == out(11L))
+    assert(out(7L)._1 == 7L)                          // singleton: own cluster
+    assert(out.values.forall { case (_, f) => f >= 0 && f < 5 })
+    // fold is a pure function of the cluster id: md5 first-8-hex mod k
+    def fold(c: Long): Int = (java.lang.Long.parseLong(
+      graft.functions.HashImpl.md5Hex(c.toString.getBytes("UTF-8"))
+        .substring(0, 8), 16) % 5).toInt
+    assert(out.values.forall { case (c, f) => f == fold(c) })
+  }
+
+  test("k-fold: requires at least two folds") {
+    val docs = Seq(Tuple1(1L)).toDF("id")
+    val clusters = Seq((1L, 1L)).toDF("id", "cluster")
+    intercept[IllegalArgumentException] {
+      Curation.leakSafeKFold(docs, "id", clusters, k = 1)
+    }
+  }
 }

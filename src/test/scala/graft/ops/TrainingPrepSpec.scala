@@ -187,4 +187,29 @@ class TrainingPrepSpec extends SparkSpec {
     assert(out.forall { case (id, rank, stage) =>
       rank == id + 1 && stage == (id * 4 / 100).toInt })
   }
+
+  // ----------------------- C74: top anchor texts per link target
+
+  test("anchor texts: distinct referrers, capped, anchor-ascending ties") {
+    val edges = Seq(
+      (1L, 9L, "docs"), (1L, 9L, "docs"),   // repeat from one page: counts once
+      (2L, 9L, "docs"), (3L, 9L, "api"),
+      (4L, 9L, "api"), (5L, 9L, "blog"),
+      (6L, 9L, "zzz"),                       // rank-4 anchor, cut by topN=3
+      (1L, 8L, "home")).toDF("src", "dst", "anchor")
+    val out = Graph.anchorTexts(edges, "src", "dst", "anchor", topN = 3)
+      .filter(col("dst") === 9L).orderBy("rank")
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    // counts: docs=2, api=2, blog=1, zzz=1 → ties break on anchor asc
+    assert(out.toSeq == Seq((1, "api", 2L), (2, "docs", 2L), (3, "blog", 1L)))
+  }
+
+  test("anchor texts: NULL and empty anchors carry no evidence") {
+    val edges = Seq((1L, Some(9L), Some("x")), (2L, Some(9L), None),
+      (3L, Some(9L), Some("")), (4L, None, Some("y")))
+      .toDF("src", "dst", "anchor")
+    val out = Graph.anchorTexts(edges, "src", "dst", "anchor", topN = 5)
+      .collect()
+    assert(out.length == 1 && out.head.getString(2) == "x")
+  }
 }
