@@ -294,4 +294,50 @@ class PlanShapeSpec extends SparkSpec {
     val asofLine = post.linesIterator.find(_.contains("AsOfJoin")).get
     assert(asofLine.trim.matches("^[+:\\-\\s]*\\*\\(\\d+\\).*"), post)
   }
+
+  test("pq encode is a pure map: no shuffle beyond the adaptive fan-out") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = plan(ops.Similarity.pqEncode(e, "vec_id", "embedding", 4, 8))
+    assert(exchanges(p) <= 1, p)               // at most the round-robin fan-out
+    assert(!p.contains("hashpartitioning"), p) // never a key shuffle
+  }
+
+  test("pq ADC search: broadcast tables, bounded top-k, no cartesian") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val codes = ops.Similarity.pqEncode(e, "vec_id", "embedding", 4, 8)
+    val df = ops.Similarity.pqSearch(codes, e.filter(col("vec_id") < 3),
+      "vec_id", "vec_id", "embedding", 4, 8, 64, 5)
+    val p = plan(df)
+    // query distance tables ride a broadcast nested-loop (one row per
+    // query, no key), never a CartesianProduct shuffle
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ranking is the bounded aggregate, not a per-query sort window
+    assert(p.contains("topk_by_score") && !p.contains("Window"), p)
+  }
+
+  test("bloom build is one aggregate pass; probe joins only the bitmap row") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val bf = ops.Sketches.bloomBuild(d, "text", 1 << 14, 5)
+    val pb = plan(bf.bitmap)
+    // partial + final bloom_build, single-partition exchange of one
+    // numBits/64-long row — never a key shuffle of the corpus
+    assert(pb.contains("bloom_build"), pb)
+    assert(!pb.contains("hashpartitioning"), pb)
+    val probe = ops.Sketches.bloomMightContain(bf, d.select(col("doc_id"),
+      col("text")), "text")
+    val pp = plan(probe)
+    assert(pp.contains("BroadcastNestedLoopJoin"), pp)
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("CartesianProduct"), pp)
+  }
+
+  test("domain cap ships at most the cap per domain: aggregate, no window") {
+    val d = Tables.load(spark, sfDir, "documents")
+    val p = plan(ops.Curation.domainCap(d, "doc_id", "source",
+      col("n_chars").cast("double"), 10))
+    assert(p.contains("topk_by_score"), p)
+    assert(!p.contains("Window"), p)
+    // one key shuffle: the per-domain final aggregate
+    assert("hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
 }
