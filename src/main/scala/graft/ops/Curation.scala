@@ -139,6 +139,43 @@ object Curation {
         Sampling.hashBucket(col("cluster"), k).cast("int"))
   }
 
+  /** Deterministic global shuffle + sharding — the "write training
+    * shards" step: every document gets a (shard, pos) such that reading
+    * shards in pos order replays ONE fixed pseudo-random permutation of
+    * the corpus, reproducible across runs, engines, and cluster sizes
+    * (training-order reproducibility is an audit requirement, and
+    * Spark's own repartition/shuffle order is neither).
+    *
+    * shard = md5("shard:"+id) mod numShards; pos = the EXACT 0-based
+    * rank of md5("pos:"+id) within the shard — ranked via the two-level
+    * [[Bucketing]] prefix count grouped per shard, never a per-shard
+    * single-partition window (the C38 lesson). The order key uses 13
+    * hex digits (52 bits): exactly representable as the double the
+    * bucket cuts compare, so bucket assignment and in-bucket order can
+    * never disagree; key collisions tie-break on id. Rows with a NULL
+    * id have no stable identity and are excluded.
+    *
+    * Output: idCol, shard (int), pos (long, 0-based within shard). */
+  def shuffleShards(
+      df: DataFrame, idCol: String, numShards: Int,
+      numBuckets: Int = 64): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val base = df.select(col(idCol)).filter(col(idCol).isNotNull)
+      .withColumn("shard", graft.functions.HashExprs.md5Mod(
+        concat(lit("shard:"), col(idCol).cast("string")), 8,
+        lit(numShards.toLong)).cast("int"))
+      .withColumn("__ord", graft.functions.HashExprs.md5Long(
+        concat(lit("pos:"), col(idCol).cast("string")), 13))
+    val bucketed = Bucketing.quantileBuckets(
+      base, col("__ord"), Seq("shard"), numBuckets)
+    val offsets = Bucketing.bucketOffsets(bucketed, Seq("shard"), lit(1L))
+    val wIn = Window.partitionBy(col("shard"), col(Bucketing.BucketCol))
+      .orderBy(col("__ord"), col(idCol))
+    Bucketing.joinOffsets(bucketed, offsets, Seq("shard"))
+      .withColumn("pos", col("__boffset") + row_number().over(wIn) - 1)
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   // ---------------------------------------------- token-budget selection
 
   /** Select documents per stratum (source / domain / language) in

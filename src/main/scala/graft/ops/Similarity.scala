@@ -645,6 +645,40 @@ object Similarity {
         col("e.id").as(idCol), (-col("e.score")).as("adc_scaled"))
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss;
+    * Achlioptas 2003 for the database framing): out[j] = ⟨vec, r_j⟩
+    * over `outDim` md5-derived dense planes ("rp{j}:{d}" — a separate
+    * tag family from the LSH hyperplanes, so tuning one never perturbs
+    * the other). The cheap store-side companion to [[quantizeInt8]]/
+    * [[pqEncode]]: distances are approximately preserved at
+    * outDim ≪ dim, and downstream ANN runs on the short vectors.
+    *
+    * Scale shape: planes ride into the plan as literals, so projection
+    * is a PURE MAP fused into the scan — no hashing in the hot path,
+    * no shuffle. Components emit as floor-1e6-scaled longs: the dot is
+    * a sequential multiply-add fold ([[VectorExprs]] codegen, 0.0 seed
+    * benign), mirrored token-for-token by the oracle's list_reduce, so
+    * the scaled values are engine-exact (raw doubles would still match
+    * bit-for-bit, but scaled longs keep every downstream consumer in
+    * exact integer arithmetic). NULL / wrong-width vectors yield a NULL
+    * projection with the row KEPT (no evidence → no silent drop).
+    *
+    * Output: idCol, proj_scaled (array&lt;bigint&gt;, length outDim). */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String, outDim: Int): DataFrame = {
+    require(outDim >= 1, "outDim must be >= 1")
+    val dim = vecDim(df, vecCol)
+    val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim
+    val comps = (0 until outDim).map { j =>
+      val w = array(Array.tabulate(dim)(d =>
+        lit(hashComponent(s"rp$j:$d"))): _*)
+      floor(dot(asDouble(col(vecCol)), w) * lit(1e6)).cast("long")
+    }
+    df.select(col(idCol),
+      when(valid, array(comps: _*))
+        .otherwise(lit(null).cast("array<bigint>")).as("proj_scaled"))
+  }
+
   /** Reconstruct PQ-encoded vectors (centroid concatenation in subspace
     * order) — the decode side for asymmetric-distance estimation and
     * quantization-quality audits. Input is [[pqEncode]]'s (idCol, sub,

@@ -6,14 +6,15 @@ import graft.{QueryModule, Tables}
 import graft.ops.{Curation, Dedup, Retrieval, Sampling, Similarity, Sketches}
 
 /** Corpus indexing, hybrid retrieval, and mixture queries (SURVEY.md §2
-  * C69–C73): PQ asymmetric-distance ANN search, reciprocal-rank fusion
-  * of the lexical and dense retrieval legs, per-domain frequency
-  * capping, Bloom-filter membership pre-filtering, and temperature-
-  * based source mixing. Every query hash-matches a DuckDB oracle that
-  * re-derives the full pipeline — PQ code words and distance tables
-  * from the shared md5 centroids, integral RRF contributions, bloom
-  * bit positions via set logic, and the exact IEEE rate chain of the
-  * mixture sampler.
+  * C69–C73, C76): PQ asymmetric-distance ANN search, reciprocal-rank
+  * fusion of the lexical and dense retrieval legs, per-domain frequency
+  * capping, Bloom-filter membership pre-filtering, temperature-based
+  * source mixing, and random-projection dimensionality reduction.
+  * Every query hash-matches a DuckDB oracle that re-derives the full
+  * pipeline — PQ code words and distance tables from the shared md5
+  * centroids, integral RRF contributions, bloom bit positions via set
+  * logic, the exact IEEE rate chain of the mixture sampler, and the
+  * projection fold chains.
   */
 object IndexingQueries extends QueryModule {
 
@@ -189,6 +190,38 @@ object IndexingQueries extends QueryModule {
        |FROM documents d LEFT JOIN tmc t ON d.text = t.text
        |ORDER BY d.doc_id""".stripMargin
 
+  // --------------------- C76: random-projection dim reduction
+  private val RpDim = 8
+
+  private def qRandomProject(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(embs(s, dir), "vec_id", "embedding", RpDim)
+      .select(col("vec_id"),
+        posexplode(col("proj_scaled")).as(Seq("dim", "comp_scaled")))
+      .orderBy("vec_id", "dim")
+
+  // Per output dim: the identical multiply-add left fold as the
+  // codegen'd vec_dot (0.0 seed benign), over the identical md5 plane.
+  private val qRandomProjectSql = {
+    val comps = (0 until RpDim).map { j =>
+      s"""SELECT vec_id, $j AS dim,
+         |    CAST(FLOOR(list_reduce(list_transform(v, (x, i) ->
+         |      x * ((CAST('0x' || substr(md5('rp$j:' ||
+         |        CAST(i - 1 AS VARCHAR)), 1, 6) AS BIGINT)
+         |        / 16777216.0) - 0.5)),
+         |      (a, b) -> a + b) * 1000000.0) AS BIGINT) AS comp_scaled
+         |  FROM v""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL
+       |    AND len(embedding) = ${TrainingPrepQueries.PqDim}),
+       |comps AS (
+       |  $comps)
+       |SELECT vec_id, dim, comp_scaled FROM comps
+       |ORDER BY vec_id, dim""".stripMargin
+  }
+
   // --------------------------- C73: temperature-based source mixing
   private def qTemperatureMix(s: SparkSession, dir: String): DataFrame =
     Sampling.temperatureMix(
@@ -224,12 +257,14 @@ object IndexingQueries extends QueryModule {
       "q_rrf" -> qRrf _,
       "q_domain_cap" -> qDomainCap _,
       "q_bloom" -> qBloom _,
-      "q_temperature_mix" -> qTemperatureMix _)
+      "q_temperature_mix" -> qTemperatureMix _,
+      "q_random_project" -> qRandomProject _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_pq_search" -> qPqSearchSql,
     "q_rrf" -> qRrfSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_bloom" -> qBloomSql,
-    "q_temperature_mix" -> qTemperatureMixSql)
+    "q_temperature_mix" -> qTemperatureMixSql,
+    "q_random_project" -> qRandomProjectSql)
 }

@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import graft.{QueryModule, Tables}
 import graft.ops.{Conversations, Curation, Dedup, Graph, Similarity, TextOps}
 
-/** Training-data preparation queries (SURVEY.md §2 C63–C66): link-graph
-  * quality signals (deterministic integer PageRank + degree stats over
-  * a reproducible synthetic hyperlink graph), multi-turn conversation
-  * flattening for instruction data, and exact skew-safe curriculum
-  * ranking. Every query is hash-compared against a DuckDB oracle that
-  * re-derives the full pipeline — md5-drawn edges, the unrolled integer
-  * PageRank iterations, JSON turn construction, and the global rank —
-  * value for value.
+/** Training-data preparation queries (SURVEY.md §2 C63–C68, C74, C77):
+  * link-graph quality signals (deterministic integer PageRank, degree
+  * stats, and anchor-text aggregation over a reproducible synthetic
+  * hyperlink graph), multi-turn conversation flattening for instruction
+  * data, exact skew-safe curriculum ranking and quantile trimming,
+  * product-quantization codes, and deterministic shuffle-sharding.
+  * Every query is hash-compared against a DuckDB oracle that re-derives
+  * the full pipeline — md5-drawn edges and anchors, the unrolled
+  * integer PageRank iterations, JSON turn construction, PQ distance
+  * chains, and the exact ranks — value for value.
   */
 object TrainingPrepQueries extends QueryModule {
 
@@ -220,6 +222,27 @@ object TrainingPrepQueries extends QueryModule {
        |FROM r WHERE rank <= $AnchorTopN
        |ORDER BY dst, rank""".stripMargin
 
+  // ------------------ C77: deterministic shuffle + shard assignment
+  private val NumShards = 8
+
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    Curation.shuffleShards(docs(s, dir), "doc_id", NumShards)
+      .orderBy("doc_id")
+
+  private val qShuffleShardsSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id,
+       |    CAST(CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+       |      1, 8) AS BIGINT) % $NumShards AS INTEGER) AS shard,
+       |    CAST('0x' || substr(md5('pos:' || CAST(doc_id AS VARCHAR)),
+       |      1, 13) AS BIGINT) AS ord
+       |  FROM documents WHERE doc_id IS NOT NULL)
+       |SELECT doc_id, shard,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY shard
+       |    ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+       |FROM keyed
+       |ORDER BY doc_id""".stripMargin
+
   // ------------------------- C66: exact skew-safe curriculum rank
   private def qCurriculum(s: SparkSession, dir: String): DataFrame =
     Curation.curriculum(docs(s, dir), "doc_id",
@@ -323,6 +346,7 @@ object TrainingPrepQueries extends QueryModule {
       "q_conversations" -> qConversations _,
       "q_curriculum" -> qCurriculum _,
       "q_anchor_text" -> qAnchorText _,
+      "q_shuffle_shards" -> qShuffleShards _,
       "q_quantile_trim" -> qQuantileTrim _,
       "q_pq_codes" -> qPqCodes _)
 
@@ -332,6 +356,7 @@ object TrainingPrepQueries extends QueryModule {
     "q_conversations" -> qConversationsSql,
     "q_curriculum" -> qCurriculumSql,
     "q_anchor_text" -> qAnchorTextSql,
+    "q_shuffle_shards" -> qShuffleShardsSql,
     "q_quantile_trim" -> qQuantileTrimSql,
     "q_pq_codes" -> qPqCodesSql)
 }

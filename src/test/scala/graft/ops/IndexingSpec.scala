@@ -171,6 +171,58 @@ class IndexingSpec extends SparkSpec {
     assert(p(10) > p(160))
   }
 
+  // ------------------- C76: random-projection dim reduction
+
+  test("random projection: plain-Scala fold agrees; NULL/width rows kept") {
+    def plane(j: Int, d: Int): Double =
+      HashImpl.hashUnit(s"rp$j:$d".getBytes("UTF-8"))
+    val v = Array(0.5f, -0.25f, 0.125f, 1.0f)
+    val df = Seq((1L, v), (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(1.0f))).toDF("id", "vec")
+    val out = Similarity.randomProject(df, "id", "vec", outDim = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    assert(out(2L) == null && out(3L) == null) // rows kept, NULL proj
+    val expect = (0 until 3).map { j =>
+      var acc = 0.0
+      for (d <- 0 until 4) acc += v(d).toDouble * plane(j, d)
+      math.floor(acc * 1e6).toLong
+    }
+    assert(out(1L).toSeq == expect)
+  }
+
+  // ------------------ C77: deterministic shuffle + shard assignment
+
+  test("shuffle shards: matches the naive per-shard window, exhaustive pos") {
+    val docs = (0L until 500L).map(Tuple1(_)).toDF("id")
+    val out = Curation.shuffleShards(docs, "id", numShards = 4,
+      numBuckets = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    def h(tag: String, id: Long, w: Int): Long = java.lang.Long.parseLong(
+      graft.functions.HashImpl.md5Hex(s"$tag:$id".getBytes("UTF-8"))
+        .substring(0, w), 16)
+    val expect = (0L until 500L).map { i => (i, h("shard", i, 8) % 4, h("pos", i, 13)) }
+      .groupBy(_._2).flatMap { case (shard, rows) =>
+        rows.sortBy(r => (r._3, r._1)).zipWithIndex.map {
+          case ((id, s, _), p) => id -> (s.toInt, p.toLong)
+        }
+      }.toMap
+    assert(out == expect)
+    // per-shard positions are contiguous 0..n-1
+    out.values.groupBy(_._1).foreach { case (_, ps) =>
+      assert(ps.map(_._2).toSeq.sorted == (0L until ps.size).toSeq)
+    }
+  }
+
+  test("shuffle shards: NULL ids are excluded; ordering is input-invariant") {
+    val a = Seq(Some(1L), Some(2L), None).map(Tuple1(_)).toDF("id")
+    val out = Curation.shuffleShards(a, "id", 2)
+    assert(out.count() == 2)
+    val shuffled = Curation.shuffleShards(
+      a.orderBy(col("id").desc).repartition(7), "id", 2)
+    assert(out.collect().toSet == shuffled.collect().toSet)
+  }
+
   test("temperature mix: zero budget keeps nothing; empty input is empty") {
     val df = Seq((1L, "a")).toDF("id", "src")
     assert(Sampling.temperatureMix(df, "id", "src", 0L).count() == 0L)
