@@ -101,10 +101,15 @@ object Bench {
       else ",\"samples\":" + results.map(r =>
         "\"" + r.name + "\":" + r.samples.map(jd).mkString("[", ",", "]"))
         .mkString("{", ",", "}")
+    // An already-busy host inflates every sample (round-6 lesson: load 6
+    // made trivial queries read 5-18x slower); flag it in the record so
+    // nobody grades contention as regression.
+    val contended = !loadStart.isNaN && loadStart > 2.0
     (s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"${js(sfDir)}","ok":$oks,"failed":$failed,"errors":$errs,""" +
       s""""resampled":$resampledNames,"load_avg_start":${jd(loadStart)},""" +
-      s""""load_avg_end":${jd(loadEnd)},"cpus":$cpusJson""" +
+      s""""load_avg_end":${jd(loadEnd)},"host_contended":$contended,""" +
+      s""""cpus":$cpusJson""" +
       extraFields.map("," + _).mkString + sampleField + "}")
   }
 

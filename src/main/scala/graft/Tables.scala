@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet catalog for one scale-factor directory of the driver-generated
   * testdata (TPC-H-ish star schema + events/documents/embeddings).
@@ -20,22 +20,35 @@ object Tables {
 
   def path(dir: String, table: String): String = s"$dir/$table.parquet"
 
-  /** Sessions must set spark.sql.legacy.parquet.nanosAsLong=true (see
-    * [[configure]]): events.ts is TIMESTAMP(NANOS), which Spark has no
-    * native type for. We read it as long nanos and floor-divide to
-    * micros — the same truncation DuckDB applies — restoring TimestampType.
+  /** Normalizes `events.ts` to TimestampType across every layout the
+    * testdata has shipped in:
+    *   - TIMESTAMP(NANOS): Spark has no native type; with
+    *     `nanosAsLong=true` it arrives as LongType nanos, which we
+    *     floor-divide to micros — the same truncation DuckDB applies.
+    *   - Timestamp(isAdjustedToUTC=false, MICROS): arrives as
+    *     timestamp_ntz (under default inferTimestampNTZ) — cast to
+    *     TimestampType. Session TZ is UTC on both engines, so the
+    *     instant is unchanged.
+    *   - Timestamp(isAdjustedToUTC=true, MICROS): already TimestampType.
+    * [[sessionConfigs]] also disables NTZ inference so a stock reader
+    * sees plain timestamps, but the cast below keeps `load` correct even
+    * on sessions that miss the config.
     */
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     val df = spark.read.parquet(path(dir, table))
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
     }
   }
 
   /** Session configs required to read the testdata. Apply on every builder. */
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.extensions" -> "graft.GraftExtensions")

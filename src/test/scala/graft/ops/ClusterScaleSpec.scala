@@ -35,6 +35,8 @@ class ClusterScaleSpec extends SparkSpec {
     // The checkpoint-per-round loop keeps lineage one round deep; the
     // round-1 regression (cache-chained lineage) was 6-16x slower and
     // would blow far past this generous wall-clock guard.
-    assert(elapsedSec < 300.0, s"label propagation took $elapsedSec s")
+    val bound = loadScaledBound(300.0)
+    assert(elapsedSec < bound,
+      s"label propagation took $elapsedSec s (bound $bound s)")
   }
 }

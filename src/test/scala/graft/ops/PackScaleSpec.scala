@@ -51,7 +51,8 @@ class PackScaleSpec extends SparkSpec {
     val (total, maxSeq) = (totals.getLong(0), totals.getLong(1))
     assert(maxSeq == (total - 1) / 2048)
     val elapsedSec = (System.nanoTime() - t0) / 1e9
-    assert(elapsedSec < 120.0, s"packing took $elapsedSec s")
+    val bound = loadScaledBound(120.0)
+    assert(elapsedSec < bound, s"packing took $elapsedSec s (bound $bound s)")
     packed.unpersist()
     ()
   }
