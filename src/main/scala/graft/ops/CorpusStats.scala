@@ -64,6 +64,12 @@ object CorpusStats {
     * aggregate — the single corpus-side reduction, whose exchange both
     * downstream branches (per-source totals, dominant lang) share via
     * exchange reuse; everything after operates on source×lang rows.
+    * `skewSafe` swaps the copy-count window (all occurrences of one
+    * fingerprint on one task) for a groupBy aggregate + join back —
+    * map-side partials absorb a boilerplate fingerprint occurring 10^8
+    * times and AQE can split the skewed join, at the cost of a second
+    * exchange; output is IDENTICAL either way (the same contract as
+    * [[graft.ops.Dedup.windowDupStats]]).
     * NULL sources or langs group as NULL — visible in the report,
     * never dropped (the final join is null-SAFE: a NULL-source bucket
     * still gets its row). NULL text has a NULL fingerprint = no content
@@ -75,11 +81,21 @@ object CorpusStats {
     * dup_frac, n_langs, dominant_lang. */
   def corpusReport(
       df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-      sourceCol: String = "source", langCol: String = "lang"): DataFrame = {
-    val base = df.select(col(sourceCol), col(langCol), col(idCol),
+      sourceCol: String = "source", langCol: String = "lang",
+      skewSafe: Boolean = false): DataFrame = {
+    val base0 = df.select(col(sourceCol), col(langCol), col(idCol),
       TextOps.fingerprint(col(textCol)).as("__fp"),
       TextOps.tokenCount(col(textCol)).cast("long").as("__ntok"))
-      .withColumn("__fpn",
+    val base =
+      if (skewSafe)
+        // LEFT join: a NULL fingerprint never equi-matches, but the doc
+        // row must survive (it still counts toward n_docs; its __fpn is
+        // only read behind an isNotNull guard, so NULL __fpn is fine).
+        base0.join(
+          base0.filter(col("__fp").isNotNull)
+            .groupBy(col("__fp")).agg(count(lit(1)).as("__fpn")),
+          Seq("__fp"), "left")
+      else base0.withColumn("__fpn",
         count(lit(1)).over(Window.partitionBy(col("__fp"))))
     val perSL = base.groupBy(col(sourceCol), col(langCol)).agg(
       count(lit(1)).as("__nd"),

@@ -543,6 +543,17 @@ object Similarity {
       df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, k: Int = 16): DataFrame = {
     val dim = vecDim(df, vecCol)
+    val codes = pqCodeArray(vecCol, m, k, dim)
+    val nulls = array((0 until m).map(_ => lit(null).cast("int")): _*)
+    graft.ops.Dedup.fanOut(df).select(col(idCol),
+      posexplode(coalesce(codes, nulls)).as(Seq("sub", "code")))
+  }
+
+  /** The m nearest-centroid codes for one vector as ONE array column —
+    * shared by the long ([[pqEncode]]) and wide ([[pqEncodeWide]])
+    * layouts so the two can never disagree on an assignment. NULL (the
+    * whole array) for NULL / wrong-width vectors. */
+  private def pqCodeArray(vecCol: String, m: Int, k: Int, dim: Int): Column = {
     require(m >= 1 && dim % m == 0,
       s"vector dim $dim must split into m=$m equal subspaces")
     require(k >= 2 && k <= 256, "k in [2, 256] (codes are byte-sized)")
@@ -557,11 +568,24 @@ object Similarity {
       array_min(array(cands: _*)).getField("code")
     }
     val valid = col(vecCol).isNotNull && size(col(vecCol)) === dim
-    val codes = array((0 until m).map(codeFor): _*)
-    val nulls = array((0 until m).map(_ => lit(null).cast("int")): _*)
+    when(valid, array((0 until m).map(codeFor): _*))
+      .otherwise(lit(null).cast("array<int>"))
+  }
+
+  /** [[pqEncode]] in the PRODUCTION (wide) layout: one row per vector,
+    * codes as a single array&lt;int&gt; column — the form a 100 TB code
+    * store persists, because [[pqSearchWide]] can then score straight
+    * off the scan with NO reassembly aggregate. NULL / wrong-width
+    * vectors keep their row with a NULL code word (no evidence → no
+    * silent drop). Same pure-map scale shape as [[pqEncode]].
+    *
+    * Output: idCol, codes (array&lt;int&gt;, length m, or NULL). */
+  def pqEncodeWide(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16): DataFrame = {
+    val dim = vecDim(df, vecCol)
     graft.ops.Dedup.fanOut(df).select(col(idCol),
-      posexplode(when(valid, codes).otherwise(nulls))
-        .as(Seq("sub", "code")))
+      pqCodeArray(vecCol, m, k, dim).as("codes"))
   }
 
   /** Squared L2 from the subvector starting at s·sub (1-based array
@@ -613,15 +637,34 @@ object Similarity {
       queryIdCol: String, queryVecCol: String,
       m: Int, k: Int, dim: Int, topK: Int = 10): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
-    require(k >= 2 && k <= 256, "k in [2, 256]")
-    val sub = dim / m
     val wide = codes.filter(col("code").isNotNull)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
         .as("__cs")) // bounded by m — a per-vector reassembly aggregate
       .filter(size(col("__cs")) === m)
       .select(col(idCol),
-        transform(col("__cs"), t => t.getField("code")).as("__codes"))
+        transform(col("__cs"), t => t.getField("code")).as("codes"))
+    pqSearchWide(wide, queries, idCol, queryIdCol, queryVecCol,
+      m, k, dim, topK)
+  }
+
+  /** [[pqSearch]] over the PRODUCTION wide layout ([[pqEncodeWide]]'s
+    * (idCol, codes) rows): scoring starts straight from the code scan —
+    * the reassembly aggregate is GONE from the plan, so the only
+    * exchanges left are the one-row-per-query broadcast and the bounded
+    * top-k ranking. Incomplete/NULL code words and invalid query
+    * vectors are excluded (no evidence), matching [[pqSearch]]. */
+  def pqSearchWide(
+      codesWide: DataFrame, queries: DataFrame, idCol: String,
+      queryIdCol: String, queryVecCol: String,
+      m: Int, k: Int, dim: Int, topK: Int = 10): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(k >= 2 && k <= 256, "k in [2, 256]")
+    val sub = dim / m
+    val docs = codesWide
+      .filter(col("codes").isNotNull && size(col("codes")) === m &&
+        !array_contains(transform(col("codes"), c => c.isNull), lit(true)))
+      .select(col(idCol), col("codes").as("__codes"))
     val valid = col(queryVecCol).isNotNull && size(col(queryVecCol)) === dim
     val tbl = array((0 until m).map(s => array((0 until k).map(c =>
       floor(pqSubDist(col(queryVecCol), s, c, sub) * lit(AdcScale))
@@ -632,7 +675,7 @@ object Similarity {
       element_at(element_at(col("__tbl"), s + 1),
         element_at(col("__codes"), s + 1).cast("int") + 1))
       .reduce(_ + _) // long adds — exact in any order
-    wide.crossJoin(broadcast(q))
+    docs.crossJoin(broadcast(q))
       .select(col("query_id"), col(idCol), adc.as("adc_scaled"))
       .groupBy(col("query_id"))
       // negated LONG score: topk keeps the highest, we want the least

@@ -38,11 +38,15 @@ object IndexingQueries extends QueryModule {
   private val MixBudget = 200L
 
   // ------------------------------ C69: PQ asymmetric-distance search
+  // Runs the PRODUCTION wide code layout end to end: pqEncodeWide's
+  // one-row-per-vector array feeds pqSearchWide straight off the scan —
+  // no reassembly aggregate in the plan (the long-layout pqSearch path
+  // is differentially pinned against this one in IndexingSpec).
   private def qPqSearch(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
-    val codes = Similarity.pqEncode(e, "vec_id", "embedding",
+    val codes = Similarity.pqEncodeWide(e, "vec_id", "embedding",
       TrainingPrepQueries.PqM, TrainingPrepQueries.PqK)
-    Similarity.pqSearch(codes, e.filter(col("vec_id") < PqQueryCount),
+    Similarity.pqSearchWide(codes, e.filter(col("vec_id") < PqQueryCount),
       "vec_id", "vec_id", "embedding",
       TrainingPrepQueries.PqM, TrainingPrepQueries.PqK,
       TrainingPrepQueries.PqDim, PqTopK)

@@ -300,6 +300,9 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan(ops.Similarity.pqEncode(e, "vec_id", "embedding", 4, 8))
     assert(exchanges(p) <= 1, p)               // at most the round-robin fan-out
     assert(!p.contains("hashpartitioning"), p) // never a key shuffle
+    val pw = plan(ops.Similarity.pqEncodeWide(e, "vec_id", "embedding", 4, 8))
+    assert(exchanges(pw) <= 1, pw)
+    assert(!pw.contains("hashpartitioning"), pw)
   }
 
   test("pq ADC search: broadcast tables, bounded top-k, no cartesian") {
@@ -313,6 +316,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
     // ranking is the bounded aggregate, not a per-query sort window
+    assert(p.contains("topk_by_score") && !p.contains("Window"), p)
+  }
+
+  test("pq ADC search, wide layout: reassembly aggregate gone from plan") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val codes = ops.Similarity.pqEncodeWide(e, "vec_id", "embedding", 4, 8)
+    val df = ops.Similarity.pqSearchWide(codes, e.filter(col("vec_id") < 3),
+      "vec_id", "vec_id", "embedding", 4, 8, 64, 5)
+    val p = plan(df)
+    // the production layout scores straight off the code scan: no
+    // collect_list reassembly, no key shuffle before scoring — only the
+    // one-row-per-query broadcast and the bounded top-k ranking
+    assert(!p.contains("collect_list"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("topk_by_score") && !p.contains("Window"), p)
   }
 

@@ -44,6 +44,35 @@ class IndexingSpec extends SparkSpec {
     assert(out.map(_.getLong(2)).toSet == Set(1L))
   }
 
+  test("pq wide layout: encode agrees with long layout; search identical") {
+    // the production (wide) path and the long (sub, code) path must be
+    // row-for-row interchangeable — they share pqCodeArray and the
+    // scoring core, so any drift is a refactor bug
+    val docs = Seq.tabulate(20) { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13) / 13.0f))
+    }.toDF("id", "vec")
+      .union(Seq((99L, null.asInstanceOf[Array[Float]])).toDF("id", "vec"))
+    val long = Similarity.pqEncode(docs, "id", "vec", m = 2, k = 4)
+    val wide = Similarity.pqEncodeWide(docs, "id", "vec", m = 2, k = 4)
+    val longAsWide = long.groupBy("id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("cs"))
+      .select(col("id"), when(
+        !array_contains(transform(col("cs"), t => t.getField("code").isNull),
+          lit(true)),
+        transform(col("cs"), t => t.getField("code"))).as("codes"))
+    assert(wide.collect().map(r => (r.getLong(0), Option(r.getSeq[Int](1))))
+      .toSet ==
+      longAsWide.collect().map(r => (r.getLong(0), Option(r.getSeq[Int](1))))
+        .toSet)
+    val q = Seq((100L, Array.fill(8)(0.3f))).toDF("qid", "vec")
+    val viaLong = Similarity.pqSearch(long, q, "id", "qid", "vec",
+      m = 2, k = 4, dim = 8, topK = 5).collect().map(_.toSeq).toSet
+    val viaWide = Similarity.pqSearchWide(wide, q, "id", "qid", "vec",
+      m = 2, k = 4, dim = 8, topK = 5).collect().map(_.toSeq).toSet
+    assert(viaLong == viaWide && viaWide.nonEmpty)
+  }
+
   // ------------------------------- C70: reciprocal-rank fusion
 
   test("rrf: hand-computed fusion of two lists") {

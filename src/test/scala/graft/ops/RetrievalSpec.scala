@@ -314,6 +314,23 @@ class RetrievalSpec extends SparkSpec {
     assert(out.getLong(6) == 2L)
   }
 
+  test("corpus report: skewSafe output identical, incl. NULL text/source") {
+    val df = Seq(
+      (1L, "same text", "en", "srcA"),
+      (2L, "same text", "de", "srcB"),
+      (3L, null.asInstanceOf[String], "en", "srcA"),
+      (4L, null.asInstanceOf[String], "en", null.asInstanceOf[String]),
+      (5L, "unique body", "de", null.asInstanceOf[String]))
+      .toDF("doc_id", "text", "lang", "source")
+    val cols = Seq("source", "n_docs", "total_tokens", "n_dup_docs",
+      "n_langs", "dominant_lang").map(col)
+    val plain = CorpusStats.corpusReport(df)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val safe = CorpusStats.corpusReport(df, skewSafe = true)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(plain == safe)
+  }
+
   // ------------------------------- C59: deterministic negative sampling
 
   test("negative samples: deterministic, never the positive, always in corpus") {
