@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding merge learning (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909) — the vocabulary-training step of every BPE/
+  * SentencePiece-style tokenizer, run as Spark aggregates over the
+  * corpus word-frequency table instead of a single-machine loop.
+  *
+  * Each round counts adjacent symbol pairs across all distinct words
+  * (weighted by corpus frequency), picks the most frequent pair (ties:
+  * lexicographically smallest), and merges it everywhere. Words are
+  * carried as pipe-delimited symbol strings — `"|a||b||c|"` — so the
+  * merge step is ONE native `replace` of `"|a||b|"` with `"|ab|"`:
+  * both Spark's and DuckDB's replace scan left-to-right non-overlapping,
+  * which is exactly BPE's merge order ("aaa" under merge (a,a) becomes
+  * [aa, a]), so the whole loop is engine-exact and oracle-replayable.
+  * Symbols never contain '|' because [[wordFreq]] keeps only [a-z0-9]
+  * words.
+  *
+  * Scale shape: the state between rounds is the distinct-WORD frequency
+  * table (vocabulary-sized, not corpus-sized — the standard BPE
+  * factorization); each round is one explode + one (a, b)-keyed count
+  * whose map-side partials absorb hot pairs, and ONE driver-side
+  * argmax row (bounded: a single (a, b, count) scalar per round — the
+  * [[Sampling.temperatureMix]] bounded-collect discipline) that rides
+  * into the next round's `replace` as a literal. `rounds` is small by
+  * construction (a tokenizer trains thousands of merges; each is one
+  * cheap aggregate over the vocab table).
+  */
+object Bpe {
+
+  /** Corpus word-frequency table over [a-z0-9]+ words of the normalized
+    * text: (word, f). The one corpus-sized pass; everything after runs
+    * on the vocabulary. */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("f"))
+
+  /** One learned merge. */
+  final case class Merge(round: Int, a: String, b: String, count: Long)
+
+  private def symbols(seq: Column): Column =
+    split(trim(seq, "|"), "\\|\\|")
+
+  /** Learn `rounds` merges from the corpus. Returns one row per round:
+    * (round 1-based, sym_a, sym_b, pair_count, merged). Stops early if
+    * no adjacent pair remains (degenerate single-symbol vocab). */
+  def learnMerges(
+      df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = df.sparkSession
+    require(rounds >= 1, "rounds must be >= 1")
+    // each char c becomes "|c|"; concatenation yields "|a||b||c|"
+    var vocab = wordFreq(df, textCol)
+      .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"), col("f"))
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val syms = symbols(col("seq"))
+      val pairs = vocab
+        .filter(size(syms) >= 2)
+        .select(col("f"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"),
+            element_at(syms, i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect() // bounded: ONE (a, b, cnt) row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(r, a, b, cnt)
+        vocab = vocab.select(
+          replace(col("seq"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("seq"),
+          col("f"))
+          // keep lineage one round deep — the duplicateClusters loop
+          // discipline (rounds compound otherwise)
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("round", "sym_a", "sym_b", "pair_count")
+      .select(col("round").cast("int"), col("sym_a"), col("sym_b"),
+        col("pair_count").cast("long"))
+  }
+}

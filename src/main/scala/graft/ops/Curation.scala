@@ -33,6 +33,55 @@ object Curation {
       i => array_join(slice(toks, i * width + 1, lit(width)), " "))
   }
 
+  /** C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    * Limits of Transfer Learning with a Unified Text-to-Text
+    * Transformer", arXiv:1910.10683 §2.2) — the per-LINE rules applied
+    * before any corpus-level dedup: keep only lines that
+    *
+    *   - end in a terminal punctuation mark (. ! ? or a closing
+    *     double quote),
+    *   - contain at least `minWords` whitespace words, and
+    *   - trip none of the junk markers (curly braces — leaked
+    *     code/templating; "lorem ipsum"; "javascript"; "cookie" —
+    *     the paper's policy/banner heuristics), matched
+    *     case-insensitively;
+    *
+    * kept lines are rejoined in original order. A doc whose every line
+    * is cut keeps its row with empty clean text (the
+    * [[Dedup.removeDuplicateSpans]] convention: visible, not silently
+    * dropped); NULL text stays NULL (no evidence).
+    *
+    * Scale shape: posexplode of the line array, per-line codegen'd
+    * regex predicates (a pure map), one per-doc reassembly aggregate
+    * bounded by the doc's own line count — no corpus-wide shuffle key
+    * other than the doc id. Line-ORDER reassembly sorts (pos, line)
+    * structs, deterministic under any partitioning.
+    *
+    * Output: idCol, n_lines, n_kept, text_clean. */
+  def c4LineClean(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 3): DataFrame = {
+    val lines = df.select(col(idCol), col(textCol),
+      posexplode_outer(lineUnits(col(textCol))).as(Seq("pos", "line")))
+    val keep = col("line").isNotNull &&
+      trim(col("line")).rlike("[.!?\"]$") &&
+      size(TextOps.tokens(col("line"))) >= minWords &&
+      !lower(col("line")).rlike("[{}]|lorem ipsum|javascript|cookie")
+    val flagged = lines.withColumn("__keep", keep)
+    flagged.groupBy(col(idCol)).agg(
+      count(col("line")).as("n_lines"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      // every text is non-NULL within a group (posexplode_outer emits a
+      // single NULL line only for NULL text, where n_lines counts 0)
+      max(col(textCol).isNotNull).as("__has_text"),
+      array_join(transform(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("pos"), col("line"))))),
+        t => t.getField("line")), "\n").as("__clean"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        when(col("__has_text"), col("__clean")).as("text_clean"))
+  }
+
   /** Remove boilerplate units: a unit occurring in at least `minDocs`
     * distinct documents of the same `groupCol` value (site / source /
     * domain) is stripped from every document; remaining units are

@@ -87,6 +87,71 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }
 
+  /** Deterministic scaled-integer HITS (Kleinberg 1999, "Authoritative
+    * Sources in a Hyperlinked Environment", JACM 46(5)) — hubs point at
+    * good authorities, authorities are pointed at by good hubs: the
+    * complementary link signal to [[pageRank]] (a directory page ranks
+    * as a hub, the pages it curates as authorities).
+    *
+    * Integer recurrence, all 64-bit exact (the [[pageRank]]
+    * discipline): per iteration
+    *   hub_raw(u)  = Σ_{(u,v)∈E} auth(v),  hub  = hub_raw·scale div Σ hub_raw,
+    *   auth_raw(v) = Σ_{(u,v)∈E} hub(u),   auth = auth_raw·scale div Σ auth_raw
+    * with auth₀ = scale div N. The L1 normalization (div by the sum)
+    * replaces the textbook L2 norm — no sqrt, so every step is integral
+    * and bit-identical across engines/partitionings; rankings are
+    * unchanged (normalization is a positive scalar either way).
+    * Headroom: hub_raw ≤ scale·maxInDeg, so the normalize multiply
+    * needs scale²·maxDeg < 2^63 — at the default scale 1e6 that is
+    * maxDeg < ~9·10^6; raise-aware callers shrink scale.
+    *
+    * Scale shape: two edge-keyed join+aggregate pairs per iteration
+    * (hot hubs/authorities absorbed map-side), the Σ normalizers ride
+    * back as one-row broadcast cross joins (never a driver collect),
+    * lineage checkpointed per round. Nodes with no out-edges have hub
+    * 0; no in-edges, auth 0 — rows kept.
+    *
+    * Output: id, hub_scaled, auth_scaled (longs). */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 2, scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(scale > 0, "scale must be positive")
+    val e = graft.Checkpoints.truncate(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct())
+    val nodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+    val n = nodes.count() // bounded driver scalar, as in pageRank
+    if (n == 0L)
+      return nodes.select(col("id"), lit(0L).as("hub_scaled"),
+        lit(0L).as("auth_scaled"))
+    var auth = nodes.select(col("id"), lit(scale / n).as("a"))
+    var hub = nodes.select(col("id"), lit(0L).as("h"))
+    def normalized(raw: DataFrame, valCol: String): DataFrame = {
+      // one-row Σ rides back as a broadcast cross join; Σ = 0 (all-zero
+      // scores) keeps zeros rather than dividing by zero
+      val s = raw.agg(sum(col(valCol)).as("__s"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(s))
+        .select(col("id"),
+          when(col("__s").isNull || col("__s") === 0L, lit(0L))
+            .otherwise(expr(s"(coalesce($valCol, 0L) * ${scale}L) div __s"))
+            .as(valCol))
+    }
+    for (_ <- 1 to iterations) {
+      val hubRaw = e.join(auth.select(col("id").as("v"), col("a")), Seq("v"))
+        .groupBy(col("u").as("id")).agg(sum(col("a")).as("h"))
+      hub = graft.Checkpoints.truncate(normalized(hubRaw, "h"))
+      val authRaw = e.join(hub.select(col("id").as("u"), col("h")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(sum(col("h")).as("a"))
+      auth = graft.Checkpoints.truncate(normalized(authRaw, "a"))
+    }
+    hub.join(auth, Seq("id"))
+      .select(col("id"), col("h").as("hub_scaled"),
+        col("a").as("auth_scaled"))
+  }
+
   /** Per-node degree statistics of a link graph: out-degree, in-degree,
     * and how many of the node's out-edges are reciprocated (the reverse
     * edge exists — link farms and mutual-citation rings light up here).

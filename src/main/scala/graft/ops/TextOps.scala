@@ -115,6 +115,86 @@ object TextOps {
     regexp_replace(ip, "\\+?\\d[\\d -]{7,}\\d", "<PHONE>")
   }
 
+  /** Gopher-style rule-based quality signals (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", arXiv:2112.11446, Table A1) — the cheap pre-model
+    * document filter every large crawl pipeline runs first:
+    *
+    *   - `n_words`, `mean_word_len` (×1000, integral — see below);
+    *   - `n_symbols`: '#' occurrences + '...'/'…' ellipsis runs
+    *     (symbol-to-word ratio rule);
+    *   - `n_lines`, `n_bullet_lines` (lines starting with a bullet
+    *     marker), `n_ellipsis_lines` (lines ending in an ellipsis);
+    *   - `n_alpha_words`: words containing ≥1 [a-z] letter;
+    *   - `n_stop_hits`: distinct hits in the 8-word Gopher stop set
+    *     (the "contains ≥2 of ..." rule);
+    *   - `keep`: the conjunction of the paper's thresholds, evaluated
+    *     in EXACT integer arithmetic (cross-multiplied ratios — e.g.
+    *     symbols/words ≤ 0.1 tested as 10·symbols ≤ words), so the
+    *     flag is bit-identical on every engine — no float ratio ever
+    *     thresholded.
+    *
+    * mean_word_len is emitted ×1000 floor-divided (integral) rather
+    * than as an IEEE ratio purely so EVERY output column stays integer
+    * — one convention for the whole row beats one exact-but-odd
+    * double. Thresholds are the paper's, parameterized; the word
+    * bounds default to the paper's [50, 100000].
+    *
+    * Scale shape: a single map pass of codegen'd regexp counts fused
+    * into the scan — no shuffle, no UDF. NULL text yields NULL signals
+    * and keep=false (no evidence — the corpus discipline).
+    */
+  def gopherSignals(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 50L, maxWords: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val nChars = length(regexp_replace(normalized(t), " ", "")).cast("long")
+    val nSymbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\.|…"))).cast("long")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val nBullet = size(filter(lines, l =>
+      trim(l).rlike("^([-*•]|[0-9]+[.)])\\s"))).cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val nAlpha = size(filter(toks, w => w.rlike("[a-z]"))).cast("long")
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val nStop = size(array_intersect(toks,
+      array(stops.map(lit): _*))).cast("long")
+    // Every ratio rule cross-multiplied to integer compares:
+    //   mean word len in [3, 10]   ⇔ 3·words ≤ chars ≤ 10·words
+    //   symbol ratio ≤ 0.1         ⇔ 10·symbols ≤ words
+    //   bullet lines ≤ 90%         ⇔ 10·bullets ≤ 9·lines
+    //   ellipsis lines ≤ 30%       ⇔ 10·ellipsis ≤ 3·lines
+    //   alpha-word fraction ≥ 0.8  ⇔ 5·alpha ≥ 4·words
+    val keep = t.isNotNull &&
+      nWords >= minWords && nWords <= maxWords &&
+      nChars >= lit(3L) * nWords && nChars <= lit(10L) * nWords &&
+      lit(10L) * nSymbols <= nWords &&
+      lit(10L) * nBullet <= lit(9L) * nLines &&
+      lit(10L) * nEllipsis <= lit(3L) * nLines &&
+      lit(5L) * nAlpha >= lit(4L) * nWords &&
+      nStop >= 2L
+    df.select(col(idCol),
+      when(t.isNotNull, nWords).as("n_words"),
+      when(t.isNotNull, nChars).as("__nchars"),
+      when(t.isNotNull, nSymbols).as("n_symbols"),
+      when(t.isNotNull, nLines).as("n_lines"),
+      when(t.isNotNull, nBullet).as("n_bullet_lines"),
+      when(t.isNotNull, nEllipsis).as("n_ellipsis_lines"),
+      when(t.isNotNull, nAlpha).as("n_alpha_words"),
+      when(t.isNotNull, nStop).as("n_stop_hits"),
+      coalesce(keep, lit(false)).as("keep"))
+      .withColumn("mean_word_len_x1000",
+        expr("(__nchars * 1000) div greatest(n_words, 1L)"))
+      .select(col(idCol), col("n_words"), col("mean_word_len_x1000"),
+        col("n_symbols"), col("n_lines"), col("n_bullet_lines"),
+        col("n_ellipsis_lines"), col("n_alpha_words"), col("n_stop_hits"),
+        col("keep"))
+  }
+
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df.withColumn("n_tokens", tokenCount(t))

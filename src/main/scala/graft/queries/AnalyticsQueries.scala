@@ -1,0 +1,310 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.HashExprs
+import graft.ops.{Bpe, Curation, Dedup, EventAnalytics, Graph, TextOps}
+
+/** Rule-based curation, tokenizer training, link analysis, and event
+  * analytics queries (SURVEY.md §2 A37–A38, C78–C81): Gopher quality
+  * rules and C4 line cleaning over a deterministically synthesized
+  * multi-line web-text frame, distributed BPE merge learning, integer
+  * HITS hubs/authorities over the shared link graph, and the ordered
+  * windowed funnel + cohort retention matrix over the events stream.
+  * Every query hash-matches a DuckDB oracle that re-derives the full
+  * pipeline — the line frame construction, every integer rule compare,
+  * the unrolled BPE merge rounds and HITS iterations, and the exact
+  * epoch-microsecond funnel chain.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+
+  import LlmOpsQueries.{sqlNorm, sqlToks}
+
+  // Shared constants — declared first (object init order).
+  private val GopherMinWords = 20L
+  private val C4MinWords = 3
+  private val BpeRounds = 3
+  private val HitsIters = 2
+  private val HitsScale = 1000000L
+  private val FunnelGapMicros = 24L * 3600 * 1000000L
+
+  /** Deterministic synthesized multi-line "web text" frame shared by
+    * the Gopher and C4 queries — the corpus documents are single-line
+    * word streams, so line structure, bullets, terminators, junk
+    * markers, and stopword mass are added by reproducible md5 draws
+    * (the [[TrainingPrepQueries.linkEdges]] idiom; both engines derive
+    * the identical frame):
+    *   - tokens (alnum-only stream) grouped 8 per line;
+    *   - a "- " bullet prefix when md5("bullet:{id}:{i}") mod 5 = 0;
+    *   - a terminator by md5("punct:{id}:{i}") mod 6:
+    *     . ! ? ... (none) " javascript." in that order;
+    *   - an appended stopword line for half the docs
+    *     (md5("stop:{id}") mod 2 = 0).
+    */
+  private def lineFrame(s: SparkSession, dir: String): DataFrame = {
+    val toks = filter(
+      split(regexp_replace(TextOps.normalized(col("text")),
+        "[^a-z0-9 ]", ""), " "),
+      t => length(t) > 0)
+    val nl = greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1))
+    def tag(pfx: String, i: Column): Column =
+      concat(lit(pfx + ":"), col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))
+    val lines = transform(sequence(lit(0), nl - 1), i => {
+      val bullet = when(
+        HashExprs.md5Mod(tag("bullet", i), 8, lit(5L)) === 0L, lit("- "))
+        .otherwise(lit(""))
+      val m = HashExprs.md5Mod(tag("punct", i), 8, lit(6L))
+      val term = when(m === 0L, lit(".")).when(m === 1L, lit("!"))
+        .when(m === 2L, lit("?")).when(m === 3L, lit("..."))
+        .when(m === 4L, lit("")).otherwise(lit(" javascript."))
+      concat(bullet, array_join(slice(toks, i * 8 + 1, lit(8)), " "), term)
+    })
+    val stopLine = when(
+      HashExprs.md5Mod(concat(lit("stop:"), col("doc_id").cast("string")),
+        8, lit(2L)) === 0L,
+      lit("\nbe that and of the with have to.")).otherwise(lit(""))
+    docs(s, dir).select(col("doc_id"),
+      concat(array_join(lines, "\n"), stopLine).as("text"))
+  }
+
+  /** The identical frame in DuckDB — a raw margin-bearing fragment
+    * (embedded before the outer template's single .stripMargin). */
+  private val sqlLineFrame = {
+    def m5(tag: String, width: Int = 8) =
+      s"CAST('0x' || substr(md5($tag), 1, $width) AS BIGINT)"
+    s"""tk AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(
+       |      regexp_replace($sqlNorm, '[^a-z0-9 ]', '', 'g'), ' '),
+       |      t -> len(t) > 0) AS tk
+       |  FROM documents),
+       |lf AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(
+       |      range(0, greatest(CAST(ceil(len(tk) / 8.0) AS INT), 1)), i ->
+       |      (CASE WHEN ${m5("'bullet:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 5 = 0
+       |        THEN '- ' ELSE '' END)
+       |      || array_to_string(tk[i*8+1 : i*8+8], ' ')
+       |      || (CASE ${m5("'punct:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)")} % 6
+       |          WHEN 0 THEN '.' WHEN 1 THEN '!' WHEN 2 THEN '?'
+       |          WHEN 3 THEN '...' WHEN 4 THEN ''
+       |          ELSE ' javascript.' END)), chr(10))
+       |    || (CASE WHEN ${m5("'stop:' || CAST(doc_id AS VARCHAR)")} % 2 = 0
+       |        THEN chr(10) || 'be that and of the with have to.'
+       |        ELSE '' END) AS text
+       |  FROM tk)"""
+  }
+
+  // --------------------------------- C78: Gopher rule-based filtering
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame =
+    TextOps.gopherSignals(lineFrame(s, dir), "doc_id", "text",
+      minWords = GopherMinWords).orderBy("doc_id")
+
+  private val qGopherRulesSql =
+    s"""WITH $sqlLineFrame,
+       |sig AS (
+       |  SELECT doc_id,
+       |    len(toks) AS nw,
+       |    len(replace(norm, ' ', '')) AS nc,
+       |    len(regexp_extract_all(text, '#'))
+       |      + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS ns,
+       |    len(lines) AS nl,
+       |    len(list_filter(lines, l ->
+       |      regexp_matches(trim(l), '^([-*•]|[0-9]+[.)])\\s'))) AS nb,
+       |    len(list_filter(lines, l ->
+       |      regexp_matches(trim(l), '(\\.\\.\\.|…)$$'))) AS ne,
+       |    len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS na,
+       |    len(list_intersect(toks,
+       |      ['the','be','to','of','and','that','have','with'])) AS nst
+       |  FROM (
+       |    SELECT doc_id, text, $sqlNorm AS norm, $sqlToks AS toks,
+       |      string_split(text, chr(10)) AS lines
+       |    FROM lf))
+       |SELECT doc_id,
+       |  CAST(nw AS BIGINT) AS n_words,
+       |  CAST((nc * 1000) // greatest(nw, 1) AS BIGINT) AS mean_word_len_x1000,
+       |  CAST(ns AS BIGINT) AS n_symbols,
+       |  CAST(nl AS BIGINT) AS n_lines,
+       |  CAST(nb AS BIGINT) AS n_bullet_lines,
+       |  CAST(ne AS BIGINT) AS n_ellipsis_lines,
+       |  CAST(na AS BIGINT) AS n_alpha_words,
+       |  CAST(nst AS BIGINT) AS n_stop_hits,
+       |  (nw >= $GopherMinWords AND nw <= 100000
+       |    AND nc >= 3 * nw AND nc <= 10 * nw
+       |    AND 10 * ns <= nw
+       |    AND 10 * nb <= 9 * nl AND 10 * ne <= 3 * nl
+       |    AND 5 * na >= 4 * nw AND nst >= 2) AS keep
+       |FROM sig ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------- C79: C4 line-level cleaning
+  private def qC4Clean(s: SparkSession, dir: String): DataFrame =
+    Curation.c4LineClean(lineFrame(s, dir), "doc_id", "text", C4MinWords)
+      .orderBy("doc_id")
+
+  private val qC4CleanSql =
+    s"""WITH $sqlLineFrame,
+       |lines AS (
+       |  SELECT doc_id, t.s.pos AS pos, t.s.line AS line
+       |  FROM lf, UNNEST(list_transform(string_split(text, chr(10)),
+       |    (l, i) -> struct_pack(line := l, pos := i))) t(s)),
+       |k AS (
+       |  SELECT doc_id, pos, line,
+       |    (regexp_matches(trim(line), '[.!?"]$$')
+       |     AND len(string_split(regexp_replace(trim(lower(line)),
+       |       '\\s+', ' ', 'g'), ' ')) >= $C4MinWords
+       |     AND NOT regexp_matches(lower(line),
+       |       '[{}]|lorem ipsum|javascript|cookie')) AS keep
+       |  FROM lines)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE keep), '') AS text_clean
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------ C80: BPE merge-rule learning
+  private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.learnMerges(docs(s, dir), "text", BpeRounds).orderBy("round")
+
+  private val qBpeMergesSql = {
+    // Unrolled rounds, each the exact chain the operator runs: pair
+    // counts over the pipe-delimited symbol strings, argmax with the
+    // (count DESC, a, b) tie-break, then ONE left-to-right
+    // non-overlapping replace — the same scan order on both engines.
+    def syms(seqCol: String) = s"string_split(trim($seqCol, '|'), '||')"
+    def round(r: Int) =
+      s"""p$r AS (
+         |  SELECT t.s.a AS a, t.s.b AS b, f
+         |  FROM w$r, UNNEST(list_transform(range(1, len(${syms("seq")})),
+         |    i -> struct_pack(a := ${syms("seq")}[i],
+         |      b := ${syms("seq")}[i+1]))) t(s)),
+         |c$r AS (
+         |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt
+         |  FROM p$r GROUP BY a, b),
+         |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${r + 1} AS (
+         |  SELECT replace(seq, '|' || m$r.a || '||' || m$r.b || '|',
+         |    '|' || m$r.a || m$r.b || '|') AS seq, f
+         |  FROM w$r CROSS JOIN m$r)"""
+    val rounds = (1 to BpeRounds).map(round).mkString(",\n")
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH freq AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+       |  FROM (SELECT UNNEST($sqlToks) AS word FROM documents)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
+       |w1 AS (
+       |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, f
+       |  FROM freq),
+       |$rounds
+       |SELECT * FROM (
+       |  $out)
+       |ORDER BY round""".stripMargin
+  }
+
+  // ------------------------- C81: integer HITS hubs and authorities
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    Graph.hits(TrainingPrepQueries.linkEdges(s, dir), "src", "dst",
+      HitsIters, HitsScale).orderBy("id")
+
+  private val qHitsSql = {
+    // Unrolled iterations of the exact integer recurrence (see
+    // Graph.hits): raw sums over edges, then ·scale // Σ.
+    def iter(i: Int) =
+      s"""h${i}r AS (
+         |  SELECT e.u AS id, CAST(SUM(a${i - 1}.a) AS BIGINT) AS h
+         |  FROM e JOIN a${i - 1} ON a${i - 1}.id = e.v GROUP BY e.u),
+         |sh$i AS (SELECT SUM(h) AS s FROM h${i}r),
+         |h$i AS (
+         |  SELECT nodes.id, (COALESCE(h${i}r.h, 0) * $HitsScale) // sh$i.s AS h
+         |  FROM nodes LEFT JOIN h${i}r ON h${i}r.id = nodes.id CROSS JOIN sh$i),
+         |a${i}r AS (
+         |  SELECT e.v AS id, CAST(SUM(h$i.h) AS BIGINT) AS a
+         |  FROM e JOIN h$i ON h$i.id = e.u GROUP BY e.v),
+         |sa$i AS (SELECT SUM(a) AS s FROM a${i}r),
+         |a$i AS (
+         |  SELECT nodes.id, (COALESCE(a${i}r.a, 0) * $HitsScale) // sa$i.s AS a
+         |  FROM nodes LEFT JOIN a${i}r ON a${i}r.id = nodes.id CROSS JOIN sa$i)"""
+    val iters = (1 to HitsIters).map(iter).mkString(",\n")
+    s"""WITH ${TrainingPrepQueries.sqlEdges},
+       |a0 AS (SELECT id, $HitsScale // nn.nn AS a FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT h$HitsIters.id, CAST(h$HitsIters.h AS BIGINT) AS hub_scaled,
+       |  CAST(a$HitsIters.a AS BIGINT) AS auth_scaled
+       |FROM h$HitsIters JOIN a$HitsIters ON a$HitsIters.id = h$HitsIters.id
+       |ORDER BY h$HitsIters.id""".stripMargin
+  }
+
+  // --------------------------- A37: ordered windowed funnel analysis
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnelSteps(events(s, dir), "user_id", "event_type",
+      "ts", Seq("view", "click", "purchase"), FunnelGapMicros)
+      .orderBy("user_id")
+
+  private val qFunnelSql =
+    s"""WITH s1 AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+       |  WHERE event_type = 'view' AND user_id IS NOT NULL
+       |    AND ts IS NOT NULL
+       |  GROUP BY user_id),
+       |s2 AS (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+       |    AND epoch_us(e.ts) <= s1.t1 + $FunnelGapMicros
+       |  GROUP BY e.user_id),
+       |s3 AS (
+       |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+       |  FROM events e JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+       |    AND epoch_us(e.ts) <= s2.t2 + $FunnelGapMicros
+       |  GROUP BY e.user_id)
+       |SELECT s1.user_id,
+       |  CAST(CASE WHEN t3 IS NOT NULL THEN 3
+       |    WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INTEGER) AS n_steps,
+       |  t1, t2, t3
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY s1.user_id""".stripMargin
+
+  // ----------------------------- A38: cohort retention matrix
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.retentionMatrix(events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
+  private val qRetentionSql =
+    s"""WITH active AS (
+       |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |coh AS (
+       |  SELECT user_id, MIN(wk) AS cohort_week FROM active
+       |  GROUP BY user_id)
+       |SELECT cohort_week, wk - cohort_week AS week_offset,
+       |  CAST(COUNT(*) AS BIGINT) AS n_users
+       |FROM active JOIN coh USING (user_id)
+       |GROUP BY cohort_week, week_offset
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_gopher_rules" -> qGopherRules _,
+      "q_c4_clean" -> qC4Clean _,
+      "q_bpe_merges" -> qBpeMerges _,
+      "q_hits" -> qHits _,
+      "q_funnel" -> qFunnel _,
+      "q_retention" -> qRetention _)
+
+  override val oracleSql: Map[String, String] = Map(
+    "q_gopher_rules" -> qGopherRulesSql,
+    "q_c4_clean" -> qC4CleanSql,
+    "q_bpe_merges" -> qBpeMergesSql,
+    "q_hits" -> qHitsSql,
+    "q_funnel" -> qFunnelSql,
+    "q_retention" -> qRetentionSql)
+}

@@ -46,7 +46,7 @@ object TrainingPrepQueries extends QueryModule {
     * .negativeSamples]] reproducible-draw idiom. Self-draws are
     * dropped; coinciding draws dedupe (the operator dedups edges
     * anyway). Both engines derive the identical edge set. */
-  private def linkEdges(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def linkEdges(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val n = d.count()
     d.select(col("doc_id").as("src"),
@@ -62,7 +62,7 @@ object TrainingPrepQueries extends QueryModule {
   // NOTE: a raw margin-bearing fragment — embedded into the outer query
   // templates BEFORE their single .stripMargin (stripping twice would
   // eat the leading '|' of a line-initial '||' concat).
-  private val sqlEdges =
+  private[queries] val sqlEdges =
     s"""n AS (SELECT COUNT(*) AS n FROM documents),
        |e0 AS (
        |  SELECT doc_id AS u,

@@ -1,0 +1,178 @@
+package graft.ops
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Unit coverage for the analytics/curation additions (SURVEY §2
+  * A37–A38, C78–C81): Gopher rule signals, C4 line cleaning, BPE merge
+  * learning, integer HITS, windowed funnels, cohort retention.
+  */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------ C78: Gopher rule signals
+
+  test("gopher: each rule trips on its planted violation") {
+    val good = (Seq.fill(10)("sensible wording here and")
+      .mkString(" ") + " the of") // 42 words, stop hits {and, the, of}
+    val df = Seq(
+      (1L, good),                                    // passes all rules
+      (2L, "tiny doc the of"),                       // too few words
+      (3L, Seq.fill(30)("a").mkString(" ") + " the of"), // mean len < 3
+      (4L, Seq.fill(30)("# #").mkString(" ") + " the of"), // symbol ratio
+      (5L, good.replace(" the of", "")),             // < 2 stop hits
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherSignals(df, "doc_id", "text", minWords = 20L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> false, 5L -> false, 6L -> false))
+  }
+
+  test("gopher: bullet/ellipsis line rules and integer mean length") {
+    val bulletHeavy = (1 to 10).map(i => s"- item $i listed.").mkString("\n")
+    val df = Seq((1L, bulletHeavy), (2L, "one line...\nand more text here."))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherSignals(df, "doc_id", "text", minWords = 1L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(9))).toMap
+    // doc 1: 10 lines, all bullets -> 10*10 > 9*10 fails the 90% rule
+    assert(out(1L) == ((10L, 10L, 0L, false)))
+    // doc 2: 2 lines, 1 ellipsis -> 10*1 > 3*2 fails the 30% rule
+    assert(out(2L)._3 == 1L && !out(2L)._4)
+    // integral mean word length: "ab cd" -> 4 chars / 2 words = 2000
+    val m = TextOps.gopherSignals(Seq((1L, "ab cd")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(m.getLong(2) == 2000L)
+  }
+
+  // ------------------------------------------- C79: C4 line cleaning
+
+  test("c4: keeps only terminal-punct, long-enough, non-junk lines") {
+    val text = Seq(
+      "this line ends properly.",        // kept
+      "so does this one!",               // kept
+      "and a questioning line?",         // kept
+      "no terminal punctuation here",    // cut: no terminator
+      "short.",                          // cut: < 3 words
+      "accept our cookie policy now.",   // cut: junk marker
+      "function() { return 1; }",        // cut: braces
+      "quoted line stays \"intact.\"")   // kept: closing quote
+      .mkString("\n")
+    val out = Curation.c4LineClean(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(out.getLong(1) == 8L && out.getLong(2) == 4L)
+    assert(out.getString(3) == Seq(
+      "this line ends properly.", "so does this one!",
+      "and a questioning line?", "quoted line stays \"intact.\"")
+      .mkString("\n"))
+  }
+
+  test("c4: all-cut doc keeps its row empty; NULL text stays NULL") {
+    val df = Seq((1L, "no punct at all"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Curation.c4LineClean(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 0L, Some(""))))
+    assert(out(2L) == ((0L, 0L, None)))
+  }
+
+  // ---------------------------------------- C80: BPE merge learning
+
+  test("bpe: learns the frequency-ordered merges of a known corpus") {
+    // corpus: "abab abab cd" -> words {abab: 2, cd: 1}
+    // round 1 pairs: (a,b) f=4, (b,a) f=2, (c,d) f=1 -> merge (a,b)
+    // round 2: abab = [ab, ab] -> (ab,ab) f=2, (c,d) f=1 -> merge (ab,ab)
+    // round 3: only (c,d) f=1 remains
+    val df = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(df, "text", 3).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1, "a", "b", 4L), (2, "ab", "ab", 2L), (3, "c", "d", 1L)))
+  }
+
+  test("bpe: leftmost non-overlapping merge (aaa -> [aa, a])") {
+    // "aaa" x2, "aa" x1: round-1 pairs (a,a): aaa has 2, aa has 1 -> f=5
+    // after merging (a,a): aaa -> [aa, a] so round 2 sees (aa, a) f=2
+    val df = Seq((1L, "aaa aaa aa")).toDF("doc_id", "text")
+    val out = Bpe.learnMerges(df, "text", 2).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1, "a", "a", 5L), (2, "aa", "a", 2L)))
+  }
+
+  test("bpe: stops early when no pairs remain") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text") // 1-char words only
+    assert(Bpe.learnMerges(df, "text", 3).count() == 0L)
+  }
+
+  // ------------------------------------ C81: integer HITS
+
+  test("hits: directory page is the hub, its targets the authorities") {
+    // 0 -> {1, 2, 3}; 4 -> 1. Node 0 is the stronger hub (it finds
+    // more authority mass); node 1 the stronger authority (2 in-links).
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L), (4L, 1L)).toDF("src", "dst")
+    val out = Graph.hits(e, "src", "dst", iterations = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(0L)._1 > out(4L)._1)            // hub: 0 over 4
+    assert(out(1L)._2 > out(2L)._2)            // auth: 1 over 2
+    assert(out(2L)._2 == out(3L)._2)           // symmetric authorities
+    assert(out(1L)._1 == 0L && out(2L)._1 == 0L) // pure sinks: no hub mass
+    assert(out(0L)._2 == 0L)                   // no in-links: no authority
+  }
+
+  test("hits: repartitioning does not change a single score") {
+    val e = Seq.tabulate(60)(i => (i.toLong % 7, (i * 13L) % 11))
+      .toDF("src", "dst").filter(col("src") =!= col("dst"))
+    val a = Graph.hits(e, "src", "dst").collect().map(_.toSeq).toSet
+    val b = Graph.hits(e.repartition(7), "src", "dst")
+      .collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
+  // ------------------------------- A37: ordered windowed funnel
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("funnel: order and window both gate conversion") {
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      (2L, "click", ts(0)), (2L, "view", ts(10)),   // click BEFORE view
+      (3L, "view", ts(0)), (3L, "click", ts(2000)), // outside 1h window
+      (4L, "purchase", ts(0)), (4L, "view", ts(10)) // purchase before all
+    ).toDF("user_id", "event_type", "ts")
+    val out = EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxGapMicros = 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 1))
+  }
+
+  test("funnel: unbounded window converts late steps; min times exact") {
+    val ev = Seq(
+      (1L, "view", ts(0)), (1L, "view", ts(5)),
+      (1L, "click", ts(2000))).toDF("user_id", "event_type", "ts")
+    val r = EventAnalytics.funnelSteps(ev, "user_id", "event_type", "ts",
+      Seq("view", "click")).collect().head
+    assert(r.getInt(1) == 2)
+    assert(r.getLong(2) == 0L)                   // first view, not second
+    assert(r.getLong(3) == 2000L * 60000000L)
+  }
+
+  // ----------------------------- A38: cohort retention matrix
+
+  test("retention: triangle counts by first-event week") {
+    val wk = 7L * 24 * 60 // minutes per week
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(wk + 1)), (1L, ts(2 * wk + 1)), // weeks 0,1,2
+      (2L, ts(1)), (2L, ts(2 * wk + 2)),                   // weeks 0,2
+      (3L, ts(wk + 3)))                                    // cohort week 1
+      .toDF("user_id", "ts")
+    val out = EventAnalytics.retentionMatrix(ev, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
+      (1L, 0L) -> 1L))
+  }
+}
