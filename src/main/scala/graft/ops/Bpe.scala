@@ -90,4 +90,37 @@ object Bpe {
       .select(col("round").cast("int"), col("sym_a"), col("sym_b"),
         col("pair_count").cast("long"))
   }
+
+  /** Apply learned merges — the ENCODE side of the tokenizer: each
+    * corpus word is segmented by replaying the merge rules in learned
+    * order (standard BPE application; merge i runs only after merge
+    * i−1, so "abab" under [(a,b), (ab,ab)] becomes one symbol). The
+    * merge list is the driver-side model (tiny — thousands of rules),
+    * compiled into ONE chained-`replace` projection: a pure map fused
+    * into the scan, no shuffle beyond the vocabulary aggregate.
+    *
+    * Output: word, n_subtokens, segmentation (symbols joined by ' ').
+    */
+  def applyMerges(
+      df: DataFrame, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seq0 = regexp_replace(col("word"), "(.)", "|$1|")
+    val merged = merges.foldLeft(seq0) { case (s, (a, b)) =>
+      replace(s, lit(s"|$a||$b|"), lit(s"|$a$b|"))
+    }
+    wordFreq(df, textCol).select(col("word"), col("f"), merged.as("seq"))
+      .select(col("word"), col("f").as("n_occurrences"),
+        size(symbols(col("seq"))).cast("long").as("n_subtokens"),
+        array_join(symbols(col("seq")), " ").as("segmentation"))
+  }
+
+  /** [[learnMerges]] + [[applyMerges]] in one call — train `rounds`
+    * rules, then segment the corpus vocabulary with them. */
+  def encodeVocab(
+      df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val rules = learnMerges(df, textCol, rounds).orderBy("round")
+      .collect() // bounded: one row per learned rule
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    applyMerges(df, textCol, rules)
+  }
 }

@@ -172,42 +172,63 @@ object AnalyticsQueries extends QueryModule {
   private def qBpeMerges(s: SparkSession, dir: String): DataFrame =
     Bpe.learnMerges(docs(s, dir), "text", BpeRounds).orderBy("round")
 
-  private val qBpeMergesSql = {
-    // Unrolled rounds, each the exact chain the operator runs: pair
-    // counts over the pipe-delimited symbol strings, argmax with the
-    // (count DESC, a, b) tie-break, then ONE left-to-right
-    // non-overlapping replace — the same scan order on both engines.
-    def syms(seqCol: String) = s"string_split(trim($seqCol, '|'), '||')"
+  /** Shared unrolled BPE chain (CTEs freq, w1..w{rounds+1}, p/c/m per
+    * round) — each round the exact chain the operator runs: pair counts
+    * over the pipe-delimited symbol strings, argmax with the
+    * (count DESC, a, b) tie-break, then ONE left-to-right
+    * non-overlapping replace (the same scan order on both engines).
+    * Both the merges and encode oracles read it, like the Spark side
+    * shares learnMerges between q_bpe_merges and encodeVocab. */
+  private def bpeSyms(seqCol: String) =
+    s"string_split(trim($seqCol, '|'), '||')"
+
+  private val sqlBpeChain = {
     def round(r: Int) =
       s"""p$r AS (
          |  SELECT t.s.a AS a, t.s.b AS b, f
-         |  FROM w$r, UNNEST(list_transform(range(1, len(${syms("seq")})),
-         |    i -> struct_pack(a := ${syms("seq")}[i],
-         |      b := ${syms("seq")}[i+1]))) t(s)),
+         |  FROM w$r, UNNEST(list_transform(range(1, len(${bpeSyms("seq")})),
+         |    i -> struct_pack(a := ${bpeSyms("seq")}[i],
+         |      b := ${bpeSyms("seq")}[i+1]))) t(s)),
          |c$r AS (
          |  SELECT a, b, CAST(SUM(f) AS BIGINT) AS cnt
          |  FROM p$r GROUP BY a, b),
          |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
          |w${r + 1} AS (
-         |  SELECT replace(seq, '|' || m$r.a || '||' || m$r.b || '|',
+         |  SELECT word, replace(seq, '|' || m$r.a || '||' || m$r.b || '|',
          |    '|' || m$r.a || m$r.b || '|') AS seq, f
          |  FROM w$r CROSS JOIN m$r)"""
     val rounds = (1 to BpeRounds).map(round).mkString(",\n")
-    val out = (1 to BpeRounds).map(r =>
-      s"SELECT CAST($r AS INTEGER) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH freq AS (
+    s"""freq AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
        |  FROM (SELECT UNNEST($sqlToks) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[a-z0-9]+$$') GROUP BY word),
        |w1 AS (
-       |  SELECT regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, f
+       |  SELECT word, regexp_replace(word, '(.)', '|\\1|', 'g') AS seq, f
        |  FROM freq),
-       |$rounds
+       |$rounds"""
+  }
+
+  private val qBpeMergesSql = {
+    val out = (1 to BpeRounds).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS round, a AS sym_a, b AS sym_b, cnt AS pair_count FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $sqlBpeChain
        |SELECT * FROM (
        |  $out)
        |ORDER BY round""".stripMargin
   }
+
+  // --------------------- C82: BPE vocabulary encoding (apply merges)
+  private def qBpeEncode(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeVocab(docs(s, dir), "text", BpeRounds).orderBy("word")
+
+  private val qBpeEncodeSql =
+    s"""WITH $sqlBpeChain
+       |SELECT word, f AS n_occurrences,
+       |  CAST(len(${bpeSyms("seq")}) AS BIGINT) AS n_subtokens,
+       |  array_to_string(${bpeSyms("seq")}, ' ') AS segmentation
+       |FROM w${BpeRounds + 1}
+       |ORDER BY word""".stripMargin
 
   // ------------------------- C81: integer HITS hubs and authorities
   private def qHits(s: SparkSession, dir: String): DataFrame =
@@ -296,6 +317,7 @@ object AnalyticsQueries extends QueryModule {
       "q_gopher_rules" -> qGopherRules _,
       "q_c4_clean" -> qC4Clean _,
       "q_bpe_merges" -> qBpeMerges _,
+      "q_bpe_encode" -> qBpeEncode _,
       "q_hits" -> qHits _,
       "q_funnel" -> qFunnel _,
       "q_retention" -> qRetention _)
@@ -304,6 +326,7 @@ object AnalyticsQueries extends QueryModule {
     "q_gopher_rules" -> qGopherRulesSql,
     "q_c4_clean" -> qC4CleanSql,
     "q_bpe_merges" -> qBpeMergesSql,
+    "q_bpe_encode" -> qBpeEncodeSql,
     "q_hits" -> qHitsSql,
     "q_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql)

@@ -108,6 +108,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(Bpe.learnMerges(df, "text", 3).count() == 0L)
   }
 
+  test("bpe encode: merges replay in learned order") {
+    val df = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    // learned rules: (a,b) then (ab,ab) then (c,d) — abab collapses to
+    // ONE symbol only because rule 2 runs after rule 1
+    val out = Bpe.encodeVocab(df, "text", 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out("abab") == ((2L, 1L, "abab")))
+    assert(out("cd") == ((1L, 1L, "cd")))
+    // partial application: only rules that fire apply
+    val out2 = Bpe.applyMerges(df, "text", Seq(("a", "b")))
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(out2("abab") == "ab ab" && out2("cd") == "c d")
+  }
+
   // ------------------------------------ C81: integer HITS
 
   test("hits: directory page is the hub, its targets the authorities") {
