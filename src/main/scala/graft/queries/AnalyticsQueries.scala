@@ -294,6 +294,43 @@ object AnalyticsQueries extends QueryModule {
        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
        |ORDER BY s1.user_id""".stripMargin
 
+  // ------------------- C83: streaming funnel (stateful live twin)
+  // Runs EventStreams.funnelStream as a real stream (AvailableNow over
+  // a parquet drop of the events table, memory sink), then keeps each
+  // user's deepest emitted row. A single-batch run is exactly
+  // batch-equal (events sort within the batch), so the oracle is the
+  // SAME SQL as q_funnel — the streaming and batch formulations are
+  // pinned to one another through DuckDB.
+  private def qStreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStreams
+    val inDir = graft.Scratch.dir("graft_funnel_in_")
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode("overwrite").parquet(inDir)
+    val sink = s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}"
+    ScaleQueries.withStatePartitions(s, 4) {
+      val q = EventStreams.funnelStream(
+        EventStreams.eventStream(s, inDir).as[EventStreams.Event],
+        Seq("view", "click", "purchase"), FunnelGapMicros)
+        .toDF("user_id", "n_steps", "ts_us")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_steps").desc)
+    s.table(sink)
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(Seq(col("user_id"), col("n_steps")) ++
+        (1 to 3).map(i =>
+          when(size(col("ts_us")) >= i, col("ts_us").getItem(i - 1))
+            .as(s"t$i")): _*)
+      .orderBy("user_id")
+  }
+
   // ----------------------------- A38: cohort retention matrix
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.retentionMatrix(events(s, dir), "user_id", "ts")
@@ -320,6 +357,7 @@ object AnalyticsQueries extends QueryModule {
       "q_bpe_encode" -> qBpeEncode _,
       "q_hits" -> qHits _,
       "q_funnel" -> qFunnel _,
+      "q_stream_funnel" -> qStreamFunnel _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -329,5 +367,8 @@ object AnalyticsQueries extends QueryModule {
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_hits" -> qHitsSql,
     "q_funnel" -> qFunnelSql,
+    // the streaming formulation is batch-equal on a single-batch run,
+    // so it pins against the SAME oracle as q_funnel
+    "q_stream_funnel" -> qFunnelSql,
     "q_retention" -> qRetentionSql)
 }

@@ -315,7 +315,7 @@ object ScaleQueries extends QueryModule {
   // events table. Emitted sessions are the CLOSED ones — every session
   // except each user's still-open last — which the oracle re-derives
   // from the batch sessionization with a QUALIFY filter.
-  private val streamRun = new AtomicInteger(0)
+  private[queries] val streamRun = new AtomicInteger(0)
 
   /** Stateful streaming operators instantiate one state store per
     * `spark.sql.shuffle.partitions` AT STREAM START (the attribution
@@ -333,7 +333,7 @@ object ScaleQueries extends QueryModule {
     * because bench/driver runs are strictly sequential; if concurrent
     * driver runs ever appear, scope the conf via a cloned
     * SparkSession (`s.cloneSession()`) instead. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[queries] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)

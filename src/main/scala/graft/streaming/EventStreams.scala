@@ -146,6 +146,61 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Streaming ordered windowed funnel — the live twin of
+    * [[graft.ops.EventAnalytics.funnelSteps]]: per-user state is the
+    * earliest step-time CHAIN (≤ k longs — O(1) per user, the bounded-
+    * state discipline); each micro-batch's events process in
+    * (ts, event_id) order and extend the chain greedily (step i+1
+    * strictly after step i, within `maxGapMicros`). A user emits a row
+    * whenever their chain deepens, so the deepest row per user is the
+    * current funnel position.
+    *
+    * Exactness contract: greedy in-order processing equals the batch
+    * funnel under in-order arrival (single-batch AvailableNow runs are
+    * exactly batch-equal — each batch is sorted internally); an event
+    * arriving across batches EARLIER than the established chain does
+    * not retroactively re-anchor it (first-touch semantics — the
+    * standard streaming-funnel tradeoff; re-anchoring would need
+    * unbounded per-user event retention). Production adds an
+    * event-time timeout to expire stale chains; these bounded driver
+    * runs keep NoTimeout.
+    *
+    * Output: user_id, n_steps, ts_us (earliest chain times, length
+    * n_steps). */
+  def funnelStream(events: Dataset[Event], steps: Seq[String],
+      maxGapMicros: Long = Long.MaxValue): Dataset[(Long, Int, Seq[Long])] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+
+    def micros(ts: java.sql.Timestamp): Long =
+      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[Seq[Long]]): Iterator[(Long, Int, Seq[Long])] = {
+      var chain = state.getOption.getOrElse(Seq.empty)
+      val before = chain
+      evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val us = micros(e.ts)
+        if (chain.isEmpty) {
+          if (e.event_type == steps.head) chain = Seq(us)
+        } else if (chain.size < steps.size &&
+            e.event_type == steps(chain.size) && us > chain.last &&
+            (maxGapMicros == Long.MaxValue ||
+              us <= chain.last + maxGapMicros)) {
+          chain = chain :+ us
+        }
+      }
+      if (chain.nonEmpty) state.update(chain)
+      if (chain.nonEmpty && chain != before)
+        Iterator((userId, chain.size, chain))
+      else Iterator.empty
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Bridge a CDC change stream into the batch Materializer: every
     * micro-batch applies one distributed merge — the streaming path and
     * the batch path share the exact same merge semantics. */

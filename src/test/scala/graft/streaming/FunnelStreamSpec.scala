@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.{SparkSpec, Tables}
+import graft.ops.EventAnalytics
+
+/** Streaming funnel (C83): single-batch runs are exactly batch-equal;
+  * cross-batch deepening emits a new, deeper row per user.
+  */
+class FunnelStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import EventStreams._
+
+  private def ev(id: Long, user: Long, typ: String, minute: Long) =
+    Event(id, new java.sql.Timestamp(minute * 60000L), user, typ, 0.0)
+
+  test("single-batch stream equals the batch funnel on real events") {
+    val dir = Files.createTempDirectory("graft_funnel_src_").toString
+    Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val gap = 24L * 3600 * 1000000L
+    val q = funnelStream(eventStream(spark, dir).as[Event],
+      Seq("view", "click", "purchase"), gap)
+      .toDF("user_id", "n_steps", "ts_us")
+      .writeStream.format("memory").queryName("funnel_live")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_live")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+      .toSet
+    val batch = EventAnalytics.funnelSteps(
+      Tables.load(spark, sfDir, "events"), "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), gap)
+      .collect().map { r =>
+        (r.getLong(0), r.getInt(1),
+          (1 to r.getInt(1)).map(i => r.getLong(1 + i)))
+      }.toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("cross-batch events deepen the chain; deepest row wins") {
+    val input = MemoryStream[Event](spark)
+    val q = funnelStream(input.toDS(), Seq("view", "click"), Long.MaxValue)
+      .toDF("user_id", "n_steps", "ts_us")
+      .writeStream.format("memory").queryName("funnel_2b")
+      .outputMode("append").start()
+    input.addData(ev(1, 7L, "view", 0))        // batch 1: depth 1
+    q.processAllAvailable()
+    input.addData(ev(2, 7L, "click", 10))      // batch 2: deepens to 2
+    input.addData(ev(3, 7L, "view", 5))        // ignored: chain anchored
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel_2b")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2)))
+    assert(rows.toSet == Set(
+      (7L, 1, Seq(0L)), (7L, 2, Seq(0L, 600000000L))))
+  }
+}
