@@ -143,4 +143,40 @@ object Sampling {
       .withColumn("p_scaled", floor(col("__p") * lit(1e12)).cast("long"))
       .drop("__p")
   }
+
+  /** Exact per-stratum QUOTA sampling — "exactly N docs per source"
+    * (eval-set construction, per-class balancing): keep the `quota`
+    * rows of each stratum with the smallest md5 order keys — a
+    * deterministic draw, reproducible across runs/engines/cluster
+    * sizes, unlike rate-based sampling ([[rebalance]]/
+    * [[temperatureMix]]) which hits the target only in expectation.
+    * Strata smaller than the quota keep everything.
+    *
+    * Formulated as the bounded topk_by_score aggregate (the
+    * [[graft.ops.Curation.domainCap]] shape), NOT a per-stratum
+    * ranking window: each map task ships ≤ quota rows per stratum
+    * through the shuffle, so one giant stratum costs its quota, not
+    * its row count. Order keys are 52-bit md5 longs ("qsamp:{id}"),
+    * NEGATED and fed to the aggregate's bigint-score mode (exact long
+    * comparison — no float anywhere); ties (key collisions) break
+    * toward the smaller id inside the aggregate, matching the oracle's
+    * (ord, id) sort. A NULL stratum is a legitimate group; NULL ids
+    * carry no draw identity.
+    *
+    * Output: stratumCol, rank (1-based within stratum, in draw
+    * order), idCol. Join back on id for full rows. */
+  def quotaSample(
+      df: DataFrame, idCol: String, stratumCol: String,
+      quota: Int): DataFrame = {
+    require(quota > 0, "quota must be positive")
+    val ord = graft.functions.HashExprs.md5Long(
+      concat(lit("qsamp:"), col(idCol).cast("string")), 13)
+    df.filter(col(idCol).isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(call_function("topk_by_score", -ord, col(idCol), lit(quota))
+        .as("tk"))
+      .select(col(stratumCol), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col(stratumCol), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol))
+  }
 }

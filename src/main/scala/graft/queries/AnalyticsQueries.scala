@@ -331,6 +331,28 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  // --------------------- C84: exact per-stratum quota sampling
+  private val SampleQuota = 15
+
+  private def qQuotaSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.quotaSample(docs(s, dir), "doc_id", "source",
+      SampleQuota).orderBy("source", "rank")
+
+  private val qQuotaSampleSql =
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id,
+       |    CAST('0x' || substr(md5('qsamp:' || CAST(doc_id AS VARCHAR)),
+       |      1, 13) AS BIGINT) AS ord
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |r AS (
+       |  SELECT source, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ord, doc_id) AS rank
+       |  FROM keyed)
+       |SELECT source, CAST(rank AS INTEGER) AS rank, doc_id
+       |FROM r WHERE rank <= $SampleQuota
+       |ORDER BY source, rank""".stripMargin
+
   // ----------------------------- A38: cohort retention matrix
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.retentionMatrix(events(s, dir), "user_id", "ts")
@@ -358,6 +380,7 @@ object AnalyticsQueries extends QueryModule {
       "q_hits" -> qHits _,
       "q_funnel" -> qFunnel _,
       "q_stream_funnel" -> qStreamFunnel _,
+      "q_quota_sample" -> qQuotaSample _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -370,5 +393,6 @@ object AnalyticsQueries extends QueryModule {
     // the streaming formulation is batch-equal on a single-batch run,
     // so it pins against the SAME oracle as q_funnel
     "q_stream_funnel" -> qFunnelSql,
+    "q_quota_sample" -> qQuotaSampleSql,
     "q_retention" -> qRetentionSql)
 }

@@ -175,6 +175,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(3) == 2000L * 60000000L)
   }
 
+  // --------------------------- C84: exact quota sampling
+
+  test("quota sample: exact counts, window equality, repartition-stable") {
+    val df = Seq.tabulate(100)(i => (i.toLong, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+      .union(spark.sql(
+        """SELECT CAST(900 AS BIGINT), CAST(NULL AS STRING)
+          |UNION ALL SELECT CAST(NULL AS BIGINT), 'src0'""".stripMargin))
+    val out = Sampling.quotaSample(df.toDF(), "doc_id", "source", 10)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // full strata cap at the quota; the 1-doc NULL stratum keeps 1
+    assert(bySrc == Map(Some("src0") -> 10L, Some("src1") -> 10L,
+      Some("src2") -> 10L, None -> 1L))
+    // equality with the naive per-stratum window formulation
+    val ordCol = graft.functions.HashExprs.md5Long(
+      concat(lit("qsamp:"), col("doc_id").cast("string")), 13)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(ordCol, col("doc_id"))
+    val naive = df.filter(col("doc_id").isNotNull)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select(col("source"), col("rank").cast("int"), col("doc_id"))
+      .collect().map(_.toSeq).toSet
+    assert(out.collect().map(_.toSeq).toSet == naive)
+    val re = Sampling.quotaSample(df.repartition(13).toDF(),
+      "doc_id", "source", 10)
+    assert(re.collect().map(_.toSeq).toSet == naive)
+  }
+
   // ----------------------------- A38: cohort retention matrix
 
   test("retention: triangle counts by first-event week") {
