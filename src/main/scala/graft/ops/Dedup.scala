@@ -605,6 +605,44 @@ object Dedup {
       .select(col(s"l.$idCol").as("a"), col(s"r.$idCol").as("b")).distinct()
   }
 
+  /** Edit-distance near-dup pairs — the [[simHashCandidates]] recall
+    * tier completed with a VERIFICATION tier (the Manku et al. 2007
+    * pipeline, "Detecting Near-Duplicates for Web Crawling", WWW:
+    * simhash → hamming bands → verify survivors), for the near-dup
+    * class the shingle family misses: small CHARACTER-level edits
+    * (OCR noise, template fill-ins, version strings) where token
+    * shingles all change but the text is one keystroke away.
+    *
+    * Candidates are pairs agreeing on ≥1 of `numBands` simhash chunks
+    * (catches hamming distance < numBands); each surviving pair pays
+    * one `levenshtein` on the NORMALIZED text — Spark's threshold
+    * variant runs the banded O(len·maxDist) DP and returns -1 above
+    * the bound, so far-apart candidates exit early. Distances ≤
+    * maxDist are emitted exactly (the same DP both engines implement).
+    *
+    * Scale shape: candidate generation is the banded equi-join with
+    * [[boundBuckets]] hot-bucket capping (never all-pairs); the text
+    * join-back is id-keyed. Edit distance is quadratic per pair in
+    * principle — this operator is for SHORT text fields (titles,
+    * headings, template lines) or capped candidate sets; corpus-body
+    * near-dup stays with MinHash/SimHash banding alone.
+    *
+    * Output: a, b (a < b), edit_dist (int, ≤ maxDist). */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+      numBands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val cands = simHashCandidates(
+      simHash(df, idCol, textCol), idCol, numBands, maxBucketSize)
+    val t = df.select(col(idCol), TextOps.normalized(col(textCol)).as("__t"))
+    cands
+      .join(t.select(col(idCol).as("a"), col("__t").as("__ta")), Seq("a"))
+      .join(t.select(col(idCol).as("b"), col("__t").as("__tb")), Seq("b"))
+      .select(col("a"), col("b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("edit_dist"))
+      .filter(col("edit_dist") >= 0) // threshold DP: -1 = above maxDist
+  }
+
   /** Shared skeleton of [[jaccardPairs]] / [[containmentPairs]]: the
     * DF-capped shingle frame's pairwise intersection counts joined to
     * both per-doc set sizes — (a, b, inter, sza, szb). The DF-cap

@@ -331,6 +331,60 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ------------------ C85: edit-distance near-dup verification
+  private val EditMaxDist = 25
+  private val EditBands = 4
+  private val EditBucketCap = 64
+
+  private def qDedupEditdist(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.editDistancePairs(docs(s, dir), "doc_id", "text",
+      EditMaxDist, EditBands, EditBucketCap).orderBy("a", "b")
+
+  // Re-derives the whole Manku pipeline: the per-token 60-bit vote
+  // simhash (the q_dedup_simhash chain), 15-bit band bucketing with the
+  // boundBuckets cap, the distinct candidate self-join, and the SAME
+  // Levenshtein DP both engines implement.
+  private val qDedupEditdistSql = {
+    val chunk = 60 / EditBands
+    val mask = (1L << chunk) - 1
+    s"""WITH toks AS (
+       |  SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM toks WHERE len(tok) > 0),
+       |bits AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM h, (SELECT UNNEST(range(60)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+       |             ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, bb.b AS band_id,
+       |    (simhash >> (CAST(bb.b AS INTEGER) * $chunk)) & $mask AS sig
+       |  FROM sh, (SELECT UNNEST(range($EditBands)) AS b) bb),
+       |bounded AS (
+       |  SELECT doc_id, band_id, sig FROM (
+       |    SELECT doc_id, band_id, sig,
+       |      COUNT(*) OVER (PARTITION BY band_id, sig) AS n
+       |    FROM banded)
+       |  WHERE n <= $EditBucketCap),
+       |cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM bounded l JOIN bounded r
+       |    ON l.band_id = r.band_id AND l.sig = r.sig
+       |    AND l.doc_id < r.doc_id),
+       |t AS (SELECT doc_id, $sqlNorm AS t FROM documents)
+       |SELECT a, b, CAST(levenshtein(ta.t, tb.t) AS INTEGER) AS edit_dist
+       |FROM cand JOIN t ta ON ta.doc_id = cand.a
+       |JOIN t tb ON tb.doc_id = cand.b
+       |WHERE levenshtein(ta.t, tb.t) <= $EditMaxDist
+       |ORDER BY a, b""".stripMargin
+  }
+
   // --------------------- C84: exact per-stratum quota sampling
   private val SampleQuota = 15
 
@@ -381,6 +435,7 @@ object AnalyticsQueries extends QueryModule {
       "q_funnel" -> qFunnel _,
       "q_stream_funnel" -> qStreamFunnel _,
       "q_quota_sample" -> qQuotaSample _,
+      "q_dedup_editdist" -> qDedupEditdist _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -394,5 +449,6 @@ object AnalyticsQueries extends QueryModule {
     // so it pins against the SAME oracle as q_funnel
     "q_stream_funnel" -> qFunnelSql,
     "q_quota_sample" -> qQuotaSampleSql,
+    "q_dedup_editdist" -> qDedupEditdistSql,
     "q_retention" -> qRetentionSql)
 }

@@ -204,6 +204,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(re.collect().map(_.toSeq).toSet == naive)
   }
 
+  // --------------------- C85: edit-distance near-dup verification
+
+  test("edit distance: one-char edits pair up; threshold DP filters") {
+    val base = Seq.tabulate(50)(i => s"tok$i").mkString(" ")
+    val oneEdit = base.replace("tok7", "tok9")        // 1 substitution
+    val twoEdits = base.replace("tok7", "tok9").replace("tok31", "tok99")
+    val df = Seq((1L, base), (2L, oneEdit), (3L, twoEdits))
+      .toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // a 1-token edit leaves most simhash bits intact -> band collision
+    assert(out((1L, 2L)) == 1)
+    assert(out((2L, 3L)) == 2)  // tok31 -> tok99: two substitutions
+    assert(out((1L, 3L)) == 3)  // tok7 -> tok9 plus tok31 -> tok99
+    // tight threshold: the banded DP drops distances above the bound
+    val tight = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L)))
+  }
+
+  test("edit distance: hot buckets capped, identical docs distance 0") {
+    val clones = Seq.tabulate(40)(i => (i.toLong, "same words everywhere"))
+    val df = clones.toDF("doc_id", "text")
+    // 40 identical docs share every band: uncapped -> C(40,2) pairs
+    val full = Dedup.editDistancePairs(df, "doc_id", "text", 0)
+    assert(full.count() == 40L * 39 / 2)
+    assert(full.agg(max(col("edit_dist"))).head().getInt(0) == 0)
+    // bucket cap drops the degenerate bucket entirely (boundBuckets)
+    assert(Dedup.editDistancePairs(df, "doc_id", "text", 0,
+      maxBucketSize = 10).count() == 0L)
+  }
+
   // ----------------------------- A38: cohort retention matrix
 
   test("retention: triangle counts by first-event week") {
