@@ -185,6 +185,64 @@ object Graph {
         coalesce(col("n_reciprocal"), lit(0L)).as("n_reciprocal"))
   }
 
+  /** Per-node triangle counts — the local-cohesion signal on a link
+    * graph (mutual-citation cells, link farms, tightly-knit template
+    * networks all show up as triangle-dense neighborhoods; a page's
+    * triangle count is the numerator of its clustering coefficient).
+    *
+    * Algorithm: degree-ordered orientation (Suri & Vassilvitskii 2011,
+    * "Counting Triangles and the Curse of the Last Reducer", WWW) —
+    * each undirected edge orients from its lower endpoint in the total
+    * (degree, id) order, so every triangle is found EXACTLY ONCE as a
+    * wedge at its minimum vertex closed by one oriented edge, and the
+    * wedge fan-out at a hub is bounded by its ORIENTED out-degree
+    * (O(√|E|) for any graph), not its raw degree — the curse of the
+    * last reducer is the thing this orientation removes. The order
+    * value is the exact long `deg·10^10 + id` (ids < 10^10 — documented
+    * bound, loud overflow otherwise), identical in the oracle.
+    *
+    * Scale shape: two equi-joins (wedge build on the pivot, closure
+    * probe on the (v, w) edge key) + one keyed count; no node ever
+    * enumerates its full neighbor square. Self-loops dropped; every
+    * node of the input graph gets a row (zeroes kept).
+    *
+    * Output: id, n_triangles (long). */
+  def triangles(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val nodes = raw.select(col("x").as("id"))
+      .unionByName(raw.select(col("y").as("id"))).distinct()
+    val und = raw.filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("id"))
+      .unionByName(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .select(col("id"), (col("d") * 10000000000L + col("id")).as("ord"))
+    val o = und
+      .join(deg.select(col("id").as("a"), col("ord").as("__oa")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("ord").as("__ob")), Seq("b"))
+      .select(
+        when(col("__oa") < col("__ob"), col("a")).otherwise(col("b")).as("u"),
+        when(col("__oa") < col("__ob"), col("b")).otherwise(col("a")).as("v"),
+        greatest(col("__oa"), col("__ob")).as("vord"))
+    val wedges = o.as("w1")
+      .join(o.select(col("u"), col("v").as("w"), col("vord").as("word"))
+        .as("w2"), Seq("u"))
+      .filter(col("vord") < col("word"))
+      .select(col("u"), col("v"), col("w"))
+    val tri = wedges.join(
+      o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+    val perNode = tri.select(col("u").as("id"))
+      .unionByName(tri.select(col("v").as("id")))
+      .unionByName(tri.select(col("w").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("n"))
+    nodes.join(perNode, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n_triangles"))
+  }
+
   /** Top anchor texts per link target — the Common-Crawl-style "what do
     * other pages call this page" quality/topicality signal fed into
     * crawl curation: for each destination, the `topN` anchor strings by

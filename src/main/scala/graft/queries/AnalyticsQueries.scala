@@ -263,6 +263,40 @@ object AnalyticsQueries extends QueryModule {
        |ORDER BY h$HitsIters.id""".stripMargin
   }
 
+  // ------------------------ C86: degree-ordered triangle counting
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangles(TrainingPrepQueries.linkEdges(s, dir), "src", "dst")
+      .orderBy("id")
+
+  private val qTrianglesSql =
+    s"""WITH ${TrainingPrepQueries.sqlEdges},
+       |und AS (
+       |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+       |  FROM e WHERE u <> v),
+       |deg AS (
+       |  SELECT id, d * 10000000000 + id AS ord FROM (
+       |    SELECT x AS id, COUNT(*) AS d FROM (
+       |      SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+       |    GROUP BY x)),
+       |o AS (
+       |  SELECT CASE WHEN oa.ord < ob.ord THEN a ELSE b END AS u,
+       |    CASE WHEN oa.ord < ob.ord THEN b ELSE a END AS v,
+       |    greatest(oa.ord, ob.ord) AS vord
+       |  FROM und
+       |  JOIN deg oa ON oa.id = und.a JOIN deg ob ON ob.id = und.b),
+       |tri AS (
+       |  SELECT w1.u, w1.v AS x, w2.v AS y
+       |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.vord < w2.vord
+       |  JOIN o w3 ON w3.u = w1.v AND w3.v = w2.v),
+       |pern AS (
+       |  SELECT id, COUNT(*) AS n FROM (
+       |    SELECT u AS id FROM tri UNION ALL SELECT x FROM tri
+       |    UNION ALL SELECT y FROM tri)
+       |  GROUP BY id)
+       |SELECT nodes.id, CAST(COALESCE(pern.n, 0) AS BIGINT) AS n_triangles
+       |FROM nodes LEFT JOIN pern ON pern.id = nodes.id
+       |ORDER BY nodes.id""".stripMargin
+
   // --------------------------- A37: ordered windowed funnel analysis
   private def qFunnel(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.funnelSteps(events(s, dir), "user_id", "event_type",
@@ -432,6 +466,7 @@ object AnalyticsQueries extends QueryModule {
       "q_bpe_merges" -> qBpeMerges _,
       "q_bpe_encode" -> qBpeEncode _,
       "q_hits" -> qHits _,
+      "q_triangles" -> qTriangles _,
       "q_funnel" -> qFunnel _,
       "q_stream_funnel" -> qStreamFunnel _,
       "q_quota_sample" -> qQuotaSample _,
@@ -444,6 +479,7 @@ object AnalyticsQueries extends QueryModule {
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
     "q_hits" -> qHitsSql,
+    "q_triangles" -> qTrianglesSql,
     "q_funnel" -> qFunnelSql,
     // the streaming formulation is batch-equal on a single-batch run,
     // so it pins against the SAME oracle as q_funnel

@@ -204,6 +204,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(re.collect().map(_.toSeq).toSet == naive)
   }
 
+  // ------------------------ C86: triangle counting
+
+  test("triangles: hand graph, exactly-once counting, zeroes kept") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5 + isolated
+    // pair via self-loop-ish edge 6-6 (dropped) and node 7 from 7->5
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 3L), // duplicate reverse edge must not double-count
+      (5L, 1L), (6L, 6L), (7L, 5L)).toDF("src", "dst")
+    val out = Graph.triangles(e, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L))
+  }
+
+  test("triangles: global count matches the closed-form on a clique") {
+    // K6: C(6,3) = 20 triangles, each vertex in C(5,2) = 10
+    val ids = (0L until 6L)
+    val e = (for (a <- ids; b <- ids if a < b) yield (a, b)).toDF("src", "dst")
+    val out = Graph.triangles(e, "src", "dst").collect()
+    assert(out.forall(_.getLong(1) == 10L))
+    assert(out.map(_.getLong(1)).sum / 3 == 20L)
+  }
+
   // --------------------- C85: edit-distance near-dup verification
 
   test("edit distance: one-char edits pair up; threshold DP filters") {
