@@ -23,6 +23,11 @@ final case class TestSpec(
       if (params.length != 2)
         throw new ConfigError(s"range test on $column needs (min, max)")
       Quality.RangeCheck(column, params(0).toDouble, params(1).toDouble)
+    case "relationships" =>
+      if (params.length != 2)
+        throw new ConfigError(
+          s"relationships test on $column needs (ref_model, ref_column)")
+      Quality.Relationships(column, params(0), params(1))
     case other =>
       throw new ConfigError(s"unknown test type: $other")
   }

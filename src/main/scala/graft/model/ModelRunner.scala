@@ -103,9 +103,12 @@ final class ModelRunner(
     if (cfg.tests.isEmpty) Nil
     else {
       val severityOf = cfg.tests.map(t => t.toCheck.name -> t.severity).toMap
-      Quality.run(readModel(name), cfg.tests.map(_.toCheck)).map { r =>
-        ModelRunner.TestOutcome(name, r.check, r.failures, severityOf(r.check))
-      }
+      // relationships checks resolve their parent against this runner's
+      // own materialized models (the dbt ref semantics)
+      Quality.run(readModel(name), cfg.tests.map(_.toCheck), readModel)
+        .map { r =>
+          ModelRunner.TestOutcome(name, r.check, r.failures, severityOf(r.check))
+        }
     }
   }
 

@@ -27,13 +27,29 @@ object Quality {
   final case class Unique(column: String) extends Check {
     val name = s"unique_$column"
   }
+  /** dbt's `relationships` (referential-integrity) test: every non-NULL
+    * value of `column` must exist in `refModel.refColumn` (NULL child
+    * values pass — dbt semantics; not_null is its own check). */
+  final case class Relationships(column: String, refModel: String,
+      refColumn: String) extends Check {
+    val name = s"relationships_${column}__${refModel}_$refColumn"
+  }
 
   final case class CheckResult(check: String, failures: Long) {
     def passed: Boolean = failures == 0
   }
 
-  /** Run all checks; returns one CheckResult per check. */
-  def run(df: DataFrame, checks: Seq[Check]): Seq[CheckResult] = {
+  /** Run all checks; returns one CheckResult per check. `resolve` maps
+    * a referenced model name to its DataFrame for [[Relationships]]
+    * checks (ModelRunner passes readModel; callers without a warehouse
+    * can pass any catalog lookup). Each relationships check is ONE
+    * anti-join count — broadcast when the parent's distinct key set is
+    * small, the usual FK shape. */
+  def run(df: DataFrame, checks: Seq[Check],
+      resolve: String => DataFrame = t =>
+        throw new graft.model.ConfigError(
+          s"relationships test references model '$t' but no resolver " +
+            "was provided")): Seq[CheckResult] = {
     val rowChecks = checks.collect {
       case c: NotNull =>
         c.name -> sum(when(col(c.column).isNull, 1L).otherwise(0L)).as(c.name)
@@ -64,14 +80,27 @@ object Quality {
       CheckResult(c.name, counts.getAs[Long]("n") - counts.getAs[Long]("d"))
     }
 
-    rowResults ++ uniqueResults
+    val relResults = checks.collect { case c: Relationships =>
+      val parent = resolve(c.refModel)
+        .select(col(c.refColumn).as("__pk")).distinct()
+      val orphans = df.filter(col(c.column).isNotNull)
+        .join(parent, col(c.column) === col("__pk"), "left_anti")
+        .count()
+      CheckResult(c.name, orphans)
+    }
+
+    rowResults ++ uniqueResults ++ relResults
   }
 
   /** All checks as a single-row DataFrame (for oracle comparison). */
-  def asRow(df: DataFrame, checks: Seq[Check]): DataFrame = {
+  def asRow(df: DataFrame, checks: Seq[Check],
+      resolve: String => DataFrame = t =>
+        throw new graft.model.ConfigError(
+          s"relationships test references model '$t' but no resolver " +
+            "was provided")): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val results = run(df, checks)
+    val results = run(df, checks, resolve)
     results.map(r => (r.check, r.failures)).toDF("check_name", "failures")
       .orderBy("check_name")
   }

@@ -280,8 +280,10 @@ object FrameworkQueries extends QueryModule {
         |-- test: not_null(o_custkey)
         |-- test: accepted_values(o_orderstatus, F|O|P)
         |-- test: range(o_totalprice, 0.0, 400000.0)
+        |-- test: relationships(o_custkey, customer, c_custkey)
         |SELECT * FROM {{ source('raw', 'orders') }}""".stripMargin)
-    Quality.asRow(Tables.load(s, dir, "orders"), cfg.tests.map(_.toCheck))
+    Quality.asRow(Tables.load(s, dir, "orders"), cfg.tests.map(_.toCheck),
+      resolve = Tables.load(s, dir, _))
   }
 
   private val qQualityChecksSql =
@@ -298,7 +300,13 @@ object FrameworkQueries extends QueryModule {
       |  UNION ALL
       |  SELECT 'range_o_totalprice',
       |    CAST((SELECT COUNT(*) FROM orders
-      |          WHERE o_totalprice < 0.0 OR o_totalprice > 400000.0) AS BIGINT))
+      |          WHERE o_totalprice < 0.0 OR o_totalprice > 400000.0) AS BIGINT)
+      |  UNION ALL
+      |  SELECT 'relationships_o_custkey__customer_c_custkey',
+      |    CAST((SELECT COUNT(*) FROM orders
+      |          WHERE o_custkey IS NOT NULL
+      |            AND o_custkey NOT IN (SELECT c_custkey FROM customer
+      |                                  WHERE c_custkey IS NOT NULL)) AS BIGINT))
       |ORDER BY check_name""".stripMargin
 
   // ----------------------------------------------------------------------

@@ -138,6 +138,18 @@ class SqlTemplateSpec extends AnyFunSuite {
       ModelConfig.fromSql("m", "-- test: frobnicate(x)\nSELECT 1").tests.head.toCheck)
     assertThrows[ConfigError](ModelConfig.parseTest("not a test"))
   }
+
+  test("relationships test parses to a typed FK check") {
+    val cfg = ModelConfig.fromSql("m",
+      """-- config: materialized=table
+        |-- test: relationships(cust_id, customers, id) severity=warn
+        |SELECT 1""".stripMargin)
+    assert(cfg.tests.head.toCheck ==
+      Quality.Relationships("cust_id", "customers", "id"))
+    assert(cfg.tests.head.severity == "warn")
+    assertThrows[ConfigError](
+      ModelConfig.parseTest("relationships(cust_id, customers)").toCheck)
+  }
 }
 
 class StateStoreSpec extends AnyFunSuite {

@@ -381,6 +381,22 @@ class MaterializerSpec extends SparkSpec {
     assert(results("range_amt") == 2)       // -5 and 999
   }
 
+  test("relationships check counts orphans; NULL children pass") {
+    val child = Seq(
+      (1, Some(10)), (2, Some(20)), (3, Some(99)),   // 99 is an orphan
+      (4, None), (5, Some(99)))                      // NULL passes; 2nd orphan
+      .toDF("id", "cust_id")
+    val parents = Seq(10, 20, 30).toDF("pk")
+    val results = Quality.run(child,
+      Seq(Quality.Relationships("cust_id", "customers", "pk")),
+      resolve = { name => assert(name == "customers"); parents })
+    assert(results.head.check == "relationships_cust_id__customers_pk")
+    assert(results.head.failures == 2)
+    // no resolver provided -> loud ConfigError, not a silent pass
+    assertThrows[ConfigError](Quality.run(child,
+      Seq(Quality.Relationships("cust_id", "customers", "pk"))))
+  }
+
   test("lineage maps projected and aggregated columns to base columns") {
     val df = graft.Tables.load(spark, sfDir, "orders")
       .select(col("o_orderkey"), (col("o_totalprice") * 2).as("dbl"))
