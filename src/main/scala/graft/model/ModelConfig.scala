@@ -48,9 +48,38 @@ final case class ModelConfig(
     dependsOn: Set[String] = Set.empty,
     tags: Set[String] = Set.empty,
     tests: Seq[TestSpec] = Nil,
+    contract: Seq[(String, String)] = Nil, // (column, spark sql type)
     meta: Map[String, String] = Map.empty) {
 
   def isIncremental: Boolean = materialized == "incremental"
+
+  /** Enforce the declared model contract (dbt `contract: enforced`
+    * semantics) against the schema about to materialize: the column SET
+    * must match exactly — a contracted column missing, a type drifting,
+    * or an UNDECLARED column appearing are all [[ConfigError]]s naming
+    * the offender (silent schema drift is how downstream consumers
+    * break at 3am). Types compare on Catalyst's `simpleString`
+    * (`bigint`, `double`, `array<float>`, …); order is free. No-op for
+    * models without a contract. */
+  def enforceContract(schema: org.apache.spark.sql.types.StructType): Unit = {
+    if (contract.isEmpty) return
+    def fail(msg: String): Nothing =
+      throw new ConfigError(msg, Map("model" -> name))
+    val actual = schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    contract.foreach { case (c, t) =>
+      actual.get(c) match {
+        case None => fail(s"contract violation in '$name': column '$c' missing")
+        case Some(at) if at != t =>
+          fail(s"contract violation in '$name': column '$c' is $at, contract says $t")
+        case _ => ()
+      }
+    }
+    val declared = contract.map(_._1).toSet
+    schema.fieldNames.filterNot(declared.contains).sorted.headOption.foreach {
+      extra => fail(
+        s"contract violation in '$name': undeclared column '$extra' in output")
+    }
+  }
 
   /** Mirrors model.py:validate_model_config (model.py:300-331); raises
     * typed [[ConfigError]]s (errors.py ConfigurationError). */
@@ -76,6 +105,8 @@ object ModelConfig {
   private val DependsLine = """(?m)^\s*--\s*depends_on:\s*(.+?)\s*$""".r
   private val TagsLine = """(?m)^\s*--\s*tags:\s*(.+?)\s*$""".r
   private val TestLine = """(?m)^\s*--\s*test:\s*(.+?)\s*$""".r
+  // e.g. `-- contract: o_orderkey:bigint, price:double, tags:array<string>`
+  private val ContractLine = """(?m)^\s*--\s*contract:\s*(.+?)\s*$""".r
   // `-- meta: owner=data-team, pii=true` — arbitrary metadata, kept
   // separate from execution config (parser.py:249-288).
   private val MetaLine = """(?m)^\s*--\s*meta:\s*(.+?)\s*$""".r
@@ -116,6 +147,22 @@ object ModelConfig {
       .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
     val tests: Seq[TestSpec] =
       TestLine.findAllMatchIn(sql).map(m => parseTest(m.group(1))).toSeq
+    // column:type pairs; types may carry angle brackets (array<string>),
+    // so split on the FIRST colon only and trust commas as separators
+    // (nested comma types like struct<...> belong in YAML contracts, not
+    // the one-line header — fail loudly rather than mis-parse)
+    val contract: Seq[(String, String)] =
+      ContractLine.findAllMatchIn(sql).flatMap { m =>
+        m.group(1).split(",").map(_.trim).filter(_.nonEmpty).map { pair =>
+          pair.split(":", 2) match {
+            case Array(c, t) if c.trim.nonEmpty && t.trim.nonEmpty =>
+              c.trim -> t.trim.toLowerCase
+            case _ => throw new ConfigError(
+              s"malformed contract entry '$pair' (want column:type)",
+              Map("model" -> name))
+          }
+        }
+      }.toSeq
     val metaKvs: Map[String, String] = MetaLine.findAllMatchIn(sql).flatMap { m =>
       m.group(1).split(",").toSeq.flatMap { pair =>
         pair.split("=", 2) match {
@@ -141,6 +188,7 @@ object ModelConfig {
       dependsOn = deps,
       tags = tags,
       tests = tests,
+      contract = contract,
       meta = kvs.filterNot { case (k, _) => known.contains(k) } ++ metaKvs)
   }
 }

@@ -78,6 +78,9 @@ final class ModelRunner(
       fullRefresh: Boolean = false): MaterializeResult = {
     val cfg = modelCfg(name)
     val df = wh.spark.sql(render(name, variables, fullRefresh))
+    // Contract gate BEFORE materialization (dbt contract:enforced):
+    // a drifted schema must never reach storage or dependents.
+    cfg.enforceContract(df.schema)
     val result = mat.materialize(cfg, df, batchTs, fullRefresh)
     // Declarative post-materialization tests (reference testing.py:134
     // run_model_tests): error-severity failures fail the model — state

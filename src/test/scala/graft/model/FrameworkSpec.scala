@@ -139,6 +139,32 @@ class SqlTemplateSpec extends AnyFunSuite {
     assertThrows[ConfigError](ModelConfig.parseTest("not a test"))
   }
 
+  test("model contract: parses, passes on exact schema, names offenders") {
+    import org.apache.spark.sql.types._
+    val cfg = ModelConfig.fromSql("m",
+      """-- config: materialized=table
+        |-- contract: id:bigint, price:double, tags:array<string>
+        |SELECT 1""".stripMargin)
+    assert(cfg.contract == Seq("id" -> "bigint", "price" -> "double",
+      "tags" -> "array<string>"))
+    val good = StructType(Seq(StructField("price", DoubleType),
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType)))) // order-free
+    cfg.enforceContract(good)
+    def msg(s: StructType) =
+      intercept[ConfigError](cfg.enforceContract(s)).getMessage
+    assert(msg(StructType(good.filterNot(_.name == "id"))).contains("'id' missing"))
+    assert(msg(StructType(good.map(f =>
+      if (f.name == "price") f.copy(dataType = IntegerType) else f)))
+      .contains("'price' is int"))
+    assert(msg(StructType(good :+ StructField("extra", StringType)))
+      .contains("undeclared column 'extra'"))
+    assertThrows[ConfigError](
+      ModelConfig.fromSql("m", "-- contract: broken\nSELECT 1"))
+    // no contract declared -> no-op on any schema
+    ModelConfig.fromSql("m", "SELECT 1").enforceContract(good)
+  }
+
   test("relationships test parses to a typed FK check") {
     val cfg = ModelConfig.fromSql("m",
       """-- config: materialized=table

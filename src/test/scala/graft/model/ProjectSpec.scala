@@ -101,6 +101,32 @@ class ResilienceSpec extends SparkSpec {
     assertThrows[Exception](runner.run())
   }
 
+  test("model contract gates materialization; conforming model runs") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+    runner.addModel("contracted",
+      """-- config: materialized=table
+        |-- contract: o_orderkey:bigint, price:double
+        |SELECT o_orderkey, o_totalprice AS price
+        |FROM {{ source('raw', 'orders') }}""".stripMargin)
+    runner.addModel("drifted",
+      """-- config: materialized=table
+        |-- contract: o_orderkey:bigint, price:double
+        |SELECT o_orderkey, CAST(o_totalprice AS INT) AS price
+        |FROM {{ source('raw', 'orders') }}""".stripMargin)
+    assert(runner.run(Some(Seq("contracted"))).head.status == "success")
+    assert(wh.exists("contracted"))
+    val e = intercept[Exception](runner.run(Some(Seq("drifted"))))
+    // the violation is a typed ConfigError naming the drifted column,
+    // raised BEFORE anything reaches storage
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else rootMsg(t.getCause)
+    assert(rootMsg(e).contains("'price' is int"))
+    assert(!wh.exists("drifted"))
+  }
+
   test("transient failure succeeds on retry; deterministic failure does not retry") {
     Tables.registerAll(spark, sfDir)
     val whDir = Files.createTempDirectory("graft_wh_").toString
