@@ -103,7 +103,13 @@ object Bench {
         .mkString("{", ",", "}")
     // An already-busy host inflates every sample (round-6 lesson: load 6
     // made trivial queries read 5-18x slower); flag it in the record so
-    // nobody grades contention as regression.
+    // nobody grades contention as regression. The threshold is ABSOLUTE
+    // (not cpus-relative) on purpose: measured on this 32-core host,
+    // ambient load as low as 2.4 — 7% "utilization" — already produced
+    // multi-x outliers, because co-tenant contention hits page cache,
+    // tmpfs, and scheduling latency long before CPUs saturate. An
+    // absolute 2.0 matches every observed clean (<0.7) vs contaminated
+    // (>2.3) record; cpus stays in the record for anyone re-deriving.
     val contended = !loadStart.isNaN && loadStart > 2.0
     (s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"${js(sfDir)}","ok":$oks,"failed":$failed,"errors":$errs,""" +

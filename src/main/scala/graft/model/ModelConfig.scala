@@ -107,6 +107,24 @@ object ModelConfig {
   private val TestLine = """(?m)^\s*--\s*test:\s*(.+?)\s*$""".r
   // e.g. `-- contract: o_orderkey:bigint, price:double, tags:array<string>`
   private val ContractLine = """(?m)^\s*--\s*contract:\s*(.+?)\s*$""".r
+
+  /** Split on commas at angle-bracket/paren depth 0 only, so
+    * struct<a:bigint,b:string> / decimal(10,2) stay one entry. */
+  private[model] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case c @ ('<' | '(') => depth += 1; cur += c
+      case c @ ('>' | ')') => depth -= 1; cur += c
+      case ',' if depth == 0 =>
+        if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+        cur.clear()
+      case c => cur += c
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
   // `-- meta: owner=data-team, pii=true` — arbitrary metadata, kept
   // separate from execution config (parser.py:249-288).
   private val MetaLine = """(?m)^\s*--\s*meta:\s*(.+?)\s*$""".r
@@ -147,16 +165,26 @@ object ModelConfig {
       .flatMap(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)).toSet
     val tests: Seq[TestSpec] =
       TestLine.findAllMatchIn(sql).map(m => parseTest(m.group(1))).toSeq
-    // column:type pairs; types may carry angle brackets (array<string>),
-    // so split on the FIRST colon only and trust commas as separators
-    // (nested comma types like struct<...> belong in YAML contracts, not
-    // the one-line header — fail loudly rather than mis-parse)
+    // column:type pairs. Types may carry commas INSIDE angle brackets
+    // (struct<a:bigint,b:string>, map<string,int>, decimal(10,2)), so
+    // entries split on commas only at bracket depth 0; each declared
+    // type must round-trip through Catalyst's DDL parser (loud on
+    // garbage) and is canonicalized to its simpleString so the
+    // enforce-time compare can never be a spelling mismatch.
     val contract: Seq[(String, String)] =
       ContractLine.findAllMatchIn(sql).flatMap { m =>
-        m.group(1).split(",").map(_.trim).filter(_.nonEmpty).map { pair =>
+        splitTopLevel(m.group(1)).map { pair =>
           pair.split(":", 2) match {
             case Array(c, t) if c.trim.nonEmpty && t.trim.nonEmpty =>
-              c.trim -> t.trim.toLowerCase
+              val tpe =
+                try org.apache.spark.sql.types.DataType.fromDDL(t.trim)
+                catch {
+                  case scala.util.control.NonFatal(_) =>
+                    throw new ConfigError(
+                      s"contract entry '$pair': unparseable type '${t.trim}'",
+                      Map("model" -> name))
+                }
+              c.trim -> tpe.simpleString
             case _ => throw new ConfigError(
               s"malformed contract entry '$pair' (want column:type)",
               Map("model" -> name))

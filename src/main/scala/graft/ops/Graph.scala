@@ -217,9 +217,18 @@ object Graph {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-    val deg = und.select(col("a").as("id"))
+    val deg0 = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    // loud bound check (sessions don't run ANSI, so the multiply below
+    // would otherwise WRAP silently and corrupt the total order): ids
+    // must fit under the 10^10 stride and deg·10^10 + id under 2^63
+    val oob = deg0.filter(col("id") < 0L || col("id") >= 10000000000L ||
+      col("d") >= 922337203L).limit(1).count()
+    require(oob == 0L,
+      "triangles: node id outside [0, 10^10) or degree >= 9.2e8 — the " +
+        "(deg, id) order key would overflow; re-map ids first")
+    val deg = deg0
       .select(col("id"), (col("d") * 10000000000L + col("id")).as("ord"))
     val o = und
       .join(deg.select(col("id").as("a"), col("ord").as("__oa")), Seq("a"))

@@ -194,9 +194,14 @@ object AnalyticsQueries extends QueryModule {
          |  FROM p$r GROUP BY a, b),
          |m$r AS (SELECT a, b, cnt FROM c$r ORDER BY cnt DESC, a, b LIMIT 1),
          |w${r + 1} AS (
-         |  SELECT word, replace(seq, '|' || m$r.a || '||' || m$r.b || '|',
-         |    '|' || m$r.a || m$r.b || '|') AS seq, f
-         |  FROM w$r CROSS JOIN m$r)"""
+         |  -- LEFT JOIN ON TRUE + COALESCE: when the corpus exhausts its
+         |  -- pairs before round $r (m$r empty), the vocabulary carries
+         |  -- through unchanged — a CROSS JOIN would erase it, diverging
+         |  -- from learnMerges/encodeVocab's early-stop path
+         |  SELECT word, COALESCE(replace(seq,
+         |      '|' || m$r.a || '||' || m$r.b || '|',
+         |      '|' || m$r.a || m$r.b || '|'), seq) AS seq, f
+         |  FROM w$r LEFT JOIN m$r ON TRUE)"""
     val rounds = (1 to BpeRounds).map(round).mkString(",\n")
     s"""freq AS (
        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS f
@@ -238,20 +243,26 @@ object AnalyticsQueries extends QueryModule {
   private val qHitsSql = {
     // Unrolled iterations of the exact integer recurrence (see
     // Graph.hits): raw sums over edges, then ·scale // Σ.
+    // the zero/NULL-sum guard mirrors Graph.hits' normalized(): a
+    // degenerate all-zero round (e.g. > scale nodes truncating a0 to 0)
+    // keeps zeros on BOTH engines instead of DuckDB dividing by zero
+    def norm(rawVal: String, sumRef: String) =
+      s"""CASE WHEN $sumRef IS NULL OR $sumRef = 0 THEN 0
+         |      ELSE (COALESCE($rawVal, 0) * $HitsScale) // $sumRef END"""
     def iter(i: Int) =
       s"""h${i}r AS (
          |  SELECT e.u AS id, CAST(SUM(a${i - 1}.a) AS BIGINT) AS h
          |  FROM e JOIN a${i - 1} ON a${i - 1}.id = e.v GROUP BY e.u),
          |sh$i AS (SELECT SUM(h) AS s FROM h${i}r),
          |h$i AS (
-         |  SELECT nodes.id, (COALESCE(h${i}r.h, 0) * $HitsScale) // sh$i.s AS h
+         |  SELECT nodes.id, ${norm(s"h${i}r.h", s"sh$i.s")} AS h
          |  FROM nodes LEFT JOIN h${i}r ON h${i}r.id = nodes.id CROSS JOIN sh$i),
          |a${i}r AS (
          |  SELECT e.v AS id, CAST(SUM(h$i.h) AS BIGINT) AS a
          |  FROM e JOIN h$i ON h$i.id = e.u GROUP BY e.v),
          |sa$i AS (SELECT SUM(a) AS s FROM a${i}r),
          |a$i AS (
-         |  SELECT nodes.id, (COALESCE(a${i}r.a, 0) * $HitsScale) // sa$i.s AS a
+         |  SELECT nodes.id, ${norm(s"a${i}r.a", s"sa$i.s")} AS a
          |  FROM nodes LEFT JOIN a${i}r ON a${i}r.id = nodes.id CROSS JOIN sa$i)"""
     val iters = (1 to HitsIters).map(iter).mkString(",\n")
     s"""WITH ${TrainingPrepQueries.sqlEdges},

@@ -21,6 +21,14 @@ object EventStreams {
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
 
+  /** Epoch microseconds of a Timestamp, matching unix_micros()/epoch_us
+    * exactly: getTime is millis with getNanos the POSITIVE sub-second
+    * part, so the millis must FLOOR-divide to seconds (truncation would
+    * shift pre-1970 instants by +1s before the nanos add back). The one
+    * helper every stateful operator here shares. */
+  private def micros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Int)
@@ -82,11 +90,6 @@ object EventStreams {
       gapMinutes: Long = 30): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
-
-    // java.sql.Timestamp.getTime is millis; recover full microseconds
-    // from the nanos field so results line up with unix_micros().
-    def micros(ts: java.sql.Timestamp): Long =
-      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
 
     def update(userId: Long, evs: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
@@ -171,9 +174,6 @@ object EventStreams {
       maxGapMicros: Long = Long.MaxValue): Dataset[(Long, Int, Seq[Long])] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
-
-    def micros(ts: java.sql.Timestamp): Long =
-      (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
 
     def update(userId: Long, evs: Iterator[Event],
         state: GroupState[Seq[Long]]): Iterator[(Long, Int, Seq[Long])] = {

@@ -14,18 +14,22 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   protected def pqCen(s: Int, d: Int, c: Int): Double =
     functions.HashImpl.hashUnit(s"pq$s:$c:$d".getBytes("UTF-8"))
 
-  /** Wall-clock bound for perf guards, scaled by host contention so a
-    * busy driver machine doesn't turn a perf assertion into a red
-    * correctness gate (round-6 lesson: load avg 6 inflated trivial
-    * queries 5-18x). At load <= 2 the base bound applies unchanged;
-    * beyond that it grows linearly with measured load. Correctness
-    * assertions in the same tests are never scaled.
+  /** 1-minute system load average, to be sampled BEFORE a measured
+    * workload (sampling after would read the workload's own Spark load
+    * and scale the bound for the very regression it guards against). */
+  protected def sampleLoad(): Double = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Wall-clock bound for perf guards, scaled by PRE-RUN host
+    * contention so a busy driver machine doesn't turn a perf assertion
+    * into a red correctness gate (round-6 lesson: load avg 6 inflated
+    * trivial queries 5-18x). At load <= 2 the base bound applies
+    * unchanged; beyond that it grows linearly. Correctness assertions
+    * in the same tests are never scaled.
     */
-  protected def loadScaledBound(baseSec: Double): Double = {
-    val load = java.lang.management.ManagementFactory
-      .getOperatingSystemMXBean.getSystemLoadAverage
-    if (load <= 2.0) baseSec else baseSec * (load / 2.0)
-  }
+  protected def loadScaledBound(baseSec: Double, loadBefore: Double): Double =
+    if (loadBefore.isNaN || loadBefore <= 2.0) baseSec
+    else baseSec * (loadBefore / 2.0)
 }
 
 object SparkSpec {

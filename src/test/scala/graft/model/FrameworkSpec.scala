@@ -161,8 +161,30 @@ class SqlTemplateSpec extends AnyFunSuite {
       .contains("undeclared column 'extra'"))
     assertThrows[ConfigError](
       ModelConfig.fromSql("m", "-- contract: broken\nSELECT 1"))
+    assertThrows[ConfigError](
+      ModelConfig.fromSql("m", "-- contract: x:not_a_type\nSELECT 1"))
     // no contract declared -> no-op on any schema
     ModelConfig.fromSql("m", "SELECT 1").enforceContract(good)
+  }
+
+  test("model contract: multi-field struct and decimal types stay whole") {
+    import org.apache.spark.sql.types._
+    val cfg = ModelConfig.fromSql("m",
+      """-- contract: id:bigint, payload:struct<a:bigint,b:string>, amt:decimal(10,2)
+        |SELECT 1""".stripMargin)
+    assert(cfg.contract.map(_._1) == Seq("id", "payload", "amt"))
+    cfg.enforceContract(StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType)))),
+      StructField("amt", DecimalType(10, 2)))))
+    // a drifted inner field is still caught
+    val e = intercept[ConfigError](cfg.enforceContract(StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", StructType(Seq(StructField("a", IntegerType),
+        StructField("b", StringType)))),
+      StructField("amt", DecimalType(10, 2))))))
+    assert(e.getMessage.contains("'payload'"))
   }
 
   test("relationships test parses to a typed FK check") {

@@ -21,6 +21,7 @@ class ClusterScaleSpec extends SparkSpec {
     val edges = spark.range(n)
       .filter($"id" % 9 =!= 8)
       .select($"id".as("a"), ($"id" + 1).as("b"))
+    val load0 = sampleLoad()
     val t0 = System.nanoTime()
     val clusters = Dedup.duplicateClusters(edges.toDF(), "a", "b")
     // every node's cluster must be its chain head (id - id % 9);
@@ -35,7 +36,7 @@ class ClusterScaleSpec extends SparkSpec {
     // The checkpoint-per-round loop keeps lineage one round deep; the
     // round-1 regression (cache-chained lineage) was 6-16x slower and
     // would blow far past this generous wall-clock guard.
-    val bound = loadScaledBound(300.0)
+    val bound = loadScaledBound(300.0, load0)
     assert(elapsedSec < bound,
       s"label propagation took $elapsedSec s (bound $bound s)")
   }

@@ -24,6 +24,7 @@ class HotKeyScaleSpec extends SparkSpec {
 
   test("windowDups cap drops a 10^6x window without a hot task", SlowTest) {
     val n = 1000000L
+    val load0 = sampleLoad()
     val t0 = System.nanoTime()
     // cap 100: the lone window occurs 10^6 > 100 times -> every
     // position dropped (certain boilerplate, no per-position signal)
@@ -31,12 +32,13 @@ class HotKeyScaleSpec extends SparkSpec {
       maxOccurrences = 100)
     assert(out.count() == 0L)
     val elapsedSec = (System.nanoTime() - t0) / 1e9
-    val bound = loadScaledBound(120.0)
+    val bound = loadScaledBound(120.0, load0)
     assert(elapsedSec < bound, s"capped windowDups took $elapsedSec s (bound $bound s)")
   }
 
   test("windowDupStats skewSafe counts a 10^6x window exactly", SlowTest) {
     val n = 1000000L
+    val load0 = sampleLoad()
     val t0 = System.nanoTime()
     val stats = Dedup.windowDupStats(hotCorpus(n).toDF(), "doc_id", "text", 5,
       skewSafe = true)
@@ -46,12 +48,13 @@ class HotKeyScaleSpec extends SparkSpec {
     assert(agg.getLong(0) == n && agg.getLong(1) == n)
     assert(agg.getDouble(2) == 1.0 && agg.getDouble(3) == 1.0)
     val elapsedSec = (System.nanoTime() - t0) / 1e9
-    val bound = loadScaledBound(120.0)
+    val bound = loadScaledBound(120.0, load0)
     assert(elapsedSec < bound, s"skewSafe stats took $elapsedSec s (bound $bound s)")
   }
 
   test("corpusReport skewSafe handles a 10^6x fingerprint", SlowTest) {
     val n = 1000000L
+    val load0 = sampleLoad()
     val t0 = System.nanoTime()
     val rep = CorpusStats.corpusReport(hotCorpus(n).toDF(), skewSafe = true)
       .collect()
@@ -59,7 +62,7 @@ class HotKeyScaleSpec extends SparkSpec {
     assert(rep.map(_.getLong(1)).sum == n)      // n_docs
     assert(rep.map(_.getLong(4)).sum == n)      // every doc is a dup
     val elapsedSec = (System.nanoTime() - t0) / 1e9
-    val bound = loadScaledBound(120.0)
+    val bound = loadScaledBound(120.0, load0)
     assert(elapsedSec < bound, s"skewSafe report took $elapsedSec s (bound $bound s)")
   }
 }

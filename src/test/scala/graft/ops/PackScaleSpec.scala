@@ -16,6 +16,7 @@ class PackScaleSpec extends SparkSpec {
     // function of id, so the expected layout is computable analytically
     val docs = spark.range(n)
       .select($"id".as("doc_id"), ($"id" * 2654435761L % 200L + 1L).as("ntok"))
+    val load0 = sampleLoad()
     val t0 = System.nanoTime()
     val packed = Curation.packSequences(docs, "doc_id", $"ntok",
       seqLen = 2048, numBuckets = 256).cache()
@@ -51,7 +52,7 @@ class PackScaleSpec extends SparkSpec {
     val (total, maxSeq) = (totals.getLong(0), totals.getLong(1))
     assert(maxSeq == (total - 1) / 2048)
     val elapsedSec = (System.nanoTime() - t0) / 1e9
-    val bound = loadScaledBound(120.0)
+    val bound = loadScaledBound(120.0, load0)
     assert(elapsedSec < bound, s"packing took $elapsedSec s (bound $bound s)")
     packed.unpersist()
     ()
