@@ -643,6 +643,65 @@ object Dedup {
       .filter(col("edit_dist") >= 0) // threshold DP: -1 = above maxDist
   }
 
+  /** Order-preserving 64-bit encoding of a string's first `nBytes`
+    * bytes (big-endian, NUL-padded): numeric order equals byte order,
+    * so an ASCII blocking key can drive numeric bucketing. Callers
+    * guarantee ASCII (e.g. the normalized [a-z0-9 ] text the corpus
+    * queries use) — a multi-byte char would widen the hex past 16
+    * digits and wrap. NULL in → NULL out. */
+  def prefixKey64(s: Column, nBytes: Int = 7): Column = {
+    require(nBytes >= 1 && nBytes <= 7, "nBytes in [1, 7] (fits a signed long)")
+    conv(hex(substring(rpad(s, nBytes, " "), 1, nBytes)), 16, 10)
+      .cast("long")
+  }
+
+  /** Sorted-neighborhood blocking (Hernández & Stolfo 1995, "The
+    * merge/purge problem for large databases", SIGMOD) — the third
+    * candidate-generation family next to LSH banding and simhash
+    * bands: sort the corpus by a blocking key and pair each record
+    * with its `window − 1` successors. Catches near-dups that agree on
+    * a sort prefix even when shingles/bits diverge, and is the
+    * classical record-linkage shape for entity resolution.
+    *
+    * The global sort position is the EXACT two-level distributed rank
+    * (the [[Curation.curriculum]] machinery: quantile buckets →
+    * numBuckets-row offset prefix → parallel within-bucket
+    * row_number) — NEVER a single-partition window; pairing is one
+    * explode of `window − 1` rank probes + ONE rank-keyed equi-join,
+    * so the shuffle carries rows ∝ corpus × window, never corpus².
+    * The key must be numeric (use [[prefixKey64]] for ASCII string
+    * keys); ties order by id, a total order on both engines. NULL
+    * ids/keys carry no position.
+    *
+    * Output: a, b (the rank_gap-th successor of a), key_a, key_b,
+    * rank_gap ∈ [1, window−1]. */
+  def sortedNeighborhoodPairs(
+      df: DataFrame, idCol: String, sortKey: Column, window: Int,
+      numBuckets: Int = 256): DataFrame = {
+    require(window >= 2, "window must pair each record with >= 1 successor")
+    val base = df.select(col(idCol), sortKey.as("__k"))
+      .filter(col(idCol).isNotNull && col("__k").isNotNull)
+    val bucketed = Bucketing.quantileBuckets(
+      base, col("__k").cast("double"), Nil, numBuckets)
+    val offsets = Bucketing.bucketOffsets(bucketed, Nil, lit(1L))
+    val wIn = Window.partitionBy(col(Bucketing.BucketCol))
+      .orderBy(col("__k"), col(idCol))
+    val ranked = Bucketing.joinOffsets(bucketed, offsets, Nil)
+      .withColumn("__rank", col("__boffset") + row_number().over(wIn))
+      .select(col(idCol), col("__k"), col("__rank"))
+    val probes = ranked
+      .select(col(idCol).as("a"), col("__k").as("key_a"), col("__rank"))
+      .withColumn("rank_gap",
+        explode(array((1 until window).map(lit): _*)))
+      .withColumn("__target", col("__rank") + col("rank_gap"))
+    probes.join(
+      ranked.select(col(idCol).as("b"), col("__k").as("key_b"),
+        col("__rank").as("__target")),
+      Seq("__target"))
+      .select(col("a"), col("b"), col("key_a"), col("key_b"),
+        col("rank_gap"))
+  }
+
   /** Shared skeleton of [[jaccardPairs]] / [[containmentPairs]]: the
     * DF-capped shingle frame's pairwise intersection counts joined to
     * both per-doc set sizes — (a, b, inter, sza, szb). The DF-cap

@@ -376,6 +376,37 @@ object AnalyticsQueries extends QueryModule {
       .orderBy("user_id")
   }
 
+  // ---------------- C87: sorted-neighborhood blocking pairs
+  private val SnWindow = 4
+
+  // Blocking key: order-preserving 7-byte prefix of the alnum-cleaned
+  // normalized text (pure ASCII by construction, so numeric order ==
+  // byte order on both engines).
+  private def snKey: Column = graft.ops.Dedup.prefixKey64(
+    regexp_replace(TextOps.normalized(col("text")), "[^a-z0-9 ]", ""), 7)
+
+  private def qSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.sortedNeighborhoodPairs(docs(s, dir), "doc_id",
+      snKey, SnWindow).orderBy("a", "rank_gap")
+
+  private val qSortedNeighborhoodSql =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || hex(substr(rpad(
+       |      regexp_replace($sqlNorm, '[^a-z0-9 ]', '', 'g'),
+       |      7, ' '), 1, 7)) AS BIGINT) AS k
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, k,
+       |    ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rank
+       |  FROM k)
+       |SELECT r1.doc_id AS a, r2.doc_id AS b,
+       |  r1.k AS key_a, r2.k AS key_b,
+       |  CAST(r2.rank - r1.rank AS INTEGER) AS rank_gap
+       |FROM r r1 JOIN r r2
+       |  ON r2.rank > r1.rank AND r2.rank <= r1.rank + ${SnWindow - 1}
+       |ORDER BY a, rank_gap""".stripMargin
+
   // ------------------ C85: edit-distance near-dup verification
   private val EditMaxDist = 25
   private val EditBands = 4
@@ -482,6 +513,7 @@ object AnalyticsQueries extends QueryModule {
       "q_stream_funnel" -> qStreamFunnel _,
       "q_quota_sample" -> qQuotaSample _,
       "q_dedup_editdist" -> qDedupEditdist _,
+      "q_sorted_neighborhood" -> qSortedNeighborhood _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -497,5 +529,6 @@ object AnalyticsQueries extends QueryModule {
     "q_stream_funnel" -> qFunnelSql,
     "q_quota_sample" -> qQuotaSampleSql,
     "q_dedup_editdist" -> qDedupEditdistSql,
+    "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_retention" -> qRetentionSql)
 }

@@ -227,6 +227,40 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum / 3 == 20L)
   }
 
+  // ---------------- C87: sorted-neighborhood blocking
+
+  test("sorted neighborhood: window pairs match the naive global sort") {
+    val df = Seq.tabulate(60)(i => (i.toLong, f"doc ${(i * 37) % 60}%02d text"))
+      .toDF("doc_id", "text")
+    val key = Dedup.prefixKey64(
+      regexp_replace(graft.ops.TextOps.normalized(col("text")),
+        "[^a-z0-9 ]", ""), 7)
+    val out = Dedup.sortedNeighborhoodPairs(df, "doc_id", key, window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    // naive: global sort by (key, id), pair rank r with r+1, r+2
+    val naive = df.select(col("doc_id"), key.as("k"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+    val expected = (for {
+      i <- naive.indices; g <- 1 until 3 if i + g < naive.length
+    } yield (naive(i)._2, naive(i + g)._2, g)).toSet
+    assert(out == expected && out.nonEmpty)
+    // repartitioning cannot move a single pair (exact two-level rank)
+    val re = Dedup.sortedNeighborhoodPairs(df.repartition(11), "doc_id",
+      key, window = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4))).toSet
+    assert(re == expected)
+  }
+
+  test("prefixKey64 preserves byte order for ASCII keys") {
+    val ks = Seq("a", "a b", "ab", "abc", "az", "b", "z9 x")
+    val enc = Seq.tabulate(ks.length)(i => (i.toLong, ks(i)))
+      .toDF("id", "s")
+      .select(col("id"), Dedup.prefixKey64(col("s"), 7).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sortedByKey = ks.indices.sortBy(i => enc(i.toLong)).map(ks)
+    assert(sortedByKey == ks.sorted)
+  }
+
   // --------------------- C85: edit-distance near-dup verification
 
   test("edit distance: one-char edits pair up; threshold DP filters") {
