@@ -18,11 +18,14 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
     "java.base/sun.nio.ch", "java.base/sun.nio.cs",
     "java.base/sun.security.action", "java.base/sun.util.calendar"]]
 
+only = next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")), None)
+
 if "--run" in sys.argv:
     cp = "/root/repo/target/scala-2.13/classes:" + ":".join(glob.glob("/opt/spark/jars/*.jar"))
     cmd = ["java"] + ADD_OPENS + [
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-Xmx8g", "-cp", cp, "graft.Verify", sfdir, outdir]
+        "-Xmx8g", "-cp", cp, "graft.Verify", sfdir, outdir] + \
+        ([only] if only else [])
     env = dict(os.environ, SPARK_GRAFT_CPUS="8")
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     if r.returncode != 0:

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, CoreQueries, CurationQueries, ExtraQueries, FrameworkQueries, IndexingQueries, LlmOpsQueries, RetrievalQueries, ScaleQueries, TemporalQueries, TrainingPrepQueries}
+import graft.queries.{AnalyticsQueries, CoreQueries, CorpusGraphQueries, CurationQueries, ExtraQueries, FrameworkQueries, IndexingQueries, LlmOpsQueries, RetrievalQueries, ScaleQueries, TemporalQueries, TrainingPrepQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,8 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     CoreQueries, FrameworkQueries, LlmOpsQueries, ExtraQueries,
     TemporalQueries, ScaleQueries, CurationQueries, RetrievalQueries,
-    TrainingPrepQueries, IndexingQueries, AnalyticsQueries)
+    TrainingPrepQueries, IndexingQueries, AnalyticsQueries,
+    CorpusGraphQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The composed raw-crawl → training-corpus funnel

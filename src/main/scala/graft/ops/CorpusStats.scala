@@ -11,6 +11,68 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** Pairwise token co-occurrence with integer-exact LIFT — the
+    * PMI-style association signal for corpus audits (collocations,
+    * template phrases, topic clumps), log-free so it hash-matches
+    * across engines: for terms a, b with document frequencies c_a, c_b
+    * and co-document count c_ab over N docs,
+    *   lift = P(a,b) / (P(a)·P(b)) = N·c_ab / (c_a·c_b),
+    * emitted as the scaled long
+    *   lift_scaled = ((c_ab·scale div c_a) · N) div c_b.
+    * lift is exp(PMI) — the same ORDER as PMI, no libm ln whose last
+    * ulp differs per platform ([[LangModel]]'s reasoning). The two
+    * floor divisions compose in this exact sequence on both engines;
+    * headroom: c_ab·scale < 2^63 and N·scale < 2^63 — at the default
+    * 1e6 scale that is 9.2e12 docs, loud under ANSI beyond.
+    *
+    * Scale shape: the quadratic pair space is bounded BEFORE it exists —
+    * the vocabulary is cut to the `vocabSize` most document-frequent
+    * terms by ONE bounded topk_by_score aggregate (each map task ships
+    * ≤ vocabSize terms; ties to the lexicographically smaller term),
+    * broadcast back, so the per-doc pair fan-out is ≤ vocabSize²/2, a
+    * CONSTANT per doc — never vocabulary². Presence is distinct
+    * (doc, term) — within-doc repetition carries no co-occurrence
+    * evidence. One doc-keyed self-join builds pairs, one (a, b)-keyed
+    * count absorbs hot pairs map-side; `minPairDocs` drops
+    * coincidence-grade pairs. N is a 1-scalar driver count.
+    *
+    * Output: term_a, term_b (a < b), n_a, n_b, n_ab, lift_scaled. */
+  def cooccurrenceLift(
+      docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1000, minPairDocs: Long = 2L,
+      scale: Long = 1000000L): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(minPairDocs >= 1L, "minPairDocs must be >= 1")
+    require(scale > 0L, "scale must be positive")
+    val n = docs.filter(col(idCol).isNotNull).count()
+    val presence = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+    val termDf = presence.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    // bounded vocabulary cut: one single-group top-k aggregate, then a
+    // broadcast join back onto the presence pairs
+    val vocab = termDf
+      .agg(call_function("topk_by_score",
+        col("__df").cast("double"), col("term"), lit(vocabSize)).as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.id").as("term"), col("e.score").cast("long").as("__df"))
+    val p = presence.join(broadcast(vocab), Seq("term"))
+    val pairs = p.select(col("__id"), col("term").as("term_a"),
+        col("__df").as("n_a"))
+      .join(p.select(col("__id"), col("term").as("term_b"),
+        col("__df").as("n_b")), Seq("__id"))
+      .filter(col("term_a") < col("term_b"))
+      .groupBy(col("term_a"), col("term_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+    pairs.select(col("term_a"), col("term_b"), col("n_a"), col("n_b"),
+      col("n_ab"),
+      expr(s"(((n_ab * ${scale}L) div n_a) * ${n}L) div n_b")
+        .as("lift_scaled"))
+  }
+
   /** Per-document shingle novelty: the fraction of a document's
     * distinct n-gram shingles whose FIRST occurrence (smallest doc id)
     * is this document — "how much new content does this doc add to the

@@ -252,6 +252,89 @@ object Graph {
       .select(col("id"), coalesce(col("n"), lit(0L)).as("n_triangles"))
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii
+    * 2014, "Connected Components in MapReduce and Beyond", SoCC) — the
+    * O(log² n)-round component finder. [[graft.ops.Dedup.duplicateClusters]]'
+    * min-label propagation needs rounds proportional to the component
+    * DIAMETER, which on a crawl graph with long redirect/pagination
+    * chains is unbounded; star contraction halves chain lengths every
+    * pair of rounds, so a 10^9-node path converges in ~60 rounds where
+    * propagation needs 10^9. This operator is the scale path; the
+    * propagation twin stays the right choice for the shallow, bushy
+    * near-dup pair graphs it serves.
+    *
+    * Per round, with m(u) = min(N(u) ∪ {u}):
+    *   large-star: every neighbor v > u re-attaches to m(u);
+    *   small-star: every neighbor v ≤ u, and u itself, attaches to m(u).
+    * Both are ONE neighbor-keyed aggregate (the min — absorbed map-side
+    * on hot hubs) + ONE edge-keyed join; no step ever materializes a
+    * neighborhood square. The edge set is re-symmetrized and
+    * deduplicated between rounds and checkpointed
+    * ([[graft.Checkpoints]]) so lineage stays one round deep.
+    * Convergence = the canonical edge set reaches a fixpoint (star
+    * graphs are stable under both operations); loud failure past
+    * `maxRounds` (the [[graft.ops.Dedup.duplicateClusters]] discipline).
+    *
+    * Semantics: NULL endpoints dropped; self-loops contribute no
+    * connectivity; the component label is the smallest node id reachable
+    * from the node (bit-identical across engines — all comparisons are
+    * exact). Every node of src ∪ dst gets a row.
+    *
+    * Output: id, component. */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val nodes = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct()
+    // symmetric, self-loop-free neighbor relation
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    // canonical (min, max) view, for the fixpoint test
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")).distinct()
+    // one star operation: re-attach the selected side of every
+    // neighborhood to its min. keepLarger=true is large-star (v > u),
+    // false is small-star (v <= u, plus the center itself).
+    def star(e: DataFrame, keepLarger: Boolean): DataFrame = {
+      val m = e.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val attached =
+        if (keepLarger)
+          e.join(m, Seq("u")).filter(col("v") > col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+        else
+          e.join(m, Seq("u")).filter(col("v") <= col("u"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(m.select(col("u"), col("m").as("v")))
+      attached.filter(col("u") =!= col("v")).distinct()
+    }
+    var g = graft.Checkpoints.truncate(sym(raw))
+    var converged = g.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = graft.Checkpoints.truncate(
+        sym(star(sym(star(g, keepLarger = true)), keepLarger = false)))
+      // fixpoint when the canonical edge sets agree both ways
+      converged = canon(next).exceptAll(canon(g)).isEmpty &&
+        canon(g).exceptAll(canon(next)).isEmpty
+      g = next
+    }
+    require(converged,
+      s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+        "raise maxRounds (expected O(log^2 n) for any graph)")
+    val comp = g.groupBy(col("u").as("id"))
+      .agg(least(min(col("v")), first(col("u"))).as("component"))
+    nodes.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Top anchor texts per link target — the Common-Crawl-style "what do
     * other pages call this page" quality/topicality signal fed into
     * crawl curation: for each destination, the `topN` anchor strings by

@@ -158,6 +158,47 @@ object Retrieval {
       .select(col(queryIdCol), col(posIdCol), col("draw"), col("neg"))
   }
 
+  /** Inverted-index construction with a document-frequency window and
+    * capped posting lists — the offline index build behind [[bm25]]:
+    * term → (df, top `maxPostings` documents by term frequency). The df
+    * window is the classic index-time vocabulary cut: `minDf` drops
+    * hapax/noise terms (most of a web corpus's vocabulary is
+    * singletons), `maxDf` drops stopword-grade terms whose posting
+    * lists carry no ranking signal but dominate index size.
+    *
+    * Scale shape: ONE (term, doc)-keyed count (map-side partials absorb
+    * within-doc repetition), one term-keyed df count, then the bounded
+    * `topk_by_score` aggregate — every map task ships ≤ maxPostings
+    * postings per term through the final shuffle, so a stopword that
+    * slips the df window costs its cap, not its posting count (the
+    * [[graft.ops.Dedup.boundBuckets]] discipline). tf rides the
+    * aggregate as an exact double (tf ≪ 2^53); ranking ties break
+    * toward the smaller doc id, as everywhere.
+    *
+    * Output: term, df, rank (1-based), idCol, tf. */
+  def invertedIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2L, maxDf: Long = Long.MaxValue,
+      maxPostings: Int = 10): DataFrame = {
+    require(minDf >= 1L && maxDf >= minDf, "need 1 <= minDf <= maxDf")
+    require(maxPostings > 0, "maxPostings must be positive")
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+    tf.join(dfT, Seq("term"))
+      .groupBy(col("term"), col("df"))
+      .agg(call_function("topk_by_score",
+        col("tf").cast("double"), col(idCol), lit(maxPostings)).as("tk"))
+      .select(col("term"), col("df"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("term"), col("df"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), col("e.score").cast("long").as("tf"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — the
     * standard score-free hybrid-retrieval combiner (lexical BM25 +
     * dense ANN being the canonical pair): each input list contributes

@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryModule, Tables}
+import graft.functions.HashExprs
+import graft.ops.{Dedup, Graph}
+
+/** Corpus-graph and index-structure queries (SURVEY.md §2 C88+): the
+  * round's additions to the graph/retrieval layer. Every query
+  * hash-matches a DuckDB oracle re-deriving the full pipeline.
+  */
+object CorpusGraphQueries extends QueryModule {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables.load(s, dir, "documents"))
+
+  import LlmOpsQueries.{sqlNorm, sqlToks}
+
+  // ------------- C88: connected components (large-star / small-star)
+  // Over a deterministically sparsified cut of the shared link graph
+  // (keep an edge when md5("cckeep:u:v") mod 3 = 0) so the component
+  // structure is non-trivial — the full graph at 3 links/doc is one
+  // giant component. DuckDB re-derives via recursive transitive
+  // closure to the same min-reachable-id labels.
+  private def ccEdges(s: SparkSession, dir: String): DataFrame =
+    TrainingPrepQueries.linkEdges(s, dir)
+      .filter(HashExprs.md5Mod(
+        concat(lit("cckeep:"), col("src").cast("string"), lit(":"),
+          col("dst").cast("string")), 8, lit(3L)) === 0L)
+
+  private def qConnectedComponents(s: SparkSession, dir: String): DataFrame =
+    Graph.connectedComponents(ccEdges(s, dir), "src", "dst")
+      .orderBy("id")
+
+  private val qConnectedComponentsSql =
+    s"""WITH RECURSIVE ${TrainingPrepQueries.sqlEdges},
+       |ce AS (
+       |  SELECT u, v FROM e
+       |  WHERE CAST('0x' || substr(md5('cckeep:' || CAST(u AS VARCHAR)
+       |    || ':' || CAST(v AS VARCHAR)), 1, 8) AS BIGINT) % 3 = 0),
+       |und AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+       |cn AS (SELECT u AS id FROM und UNION SELECT v AS id FROM und),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM und
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN und e2 ON r.v = e2.u)
+       |SELECT cn.id,
+       |  CAST(LEAST(cn.id, MIN(reach.v)) AS BIGINT) AS component
+       |FROM cn LEFT JOIN reach ON reach.u = cn.id
+       |GROUP BY cn.id ORDER BY cn.id""".stripMargin
+
+  // --------- C89: inverted index (df window + capped posting lists)
+  // The synthetic corpus has a compact vocabulary (31 types at sf0.01,
+  // df 25..402 over 500 docs): maxDf=395 actually exercises the
+  // stopword-grade cut (drops the hottest types) while keeping most of
+  // the vocabulary indexed.
+  private val IdxMinDf = 2L
+  private val IdxMaxDf = 395L
+  private val IdxPostings = 5
+
+  private def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retrieval.invertedIndex(docs(s, dir), "doc_id", "text",
+      IdxMinDf, IdxMaxDf, IdxPostings).orderBy("term", "rank")
+
+  private val qInvertedIndexSql =
+    s"""WITH tf AS (
+       |  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, UNNEST($sqlToks) AS term FROM documents)
+       |  WHERE len(term) > 0 GROUP BY term, doc_id),
+       |dft AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |  GROUP BY term
+       |  HAVING COUNT(*) BETWEEN $IdxMinDf AND $IdxMaxDf),
+       |r AS (
+       |  SELECT tf.term, df, doc_id, tf.tf,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.term
+       |      ORDER BY tf.tf DESC, doc_id) AS rank
+       |  FROM tf JOIN dft USING (term))
+       |SELECT term, df, CAST(rank AS INTEGER) AS rank, doc_id, tf
+       |FROM r WHERE rank <= $IdxPostings
+       |ORDER BY term, rank""".stripMargin
+
+  // ------------- C90: co-occurrence lift (integer-exact PMI proxy)
+  private val LiftVocab = 20
+  private val LiftMinPair = 2L
+  private val LiftScale = 1000000L
+
+  private def qCooccurrence(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.cooccurrenceLift(docs(s, dir), "doc_id", "text",
+      LiftVocab, LiftMinPair, LiftScale).orderBy("term_a", "term_b")
+
+  private val qCooccurrenceSql =
+    s"""WITH pres AS (
+       |  SELECT DISTINCT doc_id AS id, term
+       |  FROM (SELECT doc_id, UNNEST($sqlToks) AS term FROM documents)
+       |  WHERE len(term) > 0 AND doc_id IS NOT NULL),
+       |n AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id IS NOT NULL),
+       |vocab AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS tdf FROM pres
+       |  GROUP BY term ORDER BY COUNT(*) DESC, term LIMIT $LiftVocab),
+       |p AS (SELECT id, pres.term, tdf FROM pres JOIN vocab USING (term))
+       |SELECT a.term AS term_a, b.term AS term_b,
+       |  a.tdf AS n_a, b.tdf AS n_b,
+       |  CAST(COUNT(*) AS BIGINT) AS n_ab,
+       |  CAST((((COUNT(*) * $LiftScale) // a.tdf) * MIN(n.n)) // b.tdf
+       |    AS BIGINT) AS lift_scaled
+       |FROM p a JOIN p b ON a.id = b.id AND a.term < b.term
+       |CROSS JOIN n
+       |GROUP BY a.term, b.term, a.tdf, b.tdf
+       |HAVING COUNT(*) >= $LiftMinPair
+       |ORDER BY term_a, term_b""".stripMargin
+
+  override val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q_connected_components" -> qConnectedComponents _,
+      "q_inverted_index" -> qInvertedIndex _,
+      "q_cooccurrence" -> qCooccurrence _)
+
+  override val oracleSql: Map[String, String] = Map(
+    "q_connected_components" -> qConnectedComponentsSql,
+    "q_inverted_index" -> qInvertedIndexSql,
+    "q_cooccurrence" -> qCooccurrenceSql)
+}

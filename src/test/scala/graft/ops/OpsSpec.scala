@@ -584,4 +584,30 @@ class OpsSpec extends SparkSpec {
       Seq("sh"), 50).collect()
     assert(hot.length == 1 && hot.head.getAs[Long]("bucket_n") == 100L)
   }
+
+  // ------------------ C90: co-occurrence lift (integer-exact PMI proxy)
+
+  test("cooccurrenceLift: exact integer lift, vocab cap, min-pair cut") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "b c"),
+      (5L, "a a b"), // repetition: presence counts once
+      (6L, "d e"))   // d,e appear once each
+      .toDF("doc_id", "text")
+    // N=6; df: a=4, b=4, c=2, d=1, e=1
+    val out = CorpusStats.cooccurrenceLift(df, "doc_id", "text",
+      vocabSize = 10, minPairDocs = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // (a,b): c_ab=3 → ((3*1e6)//4 * 6)//4 = (750000*6)//4 = 1125000
+    assert(out(("a", "b")) == ((4L, 4L, 3L, 1125000L)))
+    // (a,c) and (b,c) have c_ab=1 < minPairDocs → cut
+    assert(out.size == 1)
+
+    // vocabSize=2 keeps only a and b (df 4, ties none) — (d,e) never pairs
+    val capped = CorpusStats.cooccurrenceLift(df, "doc_id", "text",
+      vocabSize = 2, minPairDocs = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(capped == Set(("a", "b")))
+  }
 }

@@ -606,4 +606,31 @@ class RetrievalSpec extends SparkSpec {
     val df = Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding").limit(0)
     assert(Similarity.semDedup(df, "vec_id", "embedding", 4, 0.9).count() == 0)
   }
+
+  // ------------------------- C89: inverted index (df window + caps)
+
+  test("invertedIndex: df window cuts hapax and stopword-grade terms") {
+    val df = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog ran"),
+      (4L, "the unique")).toDF("doc_id", "text")
+    // 'the' df=4 > maxDf 3 dropped; 'unique'/'sat'/'dog' df=1 < minDf 2
+    val out = Retrieval.invertedIndex(df, "doc_id", "text",
+      minDf = 2, maxDf = 3, maxPostings = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out.map(_._1) == Set("cat", "ran"))
+    assert(out == Set(("cat", 2L), ("ran", 2L)))
+  }
+
+  test("invertedIndex: postings rank by tf desc, ties to smaller doc, capped") {
+    val df = Seq(
+      (5L, "w w w"), (1L, "w w"), (2L, "w w"), (9L, "w"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.invertedIndex(df, "doc_id", "text",
+      minDf = 1, maxDf = 100, maxPostings = 3)
+      .collect().map(r => (r.getInt(2), r.getLong(3), r.getLong(4)))
+    // rank 1: doc 5 (tf 3); ranks 2-3: docs 1, 2 (tf 2, id asc); doc 9
+    // (tf 1) falls off the 3-posting cap
+    assert(out.toSeq.sortBy(_._1) ==
+      Seq((1, 5L, 3L), (2, 1L, 2L), (3, 2L, 2L)))
+  }
 }
