@@ -781,4 +781,67 @@ object Dedup {
           .as("containment_a"),
         (col("inter").cast("double") / col("szb").cast("double"))
           .as("containment_b"))
+
+  /** Corpus-wide paragraph-level exact dedup, keep-FIRST occurrence —
+    * the CCNet/RefinedWeb line-dedup stage: an exact-duplicate line
+    * (header, nav boilerplate, license block, repeated paragraph)
+    * survives only at its first corpus position (smallest (doc, pos))
+    * and is stripped everywhere else, INCLUDING later repeats inside
+    * the same document. Complements [[graft.ops.Curation.removeBoilerplate]]
+    * (strip-if-common within a site group, keeps no copy when common)
+    * — keep-first preserves exactly one copy corpus-wide.
+    *
+    * Lines shorter than `minChars` after trimming carry no duplication
+    * evidence and are always kept (structure like blank separators must
+    * not collapse across the corpus).
+    *
+    * Scale shape: one posexplode, ONE line-keyed min aggregate (the
+    * first-occurrence key — map-side partials absorb a line repeated
+    * 10^9×, never a window over the hot content key), one line-keyed
+    * join back, one doc-keyed reassembly aggregate. The occurrence
+    * order is the exact long `id·stride + pos` — ids must fit
+    * [0, 2^63/stride) and pos < stride, checked LOUDLY up front (the
+    * [[Graph.triangles]] order-key discipline; sessions don't run ANSI,
+    * so a silent wrap would corrupt keep decisions, not fail).
+    *
+    * Output: idCol, n_lines, n_kept, text_clean (kept lines rejoined in
+    * original order; NULL for NULL text). */
+  def paragraphDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 1, posStride: Long = 1000000L): DataFrame = {
+    require(minChars >= 1, "minChars must be >= 1")
+    require(posStride > 0L, "posStride must be positive")
+    val maxId = Long.MaxValue / posStride
+    val lines = df.select(col(idCol), col(textCol),
+      posexplode_outer(split(col(textCol), "\n", -1))
+        .as(Seq("pos", "line")))
+    val oob = lines.filter(col(idCol).isNotNull &&
+      (col(idCol).cast("long").isNull || col(idCol).cast("long") < 0L ||
+        col(idCol).cast("long") >= maxId || col("pos") >= posStride))
+      .limit(1).count()
+    require(oob == 0L,
+      s"paragraphDedup: id outside [0, $maxId) or line position >= " +
+        s"$posStride — the occurrence-order key would overflow; re-map " +
+        "ids or raise posStride")
+    val key = col(idCol).cast("long") * posStride + col("pos")
+    val substantive = col("line").isNotNull &&
+      length(trim(col("line"))) >= minChars
+    val firsts = lines.filter(substantive)
+      .groupBy(col("line")).agg(min(key).as("__first"))
+    val flagged = lines.join(firsts, Seq("line"), "left")
+      .withColumn("__keep", col("line").isNotNull &&
+        (length(trim(col("line"))) < minChars || key === col("__first")))
+    flagged.groupBy(col(idCol)).agg(
+      count(col("line")).as("n_lines"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      // NULL text emits a single NULL line (posexplode_outer), where
+      // n_lines counts 0 — the c4LineClean convention
+      max(col(textCol).isNotNull).as("__has_text"),
+      array_join(transform(
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("pos"), col("line"))))),
+        t => t.getField("line")), "\n").as("__clean"))
+      .select(col(idCol), col("n_lines"), col("n_kept"),
+        when(col("__has_text"), col("__clean")).as("text_clean"))
+  }
 }

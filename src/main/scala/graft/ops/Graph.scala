@@ -335,6 +335,67 @@ object Graph {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Hierarchy flattening by pointer doubling: (id, parent) rows →
+    * (id, root, depth) — org trees, category taxonomies, reply-thread
+    * ancestry. The relational-engine answer to recursive CTEs, shaped
+    * for distribution: each round joins the ancestor relation WITH
+    * ITSELF (anc ← anc(anc), depth-so-far summed), so reachable depth
+    * DOUBLES per round — a depth-10^6 chain needs 20 rounds, not 10^6
+    * sequential self-joins (Valiant-style pointer jumping; the same
+    * log-round discipline as [[connectedComponents]]).
+    *
+    * The state is self-stabilizing: a root's row is (r, r, 0), so any
+    * row whose ancestor reached a root re-joins to (id, r, depth)
+    * unchanged, and a row whose ancestor is MISSING from the id set
+    * (dangling parent) keeps that ancestor via the left join — reported
+    * as its root, auditable, never silently dropped. Fixpoint = no row
+    * changed; loud failure past `maxRounds`, which is also the cycle
+    * detector (a parent cycle never reaches a terminal ancestor —
+    * hierarchies must be acyclic, and a silent infinite loop is the
+    * failure mode this replaces).
+    *
+    * Scale shape: one id-keyed self-join + checkpoint per round
+    * (lineage one round deep), rows constant at |nodes|; depth sums are
+    * exact longs. Duplicate-id inputs are rejected loudly — with two
+    * parent rows for one id the doubling join would fan out
+    * multiplicatively.
+    *
+    * Output: id, root, depth (root rows: id, id, 0). */
+  def flattenHierarchy(
+      nodes: DataFrame, idCol: String, parentCol: String,
+      maxRounds: Int = 25): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val h = nodes.select(col(idCol).as("id"), col(parentCol).as("anc"))
+      .filter(col("id").isNotNull)
+    val dup = h.groupBy(col("id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1L).limit(1).count()
+    require(dup == 0L,
+      "flattenHierarchy: duplicate id rows — one parent per id required")
+    var state = graft.Checkpoints.truncate(
+      h.select(col("id"),
+        coalesce(col("anc"), col("id")).as("anc"),
+        when(col("anc").isNull, 0L).otherwise(1L).as("depth")))
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = graft.Checkpoints.truncate(
+        state.as("s1").join(
+          state.select(col("id").as("__a"), col("anc").as("__anc2"),
+            col("depth").as("__d2")),
+          col("anc") === col("__a"), "left")
+          .select(col("id"),
+            coalesce(col("__anc2"), col("anc")).as("anc"),
+            (col("depth") + coalesce(col("__d2"), lit(0L))).as("depth")))
+      converged = next.exceptAll(state).isEmpty
+      state = next
+    }
+    require(converged,
+      s"flattenHierarchy: no fixpoint after $maxRounds rounds — a parent " +
+        "CYCLE, or depth beyond 2^maxRounds; hierarchies must be acyclic")
+    state.select(col("id"), col("anc").as("root"), col("depth"))
+  }
+
   /** Top anchor texts per link target — the Common-Crawl-style "what do
     * other pages call this page" quality/topicality signal fed into
     * crawl curation: for each destination, the `topN` anchor strings by

@@ -483,6 +483,33 @@ object AnalyticsQueries extends QueryModule {
        |FROM r WHERE rank <= $SampleQuota
        |ORDER BY source, rank""".stripMargin
 
+  // ---------------- C91: paragraph-level keep-first corpus dedup
+  // Over the same multi-line frame as C78/C79 — the synthesized
+  // stopword line ("be that and of the with have to.", appended to
+  // half the docs) is a genuine cross-doc repeated paragraph, so the
+  // keep-first semantics are exercised for real: the copy in the
+  // smallest doc survives, every other copy is stripped.
+  private def qParagraphDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(lineFrame(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val qParagraphDedupSql =
+    s"""WITH $sqlLineFrame,
+       |lines AS (
+       |  SELECT doc_id, t.s.pos AS pos, t.s.line AS line
+       |  FROM lf, UNNEST(list_transform(string_split(text, chr(10)),
+       |    (l, i) -> struct_pack(line := l, pos := i))) t(s)),
+       |k AS (
+       |  SELECT doc_id, pos, line,
+       |    (len(trim(line)) < 1 OR ROW_NUMBER() OVER (
+       |      PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
+       |  FROM lines)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+       |    FILTER (WHERE keep), '') AS text_clean
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------- A38: cohort retention matrix
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.retentionMatrix(events(s, dir), "user_id", "ts")
@@ -514,6 +541,7 @@ object AnalyticsQueries extends QueryModule {
       "q_quota_sample" -> qQuotaSample _,
       "q_dedup_editdist" -> qDedupEditdist _,
       "q_sorted_neighborhood" -> qSortedNeighborhood _,
+      "q_paragraph_dedup" -> qParagraphDedup _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -530,5 +558,6 @@ object AnalyticsQueries extends QueryModule {
     "q_quota_sample" -> qQuotaSampleSql,
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
+    "q_paragraph_dedup" -> qParagraphDedupSql,
     "q_retention" -> qRetentionSql)
 }

@@ -111,14 +111,47 @@ object CorpusGraphQueries extends QueryModule {
        |HAVING COUNT(*) >= $LiftMinPair
        |ORDER BY term_a, term_b""".stripMargin
 
+  // --------- A39: hierarchy flattening (pointer doubling vs
+  // recursive CTE): the documents table as a binary category tree —
+  // parent(d) = d div 2, doc 0 the root. Depth ~9 at 500 docs; the
+  // operator reaches it in 4 doubling rounds.
+  private def qHierarchy(s: SparkSession, dir: String): DataFrame =
+    Graph.flattenHierarchy(
+      docs(s, dir).select(col("doc_id").as("id"),
+        when(col("doc_id") === 0L, lit(null).cast("long"))
+          .otherwise(expr("doc_id div 2")).as("parent")),
+      "id", "parent").orderBy("id")
+
+  private val qHierarchySql =
+    s"""WITH RECURSIVE h AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN doc_id = 0 THEN NULL ELSE doc_id // 2 END AS parent
+       |  FROM documents),
+       |walk(id, anc, depth) AS (
+       |  SELECT id, parent, CAST(1 AS BIGINT) FROM h
+       |  WHERE parent IS NOT NULL
+       |  UNION ALL
+       |  SELECT w.id, h2.parent, w.depth + 1
+       |  FROM walk w JOIN h h2 ON h2.id = w.anc
+       |  WHERE h2.parent IS NOT NULL)
+       |SELECT id, anc AS root, depth FROM walk w
+       |WHERE NOT EXISTS (SELECT 1 FROM h
+       |  WHERE h.id = w.anc AND h.parent IS NOT NULL)
+       |UNION ALL
+       |SELECT id, id AS root, CAST(0 AS BIGINT) AS depth FROM h
+       |WHERE parent IS NULL
+       |ORDER BY id""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_connected_components" -> qConnectedComponents _,
       "q_inverted_index" -> qInvertedIndex _,
-      "q_cooccurrence" -> qCooccurrence _)
+      "q_cooccurrence" -> qCooccurrence _,
+      "q_hierarchy" -> qHierarchy _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_connected_components" -> qConnectedComponentsSql,
     "q_inverted_index" -> qInvertedIndexSql,
-    "q_cooccurrence" -> qCooccurrenceSql)
+    "q_cooccurrence" -> qCooccurrenceSql,
+    "q_hierarchy" -> qHierarchySql)
 }

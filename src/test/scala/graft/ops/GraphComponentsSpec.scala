@@ -42,6 +42,45 @@ class GraphComponentsSpec extends SparkSpec {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  // ----------------- A39: hierarchy flattening (pointer doubling)
+
+  test("flattenHierarchy: deep chain resolves in logarithmic rounds") {
+    // parent(i) = i-1: a depth-40 chain. 2^6 = 64 > 40, so 7 rounds
+    // must suffice — sequential self-joins would need 40.
+    val h = (0L to 40L).map(i =>
+      (i, if (i == 0L) null else java.lang.Long.valueOf(i - 1)))
+      .toDF("id", "parent")
+    val got = Graph.flattenHierarchy(h, "id", "parent", maxRounds = 7)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got.size == 41)
+    assert((0L to 40L).forall(i => got(i) == ((0L, i))))
+  }
+
+  test("flattenHierarchy: forest, dangling parent reported as root") {
+    val h = Seq[(Long, java.lang.Long)](
+      (1L, null), (2L, 1L), (4L, 2L),  // tree at 1
+      (10L, null),                     // lone root
+      (3L, 99L))                       // dangling parent 99
+      .toDF("id", "parent")
+    val got = Graph.flattenHierarchy(h, "id", "parent")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)),
+      4L -> ((1L, 2L)), 10L -> ((10L, 0L)), 3L -> ((99L, 1L))))
+  }
+
+  test("flattenHierarchy: cycles and duplicate ids fail loudly") {
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("id", "parent")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.flattenHierarchy(cyc, "id", "parent", maxRounds = 5).collect()
+    }
+    assert(e1.getMessage.contains("CYCLE"))
+    val dup = Seq((1L, 2L), (1L, 3L)).toDF("id", "parent")
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.flattenHierarchy(dup, "id", "parent").collect()
+    }
+    assert(e2.getMessage.contains("duplicate id"))
+  }
+
   test("labels agree with duplicateClusters on a shared random graph") {
     // deterministic pseudo-random sparse graph over 60 nodes
     def h(tag: String): Long = java.lang.Long.parseLong(

@@ -585,6 +585,41 @@ class OpsSpec extends SparkSpec {
     assert(hot.length == 1 && hot.head.getAs[Long]("bucket_n") == 100L)
   }
 
+  // --------------- C91: paragraph-level keep-first corpus dedup
+
+  test("paragraphDedup: keep-first across and within docs, short lines exempt") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "dup\nunique1\n\ndup"), // dup repeats within doc 1
+      (2L, "dup\nunique2"),        // and across docs
+      (3L, null),                  // NULL text
+      (4L, ""))                    // empty: one empty line, kept
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 3L, Some("dup\nunique1\n")))) // pos-3 dup gone
+    assert(out(2L) == ((2L, 1L, Some("unique2"))))        // doc-1 copy won
+    assert(out(3L) == ((0L, 0L, None)))
+    assert(out(4L) == ((1L, 1L, Some(""))))
+
+    // minChars raises the substantive bar: 3-char "dup" carries no
+    // dedup evidence any more and survives everywhere
+    val lax = Dedup.paragraphDedup(df, "doc_id", "text", minChars = 5)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(lax(1L).contains("dup\nunique1\n\ndup"))
+    assert(lax(2L).contains("dup\nunique2"))
+  }
+
+  test("paragraphDedup: order-key bounds checked loudly") {
+    import spark.implicits._
+    val bad = Seq((-1L, "x")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.paragraphDedup(bad, "doc_id", "text").collect()
+    }
+    assert(ex.getMessage.contains("occurrence-order key"))
+  }
+
   // ------------------ C90: co-occurrence lift (integer-exact PMI proxy)
 
   test("cooccurrenceLift: exact integer lift, vocab cap, min-pair cut") {
