@@ -17,6 +17,7 @@ import graft.model._
   *             [--dry-run] [--target env] [--full-refresh] [--log-json]
   *   graft.Cli <projectDir> test [model ...] [--target env]
   *   graft.Cli <projectDir> plan [--full-refresh] | list | validate [--target env]
+  *   graft.Cli <projectDir> seed   # load the seeds dir CSVs into the warehouse
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
@@ -197,6 +198,13 @@ object Cli {
         }
         out(if (ok) "all models valid" else "validation failed")
         if (ok) 0 else 1
+      case "seed" =>
+        // dbt `seed` parity: load <project>/seeds/*.csv as versioned
+        // warehouse relations models can ref() (model/Seeds.scala).
+        val loaded = Seeds.loadAll(wh, projectDir)
+        if (loaded.isEmpty) out("no seeds found")
+        else loaded.foreach { case (n, rows) => out(s"seeded $n ($rows rows)") }
+        0
       case "watch" =>
         val interval = rest.headOption.map(_.toLong).getOrElse(2000L)
         watch(spark, projectDir, interval)

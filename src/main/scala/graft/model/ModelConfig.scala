@@ -49,6 +49,8 @@ final case class ModelConfig(
     tags: Set[String] = Set.empty,
     tests: Seq[TestSpec] = Nil,
     contract: Seq[(String, String)] = Nil, // (column, spark sql type)
+    preHooks: Seq[String] = Nil,  // SQL statements before the model builds
+    postHooks: Seq[String] = Nil, // SQL statements after materialization
     meta: Map[String, String] = Map.empty) {
 
   def isIncremental: Boolean = materialized == "incremental"
@@ -107,6 +109,12 @@ object ModelConfig {
   private val TestLine = """(?m)^\s*--\s*test:\s*(.+?)\s*$""".r
   // e.g. `-- contract: o_orderkey:bigint, price:double, tags:array<string>`
   private val ContractLine = """(?m)^\s*--\s*contract:\s*(.+?)\s*$""".r
+  // dbt pre-hook / post-hook parity: one SQL statement per header line,
+  // executed in declaration order around the model build. The statement
+  // renders through SqlTemplate, so {{ this }} / ref() / source() / $var
+  // work inside hooks exactly as they do in model bodies.
+  private val PreHookLine = """(?m)^\s*--\s*pre_hook:\s*(.+?)\s*$""".r
+  private val PostHookLine = """(?m)^\s*--\s*post_hook:\s*(.+?)\s*$""".r
 
   /** Split on commas at angle-bracket/paren depth 0 only, so
     * struct<a:bigint,b:string> / decimal(10,2) stay one entry. */
@@ -217,6 +225,8 @@ object ModelConfig {
       tags = tags,
       tests = tests,
       contract = contract,
+      preHooks = PreHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
+      postHooks = PostHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
       meta = kvs.filterNot { case (k, _) => known.contains(k) } ++ metaKvs)
   }
 }

@@ -71,17 +71,47 @@ final class ModelRunner(
       variables = variables)
   }
 
+  /** Render one hook statement against the same template surface as the
+    * model body ({{ this }} resolves to the model's own relation) and
+    * execute it eagerly. Hooks are STATEMENTS (dbt pre/post-hook
+    * semantics: grants, audit inserts, cache/refresh, temp scaffolding)
+    * — a bare SELECT hook materializes its result driver-side, so keep
+    * hooks statement-shaped. */
+  private def runHook(
+      name: String, hookSql: String, variables: Map[String, String],
+      fullRefresh: Boolean): Unit = {
+    val incremental =
+      modelCfg(name).isIncremental && wh.exists(name) && !fullRefresh
+    val rendered = SqlTemplate.render(
+      hookSql, name,
+      resolveRef = m => wh.relation(m),
+      resolveSource = (s, t) => sources.getOrElse((s, t),
+        throw new ConfigError(s"unknown source $s.$t in hook",
+          Map("model" -> name))),
+      isIncremental = incremental,
+      variables = variables)
+    wh.spark.sql(rendered).collect()
+  }
+
   def executeModel(
       name: String,
       variables: Map[String, String] = Map.empty,
       batchTs: String = "1970-01-01 00:00:00",
       fullRefresh: Boolean = false): MaterializeResult = {
     val cfg = modelCfg(name)
+    // dbt pre-hooks: scaffolding/locks/audit-start, in declaration order,
+    // BEFORE the model body renders its plan (a pre-hook may create the
+    // temp view the body reads).
+    cfg.preHooks.foreach(h => runHook(name, h, variables, fullRefresh))
     val df = wh.spark.sql(render(name, variables, fullRefresh))
     // Contract gate BEFORE materialization (dbt contract:enforced):
     // a drifted schema must never reach storage or dependents.
     cfg.enforceContract(df.schema)
     val result = mat.materialize(cfg, df, batchTs, fullRefresh)
+    // dbt post-hooks: run once the relation exists ({{ this }} is
+    // readable), BEFORE declared tests — a failing test must not skip
+    // the audit/grant trail of a materialization that DID happen.
+    cfg.postHooks.foreach(h => runHook(name, h, variables, fullRefresh))
     // Declarative post-materialization tests (reference testing.py:134
     // run_model_tests): error-severity failures fail the model — state
     // records the failure and run() blocks dependents — warn only reports.

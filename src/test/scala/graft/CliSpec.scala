@@ -302,4 +302,65 @@ class CliSpec extends SparkSpec {
     val (_, dot) = run(proj, "deps", "--format", "dot")
     assert(dot.mkString("\n").contains("digraph"))
   }
+
+  // ----------------------------- B35: seeds (dbt `seed` parity)
+
+  test("seed command loads CSVs with sidecar types; models ref() them") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "priced" ->
+        """-- config: materialized=table
+          |SELECT r.code, r.rate_x100 * 2 AS doubled
+          |FROM {{ ref('fx_rates') }} r""".stripMargin)
+    val seeds = proj.resolve("seeds")
+    Files.createDirectories(seeds)
+    Files.writeString(seeds.resolve("fx_rates.csv"),
+      "code,rate_x100\nEUR,108\nGBP,127\nJPY,1\n")
+    Files.writeString(seeds.resolve("fx_rates.columns"),
+      "rate_x100:bigint")
+    val (code, lines) = run(proj, "seed")
+    assert(code == 0)
+    assert(lines.exists(_.contains("seeded fx_rates (3 rows)")))
+    // untyped column stays string, declared column got its cast
+    val seeded = spark.table("graft_fx_rates")
+    assert(seeded.schema("code").dataType.typeName == "string")
+    assert(seeded.schema("rate_x100").dataType.typeName == "long")
+    // a model consumes the seed like any ref()
+    val (rc, _) = run(proj, "run")
+    assert(rc == 0)
+    val doubled = spark.table("graft_priced").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(doubled == Map("EUR" -> 216L, "GBP" -> 254L, "JPY" -> 2L))
+  }
+
+  test("seed sidecar errors are loud: bad type, unknown column") {
+    val proj = project()
+    val seeds = proj.resolve("seeds")
+    Files.createDirectories(seeds)
+    Files.writeString(seeds.resolve("s.csv"), "a\n1\n")
+    Files.writeString(seeds.resolve("s.columns"), "a:not_a_type")
+    val (code, lines) = run(proj, "seed")
+    assert(code != 0 && lines.exists(_.contains("unparseable type")))
+    Files.writeString(seeds.resolve("s.columns"), "missing:bigint")
+    val (code2, lines2) = run(proj, "seed")
+    assert(code2 != 0 && lines2.exists(_.contains("not in CSV header")))
+  }
+
+  // ------------------------ B36: pre/post hooks (dbt hook parity)
+
+  test("pre-hooks scaffold before the body; post-hooks see {{ this }}") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "hooked" ->
+        """-- config: materialized=table
+          |-- pre_hook: CREATE OR REPLACE TEMP VIEW hook_src AS SELECT 7 AS v UNION ALL SELECT 8 AS v
+          |-- post_hook: CREATE OR REPLACE TEMP VIEW hook_audit AS SELECT COUNT(*) AS n FROM {{ this }}
+          |SELECT v, v * 10 AS v10 FROM hook_src""".stripMargin)
+    val (code, _) = run(proj, "run")
+    assert(code == 0)
+    // the body could only resolve hook_src if the pre-hook ran first
+    assert(spark.table("graft_hooked").count() == 2L)
+    // the post-hook read the materialized relation through {{ this }}
+    assert(spark.table("hook_audit").head().getLong(0) == 2L)
+  }
 }
