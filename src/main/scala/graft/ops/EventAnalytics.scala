@@ -94,4 +94,38 @@ object EventAnalytics {
         (col("wk") - col("cohort_week")).as("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Event-transition matrix: for each user's event stream in time
+    * order, count (from_type → to_type) adjacencies — the first-order
+    * Markov view of product behavior (what users do NEXT after a
+    * view/click/error), the input to flow diagrams and
+    * next-action-prediction baselines.
+    *
+    *   Ordering is total and engine-exact: (ts, tiebreakCol) — two
+    * events in the same microsecond order by the tiebreaker (an event
+    * id), so the lag pairing can never depend on partitioning. Each
+    * user's FIRST event has no predecessor and feeds no pair.
+    *
+    * Scale shape: ONE user-partitioned ordered window (lag) + one
+    * (from, to)-keyed count with map-side partials — work per user is
+    * their event count (the per-user window is the honest shape here:
+    * a user's stream must be ordered to be paired; hot users are
+    * bounded by their own history, not the corpus). NULL users/
+    * timestamps carry no evidence.
+    *
+    * Output: from_type, to_type, n_transitions. */
+  def transitionMatrix(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      tiebreakCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(userCol), col(typeCol).as("to_type"),
+        lag(col(typeCol), 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
 }

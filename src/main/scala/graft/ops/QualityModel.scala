@@ -41,6 +41,68 @@ object QualityModel {
         concat(lit("qw"), col("id").cast("string")), 6) - lit(8388608L))
         .as("w_scaled"))
 
+  /** The shared hashed feature set: every unigram occurrence (bag
+    * style) plus every bigram, in the [[score]] bucket space. */
+  private def featureBuckets(textCol: String, numBuckets: Int): Column = {
+    val toks = TextOps.tokens(col(textCol))
+    concat(
+      transform(filter(toks, t => length(t) > 0),
+        t => bucket("qf:", t, numBuckets)),
+      transform(Dedup.shingleArray(textCol, 2),
+        s => bucket("qf2:", s, numBuckets)))
+  }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): learn per-bucket
+    * contrast weights from the corpus ITSELF — a target subset (the
+    * distribution you want more of) against the raw corpus — then score
+    * every document by how target-like its hashed n-gram profile is.
+    * Complements [[score]], whose weights arrive trained from outside.
+    *
+    * All arithmetic integer-exact (no libm log — [[LangModel]]'s
+    * reasoning): with c_t(b)/c_r(b) = feature occurrences in
+    * target/raw docs hashing to bucket b, and B = numBuckets,
+    *   s_x(b) = (c_x(b)+1)·scale div (tot_x + B)   (add-1 smoothing)
+    *   w(b)   = s_t(b) − s_r(b)
+    *   score  = Σ_{doc features} w(bucket)  — exact long sum.
+    * The additive form is the linear-classifier reading of the
+    * log-likelihood-ratio product; same ranking role, engine-exact.
+    * Headroom: (c+1)·scale < 2^63 → ≲9.2e12 occurrences per bucket at
+    * the 1e6 default.
+    *
+    * Scale shape: one feature explode feeding TWO bucket-keyed
+    * aggregates (raw + conditional target counts in one pass, map-side
+    * absorbed); totals ride back as a one-row broadcast cross join; the
+    * weight table is ≤ B rows, broadcast into the per-doc sum. A NULL
+    * `isTarget` counts as non-target (no evidence). Docs with no
+    * features keep n_feats 0 and NULL score (nothing to judge).
+    *
+    * Output: idCol, n_feats, score_scaled. */
+  def importanceScore(
+      df: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      numBuckets: Int = 512, scale: Long = 1000000L): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(scale > 0L, "scale must be positive")
+    val exploded = df.select(col(idCol), isTarget.as("__t"),
+      explode(featureBuckets(textCol, numBuckets)).as("bucket"))
+    val stats = exploded.groupBy(col("bucket")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("c_t"))
+    val tots = stats.agg(sum(col("c_r")).as("tot_r"), sum(col("c_t")).as("tot_t"))
+    val w = stats.crossJoin(broadcast(tots)).select(col("bucket"),
+      (expr(s"((c_t + 1L) * ${scale}L) div (tot_t + ${numBuckets}L)") -
+        expr(s"((c_r + 1L) * ${scale}L) div (tot_r + ${numBuckets}L)"))
+        .as("w_scaled"))
+    val perDoc = exploded.join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w_scaled")).as("score_scaled"))
+    df.select(col(idCol)).distinct()
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("score_scaled"))
+  }
+
   /** Score documents: logit = (Σ w_scaled of hashed features / 1e6) /
     * n_feats. Features are all unigrams (each occurrence counts, bag
     * style) plus, when `useBigrams`, all bigrams. Docs with no features
@@ -50,14 +112,11 @@ object QualityModel {
       df: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, numBuckets: Int,
       useBigrams: Boolean = true): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val uni = transform(filter(toks, t => length(t) > 0),
-      t => bucket("qf:", t, numBuckets))
     val feats =
-      if (useBigrams)
-        concat(uni, transform(Dedup.shingleArray(textCol, 2),
-          s => bucket("qf2:", s, numBuckets)))
-      else uni
+      if (useBigrams) featureBuckets(textCol, numBuckets)
+      else transform(
+        filter(TextOps.tokens(col(textCol)), t => length(t) > 0),
+        t => bucket("qf:", t, numBuckets))
     val perDoc = df.select(col(idCol), explode(feats).as("bucket"))
       .join(broadcast(weights.select(col("bucket"), col("w_scaled"))),
         Seq("bucket"), "left")

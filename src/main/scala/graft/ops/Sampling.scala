@@ -179,4 +179,62 @@ object Sampling {
       .select(col(stratumCol), (col("pos") + 1).cast("int").as("rank"),
         col("e.id").as(idCol))
   }
+
+  /** Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    * sampling for estimation of arbitrary subset sums", JACM 54(6)):
+    * the weighted-without-replacement scheme whose k-sample supports
+    * UNBIASED subset-sum estimation — the right way to keep "k docs,
+    * long ones proportionally likelier" while still being able to
+    * estimate corpus token totals from the sample. Each row draws
+    * priority = u div w (u a fixed 52-bit md5 draw on the id, w its
+    * integer weight); the k SMALLEST priorities win, and each winner's
+    * weight estimator is ŵ = max(w, τ) with τ the (k+1)-th smallest
+    * priority — Σ ŵ over the sample is unbiased for Σ w (the paper's
+    * scheme in exact integer arithmetic: engine-identical, no RNG
+    * state).
+    *
+    * Scale shape: priorities are a pure map; selection is ONE bounded
+    * topk_by_score aggregate over negated longs (each map task ships
+    * ≤ k+1 rows — corpus-size-independent memory, exact comparison,
+    * ties to smaller id). The τ threshold comes out of the same
+    * (k+1)-array — no second pass, no driver collect. Rows with NULL
+    * id or NULL/non-positive weight carry no mass and are excluded
+    * (a zero weight must never be sampled).
+    *
+    * Output: rank (1-based by priority), idCol, weight, priority,
+    * est_weight (= max(w, τ); τ undefined and est = w when the
+    * population has ≤ k rows — the sample is then exhaustive). */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = graft.functions.HashExprs.md5Long(
+      concat(lit("prio:"), col(idCol).cast("string")), 13)
+    val keyed = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol).cast("long") > 0L)
+      .select(col(idCol), col(weightCol).cast("long").as("__w"),
+        u.as("__u"))
+      // IntegralDivide (`div`), never `/`: Column `/` on longs is DOUBLE
+      // division whose rounded quotient can land one off the exact
+      // integer quotient (the rrfFuse lesson)
+      .withColumn("__p", expr("__u div __w")).drop("__u")
+    // k+1 smallest priorities in ONE bounded aggregate: the winner set
+    // and the estimator threshold come out together
+    val top = keyed
+      .agg(call_function("topk_by_score", -col("__p"), col(idCol),
+        lit(k + 1)).as("tk"))
+      .select(col("tk"),
+        // τ: the (k+1)-th smallest priority, when it exists
+        when(size(col("tk")) === k + 1,
+          -col("tk").getItem(k).getField("score")).as("__tau"))
+    top.select(posexplode(col("tk")).as(Seq("pos", "e")), col("__tau"))
+      .filter(col("pos") < k)
+      .select((col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), (-col("e.score")).as("priority"),
+        col("__tau"))
+      .join(keyed.select(col(idCol), col("__w")), Seq(idCol))
+      .select(col("rank"), col(idCol), col("__w").as("weight"),
+        col("priority"),
+        greatest(col("__w"), col("__tau")).as("est_weight"))
+  }
 }

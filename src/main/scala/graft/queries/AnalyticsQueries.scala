@@ -510,6 +510,23 @@ object AnalyticsQueries extends QueryModule {
        |    FILTER (WHERE keep), '') AS text_clean
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------------- A40: event transition matrix (Markov view)
+  private def qTransitions(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.transitionMatrix(events(s, dir), "user_id",
+      "event_type", "ts", "event_id").orderBy("from_type", "to_type")
+
+  private val qTransitionsSql =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS to_type,
+       |    LAG(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS from_type
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+       |SELECT from_type, to_type,
+       |  CAST(COUNT(*) AS BIGINT) AS n_transitions
+       |FROM seq WHERE from_type IS NOT NULL
+       |GROUP BY from_type, to_type
+       |ORDER BY from_type, to_type""".stripMargin
+
   // ----------------------------- A38: cohort retention matrix
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.retentionMatrix(events(s, dir), "user_id", "ts")
@@ -542,6 +559,7 @@ object AnalyticsQueries extends QueryModule {
       "q_dedup_editdist" -> qDedupEditdist _,
       "q_sorted_neighborhood" -> qSortedNeighborhood _,
       "q_paragraph_dedup" -> qParagraphDedup _,
+      "q_transitions" -> qTransitions _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -559,5 +577,6 @@ object AnalyticsQueries extends QueryModule {
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_paragraph_dedup" -> qParagraphDedupSql,
+    "q_transitions" -> qTransitionsSql,
     "q_retention" -> qRetentionSql)
 }

@@ -6,9 +6,12 @@ import graft.{QueryModule, Tables}
 import graft.functions.HashExprs
 import graft.ops.{Dedup, Graph}
 
-/** Corpus-graph and index-structure queries (SURVEY.md §2 C88+): the
-  * round's additions to the graph/retrieval layer. Every query
-  * hash-matches a DuckDB oracle re-deriving the full pipeline.
+/** Corpus-graph, index-structure, and sampling queries (SURVEY.md §2
+  * A39, C88–C90, C92–C93): star-contraction components, pointer-
+  * doubling hierarchy flattening, inverted-index construction,
+  * co-occurrence lift, DSIR-style importance scoring, and priority
+  * sampling. Every query hash-matches a DuckDB oracle re-deriving the
+  * full pipeline.
   */
 object CorpusGraphQueries extends QueryModule {
 
@@ -142,16 +145,96 @@ object CorpusGraphQueries extends QueryModule {
        |WHERE parent IS NULL
        |ORDER BY id""".stripMargin
 
+  // -------- C92: DSIR-style importance scoring (target = English
+  // docs): bucket weights learned from the corpus's own target-vs-raw
+  // hashed n-gram contrast, then every doc scored by its sum.
+  private val ImpBuckets = 256
+  private val ImpScale = 1000000L
+
+  private def qImportance(s: SparkSession, dir: String): DataFrame =
+    graft.ops.QualityModel.importanceScore(docs(s, dir), "doc_id", "text",
+      col("lang") === "en", ImpBuckets, ImpScale).orderBy("doc_id")
+
+  private val qImportanceSql =
+    s"""WITH norm AS (SELECT doc_id, lang, $sqlToks AS toks FROM documents),
+       |uni AS (
+       |  SELECT doc_id, lang, 'qf:' || t AS f
+       |  FROM norm, UNNEST(toks) AS u(t) WHERE len(t) > 0),
+       |bi AS (
+       |  SELECT doc_id, lang,
+       |    UNNEST(['qf2:' || array_to_string(toks[i:i+1], ' ')
+       |      for i in range(1, len(toks))]) AS f
+       |  FROM norm WHERE len(toks) >= 2),
+       |feats AS (SELECT doc_id, lang, f FROM uni
+       |  UNION ALL SELECT doc_id, lang, f FROM bi),
+       |b AS (
+       |  SELECT doc_id, lang,
+       |    CAST('0x' || substr(md5(f), 1, 6) AS BIGINT) % $ImpBuckets AS bucket
+       |  FROM feats),
+       |stats AS (
+       |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c_r,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+       |  FROM b GROUP BY bucket),
+       |tots AS (SELECT CAST(SUM(c_r) AS BIGINT) AS tot_r,
+       |  CAST(SUM(c_t) AS BIGINT) AS tot_t FROM stats),
+       |w AS (
+       |  SELECT bucket,
+       |    ((c_t + 1) * $ImpScale) // (tot_t + $ImpBuckets)
+       |      - ((c_r + 1) * $ImpScale) // (tot_r + $ImpBuckets) AS w
+       |  FROM stats CROSS JOIN tots),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+       |    CAST(SUM(w.w) AS BIGINT) AS score_scaled
+       |  FROM b JOIN w USING (bucket) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(per.n_feats, 0) AS n_feats,
+       |  per.score_scaled
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ------ C93: priority sampling (weighted w/o replacement + unbiased
+  // subset-sum estimator), weight = n_chars: long documents
+  // proportionally likelier, token totals estimable from the sample.
+  private val PrioK = 60
+
+  private def qPrioritySample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.prioritySample(docs(s, dir), "doc_id", "n_chars",
+      PrioK).orderBy("rank")
+
+  private val qPrioritySampleSql =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+       |    CAST('0x' || substr(md5('prio:' || CAST(doc_id AS VARCHAR)),
+       |      1, 13) AS BIGINT) // CAST(n_chars AS BIGINT) AS p
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+       |r AS (
+       |  SELECT doc_id, w, p,
+       |    ROW_NUMBER() OVER (ORDER BY p, doc_id) AS rank
+       |  FROM keyed),
+       |tau AS (SELECT p AS tau FROM r WHERE rank = ${PrioK + 1})
+       |SELECT CAST(rank AS INTEGER) AS rank, doc_id, w AS weight,
+       |  p AS priority,
+       |  CAST(CASE WHEN tau.tau IS NULL THEN w
+       |    ELSE greatest(w, tau.tau) END AS BIGINT) AS est_weight
+       |FROM r LEFT JOIN tau ON TRUE
+       |WHERE rank <= $PrioK
+       |ORDER BY rank""".stripMargin
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_connected_components" -> qConnectedComponents _,
       "q_inverted_index" -> qInvertedIndex _,
       "q_cooccurrence" -> qCooccurrence _,
-      "q_hierarchy" -> qHierarchy _)
+      "q_hierarchy" -> qHierarchy _,
+      "q_importance" -> qImportance _,
+      "q_priority_sample" -> qPrioritySample _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_connected_components" -> qConnectedComponentsSql,
     "q_inverted_index" -> qInvertedIndexSql,
     "q_cooccurrence" -> qCooccurrenceSql,
-    "q_hierarchy" -> qHierarchySql)
+    "q_hierarchy" -> qHierarchySql,
+    "q_importance" -> qImportanceSql,
+    "q_priority_sample" -> qPrioritySampleSql)
 }

@@ -308,4 +308,26 @@ class AnalyticsSpec extends SparkSpec {
       (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 2L,
       (1L, 0L) -> 1L))
   }
+
+  // -------------------- A40: event transition matrix (Markov view)
+
+  test("transitions: per-user lag pairs, tiebreak total order, firsts skip") {
+    val ev = Seq[(Long, java.lang.Long, Timestamp, String)](
+      // user 1: view -> click -> buy (in time order)
+      (1L, 1L, ts(0), "view"), (2L, 1L, ts(1), "click"),
+      (3L, 1L, ts(2), "buy"),
+      // user 2: two events in the SAME minute — event_id breaks the tie
+      (5L, 2L, ts(10), "view"), (4L, 2L, ts(10), "error"),
+      // user 3: single event, no pair; null user dropped
+      (6L, 3L, ts(0), "view"), (7L, null, ts(0), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.transitionMatrix(ev, "user_id", "event_type",
+      "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // user 2 orders (error, view) by event_id 4 < 5 at the tied minute
+    assert(out == Map(
+      ("view", "click") -> 1L, ("click", "buy") -> 1L,
+      ("error", "view") -> 1L))
+  }
 }

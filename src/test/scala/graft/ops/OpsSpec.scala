@@ -585,6 +585,38 @@ class OpsSpec extends SparkSpec {
     assert(hot.length == 1 && hot.head.getAs[Long]("bucket_n") == 100L)
   }
 
+  // ------- C93: priority sampling (weighted w/o replacement + estimator)
+
+  test("prioritySample: selection order, threshold estimator, exclusions") {
+    import spark.implicits._
+    def u(id: Long): Long = java.lang.Long.parseLong(
+      graft.functions.HashImpl.md5Hex(s"prio:$id".getBytes("UTF-8"))
+        .substring(0, 13), 16)
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (2L, 500L), (3L, 1L), (4L, 200L), (5L, 90L),
+      (6L, null),  // null weight: no mass
+      (7L, 0L),    // zero weight: must never be sampled
+      (null, 5L))  // null id: no draw identity
+      .toDF("doc_id", "n_chars")
+    val eligible = Seq(1L -> 10L, 2L -> 500L, 3L -> 1L, 4L -> 200L, 5L -> 90L)
+    val prios = eligible.map { case (id, w) => (id, w, u(id) / w) }
+      .sortBy(t => (t._3, t._1))
+    val out = Sampling.prioritySample(rows, "doc_id", "n_chars", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val tau = prios(3)._3 // 4th smallest priority
+    assert(out.toSeq == prios.take(3).zipWithIndex.map {
+      case ((id, w, p), i) => (i + 1, id, w, p, math.max(w, tau))
+    })
+
+    // population <= k: exhaustive sample, est_weight = weight (no tau)
+    val small = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "n_chars")
+    val ex = Sampling.prioritySample(small, "doc_id", "n_chars", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(ex.toSet == Set((1L, 10L, 10L), (2L, 20L, 20L)))
+  }
+
   // --------------- C91: paragraph-level keep-first corpus dedup
 
   test("paragraphDedup: keep-first across and within docs, short lines exempt") {

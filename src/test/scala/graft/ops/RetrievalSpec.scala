@@ -607,6 +607,41 @@ class RetrievalSpec extends SparkSpec {
     assert(Similarity.semDedup(df, "vec_id", "embedding", 4, 0.9).count() == 0)
   }
 
+  // ---------------- C92: DSIR-style importance scoring (learned contrast)
+
+  test("importanceScore: target-like docs rank above off-target docs") {
+    val df = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta alpha", true),
+      (3L, "gamma delta gamma delta", false),
+      (4L, "alpha beta gamma delta", false), // mixed
+      (5L, "", false), (6L, null.asInstanceOf[String], false))
+      .toDF("doc_id", "text", "is_en")
+    val out = QualityModel.importanceScore(df, "doc_id", "text",
+      col("is_en"), numBuckets = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    // target vocabulary scores positive-ish, off-target negative-ish,
+    // the mixed doc in between; empty/null docs carry no judgment
+    val s = (id: Long) => out(id)._2.get
+    assert(s(1L) > s(3L))
+    assert(s(4L) > s(3L) && s(4L) < s(1L))
+    assert(out(5L) == ((0L, None)) && out(6L) == ((0L, None)))
+  }
+
+  test("importanceScore: NULL target flag counts as non-target") {
+    val df = Seq(
+      (1L, "p q", java.lang.Boolean.TRUE),
+      (2L, "p q", null.asInstanceOf[java.lang.Boolean]),
+      (3L, "p q", java.lang.Boolean.FALSE))
+      .toDF("doc_id", "text", "flag")
+    val out = QualityModel.importanceScore(df, "doc_id", "text",
+      col("flag"), numBuckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // identical text → identical scores; NULL behaves exactly as false
+    assert(out(2L) == out(3L) && out(1L) == out(2L))
+  }
+
   // ------------------------- C89: inverted index (df window + caps)
 
   test("invertedIndex: df window cuts hapax and stopword-grade terms") {
