@@ -198,6 +198,11 @@ object Cli {
         }
         out(if (ok) "all models valid" else "validation failed")
         if (ok) 0 else 1
+      case "docs" =>
+        // dbt `docs generate` parity: markdown project catalog with the
+        // ACTUAL materialized schemas (model/Docs.scala)
+        out(Docs.markdown(wh, runner))
+        0
       case "seed" =>
         // dbt `seed` parity: load <project>/seeds/*.csv as versioned
         // warehouse relations models can ref() (model/Seeds.scala).

@@ -527,6 +527,35 @@ object AnalyticsQueries extends QueryModule {
        |GROUP BY from_type, to_type
        |ORDER BY from_type, to_type""".stripMargin
 
+  // ------------- C94: streaming transition matrix (stateful twin)
+  // EventStreams.transitionStream as a real stream (AvailableNow over a
+  // parquet drop, memory sink), counts aggregated from the emitted
+  // pairs. A single-batch run is exactly batch-equal, so it pins
+  // against the SAME oracle as q_transitions.
+  private def qStreamTransitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.EventStreams
+    val inDir = graft.Scratch.dir("graft_trans_in_")
+    events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode("overwrite").parquet(inDir)
+    val sink = s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}"
+    ScaleQueries.withStatePartitions(s, 4) {
+      val q = EventStreams.transitionStream(
+        EventStreams.eventStream(s, inDir).as[EventStreams.Event])
+        .toDF("from_type", "to_type")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("from_type", "to_type")
+  }
+
   // ----------------------------- A38: cohort retention matrix
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.retentionMatrix(events(s, dir), "user_id", "ts")
@@ -560,6 +589,7 @@ object AnalyticsQueries extends QueryModule {
       "q_sorted_neighborhood" -> qSortedNeighborhood _,
       "q_paragraph_dedup" -> qParagraphDedup _,
       "q_transitions" -> qTransitions _,
+      "q_stream_transitions" -> qStreamTransitions _,
       "q_retention" -> qRetention _)
 
   override val oracleSql: Map[String, String] = Map(
@@ -578,5 +608,8 @@ object AnalyticsQueries extends QueryModule {
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_paragraph_dedup" -> qParagraphDedupSql,
     "q_transitions" -> qTransitionsSql,
+    // the streaming formulation is batch-equal on a single-batch run,
+    // so it pins against the SAME oracle as q_transitions
+    "q_stream_transitions" -> qTransitionsSql,
     "q_retention" -> qRetentionSql)
 }

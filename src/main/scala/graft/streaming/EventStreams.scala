@@ -201,6 +201,42 @@ object EventStreams {
         GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming twin of [[graft.ops.EventAnalytics.transitionMatrix]]:
+    * per-user (from_type → to_type) adjacency pairs as events arrive,
+    * with one tiny state cell per user (the LAST seen event's
+    * (micros, event_id, type) — constant bytes, key-cardinality state,
+    * never event retention). Within a batch events sort by
+    * (micros, event_id) — the batch operator's exact total order — and
+    * the carried last event chains pairs across batches.
+    *
+    * Exactness contract: a single-batch AvailableNow run is exactly
+    * batch-equal (the batch sorts internally), as is any multi-batch
+    * in-order arrival; an event arriving across batches EARLIER than
+    * one already consumed pairs in ARRIVAL order (first-touch — the
+    * funnelStream tradeoff; retro re-pairing would need unbounded
+    * per-user retention). Downstream counts aggregate the emitted
+    * pairs.
+    *
+    * Output rows: (from_type, to_type) — one per adjacency. */
+  def transitionStream(
+      events: Dataset[Event]): Dataset[(String, String)] = {
+    import events.sparkSession.implicits._
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[(Long, Long, String)]): Iterator[(String, String)] = {
+      var last = state.getOption
+      val out = Seq.newBuilder[(String, String)]
+      evs.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        last.foreach { case (_, _, t) => out += ((t, e.event_type)) }
+        last = Some((micros(e.ts), e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Bridge a CDC change stream into the batch Materializer: every
     * micro-batch applies one distributed merge — the streaming path and
     * the batch path share the exact same merge semantics. */

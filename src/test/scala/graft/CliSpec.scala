@@ -346,6 +346,36 @@ class CliSpec extends SparkSpec {
     assert(code2 != 0 && lines2.exists(_.contains("not in CSV header")))
   }
 
+  // ---------------------- B37: docs generation (dbt docs parity)
+
+  test("docs command catalogs configs, deps, tests, and real schemas") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "base" ->
+        """-- config: materialized=table
+          |-- meta: description=orders over 100
+          |-- test: not_null(o_orderkey)
+          |SELECT o_orderkey, o_totalprice FROM {{ source('raw', 'orders') }}
+          |WHERE o_totalprice > 100""".stripMargin,
+      "agg" ->
+        """-- config: materialized=table
+          |-- tags: gold
+          |SELECT COUNT(*) AS n FROM {{ ref('base') }}""".stripMargin)
+    // before run: no schemas yet
+    val (c0, pre) = run(proj, "docs")
+    assert(c0 == 0 && pre.mkString("\n").contains("not materialized yet"))
+    assert(run(proj, "run")._1 == 0)
+    val (c1, post) = run(proj, "docs")
+    assert(c1 == 0)
+    val doc = post.mkString("\n")
+    assert(doc.contains("## base") && doc.contains("## agg"))
+    assert(doc.contains("description: orders over 100"))
+    assert(doc.contains("tests: not_null(o_orderkey)"))
+    assert(doc.contains("- used by: agg") && doc.contains("- depends on: base"))
+    assert(doc.contains("tags: gold"))
+    assert(doc.contains("`o_totalprice` double") && doc.contains("`n` bigint"))
+  }
+
   // ------------------------ B36: pre/post hooks (dbt hook parity)
 
   test("pre-hooks scaffold before the body; post-hooks see {{ this }}") {

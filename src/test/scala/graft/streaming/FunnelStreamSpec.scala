@@ -42,6 +42,46 @@ class FunnelStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  // ------------- C94: streaming transition matrix (stateful twin)
+
+  test("single-batch transition stream equals the batch matrix") {
+    val dir = Files.createTempDirectory("graft_trans_src_").toString
+    Tables.load(spark, sfDir, "events")
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .write.mode("overwrite").parquet(dir)
+    val q = transitionStream(eventStream(spark, dir).as[Event])
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("trans_live")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("trans_live")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val batch = EventAnalytics.transitionMatrix(
+      Tables.load(spark, sfDir, "events"), "user_id", "event_type", "ts",
+      "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("transition state chains pairs across batches") {
+    val input = MemoryStream[Event](spark)
+    val q = transitionStream(input.toDS())
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("trans_2b")
+      .outputMode("append").start()
+    input.addData(ev(1, 9L, "view", 0), ev(2, 9L, "click", 1))
+    q.processAllAvailable()
+    input.addData(ev(3, 9L, "buy", 2)) // pairs against carried "click"
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("trans_2b")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(pairs == Seq(("click", "buy"), ("view", "click")))
+  }
+
   test("cross-batch events deepen the chain; deepest row wins") {
     val input = MemoryStream[Event](spark)
     val q = funnelStream(input.toDS(), Seq("view", "click"), Long.MaxValue)
