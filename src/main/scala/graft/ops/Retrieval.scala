@@ -166,11 +166,14 @@ object Retrieval {
     * singletons), `maxDf` drops stopword-grade terms whose posting
     * lists carry no ranking signal but dominate index size.
     *
-    * Scale shape: ONE (term, doc)-keyed count (map-side partials absorb
-    * within-doc repetition), one term-keyed df count, then the bounded
-    * `topk_by_score` aggregate — every map task ships ≤ maxPostings
-    * postings per term through the final shuffle, so a stopword that
-    * slips the df window costs its cap, not its posting count (the
+    * Scale shape: ONE corpus pass — one (term, doc)-keyed count
+    * (map-side partials absorb within-doc repetition), then one
+    * term-keyed aggregate computing the df count AND the bounded
+    * `topk_by_score` posting cap TOGETHER (the df window filters the
+    * finished aggregate, so no second tokenize pass and no tf-side
+    * self-join). Every map task ships ≤ maxPostings postings per term
+    * through the final shuffle — a stopword that slips the df window
+    * costs its cap, not its posting count (the
     * [[graft.ops.Dedup.boundBuckets]] discipline). tf rides the
     * aggregate as an exact double (tf ≪ 2^53); ranking ties break
     * toward the smaller doc id, as everywhere.
@@ -182,17 +185,16 @@ object Retrieval {
       maxPostings: Int = 10): DataFrame = {
     require(minDf >= 1L && maxDf >= minDf, "need 1 <= minDf <= maxDf")
     require(maxPostings > 0, "maxPostings must be positive")
-    val tf = docs
+    docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col("term"), col(idCol))
       .agg(count(lit(1)).as("tf"))
-    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        call_function("topk_by_score",
+          col("tf").cast("double"), col(idCol), lit(maxPostings)).as("tk"))
       .filter(col("df") >= minDf && col("df") <= maxDf)
-    tf.join(dfT, Seq("term"))
-      .groupBy(col("term"), col("df"))
-      .agg(call_function("topk_by_score",
-        col("tf").cast("double"), col(idCol), lit(maxPostings)).as("tk"))
       .select(col("term"), col("df"), posexplode(col("tk")).as(Seq("pos", "e")))
       .select(col("term"), col("df"),
         (col("pos") + 1).cast("int").as("rank"),
