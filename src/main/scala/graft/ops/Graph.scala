@@ -314,17 +314,34 @@ object Graph {
             .unionByName(m.select(col("u"), col("m").as("v")))
       attached.filter(col("u") =!= col("v")).distinct()
     }
+    // Cheap exact-count + order-free bit_xor signature of the
+    // (distinct) edge set: a signature MISMATCH proves the sets differ
+    // (count is exact), so non-final rounds skip the shuffle-heavy
+    // exact diff entirely; a match is only a candidate and is CONFIRMED
+    // by the exact symmetric difference before the loop may stop —
+    // convergence semantics are unchanged.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
     var g = graft.Checkpoints.truncate(sym(raw))
-    var converged = g.isEmpty
+    var gSig = sig(g)
+    var converged = gSig._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
       val next = graft.Checkpoints.truncate(
         sym(star(sym(star(g, keepLarger = true)), keepLarger = false)))
-      // fixpoint when the canonical edge sets agree both ways
-      converged = canon(next).exceptAll(canon(g)).isEmpty &&
-        canon(g).exceptAll(canon(next)).isEmpty
+      val nextSig = sig(next)
+      // fixpoint when the canonical edge sets agree both ways — one
+      // symmetric-difference job, paid only when the signatures agree
+      converged = nextSig == gSig &&
+        canon(next).exceptAll(canon(g))
+          .unionByName(canon(g).exceptAll(canon(next)))
+          .isEmpty
       g = next
+      gSig = nextSig
     }
     require(converged,
       s"connectedComponents: no fixpoint after $maxRounds rounds — " +
