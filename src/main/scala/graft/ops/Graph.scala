@@ -87,6 +87,79 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_scaled"))
   }
 
+  /** Deterministic scaled-integer PERSONALIZED PageRank (Haveliwala
+    * 2002, "Topic-Sensitive PageRank", WWW) — the teleport vector
+    * concentrates on a trusted seed set instead of spreading uniformly,
+    * so rank measures proximity-to-seeds: the curation primitive behind
+    * seed-based crawl expansion ("find pages the quality seeds endorse")
+    * and TrustRank-style spam demotion (Gyöngyi et al. 2004 is exactly
+    * this recurrence with a hand-audited seed set).
+    *
+    * Integer recurrence, same exactness contract as [[pageRank]]
+    * (64-bit arithmetic, order-free long sums, bit-identical across
+    * engines/partitionings):
+    *   r₀(v)   = total div |S| if v ∈ S else 0
+    *   base(v) = ((100 − d) · (total div |S|)) div 100 if v ∈ S else 0
+    *   rᵢ(v)   = base(v) + (d · Σ_{u→v} rᵢ₋₁(u) div od(u)) div 100
+    * Seeds outside the edge-derived node set are ignored (they have no
+    * edges to carry mass); an empty effective seed set returns all-zero
+    * ranks rather than inventing a uniform prior the caller didn't ask
+    * for. Unlike the global variant, nodes unreachable from S stay at
+    * exactly 0 forever — the property TrustRank uses as its spam signal.
+    *
+    * Scale shape: identical to [[pageRank]] — per iteration one
+    * edge-keyed join and one destination-keyed aggregate, lineage
+    * checkpointed per round. The seed flag is resolved ONCE by a
+    * left-semi membership join and rides on the nodes frame; |S| is a
+    * single bounded driver count like N.
+    *
+    * Output: id, rank_scaled (long). */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String,
+      iterations: Int = 3, dampingPct: Int = 85,
+      totalScaled: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0, "iterations must be >= 0")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
+    require(totalScaled > 0, "totalScaled must be positive")
+    val e = graft.Checkpoints.truncate(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct())
+    val rawNodes = e.select(col("u").as("id"))
+      .unionByName(e.select(col("v").as("id"))).distinct()
+    val seedIds = seeds.select(col(seedCol).as("id"))
+      .filter(col("id").isNotNull).distinct()
+    // is_seed rides on the node frame for the whole loop: one membership
+    // join total, not one per iteration.
+    val nodes = graft.Checkpoints.truncate(
+      rawNodes.join(seedIds.withColumn("__s", lit(true)), Seq("id"), "left")
+        .select(col("id"), coalesce(col("__s"), lit(false)).as("is_seed")))
+    val nSeeds = nodes.filter(col("is_seed")).count() // bounded driver scalar
+    if (nSeeds == 0L)
+      return nodes.select(col("id"), lit(0L).as("rank_scaled"))
+    val init = totalScaled / nSeeds
+    val base = ((100L - dampingPct) * init) / 100L
+    val seedBase = when(col("is_seed"), lit(base)).otherwise(lit(0L))
+    val outd = e.groupBy(col("u")).agg(count(lit(1)).as("od"))
+    var ranks = graft.Checkpoints.truncate(
+      nodes.withColumn("r",
+        when(col("is_seed"), lit(init)).otherwise(lit(0L))))
+    for (_ <- 1 to iterations) {
+      val contribs = e.join(outd, Seq("u"))
+        .join(ranks.select(col("id").as("u"), col("r")), Seq("u"))
+        .select(col("v").as("id"), expr("r div od").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("cs"))
+      ranks = graft.Checkpoints.truncate(
+        nodes.join(contribs, Seq("id"), "left")
+          .select(col("id"), col("is_seed"),
+            (seedBase +
+              expr(s"($dampingPct * coalesce(cs, CAST(0 AS BIGINT))) div 100"))
+              .as("r")))
+    }
+    ranks.select(col("id"), col("r").as("rank_scaled"))
+  }
+
   /** Deterministic scaled-integer HITS (Kleinberg 1999, "Authoritative
     * Sources in a Hyperlinked Environment", JACM 46(5)) — hubs point at
     * good authorities, authorities are pointed at by good hubs: the

@@ -101,6 +101,41 @@ object TrainingPrepQueries extends QueryModule {
        |ORDER BY id""".stripMargin
   }
 
+  // --------------------- C95: personalized (seed-teleport) PageRank
+  // Seeds = documents with doc_id % 10 == 0 (a deterministic "trusted
+  // tenth"); the operator intersects them with the edge-derived node
+  // set, exactly as the oracle's `WHERE id % 10 = 0` over nodes does.
+  // Unrolled like qPagerankSql, with the uniform base replaced by the
+  // seed-gated base and the zero-init for non-seeds.
+  private def qPpr(s: SparkSession, dir: String): DataFrame =
+    Graph.personalizedPageRank(linkEdges(s, dir), "src", "dst",
+      docs(s, dir).filter(col("doc_id") % 10 === 0), "doc_id",
+      PrIters, PrDamping, PrTotal).orderBy("id")
+
+  private val qPprSql = {
+    val levels = (1 to PrIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.v AS id, CAST(SUM(r${i - 1}.r // outd.od) AS BIGINT) AS cs
+         |  FROM e JOIN outd USING (u) JOIN r${i - 1} ON r${i - 1}.id = e.u
+         |  GROUP BY e.v),
+         |r$i AS (
+         |  SELECT nodes.id,
+         |    CASE WHEN nodes.id % 10 = 0
+         |      THEN ((100 - $PrDamping) * ($PrTotal // sn.sn)) // 100
+         |      ELSE 0 END
+         |      + ($PrDamping * COALESCE(c$i.cs, 0)) // 100 AS r
+         |  FROM nodes CROSS JOIN sn LEFT JOIN c$i ON c$i.id = nodes.id)"""
+    }.mkString(",\n")
+    s"""WITH $sqlEdges,
+       |sn AS (SELECT COUNT(*) AS sn FROM nodes WHERE id % 10 = 0),
+       |r0 AS (
+       |  SELECT id, CASE WHEN id % 10 = 0 THEN $PrTotal // sn.sn ELSE 0 END AS r
+       |  FROM nodes CROSS JOIN sn),
+       |$levels
+       |SELECT id, CAST(r AS BIGINT) AS rank_scaled FROM r$PrIters
+       |ORDER BY id""".stripMargin
+  }
+
   // ------------------------------- C64: degree + reciprocity stats
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
     Graph.degreeStats(linkEdges(s, dir), "src", "dst").orderBy("id")
@@ -342,6 +377,7 @@ object TrainingPrepQueries extends QueryModule {
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "q_pagerank" -> qPagerank _,
+      "q_ppr" -> qPpr _,
       "q_graph_degrees" -> qGraphDegrees _,
       "q_conversations" -> qConversations _,
       "q_curriculum" -> qCurriculum _,
@@ -352,6 +388,7 @@ object TrainingPrepQueries extends QueryModule {
 
   override val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
+    "q_ppr" -> qPprSql,
     "q_graph_degrees" -> qGraphDegreesSql,
     "q_conversations" -> qConversationsSql,
     "q_curriculum" -> qCurriculumSql,

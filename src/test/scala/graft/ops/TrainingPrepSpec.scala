@@ -47,6 +47,61 @@ class TrainingPrepSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // --------------------- C95: personalized (seed-teleport) PageRank
+
+  test("ppr: hand-derived chain — mass flows from the seed, unreachable stays 0") {
+    // 1 → 2 → 3, seed = {1}. init = 1000 at node 1, 0 elsewhere;
+    // base(1) = 150, base(2) = base(3) = 0.
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("id")
+    val r1 = Graph.personalizedPageRank(e, "s", "d", seeds, "id",
+      iterations = 1, dampingPct = 85, totalScaled = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 1: r(1)=150+0; r(2)=0+85*1000/100=850; r(3)=0+85*0/100=0
+    assert(r1 == Map(1L -> 150L, 2L -> 850L, 3L -> 0L))
+    val r2 = Graph.personalizedPageRank(e, "s", "d", seeds, "id",
+      iterations = 2, dampingPct = 85, totalScaled = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2: r(1)=150; r(2)=85*150/100=127; r(3)=85*850/100=722
+    assert(r2 == Map(1L -> 150L, 2L -> 127L, 3L -> 722L))
+  }
+
+  test("ppr: all-nodes seed set equals global pagerank") {
+    val e = (0L until 100L).map(i => (i, (i * 7 + 3) % 100)).toDF("s", "d")
+    val all = e.select(col("s").as("id"))
+      .unionByName(e.select(col("d").as("id"))).distinct()
+    val ppr = Graph.personalizedPageRank(e, "s", "d", all, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(e, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == pr)
+  }
+
+  test("ppr: seeds outside the node set carry no mass; empty seed set all-zero") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    // seed 99 is not a node: effective seed set is {1} only
+    val out = Graph.personalizedPageRank(e, "s", "d",
+      Seq(1L, 99L).toDF("id"), "id",
+      iterations = 1, dampingPct = 85, totalScaled = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 150L, 2L -> 850L))
+    val zero = Graph.personalizedPageRank(e, "s", "d",
+      Seq(99L).toDF("id"), "id", iterations = 2, totalScaled = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero == Map(1L -> 0L, 2L -> 0L))
+  }
+
+  test("ppr: deterministic under repartitioning") {
+    val e = (0L until 200L).map(i => (i, (i * 11 + 5) % 200)).toDF("s", "d")
+    val seeds = (0L until 200L by 10L).toDF("id")
+    val a = Graph.personalizedPageRank(e, "s", "d", seeds, "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.personalizedPageRank(
+      e.repartition(13), "s", "d", seeds.repartition(7), "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   // ------------------------------- C64: degree + reciprocity stats
 
   test("degree stats: out/in/reciprocal counts, isolated dst gets a row") {
