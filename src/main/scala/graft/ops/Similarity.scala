@@ -285,6 +285,43 @@ object Similarity {
     centroids
   }
 
+  /** Standalone spherical k-means clustering (Lloyd 1982 / Dhillon &
+    * Modha 2001 — cosine assignment is the standard for unit-norm text
+    * embeddings): the curation-side clustering primitive behind
+    * SemDeDup-style cluster-then-dedup, per-cluster diversity sampling,
+    * and corpus cartography, exposed directly instead of buried inside
+    * [[ivfTopK]]'s index build.
+    *
+    * Determinism contract: seeds are the lowest-id vectors and every
+    * Lloyd mean runs through [[graft.ExactAgg.davg]] scaled-long sums,
+    * so the trained centroids — and therefore every assignment — are
+    * bit-identical across engines, partitionings, and cluster widths
+    * (the [[trainCentroids]] property; a float mean would train
+    * different clusters on different clusters). Assignment ties break
+    * (sim DESC, cell DESC), mirroring assignCells.
+    *
+    * Scale shape: training is lloydIters × (pure-map assignment +
+    * per-(cell,dim) partial-aggregated mean — the driver only ever sees
+    * k×dim scalars); final assignment is one more map pass with the k
+    * centroids riding as literals; cluster sizes are a k-row aggregate
+    * broadcast back. No shuffle is ever keyed on anything wider than
+    * (cell, dim).
+    *
+    * Output: idCol, cell (int), cluster_n (long members in the row's
+    * cluster). */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, lloydIters: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    val centroids = trainCentroids(df, idCol, vecCol, k, lloydIters)
+    val assigned = indexCells(df, idCol, vecCol, centroids)
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cluster_n"))
+    assigned.select(col("neighbor_id").as(idCol), col("cell"))
+      .join(broadcast(sizes), Seq("cell"))
+      .select(col(idCol), col("cell"), col("cluster_n"))
+  }
+
   /** The inverted-file index rows for a candidate set: (neighbor_id, cv
     * double vector, cn precomputed norm, cell). Pure map stage — this is
     * what a streaming maintainer appends per micro-batch

@@ -272,8 +272,67 @@ object IndexingQueries extends QueryModule {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ------------------------- C96: standalone spherical k-means
+  // Lloyd rounds are unrolled in the oracle exactly like q_ann_ivf's
+  // (seed → assign → ExactAgg mean → re-assign …), one more round deep
+  // (KmIters = 2), finishing with the final assignment plus per-cluster
+  // sizes instead of an ANN probe.
+  private val KmCells = 8
+  private val KmIters = 2 // baked into the unrolled oracle below
+
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeans(embs(s, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", k = KmCells, lloydIters = KmIters)
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("cluster_n"))
+      .orderBy("vec_id")
+
+  private val qKmeansSql = {
+    val exactMean = graft.ExactAgg.sqlAvg("x")
+    // Assignment of every vector in v to the centroid set `cents`
+    // (cell, v): nearest by cosine, ties (sim DESC, cell DESC) —
+    // assignCells' reverse(array_sort) order.
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT x.vec_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY x.vec_id
+         |        ORDER BY list_cosine_similarity(x.v, c.v) DESC, c.cell DESC) AS rn
+         |    FROM v x CROSS JOIN $cents c) WHERE rn = 1)"""
+    // One Lloyd refinement: per-(cell, dim) exact mean of the members
+    // assigned by `a`, regathered into centroid lists.
+    def refine(i: Int, a: String) =
+      s"""comp$i AS (
+         |  SELECT $a.cell, r.j AS dim, v.v[r.j] AS x
+         |  FROM v JOIN $a USING (vec_id),
+         |    UNNEST(range(1, len(v.v) + 1)) AS r(j)),
+         |means$i AS (
+         |  SELECT cell, dim, $exactMean AS m
+         |  FROM comp$i GROUP BY cell, dim),
+         |cents$i AS (
+         |  SELECT cell, list(m ORDER BY dim) AS v FROM means$i GROUP BY cell)"""
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell, v
+       |  FROM v ORDER BY vec_id LIMIT $KmCells),
+       |${assign("a0", "seeds")},
+       |${refine(1, "a0")},
+       |${assign("a1", "cents1")},
+       |${refine(2, "a1")},
+       |${assign("idx", "cents2")},
+       |sz AS (
+       |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS cluster_n
+       |  FROM idx GROUP BY cell)
+       |SELECT idx.vec_id, CAST(idx.cell AS INTEGER) AS cell, sz.cluster_n
+       |FROM idx JOIN sz USING (cell)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   override val queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "q_kmeans" -> qKmeans _,
       "q_pq_search" -> qPqSearch _,
       "q_rrf" -> qRrf _,
       "q_domain_cap" -> qDomainCap _,
@@ -282,6 +341,7 @@ object IndexingQueries extends QueryModule {
       "q_random_project" -> qRandomProject _)
 
   override val oracleSql: Map[String, String] = Map(
+    "q_kmeans" -> qKmeansSql,
     "q_pq_search" -> qPqSearchSql,
     "q_rrf" -> qRrfSql,
     "q_domain_cap" -> qDomainCapSql,

@@ -12,6 +12,47 @@ import graft.functions.HashImpl
 class IndexingSpec extends SparkSpec {
   import spark.implicits._
 
+  // ------------------------- C96: standalone spherical k-means
+
+  test("kmeans: two well-separated directions split into two clusters") {
+    // Vectors along +x (ids 0-3) and +y (ids 4-7), slightly perturbed.
+    // Cosine k-means with k=2 must put each direction in its own cell.
+    val rows = (0L to 3L).map(i => (i, Array(1.0f, 0.01f * i))) ++
+      (4L to 7L).map(i => (i, Array(0.01f * (i - 4), 1.0f)))
+    val df = rows.toDF("id", "vec")
+    val out = Similarity.kmeans(df, "id", "vec", k = 2, lloydIters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val xCells = (0L to 3L).map(out(_)._1).toSet
+    val yCells = (4L to 7L).map(out(_)._1).toSet
+    assert(xCells.size == 1 && yCells.size == 1 && xCells != yCells)
+    // cluster_n reports each row's own cluster size
+    assert(out.values.forall(_._2 == 4L))
+  }
+
+  test("kmeans: cluster sizes sum to the corpus; every row assigned once") {
+    val df = (0L until 60L)
+      .map(i => (i, Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat)))
+      .toDF("id", "vec")
+    val out = Similarity.kmeans(df, "id", "vec", k = 4).collect()
+    assert(out.length == 60)
+    assert(out.map(_.getLong(0)).distinct.length == 60)
+    // Σ over distinct cells of cluster_n = N
+    val perCell = out.map(r => r.getInt(1) -> r.getLong(2)).distinct
+    assert(perCell.map(_._2).sum == 60L)
+  }
+
+  test("kmeans: deterministic under repartitioning (ExactAgg means)") {
+    val df = (0L until 80L)
+      .map(i => (i, Array.tabulate(6)(j => ((i * 13 + j * 5) % 17).toFloat)))
+      .toDF("id", "vec")
+    val a = Similarity.kmeans(df, "id", "vec", k = 5, lloydIters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val b = Similarity.kmeans(df.repartition(13), "id", "vec",
+      k = 5, lloydIters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a == b)
+  }
+
   // ------------------------------------- C69: PQ ADC top-k search
 
 
