@@ -648,6 +648,37 @@ object RetrievalQueries extends QueryModule {
       .orderBy("tok")
   }
 
+  // ------------------- C97: STREAMING count-min sketch maintenance
+  // The live twin of C54: countMinBuild's explode + (r, cell)-keyed sum
+  // is a legal streaming aggregate whose state is the ≤ d×w cell table —
+  // CONSTANT-size regardless of how much corpus has flowed through, the
+  // canonical "sketch the stream, never retain it" shape. Complete-mode
+  // output republishes the up-to-date sketch each micro-batch; probes
+  // then read the final table through the SAME CMSketch/estimate path
+  // as batch. Long sums are order-free, so an AvailableNow pass is
+  // exactly batch-equal — pinned to the identical DuckDB oracle.
+  private def qStreamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val inDir = graft.Scratch.dir("graft_cm_in_")
+    d.write.mode("overwrite").parquet(inDir)
+    val cells = Sketches.countMinBuild(
+      s.readStream.schema(d.schema).parquet(inDir)
+        .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok")),
+      "tok", CmD, CmW).cells
+    val sink = s"graft_cm_${ScaleQueries.streamRun.incrementAndGet()}"
+    ScaleQueries.withStatePartitions(s, 4) {
+      val q = cells.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Sketches.countMinEstimate(
+      Sketches.CMSketch(s.table(sink), CmD, CmW),
+      CmProbes.toDF("tok"), "tok")
+      .orderBy("tok")
+  }
+
   private val qHeavyHittersSql = {
     val vals = CmProbes.map(t => s"('$t')").mkString(", ")
     def cell(tok: String) =
@@ -673,6 +704,7 @@ object RetrievalQueries extends QueryModule {
     "q_semdedup" -> qSemDedup _,
     "q_dedup_incremental" -> qDedupIncremental _,
     "q_heavy_hitters" -> qHeavyHitters _,
+    "q_stream_heavy_hitters" -> qStreamHeavyHitters _,
     "q_containment" -> qContainment _,
     "q_quality_model" -> qQualityModel _,
     "q_dedup_spans" -> qDedupSpans _,
@@ -688,6 +720,8 @@ object RetrievalQueries extends QueryModule {
     "q_semdedup" -> qSemDedupSql,
     "q_dedup_incremental" -> qDedupIncrementalSql,
     "q_heavy_hitters" -> qHeavyHittersSql,
+    // stream == batch: the live sketch is pinned to the SAME oracle
+    "q_stream_heavy_hitters" -> qHeavyHittersSql,
     "q_containment" -> qContainmentSql,
     "q_quality_model" -> qQualityModelSql,
     "q_dedup_spans" -> qDedupSpansSql,
