@@ -450,4 +450,63 @@ object Curation {
       .select(col(idCol), col("n_tokens"), col("start_offset"),
         col("first_seq"), col("last_seq"))
   }
+
+  /** URL canonicalization for crawl dedup keys and domain-level
+    * curation (the RefinedWeb/CCNet URL-filter preamble): two URLs that
+    * differ only in scheme/host case, a `www.` prefix, tracking query
+    * parameters, a fragment, or a trailing slash are the same page for
+    * curation purposes and must canonicalize to the same key.
+    *
+    * Rules, applied in order (each expressible identically in Spark and
+    * DuckDB — no backreferences, no engine-specific URL parser):
+    *   1. trim; drop the `#fragment`;
+    *   2. lowercase the scheme and authority (everything through the
+    *      first `/`, `?` past `://`) — path/query case is preserved
+    *      (it is significant on real servers);
+    *   3. strip a leading `www.`;
+    *   4. drop tracking parameters (`utm_*`, `gclid`, `fbclid`, `ref`)
+    *      wherever they appear in the query, then tidy dangling
+    *      `?`/`&` separators;
+    *   5. strip one trailing `/` unless it is part of `//`.
+    * Port normalization (`:80`/`:443`) is deliberately out of scope —
+    * it is scheme-dependent and the synthetic corpus never emits ports.
+    *
+    * Adds `url_canon` and `url_domain` (the registered domain: last two
+    * dot-labels of the host — the eTLD+1 approximation that needs no
+    * suffix list; a public-suffix-aware variant would swap only this
+    * extraction). Pure map stage: every rule is a codegen'd string
+    * expression, no UDF, no shuffle. NULL urls yield NULL outputs. */
+  def canonicalizeUrls(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(trim(col(urlCol)), "#.*$", "")
+    // scheme://authority prefix, lowercased; rest untouched
+    val prefix = regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val lowered = concat(lower(prefix), rest)
+    val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
+    // tracking params: kill `key=value` for blocked keys, then tidy
+    val noTrack0 = regexp_replace(noWww,
+      "(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#?]*", "")
+    val tidy = regexp_replace(
+      regexp_replace(regexp_replace(noTrack0, "\\?&+", "?"), "&&+", "&"),
+      "[?&]+$", "")
+    val canon = when(tidy.endsWith("/") && !tidy.endsWith("//"),
+      tidy.substr(lit(1), length(tidy) - 1)).otherwise(tidy)
+    val host = regexp_extract(canon, "^[a-z][a-z0-9+.-]*://([^/?:]+)", 1)
+    val domain = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    df.withColumn("url_canon", canon).withColumn("url_domain", domain)
+  }
+
+  /** Drop rows whose registered domain appears in a blocklist — the
+    * UT1/industry-blocklist filtering stage. The blocklist is a
+    * DataFrame (read it from wherever: a config table, a seed file);
+    * the join is a broadcast LEFT ANTI on the domain key, so the corpus
+    * is never shuffled — blocklists are thousands of rows against
+    * billions of documents. NULL domains (unparseable URLs) are kept:
+    * dropping them is a separate quality rule's decision. */
+  def filterBlockedDomains(
+      df: DataFrame, domainCol: String,
+      blocklist: DataFrame, blockCol: String): DataFrame =
+    df.join(
+      broadcast(blocklist.select(col(blockCol).as(domainCol)).distinct()),
+      Seq(domainCol), "left_anti")
 }

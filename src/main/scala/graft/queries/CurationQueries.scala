@@ -339,7 +339,61 @@ object CurationQueries extends QueryModule {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // ---------------- C98: URL canonicalization + domain blocklist
+  // Each doc gets a deterministically MESSY synthetic URL (scheme/host
+  // case noise, www., tracking params, fragments, trailing slashes —
+  // variant chosen by doc_id residues); Spark runs the real
+  // canonicalization chain, while the oracle constructs the EXPECTED
+  // clean URL from first principles — an independent derivation, so a
+  // regex bug on either side breaks the hash ("the construction is the
+  // spec", like q_conversations). Blocklist = site{n}.com for n % 4 == 0,
+  // applied as a broadcast left-anti on the registered domain.
+  private def urlFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val scheme = when(d % 4 === 0, "HTTPS://WWW.")
+      .when(d % 4 === 1, "https://")
+      .when(d % 4 === 2, "HTTP://Www.").otherwise("http://")
+    val host = concat(
+      when(d % 7 === 0, lit("Docs.")).otherwise(lit("")),
+      lit("Site"), (d % 37).cast("string"), lit(".COM"))
+    val path = concat(lit("/Docs/Page-"), d.cast("string"),
+      when(d % 3 === 0, lit("/")).otherwise(lit("")))
+    val query = when(d % 6 === 3, lit(""))
+      .when(d % 2 === 0,
+        concat(lit("?utm_source=feed&id="), d.cast("string"),
+          lit("&utm_campaign=Spring")))
+      .otherwise(concat(lit("?id="), d.cast("string"), lit("&ref=tw")))
+    val frag = when(d % 5 === 0, lit("#Section-2")).otherwise(lit(""))
+    docs(s, dir).select(d.as("doc_id"),
+      concat(scheme, host, path, query, frag).as("url"))
+  }
+
+  private def qUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val canon = Curation.canonicalizeUrls(urlFrame(s, dir), "url")
+    val blocklist = (0 until 37).filter(_ % 4 == 0)
+      .map(n => s"site$n.com").toDF("domain")
+    Curation.filterBlockedDomains(canon, "url_domain", blocklist, "domain")
+      .select(col("doc_id"), col("url_canon"), col("url_domain"))
+      .orderBy("doc_id")
+  }
+
+  private val qUrlCanonSql =
+    """SELECT doc_id,
+      |  (CASE WHEN doc_id % 4 IN (0, 1) THEN 'https://' ELSE 'http://' END)
+      |  || (CASE WHEN doc_id % 7 = 0 THEN 'docs.' ELSE '' END)
+      |  || 'site' || CAST(doc_id % 37 AS VARCHAR) || '.com'
+      |  || '/Docs/Page-' || CAST(doc_id AS VARCHAR)
+      |  || (CASE WHEN doc_id % 3 = 0 AND doc_id % 6 <> 3 THEN '/' ELSE '' END)
+      |  || (CASE WHEN doc_id % 6 = 3 THEN ''
+      |           ELSE '?id=' || CAST(doc_id AS VARCHAR) END) AS url_canon,
+      |  'site' || CAST(doc_id % 37 AS VARCHAR) || '.com' AS url_domain
+      |FROM documents
+      |WHERE (doc_id % 37) % 4 <> 0
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_canon" -> qUrlCanon _,
     "q_boilerplate" -> qBoilerplate _,
     "q_split_leaksafe" -> qSplitLeaksafe _,
     "q_kfold" -> qKfold _,
@@ -348,6 +402,7 @@ object CurationQueries extends QueryModule {
     "q_curate_pipeline" -> qCuratePipeline _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_url_canon" -> qUrlCanonSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_split_leaksafe" -> qSplitLeaksafeSql,
     "q_kfold" -> qKfoldSql,

@@ -13,6 +13,51 @@ class CurationSpec extends SparkSpec {
 
   // ------------------------------------------------------- unit splitting
 
+  // ---------------- C98: URL canonicalization + domain blocklist
+
+  test("canonicalizeUrls: hand cases — case, www, tracking, fragment, slash") {
+    val cases = Seq(
+      1L -> "HTTPS://WWW.Example.COM/Path/Page?utm_source=x&id=7&ref=tw#frag",
+      2L -> "http://example.com/",
+      3L -> "https://sub.Example.com/A/B/",
+      4L -> "https://example.com/?utm_campaign=spring",
+      5L -> "http://www.example.com/p?id=1&utm_medium=email&x=2",
+      6L -> "https://example.com//",
+      7L -> "not a url at all")
+    val out = Curation.canonicalizeUrls(cases.toDF("id", "url"), "url")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(out(1L) == ("https://example.com/Path/Page?id=7", "example.com"))
+    assert(out(2L) == ("http://example.com", "example.com"))
+    // path case preserved; trailing slash stripped; subdomain kept in
+    // the canonical URL but NOT in the registered domain
+    assert(out(3L) == ("https://sub.example.com/A/B", "example.com"))
+    // query reduced to nothing: dangling '?' tidied, then '/' stripped
+    assert(out(4L) == ("https://example.com", "example.com"))
+    assert(out(5L) == ("http://example.com/p?id=1&x=2", "example.com"))
+    // '//' is never halved
+    assert(out(6L) == ("https://example.com//", "example.com"))
+    // unparseable: canon is the input (nothing matched), domain empty
+    assert(out(7L)._2 == "")
+  }
+
+  test("canonicalizeUrls: NULL url yields NULL outputs, row kept") {
+    val df = Seq((1L, "https://a.com/x"), (2L, null))
+      .toDF("id", "url")
+    val out = Curation.canonicalizeUrls(df, "url").collect()
+      .map(r => r.getLong(0) -> (r.isNullAt(2), r.isNullAt(3))).toMap
+    assert(out(1L) == (false, false))
+    assert(out(2L) == (true, true))
+  }
+
+  test("filterBlockedDomains: anti-join drops blocked, keeps NULL domains") {
+    val df = Seq((1L, "bad.com"), (2L, "good.com"), (3L, null))
+      .toDF("id", "dom")
+    val block = Seq("bad.com").toDF("domain")
+    val kept = Curation.filterBlockedDomains(df, "dom", block, "domain")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("segmentUnits: every doc yields >=1 unit and reassembly is total") {
     val df = Seq(
       (1L, "a b c d e f g h i j k"), // 11 tokens -> 3 units of width 5
