@@ -75,8 +75,15 @@ object Cli {
     command match {
       case "run" =>
         val (models, vars, tag) = parseRunArgs(rest)
-        val targets = tag.map(runner.modelsByTag)
-          .orElse(if (models.isEmpty) None else Some(models))
+        // --select "model+ +model tag:x": dbt-style graph selectors,
+        // unioned with positional names and --tag (model/Selector.scala)
+        val selected = flagValue(rest, "--select")
+          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s)))
+          .getOrElse(Nil)
+        val explicit =
+          (models ++ tag.map(runner.modelsByTag).getOrElse(Nil) ++ selected)
+            .distinct
+        val targets = if (explicit.isEmpty) None else Some(explicit)
         // per-environment variable defaults; explicit --var wins
         val envName = target.getOrElse(cfg.currentTarget)
         val allVars = cfg.environmentVars(envName) ++ vars
@@ -136,7 +143,11 @@ object Cli {
         p.changes.foreach(c => out(s"  ${c.changeType.value}: ${c.modelName} (${c.reason})"))
         0
       case "list" =>
-        runner.graph.models.sorted.foreach { m =>
+        // --select narrows the listing through the same resolver as run
+        val listed = flagValue(rest, "--select")
+          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s)))
+          .getOrElse(runner.graph.models.sorted)
+        listed.foreach { m =>
           val c = runner.configMap.get(m)
           val nTests = c.map(_.tests.size).getOrElse(0)
           val testSuffix = if (nTests > 0) s" ($nTests tests)" else ""

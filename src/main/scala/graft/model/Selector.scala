@@ -1,0 +1,51 @@
+package graft.model
+
+/** dbt-style node selection over the model DAG (dbt "graph operators";
+  * beyond the reference CLI, which takes only plain model names —
+  * cli.py:45-50 `nargs=-1`). A selector is a comma- or space-separated
+  * list of atoms, unioned:
+  *
+  *   - `model`    the model itself
+  *   - `model+`   the model and everything downstream of it
+  *                ("rebuild what my change affects")
+  *   - `+model`   the model and everything upstream of it (note the
+  *                runner already materializes upstreams of any target,
+  *                so this mostly documents intent)
+  *   - `+model+`  both closures
+  *   - `tag:x`    every model carrying tag x
+  *
+  * Resolution is pure driver-side graph walking (the DAG is model-count
+  * sized — thousands at most, never data-sized). Unknown model names
+  * are a loud [[DependencyError]] — a typo'd selector silently matching
+  * nothing would "succeed" by running nothing.
+  */
+object Selector {
+
+  /** Resolve selector atoms to the union of selected model names,
+    * sorted for deterministic run listings. `tagged` maps a tag to its
+    * models (supply [[ModelRunner.modelsByTag]]). */
+  def resolve(
+      graph: DependencyGraph, tagged: String => Seq[String],
+      atoms: Seq[String]): Seq[String] = {
+    val known = graph.models.toSet
+    val picked = atoms.flatMap(_.split("[,\\s]+")).filter(_.nonEmpty).flatMap {
+      case atom if atom.startsWith("tag:") =>
+        tagged(atom.stripPrefix("tag:"))
+      case atom =>
+        val down = atom.endsWith("+")
+        val up = atom.startsWith("+")
+        val name = atom.stripPrefix("+").stripSuffix("+")
+        if (name.isEmpty || name.contains("+"))
+          throw new DependencyError(
+            s"malformed selector atom '$atom'", Map("atom" -> atom))
+        if (!known.contains(name))
+          throw new DependencyError(
+            s"selector names unknown model '$name'",
+            Map("atom" -> atom, "model" -> name))
+        Seq(name) ++
+          (if (down) graph.allDependents(name) else Nil) ++
+          (if (up) graph.allDependencies(name) else Nil)
+    }
+    picked.distinct.sorted
+  }
+}

@@ -120,6 +120,37 @@ class CliSpec extends SparkSpec {
     assert(!wh.exists("good") && !wh.exists("bad_cfg"))
   }
 
+  test("run/list --select resolves dbt-style graph selectors") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "base" -> "-- config: materialized=table\nSELECT 1 AS x",
+      "mid" -> "-- config: materialized=table\nSELECT x FROM {{ ref('base') }}",
+      "leaf" -> "-- config: materialized=table\nSELECT x FROM {{ ref('mid') }}",
+      "other" ->
+        "-- config: materialized=table\n-- tags: extra\nSELECT 9 AS z")
+
+    // mid+ = mid and its downstream (leaf); base materializes too as
+    // mid's upstream requirement — but `other` must NOT run
+    val (code, lines) = run(proj, "run", "--select", "mid+")
+    assert(code == 0, lines.mkString("\n"))
+    val whDir = proj.resolve("warehouse").toString
+    val wh = new model.Warehouse(
+      spark, whDir, model.StateStore(whDir + "/state", "dev"))
+    assert(wh.exists("base") && wh.exists("mid") && wh.exists("leaf"))
+    assert(!wh.exists("other"))
+
+    // list narrows through the same resolver
+    val (lc, ll) = run(proj, "list", "--select", "+leaf")
+    assert(lc == 0)
+    assert(ll.map(_.takeWhile(_ != ' ')).toSet == Set("base", "mid", "leaf"))
+    val (tc, tl) = run(proj, "list", "--select", "tag:extra")
+    assert(tc == 0 && tl.size == 1 && tl.head.startsWith("other"))
+
+    // a typo'd selector is loud: DependencyError exit code, not a no-op
+    val (bad, badLines) = run(proj, "run", "--select", "nope+")
+    assert(bad == 7, badLines.mkString("\n"))
+  }
+
   test("--target selects the environment's warehouse and variables") {
     Tables.registerAll(spark, sfDir)
     val proj = project(
