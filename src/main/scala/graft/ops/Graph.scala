@@ -425,6 +425,67 @@ object Graph {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Deterministic synchronous label-propagation communities (Raghavan
+    * et al. 2007, Phys. Rev. E 76) — the cheap community detector that
+    * complements [[connectedComponents]]: components answer "is there
+    * ANY path", communities answer "where is the density" (mirror
+    * clusters and template families inside one giant crawl component,
+    * topic pockets in a citation graph).
+    *
+    * Determinism contract: the textbook algorithm is asynchronous with
+    * random visit order and random tie-breaks — unreproducible across
+    * runs, let alone engines. This is the SYNCHRONOUS variant with a
+    * total tie order: every node simultaneously adopts the most
+    * frequent label among its neighbors, ties broken toward the
+    * SMALLEST label, for a FIXED round count. Every step is integer
+    * counting + lexicographic argmax, so two engines (and any
+    * partitioning) replay it bit-identically. Synchronous LPA can
+    * oscillate on bipartite-ish structure instead of converging — with
+    * a fixed round budget the output is still well-defined and
+    * engine-exact, which is what a reproducible pipeline needs (run-
+    * to-run label stability, not optimality).
+    *
+    * Scale shape: per round ONE neighbor-keyed join (edges × labels)
+    * and ONE node-keyed aggregate; the argmax rides inside the
+    * aggregate as max(struct(count, -label)) — partial-aggregated
+    * map-side, so a hub costs its distinct-neighbor-label count, never
+    * a window sort; lineage checkpointed per round. Labels init to the
+    * node's own id. Edges are symmetrized and de-self-looped; NULL
+    * endpoints dropped.
+    *
+    * Output: id, community (long — the final label). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull)
+    val e = graft.Checkpoints.truncate(
+      raw.unionByName(raw.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+    // full node set from RAW endpoints: a node with only self-loop
+    // edges has no propagation neighbors but still gets a community
+    // row (its own id), like connectedComponents' left-join backfill
+    val allNodes = raw.select(col("u").as("id"))
+      .unionByName(raw.select(col("v").as("id"))).distinct()
+    val nodes = e.select(col("u").as("id")).distinct()
+    var labels = graft.Checkpoints.truncate(
+      nodes.withColumn("l", col("id")))
+    for (_ <- 1 to rounds) {
+      labels = graft.Checkpoints.truncate(
+        e.join(labels.select(col("id").as("u"), col("l")), Seq("u"))
+          .groupBy(col("v"), col("l"))
+          .agg(count(lit(1)).as("c"))
+          // (count DESC, label ASC) argmax as one aggregate:
+          // max(struct(c, -l)) — no per-node window sort
+          .groupBy(col("v").as("id"))
+          .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
+          .select(col("id"), (-col("m.nl")).as("l")))
+    }
+    allNodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("l"), col("id")).as("community"))
+  }
+
   /** Hierarchy flattening by pointer doubling: (id, parent) rows →
     * (id, root, depth) — org trees, category taxonomies, reply-thread
     * ancestry. The relational-engine answer to recursive CTEs, shaped

@@ -136,6 +136,37 @@ object TrainingPrepQueries extends QueryModule {
        |ORDER BY id""".stripMargin
   }
 
+  // ------------- C99: synchronous label-propagation communities
+  // 3 deterministic rounds over the symmetrized md5 link graph; the
+  // oracle unrolls each round's (neighbor-label count, argmax with
+  // count DESC / label ASC ties) exactly.
+  private val LpaRounds = 3
+
+  private def qCommunities(s: SparkSession, dir: String): DataFrame =
+    Graph.labelPropagation(linkEdges(s, dir), "src", "dst", LpaRounds)
+      .orderBy("id")
+
+  private val qCommunitiesSql = {
+    val levels = (1 to LpaRounds).map { i =>
+      s"""nl$i AS (
+         |  SELECT es.v AS id, l${i - 1}.l AS l, COUNT(*) AS c
+         |  FROM es JOIN l${i - 1} ON l${i - 1}.id = es.u
+         |  GROUP BY es.v, l${i - 1}.l),
+         |l$i AS (
+         |  SELECT id, l FROM (
+         |    SELECT id, l,
+         |      ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, l ASC) AS rn
+         |    FROM nl$i) WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $sqlEdges,
+       |es AS (SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e),
+       |l0 AS (SELECT id, id AS l FROM nodes),
+       |$levels
+       |SELECT nodes.id, CAST(COALESCE(l$LpaRounds.l, nodes.id) AS BIGINT) AS community
+       |FROM nodes LEFT JOIN l$LpaRounds ON l$LpaRounds.id = nodes.id
+       |ORDER BY nodes.id""".stripMargin
+  }
+
   // ------------------------------- C64: degree + reciprocity stats
   private def qGraphDegrees(s: SparkSession, dir: String): DataFrame =
     Graph.degreeStats(linkEdges(s, dir), "src", "dst").orderBy("id")
@@ -378,6 +409,7 @@ object TrainingPrepQueries extends QueryModule {
     Map(
       "q_pagerank" -> qPagerank _,
       "q_ppr" -> qPpr _,
+      "q_communities" -> qCommunities _,
       "q_graph_degrees" -> qGraphDegrees _,
       "q_conversations" -> qConversations _,
       "q_curriculum" -> qCurriculum _,
@@ -389,6 +421,7 @@ object TrainingPrepQueries extends QueryModule {
   override val oracleSql: Map[String, String] = Map(
     "q_pagerank" -> qPagerankSql,
     "q_ppr" -> qPprSql,
+    "q_communities" -> qCommunitiesSql,
     "q_graph_degrees" -> qGraphDegreesSql,
     "q_conversations" -> qConversationsSql,
     "q_curriculum" -> qCurriculumSql,

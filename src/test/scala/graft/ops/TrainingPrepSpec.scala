@@ -102,6 +102,41 @@ class TrainingPrepSpec extends SparkSpec {
     assert(a == b)
   }
 
+  // ------------- C99: synchronous label-propagation communities
+
+  test("lpa: two bridged triangles settle into two communities (hand-traced)") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3-4
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L),
+      (3L, 4L)).toDF("s", "d")
+    val out = Graph.labelPropagation(e, "s", "d", rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-rolled synchronous rounds (count DESC, label ASC):
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4; r2: 1→1 2→1 3→1 4→4 5→3 6→3;
+    // r3: 1→1 2→1 3→1 4→3 5→3 6→3
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    assert(Set(1L, 2L, 3L).map(out).size == 1)
+    assert(Set(4L, 5L, 6L).map(out).size == 1)
+    assert(out(1L) != out(4L))
+  }
+
+  test("lpa: a self-loop-only node keeps its own community, row retained") {
+    val e = Seq((1L, 2L), (7L, 7L)).toDF("s", "d")
+    val out = Graph.labelPropagation(e, "s", "d", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 7L))
+    assert(out(7L) == 7L)
+  }
+
+  test("lpa: deterministic under repartitioning") {
+    val e = (0L until 300L).map(i => (i, (i * 17 + 5) % 300)).toDF("s", "d")
+    val a = Graph.labelPropagation(e, "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.labelPropagation(e.repartition(11), "s", "d").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   // ------------------------------- C64: degree + reciprocity stats
 
   test("degree stats: out/in/reciprocal counts, isolated dst gets a row") {
