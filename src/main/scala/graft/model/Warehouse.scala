@@ -130,6 +130,34 @@ final class Warehouse(
     refreshView(model)
   }
 
+  /** Z-order-clustered version write (Delta/Iceberg `OPTIMIZE ZORDER
+    * BY` re-expressed; [[graft.ops.ZOrder]]): rows are range-
+    * partitioned and sorted by the Morton value of (colA, colB), so
+    * parquet per-file min/max stats are tight on BOTH columns at once
+    * and a 2-D selective filter prunes to the files whose z-range
+    * intersects the query box — where a single-column sort keeps the
+    * second dimension smeared across every file. The z-value is
+    * layout-only: it is dropped before writing, and results are
+    * byte-identical to any other layout of the same rows. */
+  def writeVersionZOrdered(
+      model: String,
+      df: DataFrame,
+      colA: String, colB: String,
+      numFiles: Int,
+      bits: Int = 16): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    import org.apache.spark.sql.functions.col
+    val next = currentVersion(model).getOrElse(0L) + 1
+    val dir = versionDir(model, next)
+    graft.ops.ZOrder.withZValue(df, colA, colB, bits)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    state.update(model)(_.copy(currentVersion = next))
+    refreshView(model)
+  }
+
   // Catalog table names are global to the Spark session; two Warehouse
   // instances in one session (scratch warehouses per test/bench run, or
   // two projects) writing the same model+version must not clobber each

@@ -725,6 +725,69 @@ object ScaleQueries extends QueryModule {
        |  AND ts < TIMESTAMP '2024-01-07 00:00:00'
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // --------------------------------- C100: Z-order clustered layout
+  // Events written Morton-clustered on (user_id, ts_us); the query
+  // re-derives the z-value over the read-back table (same corpus-wide
+  // min/max stats -> identical buckets) and aggregates a 2-D box
+  // filter INCLUDING min/max z per group — so the oracle hash pins the
+  // whole bucket+interleave integer chain, not just layout-invariant
+  // row content. Buckets/interleave are exact 64-bit arithmetic on
+  // both engines (bit i = (x div 2^i) mod 2, no float anywhere).
+  private val ZBits = 16
+  private val ZUserLo = 2L
+  private val ZUserHi = 7L
+  private val ZTsLo = "2024-01-05 00:00:00"
+  private val ZTsHi = "2024-01-12 00:00:00"
+
+  private def qZorder(s: SparkSession, dir: String): DataFrame = {
+    val whDir = scratchDir("graft_wh_z_")
+    val wh = new Warehouse(s, whDir, StateStore(whDir + "/state"))
+    wh.writeVersionZOrdered("ev_z",
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value")),
+      "user_id", "ts_us", numFiles = 8, bits = ZBits)
+    val back = graft.ops.ZOrder.withZValue(
+      wh.read("ev_z"), "user_id", "ts_us", ZBits)
+    back
+      .filter(col("user_id").between(ZUserLo, ZUserHi) &&
+        col("ts_us") >= unix_micros(lit(ZTsLo).cast("timestamp")) &&
+        col("ts_us") < unix_micros(lit(ZTsHi).cast("timestamp")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ExactAgg.dsum(col("value")).as("total_value"),
+        min(col("__z")).as("z_min"), max(col("__z")).as("z_max"))
+      .orderBy("event_type")
+  }
+
+  private val qZorderSql = {
+    // bit i of x as ((x // 2^i) % 2) — integral everywhere
+    def morton(ba: String, bb: String) =
+      (0 until ZBits).map { i =>
+        s"(($ba // ${1L << i}) % 2) * ${1L << (2 * i)} + " +
+          s"(($bb // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+    s"""WITH st AS (
+       |  SELECT MIN(user_id) AS amin, MAX(user_id) AS amax,
+       |    MIN(epoch_us(ts)) AS bmin, MAX(epoch_us(ts)) AS bmax
+       |  FROM events),
+       |z AS (
+       |  SELECT e.event_type, e.value,
+       |    e.user_id, epoch_us(e.ts) AS ts_us,
+       |    ${morton(
+      s"(((e.user_id - st.amin) * ${1L << ZBits}) // (st.amax - st.amin + 1))",
+      s"(((epoch_us(e.ts) - st.bmin) * ${1L << ZBits}) // (st.bmax - st.bmin + 1))")} AS zv
+       |  FROM events e CROSS JOIN st)
+       |SELECT event_type, COUNT(*) AS n,
+       |  ${graft.ExactAgg.sqlSum("value")} AS total_value,
+       |  CAST(MIN(zv) AS BIGINT) AS z_min, CAST(MAX(zv) AS BIGINT) AS z_max
+       |FROM z
+       |WHERE user_id BETWEEN $ZUserLo AND $ZUserHi
+       |  AND ts_us >= epoch_us(TIMESTAMP '$ZTsLo')
+       |  AND ts_us < epoch_us(TIMESTAMP '$ZTsHi')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   // ----------------------------------------------------------------------
   override val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash_capped" -> qDedupMinhashCapped _,
@@ -745,7 +808,8 @@ object ScaleQueries extends QueryModule {
     "q_source_json" -> qSourceJson _,
     "q_source_orc" -> qSourceOrc _,
     "q_partition_prune" -> qPartitionPrune _,
-    "q_range_cluster" -> qRangeCluster _)
+    "q_range_cluster" -> qRangeCluster _,
+    "q_zorder" -> qZorder _)
 
   override val oracleSql: Map[String, String] = Map(
     "q_ann_ivf" -> qAnnIvfSql,
@@ -766,5 +830,6 @@ object ScaleQueries extends QueryModule {
     "q_source_json" -> qSourceJsonSql,
     "q_source_orc" -> qSourceOrcSql,
     "q_partition_prune" -> qPartitionPruneSql,
-    "q_range_cluster" -> qRangeClusterSql)
+    "q_range_cluster" -> qRangeClusterSql,
+    "q_zorder" -> qZorderSql)
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.model.{StateStore, Warehouse}
+
+/** C100: Z-order (Morton) clustering — exact interleave math and the
+  * layout property it exists for (2-D box filters touch few files). */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("interleave: hand-computed morton values") {
+    // a=0b101, b=0b011 -> z bits (a0,b0,a1,b1,a2,b2) = 1,1,0,1,1,0
+    //   = 1 + 2 + 8 + 16 = 27
+    val out = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 3)).head().getLong(0)
+    assert(out == 27L)
+    // identity cases: b=0 spreads a's bits to even positions
+    val even = Seq((7L, 0L)).toDF("a", "b")
+      .select(ZOrder.interleave(col("a"), col("b"), 3)).head().getLong(0)
+    assert(even == (1L + 4L + 16L)) // bits 0,2,4
+  }
+
+  test("bucket: order-preserving, endpoint-exact, clamped") {
+    val xs = Seq(-5L, 0L, 3L, 9L, 42L).toDF("x")
+    val out = xs.select(ZOrder.bucket(col("x"), 0L, 9L, 4)).collect()
+      .map(_.getLong(0))
+    // -5 clamps to min -> 0; 42 clamps to max -> bucket(9) = 90 div 10 = 14
+    assert(out.toSeq == Seq(0L, 0L, 4L, 14L, 14L))
+    // monotone over the whole domain
+    val dom = (0L to 9L).toDF("x")
+      .select(ZOrder.bucket(col("x"), 0L, 9L, 4)).collect().map(_.getLong(0))
+    assert(dom.toSeq == dom.toSeq.sorted)
+  }
+
+  test("bucket: overflow headroom is a loud require, not silent garbage") {
+    intercept[IllegalArgumentException] {
+      ZOrder.bucket(col("x"), 0L, Long.MaxValue - 1, 16)
+    }
+  }
+
+  test("withZValue: NULLs bucket to the curve origin, rows kept") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (null, 20L), (3L, null)).toDF("a", "b")
+    val out = ZOrder.withZValue(df, "a", "b", 4).collect()
+    assert(out.length == 3)
+    assert(out.forall(!_.isNullAt(2)))
+  }
+
+  test("z-ordered layout: a 2-D box filter touches few files") {
+    // 64x64 grid, identity buckets (min 0, max 63, bits 6); an aligned
+    // 8x8 box occupies ONE contiguous z-run of 64 values out of 4096,
+    // so with 16 range-partitioned files (~256 z-values each) the box
+    // must land in <= 3 files. A single-column sort would smear the
+    // second dimension across ALL files.
+    val grid = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b))
+      .toDF("a", "b")
+    val whDir = java.nio.file.Files.createTempDirectory("graft_z_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    wh.writeVersionZOrdered("grid_z", grid, "a", "b", numFiles = 16, bits = 6)
+    val matches = wh.read("grid_z")
+      .filter(col("a").between(16, 23) && col("b").between(16, 23))
+      .select(input_file_name().as("f"))
+    assert(matches.count() == 64L)
+    val files = matches.distinct().count()
+    assert(files <= 3, s"2-D box smeared across $files files")
+    // layout is results-invariant: full content round-trips
+    assert(wh.read("grid_z").count() == 64L * 64L)
+  }
+}
