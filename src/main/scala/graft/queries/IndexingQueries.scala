@@ -211,6 +211,39 @@ object IndexingQueries extends QueryModule {
        |FROM documents d LEFT JOIN tmc t ON d.text = t.text
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------ C101: STREAMING Bloom-filter maintenance
+  // The live twin of C72, completing the streaming-sketch family with
+  // C97: BloomBuildAgg is a TypedImperativeAggregate whose partial is
+  // the fixed numBits/64-long bitmap, so as a streaming global
+  // aggregate its state-store entry is that same constant-size bitmap,
+  // OR-merged per micro-batch — membership over an unbounded key
+  // stream in a few KiB of state. Complete mode republishes the live
+  // bitmap; probes read the final table through the same
+  // BloomFilter/mightContain path as batch. Bitwise OR is order-free,
+  // so an AvailableNow pass is exactly batch-equal — pinned to the
+  // SAME oracle as q_bloom.
+  private def qStreamBloom(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = docs(s, dir).filter(col("doc_id") < BloomCorpusMax)
+      .select(col("doc_id"), col("text"))
+    val inDir = graft.Scratch.dir("graft_bloom_in_")
+    src.write.mode("overwrite").parquet(inDir)
+    val bits = Sketches.bloomBuild(
+      s.readStream.schema(src.schema).parquet(inDir),
+      "text", BloomBits, BloomHashes).bitmap
+    val sink = s"graft_bloom_${ScaleQueries.streamRun.incrementAndGet()}"
+    ScaleQueries.withStatePartitions(s, 4) {
+      val q = bits.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Sketches.bloomMightContain(
+      Sketches.BloomFilter(s.table(sink), BloomBits, BloomHashes),
+      docs(s, dir).select(col("doc_id"), col("text")), "text")
+      .select(col("doc_id"), col("might_contain"))
+      .orderBy("doc_id")
+  }
+
   // --------------------- C76: random-projection dim reduction
   private val RpDim = 8
 
@@ -337,6 +370,7 @@ object IndexingQueries extends QueryModule {
       "q_rrf" -> qRrf _,
       "q_domain_cap" -> qDomainCap _,
       "q_bloom" -> qBloom _,
+      "q_stream_bloom" -> qStreamBloom _,
       "q_temperature_mix" -> qTemperatureMix _,
       "q_random_project" -> qRandomProject _)
 
@@ -346,6 +380,8 @@ object IndexingQueries extends QueryModule {
     "q_rrf" -> qRrfSql,
     "q_domain_cap" -> qDomainCapSql,
     "q_bloom" -> qBloomSql,
+    // stream == batch: the live bitmap is pinned to the SAME oracle
+    "q_stream_bloom" -> qBloomSql,
     "q_temperature_mix" -> qTemperatureMixSql,
     "q_random_project" -> qRandomProjectSql)
 }

@@ -96,6 +96,44 @@ class StreamingSpec extends SparkSpec {
     assert(se == be)
   }
 
+  test("streaming bloom: cross-batch OR-merge equals the batch bitmap") {
+    import graft.ops.Sketches
+    val part1 = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val part2 = Seq((3L, "gamma"), (4L, "delta")).toDF("id", "text")
+    val flat = Files.createTempDirectory("graft_bloom_flat_").toString
+    part1.coalesce(1).write.mode("append").parquet(flat)
+    part2.coalesce(1).write.mode("append").parquet(flat)
+
+    val bits = 1 << 10; val hashes = 3
+    val stream = spark.readStream.schema(part1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(flat)
+    val q = Sketches.bloomBuild(stream, "text", bits, hashes).bitmap
+      .writeStream.format("memory").queryName("bloom_bits")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_bloom_ckpt_").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(q.recentProgress.length >= 2,
+      "maxFilesPerTrigger=1 over 2 files must run >= 2 micro-batches")
+
+    val streamedWords = spark.table("bloom_bits")
+      .head().getSeq[Long](0)
+    val batchWords = Sketches.bloomBuild(
+      part1.unionByName(part2), "text", bits, hashes)
+      .bitmap.head().getSeq[Long](0)
+    assert(streamedWords == batchWords)
+
+    // no false negatives through the shared probe path
+    val probes = Seq((1L, "alpha"), (2L, "delta"), (3L, "zz_absent"))
+      .toDF("id", "text")
+    val mc = Sketches.bloomMightContain(
+      Sketches.BloomFilter(spark.table("bloom_bits"), bits, hashes),
+      probes, "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(mc(1L) && mc(2L))
+  }
+
   test("stream-static enrichment: dim attr grouped, missing dim rows kept as NULL") {
     val dir = Files.createTempDirectory("graft_enrich_src_").toString
     Seq(
