@@ -72,13 +72,20 @@ object Cli {
       spark: SparkSession, projectDir: Path, command: String,
       rest: Seq[String], out: String => Unit, target: Option[String],
       wh: Warehouse, runner: ModelRunner, cfg: ProjectConfig): Int = {
+    // state:modified support for --select: the Planner's changed set
+    // (Create or Update vs the recorded hashes), computed only if asked
+    val plannerModified = () =>
+      Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph,
+        wh.state).changes
+        .filter(_.changeType != Planner.NoChange).map(_.modelName)
     command match {
       case "run" =>
         val (models, vars, tag) = parseRunArgs(rest)
         // --select "model+ +model tag:x": dbt-style graph selectors,
         // unioned with positional names and --tag (model/Selector.scala)
         val selected = flagValue(rest, "--select")
-          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s)))
+          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s),
+            plannerModified))
           .getOrElse(Nil)
         val explicit =
           (models ++ tag.map(runner.modelsByTag).getOrElse(Nil) ++ selected)
@@ -145,7 +152,8 @@ object Cli {
       case "list" =>
         // --select narrows the listing through the same resolver as run
         val listed = flagValue(rest, "--select")
-          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s)))
+          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s),
+            plannerModified))
           .getOrElse(runner.graph.models.sorted)
         listed.foreach { m =>
           val c = runner.configMap.get(m)

@@ -13,6 +13,10 @@ package graft.model
   *                so this mostly documents intent)
   *   - `+model+`  both closures
   *   - `tag:x`    every model carrying tag x
+  *   - `state:modified` (optionally `state:modified+`) — models whose
+  *                SQL or config hash differs from the recorded state
+  *                (the Planner's Create/Update set): dbt's CI
+  *                workhorse, "run only what this change touches"
   *
   * Resolution is pure driver-side graph walking (the DAG is model-count
   * sized — thousands at most, never data-sized). Unknown model names
@@ -23,12 +27,24 @@ object Selector {
 
   /** Resolve selector atoms to the union of selected model names,
     * sorted for deterministic run listings. `tagged` maps a tag to its
-    * models (supply [[ModelRunner.modelsByTag]]). */
+    * models (supply [[ModelRunner.modelsByTag]]); `modified` supplies
+    * the Planner's changed-model set, called at most once and only if a
+    * `state:` atom appears (the state lookup costs a store read). */
   def resolve(
       graph: DependencyGraph, tagged: String => Seq[String],
-      atoms: Seq[String]): Seq[String] = {
+      atoms: Seq[String],
+      modified: () => Seq[String] = () => Seq.empty): Seq[String] = {
     val known = graph.models.toSet
+    lazy val changed = modified()
     val picked = atoms.flatMap(_.split("[,\\s]+")).filter(_.nonEmpty).flatMap {
+      case atom if atom == "state:modified" || atom == "state:modified+" =>
+        changed ++
+          (if (atom.endsWith("+")) changed.flatMap(graph.allDependents)
+           else Nil)
+      case atom if atom.startsWith("state:") =>
+        throw new DependencyError(
+          s"unknown state selector '$atom' (supported: state:modified[+])",
+          Map("atom" -> atom))
       case atom if atom.startsWith("tag:") =>
         tagged(atom.stripPrefix("tag:"))
       case atom =>

@@ -151,6 +151,39 @@ class CliSpec extends SparkSpec {
     assert(bad == 7, badLines.mkString("\n"))
   }
 
+  test("--select state:modified runs only hash-changed models (+ dependents)") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "base" -> "-- config: materialized=table\nSELECT 1 AS x",
+      "mid" -> "-- config: materialized=table\nSELECT x FROM {{ ref('base') }}",
+      "leaf" -> "-- config: materialized=table\nSELECT x FROM {{ ref('mid') }}",
+      "other" -> "-- config: materialized=table\nSELECT 9 AS z")
+    val (c0, l0) = run(proj, "run")
+    assert(c0 == 0, l0.mkString("\n"))
+
+    // edit mid: it becomes the only state:modified model
+    Files.writeString(proj.resolve("models").resolve("mid.sql"),
+      "-- config: materialized=table\nSELECT x + 1 AS x FROM {{ ref('base') }}")
+    val (lc, ll) = run(proj, "list", "--select", "state:modified")
+    assert(lc == 0)
+    assert(ll.map(_.takeWhile(_ != ' ')).toSet == Set("mid"))
+    val (lc2, ll2) = run(proj, "list", "--select", "state:modified+")
+    assert(lc2 == 0)
+    assert(ll2.map(_.takeWhile(_ != ' ')).toSet == Set("mid", "leaf"))
+
+    // run state:modified+ — the CI shape: changed model + its impact
+    val (rc, rl) = run(proj, "run", "--select", "state:modified+")
+    assert(rc == 0, rl.mkString("\n"))
+    val whDir = proj.resolve("warehouse").toString
+    val wh = new model.Warehouse(
+      spark, whDir, model.StateStore(whDir + "/state", "dev"))
+    // base re-materializes as mid's upstream (run-targets semantics);
+    // the unrelated model must NOT move
+    assert(wh.currentVersion("other").contains(1L))
+    assert(wh.currentVersion("mid").contains(2L))
+    assert(wh.currentVersion("leaf").contains(2L))
+  }
+
   test("--target selects the environment's warehouse and variables") {
     Tables.registerAll(spark, sfDir)
     val proj = project(

@@ -45,6 +45,21 @@ class SelectorSpec extends AnyFunSuite {
     assert(Selector.resolve(graph(), tagFn, Seq("tag:nope")) == Nil)
   }
 
+  test("state:modified picks the planner's changed set, + adds dependents") {
+    val mod = () => Seq("b")
+    assert(Selector.resolve(graph(), tagFn, Seq("state:modified"), mod) ==
+      Seq("b"))
+    assert(Selector.resolve(graph(), tagFn, Seq("state:modified+"), mod) ==
+      Seq("b", "c", "d"))
+    // unions with other atoms
+    assert(Selector.resolve(graph(), tagFn, Seq("e state:modified"), mod) ==
+      Seq("b", "e"))
+    // unknown state selectors are loud
+    intercept[DependencyError] {
+      Selector.resolve(graph(), tagFn, Seq("state:bogus"), mod)
+    }
+  }
+
   test("unknown model and malformed atoms are loud DependencyErrors") {
     intercept[DependencyError] {
       Selector.resolve(graph(), tagFn, Seq("nope+"))
