@@ -471,20 +471,25 @@ object Graph {
     val nodes = e.select(col("u").as("id")).distinct()
     var labels = graft.Checkpoints.truncate(
       nodes.withColumn("l", col("id")))
-    for (_ <- 1 to rounds) {
-      labels = graft.Checkpoints.truncate(
-        e.join(labels.select(col("id").as("u"), col("l")), Seq("u"))
-          .groupBy(col("v"), col("l"))
-          .agg(count(lit(1)).as("c"))
-          // (count DESC, label ASC) argmax as one aggregate:
-          // max(struct(c, -l)) — no per-node window sort
-          .groupBy(col("v").as("id"))
-          .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
-          .select(col("id"), (-col("m.nl")).as("l")))
-    }
+    for (_ <- 1 to rounds)
+      labels = graft.Checkpoints.truncate(lpaRound(e, labels))
     allNodes.join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("l"), col("id")).as("community"))
   }
+
+  /** One synchronous LPA round over symmetric edges e(u, v) and labels
+    * (id, l): per-neighbor-label counts, then the (count DESC, label
+    * ASC) argmax as max(struct(c, −l)) — a plain aggregate with
+    * map-side partials, never a per-node window sort. Factored out so
+    * the plan shape is assertable despite the per-round checkpoint
+    * truncating lineage (PlanShapeSpec). */
+  private[graft] def lpaRound(e: DataFrame, labels: DataFrame): DataFrame =
+    e.join(labels.select(col("id").as("u"), col("l")), Seq("u"))
+      .groupBy(col("v"), col("l"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("v").as("id"))
+      .agg(max(struct(col("c"), (-col("l")).as("nl"))).as("m"))
+      .select(col("id"), (-col("m.nl")).as("l"))
 
   /** Hierarchy flattening by pointer doubling: (id, parent) rows →
     * (id, root, depth) — org trees, category taxonomies, reply-thread

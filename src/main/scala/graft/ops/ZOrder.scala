@@ -36,7 +36,12 @@ object ZOrder {
     require(span > 0, "max must be >= min")
     require(span <= (Long.MaxValue >> bits),
       s"(max - min) * 2^$bits overflows long — shrink bits")
-    val clamped = greatest(least(x.cast("long"), lit(max)), lit(min))
+    // least/greatest SKIP nulls (least(NULL, max) = max), which would
+    // silently bucket NULLs to the top — gate them through explicitly
+    // so NULL propagates and withZValue's coalesce sends it to 0
+    val xl = x.cast("long")
+    val clamped = when(xl.isNull, xl)
+      .otherwise(greatest(least(xl, lit(max)), lit(min)))
     // IntegralDivide (`div`), never `/` — the rrfFuse/prioritySample
     // lesson: Column `/` on longs is DOUBLE division and (x·2^bits)
     // exceeds 2^53, where doubles drop integer exactness

@@ -358,4 +358,53 @@ class PlanShapeSpec extends SparkSpec {
     // one key shuffle: the per-domain final aggregate
     assert("hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
+
+  test("kmeans: assignment is a map, sizes join broadcast — no sort-merge") {
+    val e = Tables.load(spark, sfDir, "embeddings")
+    val p = plan(ops.Similarity.kmeans(e, "vec_id", "embedding",
+      k = 4, lloydIters = 1))
+    // the k-row cluster-size side broadcasts; rows are never sorted or
+    // windowed to attach their cluster size
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"), p)
+  }
+
+  test("url canonicalization is a pure map: no exchange of any kind") {
+    val d = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), concat(lit("https://www.Ex.COM/p?utm_a=1&id="),
+        col("doc_id")).as("url"))
+    val p = plan(ops.Curation.canonicalizeUrls(d, "url"))
+    assert(exchanges(p) == 0, p)
+    assert(!p.contains("Window") && !p.contains("Sort"), p)
+  }
+
+  test("z-value projection is a pure map; blocklist filter anti-broadcasts") {
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"))
+    val p = plan(ops.ZOrder.withZValue(ev, "user_id", "ts_us", 8))
+    // the stats collect happened driver-side; what remains is one
+    // codegen'd projection over the scan
+    assert(exchanges(p) == 0, p)
+    import spark.implicits._
+    val d = Tables.load(spark, sfDir, "documents")
+    val bl = Seq("src1", "src3").toDF("domain")
+    val pb = plan(ops.Curation.filterBlockedDomains(d, "source", bl, "domain"))
+    assert(pb.contains("BroadcastHashJoin") && pb.contains("LeftAnti"), pb)
+    assert(!pb.contains("SortMergeJoin"), pb)
+  }
+
+  test("label propagation round: aggregate argmax, never a per-node window") {
+    // assert on the ROUND itself — the per-round checkpoint truncates
+    // lineage, so the composed operator's final plan hides the argmax
+    val e = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("u"), (col("doc_id") * 7 % 100).as("v"))
+    val labels = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("doc_id").as("l"))
+    val p = plan(ops.Graph.lpaRound(e, labels))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("max("), p) // the struct-argmax aggregate
+    // two key shuffles: (v, l) counts, then the per-node argmax
+    assert("hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
 }

@@ -43,8 +43,19 @@ class ZOrderSpec extends SparkSpec {
     val df = Seq[(java.lang.Long, java.lang.Long)](
       (1L, 10L), (null, 20L), (3L, null)).toDF("a", "b")
     val out = ZOrder.withZValue(df, "a", "b", 4).collect()
+      .map(r => (Option(r.get(0)).map(_.asInstanceOf[Long]),
+        Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2)))
     assert(out.length == 3)
-    assert(out.forall(!_.isNullAt(2)))
+    // a NULL dimension contributes bucket 0, NOT a clamped-to-max
+    // bucket (least/greatest skip nulls — the gated clamp pins this):
+    // null-a row's z must equal interleave(0, bucket(b)), which has no
+    // even (a-side) bits set
+    val nullA = out.find(_._1.isEmpty).get._3
+    assert((0 until 4).forall(i => ((nullA >> (2 * i)) & 1L) == 0L),
+      s"null a leaked into a-side bits: $nullA")
+    val nullB = out.find(_._2.isEmpty).get._3
+    assert((0 until 4).forall(i => ((nullB >> (2 * i + 1)) & 1L) == 0L),
+      s"null b leaked into b-side bits: $nullB")
   }
 
   test("z-ordered layout: a 2-D box filter touches few files") {
