@@ -496,6 +496,58 @@ object Curation {
     df.withColumn("url_canon", canon).withColumn("url_domain", domain)
   }
 
+  /** Data-constrained epoch allocation (Muennighoff et al. 2023,
+    * "Scaling Data-Constrained Language Models", NeurIPS — repeating
+    * data is near-free for ~4 epochs, then decays): given per-source
+    * unique token mass and a total training-token budget, decide how
+    * many epochs each source repeats and how the remainder is spread.
+    *
+    * The rule, all exact 64-bit integral arithmetic (engine-replayable):
+    *   U = Σ_s unique_s;  epochs = min(maxEpochs, budget div U)
+    *   - budget < U (subsample): allocated_s = unique_s·budget div U,
+    *     epochs 0, extra = allocated (a partial single pass);
+    *   - else (repeat): rem = budget − epochs·U, zeroed at the epoch
+    *     cap (repeating past maxEpochs is the regime the paper shows
+    *     stops paying — the budget is deliberately left on the table,
+    *     auditable in the output); extra_s = unique_s·rem div U;
+    *     allocated_s = epochs·unique_s + extra_s.
+    *
+    * Fully distributed: per-source masses are one aggregate, U rides
+    * back as a one-row broadcast cross join (never a driver collect),
+    * the allocation chain is a pure projection. NULL source is a group
+    * like any other ([[Sampling]] discipline); NULL token values carry
+    * no mass. Output: source, unique_tokens, epochs, extra_tokens,
+    * allocated_tokens — feed allocated/unique into [[Sampling
+    * .weightedSample]] rates or shard-repeat manifests downstream.
+    *
+    * Headroom (the [[Graph.hits]] discipline): the proportional terms
+    * multiply before dividing, so max(unique_s)·max(rem, budget) must
+    * stay < 2^63 — with token counts that is ~3·10^9 tokens per source
+    * against a ~3·10^9 budget; count in kilo- or mega-tokens (divide
+    * the column once upfront) for trillion-token corpora, which moves
+    * the bound far past any real mixture. */
+  def epochAllocation(
+      df: DataFrame, sourceCol: String, tokensCol: String,
+      budget: Long, maxEpochs: Int = 4): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokensCol).cast("long")).as("unique_tokens"))
+    val u = per.agg(sum(col("unique_tokens")).as("__u"))
+    per.crossJoin(broadcast(u))
+      .withColumn("epochs",
+        least(lit(maxEpochs.toLong), expr(s"${budget}L div __u")))
+      .withColumn("__rem",
+        when(col("epochs") >= maxEpochs.toLong, lit(0L))
+          .otherwise(lit(budget) - col("epochs") * col("__u")))
+      .withColumn("extra_tokens",
+        expr("(unique_tokens * __rem) div __u"))
+      .withColumn("allocated_tokens",
+        col("epochs") * col("unique_tokens") + col("extra_tokens"))
+      .select(col("source"), col("unique_tokens"), col("epochs"),
+        col("extra_tokens"), col("allocated_tokens"))
+  }
+
   /** Drop rows whose registered domain appears in a blocklist — the
     * UT1/industry-blocklist filtering stage. The blocklist is a
     * DataFrame (read it from wherever: a config table, a seed file);

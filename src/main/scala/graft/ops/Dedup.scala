@@ -799,31 +799,28 @@ object Dedup {
     * first-occurrence key — map-side partials absorb a line repeated
     * 10^9×, never a window over the hot content key), one line-keyed
     * join back, one doc-keyed reassembly aggregate. The occurrence
-    * order is the exact long `id·stride + pos` — ids must fit
-    * [0, 2^63/stride) and pos < stride, checked LOUDLY up front (the
-    * [[Graph.triangles]] order-key discipline; sessions don't run ANSI,
-    * so a silent wrap would corrupt keep decisions, not fail).
+    * order is the LEXICOGRAPHIC struct min over (id, pos) — no packed
+    * long, no id-range bound: the 30× scale replicas' stride-shifted
+    * ids overflowed the former `id·stride + pos` key's loud [0,
+    * 2^63/stride) require, and the struct ordering is the same
+    * keep-first decision with full long range on both fields.
     *
     * Output: idCol, n_lines, n_kept, text_clean (kept lines rejoined in
     * original order; NULL for NULL text). */
   def paragraphDedup(
       df: DataFrame, idCol: String, textCol: String,
-      minChars: Int = 1, posStride: Long = 1000000L): DataFrame = {
+      minChars: Int = 1): DataFrame = {
     require(minChars >= 1, "minChars must be >= 1")
-    require(posStride > 0L, "posStride must be positive")
-    val maxId = Long.MaxValue / posStride
     val lines = df.select(col(idCol), col(textCol),
       posexplode_outer(split(col(textCol), "\n", -1))
         .as(Seq("pos", "line")))
-    val oob = lines.filter(col(idCol).isNotNull &&
-      (col(idCol).cast("long").isNull || col(idCol).cast("long") < 0L ||
-        col(idCol).cast("long") >= maxId || col("pos") >= posStride))
-      .limit(1).count()
-    require(oob == 0L,
-      s"paragraphDedup: id outside [0, $maxId) or line position >= " +
-        s"$posStride — the occurrence-order key would overflow; re-map " +
-        "ids or raise posStride")
-    val key = col(idCol).cast("long") * posStride + col("pos")
+    // NULL ids carry no occurrence order (a NULL-id doc can never
+    // claim firstness) — gate the whole struct, since a struct with a
+    // NULL field is non-NULL and would sort NULLS FIRST into firstness.
+    // The id rides in its own type: keep-first is by the column's
+    // natural ordering, not a numeric re-encoding.
+    val key = when(col(idCol).isNull, lit(null))
+      .otherwise(struct(col(idCol).as("i"), col("pos").as("p")))
     val substantive = col("line").isNotNull &&
       length(trim(col("line"))) >= minChars
     val firsts = lines.filter(substantive)

@@ -392,7 +392,42 @@ object CurationQueries extends QueryModule {
       |WHERE (doc_id % 37) % 4 <> 0
       |ORDER BY doc_id""".stripMargin
 
+  // -------------- C102: data-constrained epoch allocation
+  // Budget 400k over the 153k-unique corpus (n_chars as the token
+  // unit): epochs = 2 with a partial third pass spread proportionally
+  // — the repeat branch AND the leftover branch both exercised; the
+  // subsample and cap branches are unit-pinned.
+  private val EpochBudget = 400000L
+  private val EpochCap = 4
+
+  private def qEpochAlloc(s: SparkSession, dir: String): DataFrame =
+    Curation.epochAllocation(docs(s, dir), "source", "n_chars",
+      EpochBudget, EpochCap)
+      .orderBy("source")
+
+  private val qEpochAllocSql =
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS unique_tokens
+       |  FROM documents GROUP BY source),
+       |u AS (SELECT CAST(SUM(unique_tokens) AS BIGINT) AS u FROM per),
+       |alloc AS (
+       |  SELECT per.source, per.unique_tokens,
+       |    LEAST($EpochCap, $EpochBudget // u.u) AS epochs,
+       |    CASE WHEN LEAST($EpochCap, $EpochBudget // u.u) >= $EpochCap
+       |         THEN 0
+       |         ELSE $EpochBudget - LEAST($EpochCap, $EpochBudget // u.u) * u.u
+       |    END AS rem,
+       |    u.u AS u
+       |  FROM per CROSS JOIN u)
+       |SELECT source, unique_tokens, CAST(epochs AS BIGINT) AS epochs,
+       |  CAST((unique_tokens * rem) // u AS BIGINT) AS extra_tokens,
+       |  CAST(epochs * unique_tokens + (unique_tokens * rem) // u AS BIGINT)
+       |    AS allocated_tokens
+       |FROM alloc
+       |ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_epoch_alloc" -> qEpochAlloc _,
     "q_url_canon" -> qUrlCanon _,
     "q_boilerplate" -> qBoilerplate _,
     "q_split_leaksafe" -> qSplitLeaksafe _,
@@ -402,6 +437,7 @@ object CurationQueries extends QueryModule {
     "q_curate_pipeline" -> qCuratePipeline _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_epoch_alloc" -> qEpochAllocSql,
     "q_url_canon" -> qUrlCanonSql,
     "q_boilerplate" -> qBoilerplateSql,
     "q_split_leaksafe" -> qSplitLeaksafeSql,

@@ -58,6 +58,47 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  // -------------- C102: data-constrained epoch allocation
+
+  test("epochAllocation: repeat + proportional leftover, hand-computed") {
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("src", "tok")
+    val out = Curation.epochAllocation(df, "src", "tok", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // U=400, epochs=2, rem=200: extra a=100*200/400=50, b=150
+    assert(out("a") == (100L, 2L, 50L, 250L))
+    assert(out("b") == (300L, 2L, 150L, 750L))
+    // exact budget fill when divisions are exact
+    assert(out.values.map(_._4).sum == 1000L)
+  }
+
+  test("epochAllocation: subsample branch when budget < unique mass") {
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("src", "tok")
+    val out = Curation.epochAllocation(df, "src", "tok", budget = 200L)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    assert(out("a") == (0L, 50L) && out("b") == (0L, 150L))
+  }
+
+  test("epochAllocation: the epoch cap leaves budget on the table, auditable") {
+    val df = Seq(("a", 100L), ("b", 300L)).toDF("src", "tok")
+    val out = Curation.epochAllocation(df, "src", "tok",
+      budget = 10000L, maxEpochs = 4)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == (4L, 0L, 400L))
+    assert(out("b") == (4L, 0L, 1200L))
+  }
+
+  test("epochAllocation: NULL source is a group; NULL tokens carry no mass") {
+    val df = Seq((Some("a"), Some(100L)), (None, Some(60L)),
+      (Some("a"), None)).toDF("src", "tok")
+    val out = Curation.epochAllocation(df, "src", "tok", budget = 160L)
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(4)).toMap
+    // U=160, budget=160 -> epochs=1, rem=0
+    assert(out(Some("a")) == 100L)
+    assert(out(None) == 60L)
+  }
+
   test("segmentUnits: every doc yields >=1 unit and reassembly is total") {
     val df = Seq(
       (1L, "a b c d e f g h i j k"), // 11 tokens -> 3 units of width 5

@@ -643,13 +643,31 @@ class OpsSpec extends SparkSpec {
     assert(lax(2L).contains("dup\nunique2"))
   }
 
-  test("paragraphDedup: order-key bounds checked loudly") {
+  test("paragraphDedup: struct order key covers the full long id range") {
     import spark.implicits._
-    val bad = Seq((-1L, "x")).toDF("doc_id", "text")
-    val ex = intercept[IllegalArgumentException] {
-      Dedup.paragraphDedup(bad, "doc_id", "text").collect()
-    }
-    assert(ex.getMessage.contains("occurrence-order key"))
+    // the former packed id*stride+pos key required id < 2^63/stride —
+    // these ids (negative, near Long.Max) all order correctly now
+    val df = Seq(
+      (-5L, "dup\nneg"),
+      (Long.MaxValue - 1L, "dup\nhuge"),
+      (0L, "dup\nzero")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(-5L) == "dup\nneg") // smallest id wins firstness
+    assert(out(0L) == "zero")      // stripped line leaves no placeholder
+    assert(out(Long.MaxValue - 1L) == "huge")
+  }
+
+  test("paragraphDedup: NULL-id docs never claim firstness") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (null, "dup"), (7L, "dup")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(3))
+      .toMap
+    // the NULL-id copy is stripped; the identified doc keeps the line
+    assert(out(Some(7L)) == "dup")
+    assert(out(None) == "")
   }
 
   // ------------------ C90: co-occurrence lift (integer-exact PMI proxy)
