@@ -496,6 +496,71 @@ object Curation {
     df.withColumn("url_canon", canon).withColumn("url_domain", domain)
   }
 
+  /** Per-stratum exact LOWER MEDIAN of an integral column: the value
+    * whose (value, id) rank equals (n+1) div 2 — discrete (an actual
+    * data value, like percentile_disc) so both engines agree exactly,
+    * ranked through the two-level [[Bucketing]] prefix count so a giant
+    * stratum never lands in one task (Spark's own percentile aggregates
+    * buffer each group's values in one reducer — the shape this
+    * avoids). Output: one row per stratum (`__mstrat`, `__med`). */
+  private def strataMedian(
+      in: DataFrame, strataCol: String, idCol: String, vCol: String,
+      numBuckets: Int): DataFrame = {
+    val bucketed = Bucketing.quantileBuckets(
+      in, col(vCol), Seq(strataCol), numBuckets)
+    val offsets = Bucketing.bucketOffsets(bucketed, Seq(strataCol), lit(1L))
+    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
+      .orderBy(col(vCol).asc, col(idCol))
+    val sizes = in.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .select(col(strataCol).as("__ms"), col("__n"))
+    val ranked = Bucketing.joinOffsets(bucketed, offsets, Seq(strataCol))
+      .withColumn("__rank", col("__boffset") + row_number().over(wIn))
+    ranked.join(broadcast(sizes), ranked(strataCol) <=> sizes("__ms"))
+      .filter(col("__rank") === expr("(__n + 1) div 2"))
+      .select(col(strataCol).as("__mstrat"), col(vCol).as("__med"))
+  }
+
+  /** MAD-based robust outlier flagging (Hampel's rule; Leys et al. 2013
+    * is the standard citation for preferring it over z-scores): a row
+    * is an outlier in its stratum when |x − median| > k · MAD, with
+    * MAD = median(|x − median|). Median/MAD shrug off the very
+    * outliers they hunt — the property mean/stddev trims lack (one
+    * 10 GB doc drags a mean far enough to hide itself).
+    *
+    * Exactness: the value column is integral (counts, lengths, token
+    * totals), medians are exact discrete lower medians, deviations and
+    * the k·MAD comparison are 64-bit integer arithmetic — no float
+    * anywhere, both engines agree row for row.
+    *
+    * Scale shape: two [[strataMedian]] passes (each a two-level rank —
+    * never a per-stratum single-partition window or an in-memory
+    * per-group buffer) plus two broadcast joins of the stratum-count-
+    * sized median tables. NULL stratum is a legitimate group; NULL ids
+    * or values carry no evidence and are dropped.
+    *
+    * Output: idCol, strataCol, value, med, dev, mad, is_outlier. */
+  def madOutliers(
+      df: DataFrame, idCol: String, strataCol: String, valueCol: String,
+      k: Int = 3, numBuckets: Int = 64): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = df.filter(col(idCol).isNotNull)
+      .withColumn("__v", col(valueCol).cast("long"))
+      .filter(col("__v").isNotNull)
+      .select(col(idCol), col(strataCol), col("__v"))
+    val med = strataMedian(base, strataCol, idCol, "__v", numBuckets)
+    val withDev = base
+      .join(broadcast(med), base(strataCol) <=> med("__mstrat"))
+      .withColumn("med", col("__med"))
+      .withColumn("dev", abs(col("__v") - col("__med")))
+      .drop("__mstrat", "__med")
+    val mad = strataMedian(withDev, strataCol, idCol, "dev", numBuckets)
+      .select(col("__mstrat"), col("__med").as("mad"))
+    withDev.join(broadcast(mad), withDev(strataCol) <=> mad("__mstrat"))
+      .withColumn("is_outlier", col("dev") > lit(k.toLong) * col("mad"))
+      .select(col(idCol), col(strataCol), col("__v").as("value"),
+        col("med"), col("dev"), col("mad"), col("is_outlier"))
+  }
+
   /** Data-constrained epoch allocation (Muennighoff et al. 2023,
     * "Scaling Data-Constrained Language Models", NeurIPS — repeating
     * data is near-free for ~4 epochs, then decays): given per-source

@@ -426,7 +426,47 @@ object CurationQueries extends QueryModule {
        |FROM alloc
        |ORDER BY source""".stripMargin
 
+  // -------------- C103: MAD-based robust outliers (Hampel's rule)
+  // n_chars per source, k=3. The oracle re-derives BOTH exact lower
+  // medians (value, then deviation) via per-source ROW_NUMBER at rank
+  // (n+1) // 2 and replays the integral comparison.
+  private val MadK = 3
+
+  private def qMadOutliers(s: SparkSession, dir: String): DataFrame =
+    Curation.madOutliers(docs(s, dir), "doc_id", "source", "n_chars", MadK)
+      .orderBy("doc_id")
+
+  private val qMadOutliersSql =
+    s"""WITH base AS (
+       |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v
+       |  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+       |sz AS (SELECT source, COUNT(*) AS n FROM base GROUP BY source),
+       |r1 AS (
+       |  SELECT doc_id, source, v,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY v, doc_id) AS rk
+       |  FROM base),
+       |med AS (
+       |  SELECT r1.source, r1.v AS med FROM r1
+       |  JOIN sz ON sz.source IS NOT DISTINCT FROM r1.source
+       |   AND r1.rk = (sz.n + 1) // 2),
+       |d AS (
+       |  SELECT b.doc_id, b.source, b.v, m.med, ABS(b.v - m.med) AS dev
+       |  FROM base b JOIN med m ON m.source IS NOT DISTINCT FROM b.source),
+       |r2 AS (
+       |  SELECT doc_id, source, dev,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rk
+       |  FROM d),
+       |mad AS (
+       |  SELECT r2.source, r2.dev AS mad FROM r2
+       |  JOIN sz ON sz.source IS NOT DISTINCT FROM r2.source
+       |   AND r2.rk = (sz.n + 1) // 2)
+       |SELECT d.doc_id, d.source, d.v AS value, d.med, d.dev, mad.mad,
+       |  d.dev > $MadK * mad.mad AS is_outlier
+       |FROM d JOIN mad ON mad.source IS NOT DISTINCT FROM d.source
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mad_outliers" -> qMadOutliers _,
     "q_epoch_alloc" -> qEpochAlloc _,
     "q_url_canon" -> qUrlCanon _,
     "q_boilerplate" -> qBoilerplate _,
@@ -437,6 +477,7 @@ object CurationQueries extends QueryModule {
     "q_curate_pipeline" -> qCuratePipeline _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_mad_outliers" -> qMadOutliersSql,
     "q_epoch_alloc" -> qEpochAllocSql,
     "q_url_canon" -> qUrlCanonSql,
     "q_boilerplate" -> qBoilerplateSql,

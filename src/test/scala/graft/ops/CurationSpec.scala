@@ -58,6 +58,54 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  // -------------- C103: MAD robust outliers (Hampel's rule)
+
+  test("madOutliers: hand-computed medians and flags; outlier can't hide itself") {
+    // stratum a: values 10,12,14,16,1000 -> lower median 14 (rank 3),
+    // devs 4,2,0,2,986 -> MAD = 2 (rank 3 of 0,2,2,4,986);
+    // 1000 flags (986 > 3*2); nothing else does. The 1000 would drag a
+    // MEAN to ~210 and a stddev past 400 — a z-score rule would keep it.
+    val df = Seq((1L, "a", 10L), (2L, "a", 12L), (3L, "a", 14L),
+      (4L, "a", 16L), (5L, "a", 1000L)).toDF("id", "src", "v")
+    val out = Curation.madOutliers(df, "id", "src", "v", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toMap
+    assert(out(3L) == (14L, 0L, 2L, false))
+    assert(out(5L) == (14L, 986L, 2L, true))
+    assert(out.values.count(_._4) == 1)
+  }
+
+  test("madOutliers: strata are independent; NULL stratum is a group") {
+    val df = Seq((1L, Some("a"), 5L), (2L, Some("a"), 5L), (3L, Some("a"), 50L),
+      (4L, None, 7L), (5L, None, 7L), (6L, None, 7L))
+      .toDF("id", "src", "v")
+    val out = Curation.madOutliers(df, "id", "src", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(5), r.getBoolean(6))).toMap
+    // a: med 5, devs (0,0,45), MAD 0 -> 45 > 0 flags
+    assert(out(3L) == (0L, true))
+    // NULL stratum: all equal, MAD 0, dev 0 -> 0 > 0 false
+    assert(Seq(4L, 5L, 6L).forall(i => out(i) == (0L, false)))
+  }
+
+  test("madOutliers: matches a naive percentile_disc formulation on random data") {
+    val rows = (0L until 200L).map { i =>
+      (i, s"s${i % 3}", ((i * 37 + 11) % 97) + (if (i % 50 == 0) 500L else 0L))
+    }
+    val df = rows.toDF("id", "src", "v")
+    val fast = Curation.madOutliers(df, "id", "src", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    // naive: per-stratum lower median via sorted seq
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply((xs.size - 1) / 2)
+    val bySrc = rows.groupBy(_._2)
+    val naive = rows.map { case (id, s, v) =>
+      val vs = bySrc(s).map(_._3)
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(x => math.abs(x - med)))
+      id -> (math.abs(v - med) > 3L * mad)
+    }.toMap
+    assert(fast == naive)
+  }
+
   // -------------- C102: data-constrained epoch allocation
 
   test("epochAllocation: repeat + proportional leftover, hand-computed") {
