@@ -213,6 +213,34 @@ object ExtraQueries extends QueryModule {
       |  CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS "P"
       |FROM orders GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  // --------------------------------------------------- A41: UNPIVOT
+  // The inverse of A27's pivot: wide per-status counts melted back to
+  // (year, status, n) rows via Dataset.unpivot (SQL `stack`) — long
+  // form is what plotting/modeling layers want. Zero-count cells are
+  // kept (they exist in the wide frame); unpivot is a pure ROW-LOCAL
+  // projection+explode, no shuffle beyond the pivot that built the
+  // wide input.
+  private def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .unpivot(Array(col("o_year")), Array(col("F"), col("O"), col("P")),
+        "status", "n")
+      .orderBy("o_year", "status")
+
+  private val qUnpivotSql =
+    """WITH wide AS (
+      |  SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS f,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS o,
+      |    CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS p
+      |  FROM orders GROUP BY o_year)
+      |SELECT o_year, status, n FROM wide
+      |UNPIVOT (n FOR status IN (f AS 'F', o AS 'O', p AS 'P'))
+      |ORDER BY o_year, status""".stripMargin
+
   // ------------------------------------------------- A28: window navigation
   private def qWindowNav(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -328,6 +356,7 @@ object ExtraQueries extends QueryModule {
     "q_percentiles" -> qPercentiles _,
     "q_set_ops" -> qSetOps _,
     "q_pivot" -> qPivot _,
+    "q_unpivot" -> qUnpivot _,
     "q_window_nav" -> qWindowNav _,
     "q_window_stats" -> qWindowStats _,
     "q_string_agg" -> qStringAgg _,
@@ -345,6 +374,7 @@ object ExtraQueries extends QueryModule {
     "q_percentiles" -> qPercentilesSql,
     "q_set_ops" -> qSetOpsSql,
     "q_pivot" -> qPivotSql,
+    "q_unpivot" -> qUnpivotSql,
     "q_window_nav" -> qWindowNavSql,
     "q_window_stats" -> qWindowStatsSql,
     "q_string_agg" -> qStringAggSql,
