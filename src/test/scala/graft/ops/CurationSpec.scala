@@ -40,6 +40,30 @@ class CurationSpec extends SparkSpec {
     assert(out(7L)._2 == "")
   }
 
+  test("canonicalizeUrls: idempotent — a canonical URL is its own canonical form") {
+    // the defining property of a canonicalizer: canon(canon(x)) == canon(x).
+    // Messy inputs spanning every rule (case, www, tracking at each
+    // position, fragments, trailing slashes, unparseable).
+    val messy = Seq(
+      "HTTPS://WWW.A.COM/P/Q?utm_source=x&id=1&ref=t#f",
+      "http://b.org/", "https://C.Net//x/?gclid=9",
+      "ftp://Weird.Host/Dir/", "no scheme here",
+      "https://d.io/p?a=1&utm_b=2&c=3") ++
+      (0 until 50).map(i =>
+        s"HtTp://WwW.s$i.CoM/Path-$i/?utm_c$i=v&id=$i#frag$i")
+    val once = Curation.canonicalizeUrls(
+      messy.zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url"),
+      "url").select(col("id"), col("url_canon"), col("url_domain"))
+    val twice = Curation.canonicalizeUrls(
+      once.select(col("id"), col("url_canon").as("url")), "url")
+      .select(col("id"), col("url_canon"), col("url_domain"))
+    val a = once.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2))).toMap
+    val b = twice.collect().map(r => r.getLong(0) ->
+      (r.getString(1), r.getString(2))).toMap
+    assert(a == b)
+  }
+
   test("canonicalizeUrls: NULL url yields NULL outputs, row kept") {
     val df = Seq((1L, "https://a.com/x"), (2L, null))
       .toDF("id", "url")

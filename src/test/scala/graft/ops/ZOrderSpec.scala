@@ -21,6 +21,17 @@ class ZOrderSpec extends SparkSpec {
     assert(even == (1L + 4L + 16L)) // bits 0,2,4
   }
 
+  test("interleave: bijective on the full bucket grid (exhaustive, bits=4)") {
+    // 16x16 bucket pairs must map to exactly the 256 distinct z values
+    // 0..255 — interleaving is a permutation of the key space, so no
+    // two cells ever collide into one curve position
+    val grid = (for { a <- 0L until 16L; b <- 0L until 16L } yield (a, b))
+      .toDF("a", "b")
+    val zs = grid.select(ZOrder.interleave(col("a"), col("b"), 4))
+      .collect().map(_.getLong(0)).sorted
+    assert(zs.toSeq == (0L until 256L))
+  }
+
   test("bucket: order-preserving, endpoint-exact, clamped") {
     val xs = Seq(-5L, 0L, 3L, 9L, 42L).toDF("x")
     val out = xs.select(ZOrder.bucket(col("x"), 0L, 9L, 4)).collect()
