@@ -484,8 +484,10 @@ object Curation {
     val lowered = concat(lower(prefix), rest)
     val noWww = regexp_replace(lowered, "^([a-z][a-z0-9+.-]*://)www\\.", "$1")
     // tracking params: kill `key=value` for blocked keys, then tidy
+    // the key must start at a separator — without the ([?&]) boundary,
+    // "ref=" would also match inside "href=" and eat legitimate params
     val noTrack0 = regexp_replace(noWww,
-      "(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#?]*", "")
+      "([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=[^&#?]*", "$1")
     val tidy = regexp_replace(
       regexp_replace(regexp_replace(noTrack0, "\\?&+", "?"), "&&+", "&"),
       "[?&]+$", "")

@@ -23,7 +23,9 @@ class CurationSpec extends SparkSpec {
       4L -> "https://example.com/?utm_campaign=spring",
       5L -> "http://www.example.com/p?id=1&utm_medium=email&x=2",
       6L -> "https://example.com//",
-      7L -> "not a url at all")
+      7L -> "not a url at all",
+      // "ref" must only match as a whole key: href is a legitimate param
+      8L -> "https://example.com/p?href=keep&ref=drop")
     val out = Curation.canonicalizeUrls(cases.toDF("id", "url"), "url")
       .collect().map(r => r.getLong(0) -> (r.getString(2), r.getString(3))).toMap
     assert(out(1L) == ("https://example.com/Path/Page?id=7", "example.com"))
@@ -38,6 +40,7 @@ class CurationSpec extends SparkSpec {
     assert(out(6L) == ("https://example.com//", "example.com"))
     // unparseable: canon is the input (nothing matched), domain empty
     assert(out(7L)._2 == "")
+    assert(out(8L)._1 == "https://example.com/p?href=keep")
   }
 
   test("canonicalizeUrls: idempotent — a canonical URL is its own canonical form") {
