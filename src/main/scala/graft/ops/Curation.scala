@@ -598,17 +598,23 @@ object Curation {
       budget: Long, maxEpochs: Int = 4): DataFrame = {
     require(budget >= 0, "budget must be >= 0")
     require(maxEpochs >= 1, "maxEpochs must be >= 1")
+    // coalesce: a stratum whose every token value is NULL has zero
+    // mass, not NULL mass (and least() SKIPS nulls, so a NULL total
+    // would silently turn the epoch cap into the answer)
     val per = df.groupBy(col(sourceCol).as("source"))
-      .agg(sum(col(tokensCol).cast("long")).as("unique_tokens"))
-    val u = per.agg(sum(col("unique_tokens")).as("__u"))
+      .agg(coalesce(sum(col(tokensCol).cast("long")), lit(0L))
+        .as("unique_tokens"))
+    val u = per.agg(coalesce(sum(col("unique_tokens")), lit(0L)).as("__u"))
     per.crossJoin(broadcast(u))
       .withColumn("epochs",
-        least(lit(maxEpochs.toLong), expr(s"${budget}L div __u")))
+        when(col("__u") <= 0L, lit(0L)).otherwise(
+          least(lit(maxEpochs.toLong), expr(s"${budget}L div __u"))))
       .withColumn("__rem",
         when(col("epochs") >= maxEpochs.toLong, lit(0L))
           .otherwise(lit(budget) - col("epochs") * col("__u")))
-      .withColumn("extra_tokens",
-        expr("(unique_tokens * __rem) div __u"))
+      .withColumn("extra_tokens", // zero-mass corpus: nothing to spread
+        when(col("__u") <= 0L, lit(0L))
+          .otherwise(expr("(unique_tokens * __rem) div __u")))
       .withColumn("allocated_tokens",
         col("epochs") * col("unique_tokens") + col("extra_tokens"))
       .select(col("source"), col("unique_tokens"), col("epochs"),

@@ -164,6 +164,17 @@ class CurationSpec extends SparkSpec {
     assert(out("b") == (4L, 0L, 1200L))
   }
 
+  test("epochAllocation: zero-mass corpus allocates zero, never the cap") {
+    // least() skips NULLs — an unguarded NULL total would silently
+    // return the epoch cap for a corpus with no token mass at all
+    val df = Seq(("a", None: Option[Long]), ("b", None)).toDF("src", "tok")
+    val out = Curation.epochAllocation(df, "src", "tok", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("a") == (0L, 0L, 0L, 0L))
+    assert(out("b") == (0L, 0L, 0L, 0L))
+  }
+
   test("epochAllocation: NULL source is a group; NULL tokens carry no mass") {
     val df = Seq((Some("a"), Some(100L)), (None, Some(60L)),
       (Some("a"), None)).toDF("src", "tok")
