@@ -78,19 +78,28 @@ object Cli {
       Planner.plan(runner.modelSqlMap, runner.configMap, runner.graph,
         wh.state).changes
         .filter(_.changeType != Planner.NoChange).map(_.modelName)
+    // Some(resolved) when --select was given — even when it resolves to
+    // NOTHING: an empty selection must run/list nothing, never fall
+    // back to "all models" (state:modified with a clean state, or a
+    // non-matching tag:, selecting everything would invert the intent)
+    def selectedModels: Option[Seq[String]] =
+      flagValue(rest, "--select")
+        .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s),
+          plannerModified))
     command match {
       case "run" =>
         val (models, vars, tag) = parseRunArgs(rest)
         // --select "model+ +model tag:x": dbt-style graph selectors,
-        // unioned with positional names and --tag (model/Selector.scala)
-        val selected = flagValue(rest, "--select")
-          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s),
-            plannerModified))
-          .getOrElse(Nil)
-        val explicit =
-          (models ++ tag.map(runner.modelsByTag).getOrElse(Nil) ++ selected)
-            .distinct
-        val targets = if (explicit.isEmpty) None else Some(explicit)
+        // unioned with positional names and --tag (model/Selector.scala).
+        // Targeting is None only when NO selection mechanism was given:
+        // a given-but-empty selection (non-matching tag, clean
+        // state:modified) runs nothing, it never widens to everything.
+        val tagged = tag.map(runner.modelsByTag)
+        val selected = selectedModels
+        val targets =
+          if (models.isEmpty && tagged.isEmpty && selected.isEmpty) None
+          else Some((models ++ tagged.getOrElse(Nil) ++
+            selected.getOrElse(Nil)).distinct)
         // per-environment variable defaults; explicit --var wins
         val envName = target.getOrElse(cfg.currentTarget)
         val allVars = cfg.environmentVars(envName) ++ vars
@@ -151,10 +160,8 @@ object Cli {
         0
       case "list" =>
         // --select narrows the listing through the same resolver as run
-        val listed = flagValue(rest, "--select")
-          .map(s => Selector.resolve(runner.graph, runner.modelsByTag, Seq(s),
-            plannerModified))
-          .getOrElse(runner.graph.models.sorted)
+        // (an empty resolution lists nothing, same contract)
+        val listed = selectedModels.getOrElse(runner.graph.models.sorted)
         listed.foreach { m =>
           val c = runner.configMap.get(m)
           val nTests = c.map(_.tests.size).getOrElse(0)

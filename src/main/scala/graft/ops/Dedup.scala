@@ -825,9 +825,16 @@ object Dedup {
       length(trim(col("line"))) >= minChars
     val firsts = lines.filter(substantive)
       .groupBy(col("line")).agg(min(key).as("__first"))
+    // __first IS NULL = no identified doc claims the line (it lives
+    // only in NULL-id docs): those copies are KEPT — without ids there
+    // is no deterministic first to dedupe toward, and dropping would
+    // silently blank content unique to those docs. A line claimed by
+    // any identified doc still dedupes to that doc's smallest (id, pos)
+    // and NULL-id copies of it are stripped.
     val flagged = lines.join(firsts, Seq("line"), "left")
       .withColumn("__keep", col("line").isNotNull &&
-        (length(trim(col("line"))) < minChars || key === col("__first")))
+        (length(trim(col("line"))) < minChars ||
+          key === col("__first") || col("__first").isNull))
     flagged.groupBy(col(idCol)).agg(
       count(col("line")).as("n_lines"),
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),

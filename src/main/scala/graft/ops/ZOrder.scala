@@ -68,12 +68,15 @@ object ZOrder {
     val stats = df.agg(
       min(col(colA).cast("long")), max(col(colA).cast("long")),
       min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
-    if (stats.isNullAt(0) || stats.isNullAt(2)) // all-NULL or empty
-      return df.withColumn("__z", lit(0L))
-    val (aMin, aMax) = (stats.getLong(0), stats.getLong(1))
-    val (bMin, bMax) = (stats.getLong(2), stats.getLong(3))
-    df.withColumn("__z", interleave(
-      coalesce(bucket(col(colA), aMin, aMax, bits), lit(0L)),
-      coalesce(bucket(col(colB), bMin, bMax, bits), lit(0L)), bits))
+    // A dimension that is ALL NULL (or an empty frame) degrades to
+    // constant bucket 0 on that side only — the healthy column still
+    // clusters (collapsing the whole z to 0 would also collapse the
+    // numFiles range partitioning into one giant file)
+    def side(c: String, lo: Int): Column =
+      if (stats.isNullAt(lo)) lit(0L)
+      else coalesce(
+        bucket(col(c), stats.getLong(lo), stats.getLong(lo + 1), bits),
+        lit(0L))
+    df.withColumn("__z", interleave(side(colA, 0), side(colB, 2), bits))
   }
 }

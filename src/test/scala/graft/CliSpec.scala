@@ -149,6 +149,24 @@ class CliSpec extends SparkSpec {
     // a typo'd selector is loud: DependencyError exit code, not a no-op
     val (bad, badLines) = run(proj, "run", "--select", "nope+")
     assert(bad == 7, badLines.mkString("\n"))
+
+    // a GIVEN selection that resolves empty runs/lists NOTHING — it
+    // must never widen to "all models" (the CI inversion hazard)
+    val beforeLeaf = {
+      val whDir = proj.resolve("warehouse").toString
+      new model.Warehouse(spark, whDir,
+        model.StateStore(whDir + "/state", "dev")).currentVersion("leaf")
+    }
+    val (ec, el) = run(proj, "run", "--select", "tag:no_such_tag")
+    assert(ec == 0, el.mkString("\n"))
+    val afterLeaf = {
+      val whDir = proj.resolve("warehouse").toString
+      new model.Warehouse(spark, whDir,
+        model.StateStore(whDir + "/state", "dev")).currentVersion("leaf")
+    }
+    assert(afterLeaf == beforeLeaf, "empty selection must not run models")
+    val (lc3, ll3) = run(proj, "list", "--select", "tag:no_such_tag")
+    assert(lc3 == 0 && ll3.isEmpty)
   }
 
   test("--select state:modified runs only hash-changed models (+ dependents)") {

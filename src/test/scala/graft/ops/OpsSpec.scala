@@ -670,6 +670,19 @@ class OpsSpec extends SparkSpec {
     assert(out(None) == "")
   }
 
+  test("paragraphDedup: lines unique to NULL-id docs are KEPT, not blanked") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)](
+      (null, "only here\nshared"), (3L, "shared")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text").collect()
+      .map(r => Option(r.get(0)).map(_.asInstanceOf[Long]) -> r.getString(3))
+      .toMap
+    // "only here" lives in no identified doc -> kept; "shared" dedupes
+    // to doc 3 and the NULL-id copy is stripped
+    assert(out(None) == "only here")
+    assert(out(Some(3L)) == "shared")
+  }
+
   // ------------------ C90: co-occurrence lift (integer-exact PMI proxy)
 
   test("cooccurrenceLift: exact integer lift, vocab cap, min-pair cut") {

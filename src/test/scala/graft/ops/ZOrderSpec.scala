@@ -69,6 +69,17 @@ class ZOrderSpec extends SparkSpec {
       s"null b leaked into b-side bits: $nullB")
   }
 
+  test("withZValue: an all-NULL dimension degrades to one side, not to z=0") {
+    // colA entirely NULL must not collapse the curve — colB still
+    // produces a spread of z values (else range partitioning by __z
+    // degenerates to one giant file)
+    val df = (0L until 32L)
+      .map(i => (None: Option[Long], i)).toDF("a", "b")
+    val zs = ZOrder.withZValue(df, "a", "b", 5).collect()
+      .map(_.getLong(2)).distinct
+    assert(zs.length > 1, s"z collapsed: ${zs.toSeq}")
+  }
+
   test("z-ordered layout: a 2-D box filter touches few files") {
     // 64x64 grid, identity buckets (min 0, max 63, bits 6); an aligned
     // 8x8 box occupies ONE contiguous z-run of 64 values out of 4096,
