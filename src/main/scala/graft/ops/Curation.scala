@@ -498,6 +498,40 @@ object Curation {
     df.withColumn("url_canon", canon).withColumn("url_domain", domain)
   }
 
+  /** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    * 1998, the assignment scheme whose defining property is MINIMAL
+    * MOVEMENT: when the shard count grows k → k+1, a doc either keeps
+    * its shard or moves to the NEW one (its scores against the old
+    * shards didn't change), so an incremental pipeline re-shards by
+    * touching ~1/(k+1) of the corpus instead of reshuffling all of it —
+    * the property mod-k sharding ([[shuffleShards]]' epoch layout)
+    * deliberately trades away for exact balance.
+    *
+    * shard(id) = argmax_s md5("rv:{s}:{id}") with the 15-hex (60-bit)
+    * engine-stable [[graft.functions.HashExprs.md5Long]] score and ties
+    * (astronomically unlikely at 60 bits, but determinism is a
+    * contract) to the smaller shard. Pure map stage: the k candidate
+    * scores ride as one literal-tagged struct array per row, fused
+    * into the scan — no shuffle, no state; both engines re-derive the
+    * identical argmax. NULL ids get NULL shards (no identity to hash).
+    *
+    * Output: df's columns + `shard` (int in [0, numShards)). */
+  def rendezvousShard(
+      df: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 4096,
+      "numShards in [1, 4096] — scores ride as per-row literals")
+    val scored = array((0 until numShards).map { s =>
+      struct(
+        graft.functions.HashExprs.md5Long(
+          concat(lit(s"rv:$s:"), col(idCol).cast("string")), 15)
+          .as("score"),
+        lit(-s).as("ns")) // max on -s => smaller shard wins ties
+    }: _*)
+    df.withColumn("shard",
+      when(col(idCol).isNull, lit(null))
+        .otherwise(-array_max(scored).getField("ns")).cast("int"))
+  }
+
   /** Per-stratum exact LOWER MEDIAN of an integral column: the value
     * whose (value, id) rank equals (n+1) div 2 — discrete (an actual
     * data value, like percentile_disc) so both engines agree exactly,

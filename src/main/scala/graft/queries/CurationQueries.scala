@@ -465,7 +465,31 @@ object CurationQueries extends QueryModule {
        |FROM d JOIN mad ON mad.source IS NOT DISTINCT FROM d.source
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------- C104: rendezvous (highest-random-weight) sharding
+  private val RvShards = 16
+
+  private def qRendezvous(s: SparkSession, dir: String): DataFrame =
+    Curation.rendezvousShard(
+      docs(s, dir).select(col("doc_id")), "doc_id", RvShards)
+      .select(col("doc_id"), col("shard"))
+      .orderBy("doc_id")
+
+  private val qRendezvousSql =
+    s"""WITH scored AS (
+       |  SELECT doc_id, t.s AS s,
+       |    CAST('0x' || substr(md5('rv:' || CAST(t.s AS VARCHAR) || ':'
+       |      || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS score
+       |  FROM documents, UNNEST(range($RvShards)) AS t(s))
+       |SELECT doc_id, CAST(s AS INTEGER) AS shard
+       |FROM (SELECT doc_id, s,
+       |        ROW_NUMBER() OVER (PARTITION BY doc_id
+       |          ORDER BY score DESC, s ASC) AS rn
+       |      FROM scored)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shard_rendezvous" -> qRendezvous _,
     "q_mad_outliers" -> qMadOutliers _,
     "q_epoch_alloc" -> qEpochAlloc _,
     "q_url_canon" -> qUrlCanon _,
@@ -477,6 +501,7 @@ object CurationQueries extends QueryModule {
     "q_curate_pipeline" -> qCuratePipeline _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_shard_rendezvous" -> qRendezvousSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_epoch_alloc" -> qEpochAllocSql,
     "q_url_canon" -> qUrlCanonSql,

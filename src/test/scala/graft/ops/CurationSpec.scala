@@ -85,6 +85,36 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  // ---------- C104: rendezvous (highest-random-weight) sharding
+
+  test("rendezvousShard: k -> k+1 moves docs ONLY to the new shard") {
+    // the defining HRW property, exact not statistical: a doc's scores
+    // against shards 0..k-1 are unchanged when shard k appears, so it
+    // either keeps its argmax or the new shard beat it
+    val df = (0L until 4000L).toDF("id")
+    val k8 = Curation.rendezvousShard(df, "id", 8)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val k9 = Curation.rendezvousShard(df, "id", 9)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val moved = (0L until 4000L).filter(i => k8(i) != k9(i))
+    assert(moved.forall(i => k9(i) == 8),
+      s"moved docs must land on the NEW shard: ${moved.take(3).map(k9)}")
+    // expected movement ~ 1/9 of docs; allow wide slack, it's md5-random
+    assert(moved.size > 4000 / 20 && moved.size < 4000 / 4,
+      s"moved ${moved.size} of 4000")
+  }
+
+  test("rendezvousShard: balanced-ish spread, NULL id -> NULL shard") {
+    val df = (0L until 3200L).map(Option(_)).:+(None: Option[Long]).toDF("id")
+    val rows = Curation.rendezvousShard(df, "id", 16).collect()
+    val byShard = rows.filter(!_.isNullAt(1)).groupBy(_.getInt(1))
+      .view.mapValues(_.length).toMap
+    assert(byShard.keySet == (0 until 16).toSet)
+    // 200 expected per shard; no shard beyond 2x or below half
+    assert(byShard.values.forall(n => n > 100 && n < 400), byShard.toString)
+    assert(rows.exists(_.isNullAt(1)))
+  }
+
   // -------------- C103: MAD robust outliers (Hampel's rule)
 
   test("madOutliers: hand-computed medians and flags; outlier can't hide itself") {
