@@ -394,6 +394,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pb.contains("SortMergeJoin"), pb)
   }
 
+  test("rendezvous sharding is a pure map: no exchange, no window") {
+    val d = Tables.load(spark, sfDir, "documents").select(col("doc_id"))
+    val p = plan(ops.Curation.rendezvousShard(d, "doc_id", 16))
+    assert(exchanges(p) == 0, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
   test("label propagation round: aggregate argmax, never a per-node window") {
     // assert on the ROUND itself — the per-round checkpoint truncates
     // lineage, so the composed operator's final plan hides the argmax
