@@ -451,6 +451,47 @@ object Curation {
         col("first_seq"), col("last_seq"))
   }
 
+  /** Per-stratum sequence packing — [[packSequences]] with an
+    * independent token stream PER STRATUM (source, language, shard):
+    * the production layout when each corpus slice trains as its own
+    * shard family and a global concatenation order would interleave
+    * unrelated sources into the same training sequence. Each stratum's
+    * offsets start at 0 and its documents pack in ascending id order.
+    *
+    * Same two-level prefix-sum shape, grouped: id-quantile buckets are
+    * cut per stratum, per-(stratum, bucket) totals prefix-sum inside
+    * each stratum, and the in-bucket window partitions by
+    * (stratum, bucket) — a giant stratum still never lands in one
+    * task, and strata proceed in parallel. NULL stratum is a
+    * legitimate group ([[Sampling]] discipline); NULL ids are excluded
+    * (no position in any order).
+    *
+    * Output: strataCol, idCol, n_tokens, start_offset, first_seq,
+    * last_seq (sequence numbering is per stratum). */
+  def packSequencesByStratum(
+      df: DataFrame, idCol: String, strataCol: String, tokens: Column,
+      seqLen: Int, numBuckets: Int = 64): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val base = df.select(col(strataCol), col(idCol).cast("long").as(idCol),
+      tokens.cast("long").as("n_tokens"))
+      .filter(col(idCol).isNotNull)
+    val bucketed = Bucketing.quantileBuckets(
+      base, col(idCol), Seq(strataCol), numBuckets)
+    val offs = Bucketing.bucketOffsets(bucketed, Seq(strataCol),
+      col("n_tokens"))
+    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Bucketing.joinOffsets(bucketed, offs, Seq(strataCol))
+      .withColumn("start_offset",
+        col("__boffset") + coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .withColumn("first_seq", expr(s"start_offset div $seqLen"))
+      .withColumn("last_seq",
+        expr(s"(start_offset + greatest(n_tokens, 1L) - 1) div $seqLen"))
+      .select(col(strataCol), col(idCol), col("n_tokens"),
+        col("start_offset"), col("first_seq"), col("last_seq"))
+  }
+
   /** URL canonicalization for crawl dedup keys and domain-level
     * curation (the RefinedWeb/CCNet URL-filter preamble): two URLs that
     * differ only in scheme/host case, a `www.` prefix, tracking query

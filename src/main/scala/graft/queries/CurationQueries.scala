@@ -488,7 +488,31 @@ object CurationQueries extends QueryModule {
        |WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------- C105: per-stratum sequence packing
+  private val PackStrataSeqLen = 512
+
+  private def qPackBySource(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequencesByStratum(docs(s, dir), "doc_id", "source",
+      col("n_chars"), PackStrataSeqLen)
+      .orderBy("source", "doc_id")
+
+  private val qPackBySourceSql =
+    s"""WITH packed AS (
+       |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_tokens,
+       |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS start_offset
+       |  FROM documents WHERE doc_id IS NOT NULL)
+       |SELECT source, doc_id, n_tokens,
+       |  CAST(start_offset AS BIGINT) AS start_offset,
+       |  CAST(start_offset // $PackStrataSeqLen AS BIGINT) AS first_seq,
+       |  CAST((start_offset + GREATEST(n_tokens, 1) - 1)
+       |    // $PackStrataSeqLen AS BIGINT) AS last_seq
+       |FROM packed
+       |ORDER BY source, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_by_source" -> qPackBySource _,
     "q_shard_rendezvous" -> qRendezvous _,
     "q_mad_outliers" -> qMadOutliers _,
     "q_epoch_alloc" -> qEpochAlloc _,
@@ -501,6 +525,7 @@ object CurationQueries extends QueryModule {
     "q_curate_pipeline" -> qCuratePipeline _)
 
   def oracleSql: Map[String, String] = Map(
+    "q_pack_by_source" -> qPackBySourceSql,
     "q_shard_rendezvous" -> qRendezvousSql,
     "q_mad_outliers" -> qMadOutliersSql,
     "q_epoch_alloc" -> qEpochAllocSql,

@@ -85,6 +85,39 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(2L, 3L))
   }
 
+  // ---------------- C105: per-stratum sequence packing
+
+  test("packSequencesByStratum: matches the naive per-group window; offsets restart") {
+    val rows = (0L until 300L).map(i =>
+      (i, s"s${i % 4}", ((i * 13 + 7) % 90) + 1))
+    val df = rows.map { case (i, s, n) => (i, s, n) }.toDF("id", "src", "tok")
+    val fast = Curation.packSequencesByStratum(df, "id", "src",
+      col("tok"), seqLen = 100, numBuckets = 8)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // naive: running sums per group in id order
+    val naive = rows.groupBy(_._2).values.flatMap { grp =>
+      val sorted = grp.sortBy(_._1)
+      sorted.zip(sorted.scanLeft(0L)(_ + _._3)).map { case ((i, _, n), off) =>
+        i -> (off, off / 100, (off + math.max(n, 1) - 1) / 100)
+      }
+    }.toMap
+    assert(fast == naive)
+    // each stratum's stream starts at 0
+    val bySrc = rows.groupBy(_._2).view
+      .mapValues(g => fast(g.map(_._1).min)._1)
+    assert(bySrc.values.forall(_ == 0L))
+  }
+
+  test("packSequencesByStratum: NULL stratum packs as its own group") {
+    val df = Seq((1L, Some("a"), 60L), (2L, None, 70L), (3L, None, 80L))
+      .toDF("id", "src", "tok")
+    val out = Curation.packSequencesByStratum(df, "id", "src",
+      col("tok"), seqLen = 100)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L && out(2L) == 0L && out(3L) == 70L)
+  }
+
   // ---------- C104: rendezvous (highest-random-weight) sharding
 
   test("rendezvousShard: k -> k+1 moves docs ONLY to the new shard") {
