@@ -347,6 +347,31 @@ object Dedup {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** CONSENSUS near-dup pairs: flagged by BOTH the shingle family
+    * (MinHash LSH bands — token-set overlap) AND the bit-sampling
+    * family (SimHash hamming bands — weighted-feature closeness). The
+    * two generators fail differently — shingles miss character-level
+    * edits, simhash can collide topically-similar-but-distinct docs —
+    * so their INTERSECTION is the high-precision tier used when a
+    * deletion decision is irreversible (auto-dropping from a crawl
+    * without human review), with either single family kept for recall
+    * tiers. Ensemble-of-signals dedup is standard curation practice;
+    * the agreement set is typically tiny relative to either candidate
+    * list.
+    *
+    * Scale shape: both generators are the bounded banded joins they
+    * already are (bucket caps apply to each); the consensus is ONE
+    * inner join on the (a, b) pair key — pair-list sized, never
+    * corpus-sized. Output: a, b (a < b). */
+  def consensusPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+      simBands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame =
+    minHashLsh(df, idCol, textCol, shingleSize, numHashes, bandSize,
+      maxBucketSize)
+      .join(simHashCandidates(simHash(df, idCol, textCol), idCol,
+        simBands, maxBucketSize), Seq("a", "b"))
+
   /** End-to-end MinHash LSH near-dup candidates. */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,

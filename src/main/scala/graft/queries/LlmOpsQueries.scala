@@ -189,6 +189,50 @@ object LlmOpsQueries extends QueryModule {
        |           ELSE 0 END) AS BIGINT) AS simhash
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // -------------- C106: consensus near-dup (minhash ∩ simhash bands)
+  // High-precision tier: pairs BOTH families flag. The oracle chains
+  // the shared minhash-band CTEs with a renamed simhash-band chain and
+  // intersects on the pair key.
+  private val ConsSimBands = 4
+
+  private def qDedupConsensus(s: SparkSession, dir: String): DataFrame =
+    Dedup.consensusPairs(docs(s, dir), "doc_id", "text",
+      ShingleN, NumHashes, BandSize, ConsSimBands)
+      .orderBy("a", "b")
+
+  private val qDedupConsensusSql = {
+    val chunk = 60 / ConsSimBands
+    val mask = (1L << chunk) - 1
+    s"""$qDedupMinhashCtes,
+       |stoks AS (
+       |  SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),
+       |sh_h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM stoks WHERE len(tok) > 0),
+       |sh_bits AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM sh_h, (SELECT UNNEST(range(60)) AS b) bb
+       |  GROUP BY doc_id, bb.b),
+       |sh_sim AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+       |             ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM sh_bits GROUP BY doc_id),
+       |sh_banded AS (
+       |  SELECT doc_id, bb.b AS band_id,
+       |    (simhash >> (CAST(bb.b AS INTEGER) * $chunk)) & $mask AS sig
+       |  FROM sh_sim, (SELECT UNNEST(range($ConsSimBands)) AS b) bb),
+       |sh_cand AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM sh_banded l JOIN sh_banded r
+       |    ON l.band_id = r.band_id AND l.sig = r.sig
+       |    AND l.doc_id < r.doc_id)
+       |SELECT p.a, p.b FROM pairs p
+       |JOIN sh_cand c ON c.a = p.a AND c.b = p.b
+       |ORDER BY p.a, p.b""".stripMargin
+  }
+
   // ------------------------------------------------- C4: n-gram Jaccard
   private def qJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2,
@@ -971,6 +1015,7 @@ object LlmOpsQueries extends QueryModule {
     "q_rebalance" -> qRebalance _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_consensus" -> qDedupConsensus _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_keep" -> qDedupKeep _,
     "q_dedup_simhash" -> qDedupSimhash _,
@@ -1005,6 +1050,7 @@ object LlmOpsQueries extends QueryModule {
     "q_rebalance" -> qRebalanceSql,
     "q_dedup_exact" -> qDedupExactSql,
     "q_dedup_minhash" -> qDedupMinhashSql,
+    "q_dedup_consensus" -> qDedupConsensusSql,
     "q_dedup_clusters" -> qDedupClustersSql,
     "q_dedup_keep" -> qDedupKeepSql,
     "q_dedup_simhash" -> qDedupSimhashSql,

@@ -683,6 +683,22 @@ class OpsSpec extends SparkSpec {
     assert(out(Some(3L)) == "shared")
   }
 
+  // ---------- C106: consensus near-dup (minhash ∩ simhash bands)
+
+  test("consensusPairs: exactly the intersection of both families, and a precision cut") {
+    val pairSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = pairSet(Dedup.minHashLsh(docs, "doc_id", "text", 3, 8, 2))
+    val sh = pairSet(Dedup.simHashCandidates(
+      Dedup.simHash(docs, "doc_id", "text"), "doc_id", 4))
+    val cons = pairSet(Dedup.consensusPairs(docs, "doc_id", "text"))
+    assert(cons == mh.intersect(sh))
+    // the testdata's planted near-dups survive both families...
+    assert(cons.nonEmpty)
+    // ...and the consensus genuinely cuts each single family
+    assert(cons.size < mh.size && cons.size < sh.size)
+  }
+
   // ------------------ C90: co-occurrence lift (integer-exact PMI proxy)
 
   test("cooccurrenceLift: exact integer lift, vocab cap, min-pair cut") {
