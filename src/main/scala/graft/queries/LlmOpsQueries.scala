@@ -190,20 +190,33 @@ object LlmOpsQueries extends QueryModule {
        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // -------------- C106: consensus near-dup (minhash ∩ simhash bands)
-  // High-precision tier: pairs BOTH families flag. The oracle chains
-  // the shared minhash-band CTEs with a renamed simhash-band chain and
-  // intersects on the pair key.
+  // High-precision tier: pairs BOTH families flag. The query runs the
+  // CAPPED production shape — both banded self-joins drop buckets
+  // larger than ConsMaxBucket before pairing (the boundBuckets
+  // discipline; the uncapped run went 64x-superlinear at 30x data,
+  // caught by the scale sweep) — and the oracle applies the identical
+  // QUALIFY cap to both chains before intersecting on the pair key.
   private val ConsSimBands = 4
+  private val ConsMaxBucket = 64
 
   private def qDedupConsensus(s: SparkSession, dir: String): DataFrame =
     Dedup.consensusPairs(docs(s, dir), "doc_id", "text",
-      ShingleN, NumHashes, BandSize, ConsSimBands)
+      ShingleN, NumHashes, BandSize, ConsSimBands,
+      maxBucketSize = ConsMaxBucket)
       .orderBy("a", "b")
 
   private val qDedupConsensusSql = {
     val chunk = 60 / ConsSimBands
     val mask = (1L << chunk) - 1
     s"""$qDedupMinhashCtes,
+       |mh_bounded AS (
+       |  SELECT doc_id, band_id, sig FROM bands
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_id, sig) <= $ConsMaxBucket),
+       |mh_pairs AS (
+       |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+       |  FROM mh_bounded l JOIN mh_bounded r
+       |    ON l.band_id = r.band_id AND l.sig = r.sig
+       |  WHERE l.doc_id < r.doc_id),
        |stoks AS (
        |  SELECT doc_id, UNNEST($sqlToks) AS tok FROM documents),
        |sh_h AS (
@@ -223,12 +236,15 @@ object LlmOpsQueries extends QueryModule {
        |  SELECT doc_id, bb.b AS band_id,
        |    (simhash >> (CAST(bb.b AS INTEGER) * $chunk)) & $mask AS sig
        |  FROM sh_sim, (SELECT UNNEST(range($ConsSimBands)) AS b) bb),
+       |sh_bounded AS (
+       |  SELECT doc_id, band_id, sig FROM sh_banded
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_id, sig) <= $ConsMaxBucket),
        |sh_cand AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM sh_banded l JOIN sh_banded r
+       |  FROM sh_bounded l JOIN sh_bounded r
        |    ON l.band_id = r.band_id AND l.sig = r.sig
        |    AND l.doc_id < r.doc_id)
-       |SELECT p.a, p.b FROM pairs p
+       |SELECT p.a, p.b FROM mh_pairs p
        |JOIN sh_cand c ON c.a = p.a AND c.b = p.b
        |ORDER BY p.a, p.b""".stripMargin
   }
