@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Production default for every banded-join bucket cap in this file
+    * (see [[boundBuckets]]): buckets larger than this are dropped before
+    * the bucket self-join. 64 is the cap the bench queries ship
+    * (`ConsMaxBucket`) and is far above any honest near-dup bucket —
+    * with 4+ bands a true duplicate cluster of k docs appears in SOME
+    * band bucket of size ~k, and real near-dup clusters are a handful of
+    * docs; a bucket of 64+ rows sharing a band signature is near-certain
+    * boilerplate (handled by [[exact]] dedup instead). The uncapped run
+    * measured 64×-superlinear at 30× data (r7_scale_x30_final), so the
+    * quadratic path is OPT-IN: pass [[Uncapped]] explicitly for
+    * oracle-exact exhaustive baselines. */
+  val DefaultMaxBucketSize: Int = 64
+
+  /** Explicit opt-out of [[boundBuckets]] capping — exhaustive candidate
+    * enumeration for small-corpus oracle baselines. Never the production
+    * default: a single degenerate bucket of B rows emits B² pairs. */
+  val Uncapped: Int = Int.MaxValue
+
   /** CPU-heavy per-row stages want full-core parallelism even when the
     * source has few splits (a single parquet row group reads as one
     * partition). One cheap round-robin shuffle of the raw rows buys
@@ -330,12 +348,13 @@ object Dedup {
     * self-join per band keyed on the band value yields the candidates
     * (a < b). The join is hash-partitioned on the band value — work is
     * proportional to bucket sizes, never N². `maxBucketSize` bounds the
-    * per-bucket fan-out (see [[boundBuckets]]); pass Int.MaxValue for
-    * exhaustive candidates. */
+    * per-bucket fan-out (see [[boundBuckets]]) and DEFAULTS to the
+    * production cap [[DefaultMaxBucketSize]]; pass [[Uncapped]]
+    * explicitly for exhaustive candidates. */
   def lshCandidatePairs(
       signatures: DataFrame, idCol: String,
       numHashes: Int, bandSize: Int,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val banded0 = bandFrame(signatures, idCol, numHashes, bandSize)
     val banded =
       if (maxBucketSize == Int.MaxValue) banded0
@@ -366,7 +385,7 @@ object Dedup {
   def consensusPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
-      simBands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame =
+      simBands: Int = 4, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     minHashLsh(df, idCol, textCol, shingleSize, numHashes, bandSize,
       maxBucketSize)
       .join(simHashCandidates(simHash(df, idCol, textCol), idCol,
@@ -376,7 +395,7 @@ object Dedup {
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
-      maxBucketSize: Int = Int.MaxValue): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     lshCandidatePairs(
       minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
       idCol, numHashes, bandSize, maxBucketSize)
@@ -396,7 +415,7 @@ object Dedup {
   def jaccardEstimate(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
-      maxBucketSize: Int = Int.MaxValue): DataFrame =
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame =
     jaccardEstimateFromSignatures(
       minHashSignatures(df, idCol, textCol, shingleSize, numHashes),
       idCol, numHashes, bandSize, maxBucketSize)
@@ -412,7 +431,7 @@ object Dedup {
     * fine for ad-hoc runs, wasteful at scale. */
   def jaccardEstimateFromSignatures(
       sigs: DataFrame, idCol: String, numHashes: Int = 8, bandSize: Int = 2,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val pairs = lshCandidatePairs(sigs, idCol, numHashes, bandSize, maxBucketSize)
     val la = sigs.select(col(idCol).as("a") +:
       (0 until numHashes).map(j => col(s"h$j").as(s"__a$j")): _*)
@@ -542,7 +561,7 @@ object Dedup {
   def incrementalNearDupFromSignatures(
       newSigs: DataFrame, corpusSigs: DataFrame, idCol: String,
       numHashes: Int = 8, bandSize: Int = 2, minEstimate: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       broadcastBatch: Boolean = true): DataFrame = {
     val nb0 = bandFrame(newSigs, idCol, numHashes, bandSize)
       .select(col("band_id"), col("sig"), col(idCol).as("__new"))
@@ -584,7 +603,7 @@ object Dedup {
       idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
       minEstimate: Double = 0.5,
-      maxBucketSize: Int = Int.MaxValue,
+      maxBucketSize: Int = DefaultMaxBucketSize,
       broadcastBatch: Boolean = true): DataFrame = {
     val res = incrementalNearDupFromSignatures(
       minHashSignatures(newDf, idCol, textCol, shingleSize, numHashes),
@@ -613,7 +632,7 @@ object Dedup {
     * per-bucket fan-out as in [[boundBuckets]]. */
   def simHashCandidates(
       sims: DataFrame, idCol: String, numBands: Int = 4,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val chunkBits = 60 / numBands
     val mask = (1L << chunkBits) - 1
     val chunks = (0 until numBands).map { b =>
@@ -655,7 +674,7 @@ object Dedup {
     * Output: a, b (a < b), edit_dist (int, ≤ maxDist). */
   def editDistancePairs(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-      numBands: Int = 4, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      numBands: Int = 4, maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     val cands = simHashCandidates(
       simHash(df, idCol, textCol), idCol, numBands, maxBucketSize)
@@ -767,10 +786,10 @@ object Dedup {
     *
     * The DEFAULT is uncapped exact Jaccard — this is the verify-stage
     * operator and its contract is a bounded candidate set; callers
-    * handing it corpus-shaped input opt into a cap explicitly, the same
-    * explicit-bounding convention as [[lshCandidatePairs]] /
-    * [[contaminationPairs]] (a silently capped default would change
-    * results under existing callers' feet). */
+    * handing it corpus-shaped input opt into a cap explicitly, like
+    * [[contaminationPairs]] (unlike the CANDIDATE generators —
+    * [[lshCandidatePairs]] and family — which cap by default, because
+    * their contract is corpus-shaped input). */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, maxShingleDf: Int = Int.MaxValue): DataFrame =

@@ -22,6 +22,18 @@ import org.apache.spark.sql.functions._
   * path.
   */
 object Similarity {
+
+  /** Production default for the embedding-LSH bucket cap on
+    * [[nearDupPairs]] (cf. [[Dedup.DefaultMaxBucketSize]] for the text
+    * family): buckets larger than this are dropped before the in-bucket
+    * self-join. 256 is the cap the bench query ships (`NdMaxBucket`) —
+    * embedding-LSH buckets are coarser than text bands (2^planesPerBand
+    * cells per band), so the honest-bucket bound sits higher than the
+    * text default. A spike of degenerate (near-zero / constant) vectors
+    * lands in one bucket and would otherwise go quadratic; pass
+    * [[Dedup.Uncapped]] explicitly for exhaustive small-corpus
+    * baselines. */
+  val DefaultMaxBucketSize: Int = 256
   import graft.functions.VectorExprs
 
   /** Dot product of two array<float|double> columns (sequential fold). */
@@ -445,7 +457,7 @@ object Similarity {
   def nearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, numBands: Int = 4, planesPerBand: Int = 8,
-      maxBucketSize: Int = Int.MaxValue): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     val b0 = lshBandBuckets(df.select(col(idCol), col(vecCol)),
       vecCol, numBands, planesPerBand)
       .select(col(idCol), asDouble(col(vecCol)).as("v"),

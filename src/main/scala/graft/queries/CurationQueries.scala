@@ -16,7 +16,7 @@ object CurationQueries extends QueryModule {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Dedup.fanOut(Tables.load(s, dir, "documents"))
 
-  import LlmOpsQueries.{sqlNorm, sqlToks, qDedupMinhashCtes}
+  import LlmOpsQueries.{sqlNorm, sqlToks, qDedupMinhashCtesCapped}
 
   // --------------------------- C36: line/segment boilerplate removal
   // CCNet-style boilerplate strip: a unit occurring in >= MinDocs
@@ -85,7 +85,7 @@ object CurationQueries extends QueryModule {
     * two leakage guards can never disagree on a cluster). */
   private val leakClusterCtes = {
     val recursiveCtes =
-      qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+      qDedupMinhashCtesCapped.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$recursiveCtes,
        |edges AS (
        |  SELECT a AS u, b AS v FROM pairs

@@ -41,12 +41,16 @@ object LlmOpsQueries extends QueryModule {
   private[queries] val NumHashes = 8
   private[queries] val BandSize = 2
 
+  // The exhaustive-candidates baseline: EXPLICIT opt-out of the
+  // cap-by-default (Dedup.DefaultMaxBucketSize) the operator now ships —
+  // this query pins the oracle-exact uncapped enumeration; its 100 TB
+  // twin is q_dedup_minhash_capped (ScaleQueries), which runs the capped
+  // production shape where the cap actually bites.
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(docs(s, dir), "doc_id", "text", ShingleN, NumHashes, BandSize)
+    Dedup.minHashLsh(docs(s, dir), "doc_id", "text", ShingleN, NumHashes,
+      BandSize, maxBucketSize = Dedup.Uncapped)
       .orderBy("a", "b")
 
-  /** The full MinHash+LSH pipeline as CTEs ending in `pairs(a, b)` —
-    * shared by the pair query and the clusters query's oracle. */
   /** The shared `norm` + `sh` distinct-shingle CTEs over the FULL
     * documents table — one definition, so a semantic fix to the DuckDB
     * twin of TextOps.tokens / Dedup.shingleArray can't silently
@@ -61,7 +65,13 @@ object LlmOpsQueries extends QueryModule {
        |      for i in range(1, len(toks) - ${n - 2})]) AS s
        |    FROM norm WHERE len(toks) >= $n))""".stripMargin
 
-  private[queries] val qDedupMinhashCtes = {
+  /** The full MinHash+LSH pipeline as CTEs ending in `pairs(a, b)` —
+    * shared by every oracle that consumes the candidate-pair graph.
+    * `maxBucketSize` mirrors the Spark side's boundBuckets cap: capped
+    * call sites take [[qDedupMinhashCtesCapped]] (the
+    * Dedup.DefaultMaxBucketSize production default), the explicit
+    * uncapped baseline takes [[qDedupMinhashCtes]]. */
+  private[queries] def minhashPairCtes(maxBucketSize: Int): String = {
     val minhashes = (0 until NumHashes)
       .map(j => s"MIN(md5('$j:' || s)) AS h$j").mkString(",\n    ")
     val bands = (0 until NumHashes / BandSize).map { b =>
@@ -69,18 +79,34 @@ object LlmOpsQueries extends QueryModule {
         .mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_id, $sig AS sig FROM mh"
     }.mkString("\n  UNION ALL\n  ")
+    val pairSrc =
+      if (maxBucketSize == Int.MaxValue) "bands"
+      else "bands_bounded"
+    val boundedCte =
+      if (maxBucketSize == Int.MaxValue) ""
+      else
+        s""",
+           |bands_bounded AS (
+           |  SELECT doc_id, band_id, sig FROM bands
+           |  QUALIFY COUNT(*) OVER (PARTITION BY band_id, sig)
+           |    <= $maxBucketSize)""".stripMargin
     s"""WITH ${sqlShingleCtes(ShingleN)},
        |mh AS (
        |  SELECT doc_id,
        |    $minhashes
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  $bands),
+       |  $bands)$boundedCte,
        |pairs AS (
        |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-       |  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.sig = r.sig
+       |  FROM $pairSrc l JOIN $pairSrc r
+       |    ON l.band_id = r.band_id AND l.sig = r.sig
        |  WHERE l.doc_id < r.doc_id)""".stripMargin
   }
+
+  private[queries] val qDedupMinhashCtes = minhashPairCtes(Int.MaxValue)
+  private[queries] val qDedupMinhashCtesCapped =
+    minhashPairCtes(Dedup.DefaultMaxBucketSize)
 
   private val qDedupMinhashSql =
     s"$qDedupMinhashCtes\nSELECT a, b FROM pairs ORDER BY a, b"
@@ -100,7 +126,7 @@ object LlmOpsQueries extends QueryModule {
     val agree = (0 until NumHashes)
       .map(j => s"CASE WHEN la.h$j = lb.h$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""$qDedupMinhashCtes,
+    s"""$qDedupMinhashCtesCapped,
        |agree AS (
        |  SELECT p.a, p.b, $agree AS n_agree
        |  FROM pairs p
@@ -124,7 +150,8 @@ object LlmOpsQueries extends QueryModule {
       .orderBy("doc_id")
 
   private val qDedupClustersSql = {
-    val recursiveCtes = qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val recursiveCtes =
+      qDedupMinhashCtesCapped.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$recursiveCtes,
        |edges AS (
        |  SELECT a AS u, b AS v FROM pairs
@@ -152,7 +179,8 @@ object LlmOpsQueries extends QueryModule {
   }
 
   private val qDedupKeepSql = {
-    val recursiveCtes = qDedupMinhashCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")
+    val recursiveCtes =
+      qDedupMinhashCtesCapped.replaceFirst("^WITH ", "WITH RECURSIVE ")
     s"""$recursiveCtes,
        |edges AS (
        |  SELECT a AS u, b AS v FROM pairs
@@ -197,7 +225,7 @@ object LlmOpsQueries extends QueryModule {
   // caught by the scale sweep) — and the oracle applies the identical
   // QUALIFY cap to both chains before intersecting on the pair key.
   private val ConsSimBands = 4
-  private val ConsMaxBucket = 64
+  private val ConsMaxBucket = Dedup.DefaultMaxBucketSize
 
   private def qDedupConsensus(s: SparkSession, dir: String): DataFrame =
     Dedup.consensusPairs(docs(s, dir), "doc_id", "text",

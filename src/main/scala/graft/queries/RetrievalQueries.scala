@@ -157,17 +157,26 @@ object RetrievalQueries extends QueryModule {
   // Reuses the ONE shared norm/sh/mh/bands definition (qDedupMinhashCtes
   // — its trailing self-join `pairs` CTE goes unreferenced); the split
   // predicates live only in cand, exactly like the Spark side's filters.
+  // The corpus side applies the operator's cap-by-default
+  // (Dedup.DefaultMaxBucketSize) the same way incrementalNearDup does:
+  // bucket counts over CORPUS rows only (filter before QUALIFY), the
+  // new-batch side never capped.
   private val qDedupIncrementalSql = {
     val agree = (0 until LlmOpsQueries.NumHashes)
       .map(j => s"CASE WHEN la.h$j = lb.h$j THEN 1 ELSE 0 END")
       .mkString(" + ")
     val nh = LlmOpsQueries.NumHashes
     s"""${LlmOpsQueries.qDedupMinhashCtes},
+       |corpus_bounded AS (
+       |  SELECT doc_id, band_id, sig FROM bands
+       |  WHERE doc_id % 5 <> 0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY band_id, sig)
+       |    <= ${graft.ops.Dedup.DefaultMaxBucketSize}),
        |cand AS (
        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
-       |  FROM bands n JOIN bands o
+       |  FROM bands n JOIN corpus_bounded o
        |    ON n.band_id = o.band_id AND n.sig = o.sig
-       |  WHERE n.doc_id % 5 = 0 AND o.doc_id % 5 <> 0),
+       |  WHERE n.doc_id % 5 = 0),
        |agr AS (
        |  SELECT c.new_id, c.old_id, $agree AS n_agree
        |  FROM cand c

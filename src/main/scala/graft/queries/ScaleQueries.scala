@@ -198,7 +198,7 @@ object ScaleQueries extends QueryModule {
   private val NdBands = 2
   private val NdPlanes = 4
   private val NdThreshold = 0.35
-  private val NdMaxBucket = 256
+  private val NdMaxBucket = Similarity.DefaultMaxBucketSize
 
   private def qNeardupPairs(s: SparkSession, dir: String): DataFrame =
     Similarity.nearDupPairs(embs(s, dir), "vec_id", "embedding",

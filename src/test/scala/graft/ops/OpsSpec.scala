@@ -106,19 +106,35 @@ class OpsSpec extends SparkSpec {
 
   test("bucket cap bounds LSH fan-out on adversarial duplicate-heavy input") {
     // 300 boilerplate copies share every band signature: one hot bucket
-    // per band. Uncapped, the self-join goes quadratic (C(300,2) pairs);
-    // capped, hot buckets are dropped and only the benign near-dup pair
-    // survives.
+    // per band. The quadratic enumeration (C(300,2) pairs) is now an
+    // EXPLICIT opt-in (Dedup.Uncapped); the default is the capped
+    // production shape — hot buckets dropped, only the benign near-dup
+    // pair survives.
     val boiler = (1L to 300L).map(i => (i, "lorem ipsum dolor sit amet boilerplate footer text"))
     val near = Seq(
       (1001L, "the quick brown fox jumps over the lazy dog again and again today"),
       (1002L, "the quick brown fox jumps over the lazy dog again and again tomorrow"))
     val df = (boiler ++ near).toDF("doc_id", "text")
-    val uncapped = Dedup.minHashLsh(df, "doc_id", "text").count()
+    val uncapped =
+      Dedup.minHashLsh(df, "doc_id", "text", maxBucketSize = Dedup.Uncapped)
+        .count()
     assert(uncapped >= 300L * 299L / 2) // quadratic blowup demonstrated
     val capped = Dedup.minHashLsh(df, "doc_id", "text", maxBucketSize = 16)
     val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1001L, 1002L))) // bounded: only the benign pair
+    // cap-by-default: the no-arg call ≡ the explicit production cap, on
+    // both the pair generator and the consensus composition
+    val byDefault = Dedup.minHashLsh(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val explicitDefault = Dedup.minHashLsh(df, "doc_id", "text",
+        maxBucketSize = Dedup.DefaultMaxBucketSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byDefault == explicitDefault && byDefault == Set((1001L, 1002L)))
+    // the consensus composition inherits the same capped default: its
+    // result ⊆ the capped minhash pairs, never the quadratic set
+    val cons = Dedup.consensusPairs(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cons.subsetOf(byDefault))
     // dropped buckets are observable for monitoring
     val sigs = Dedup.minHashSignatures(df, "doc_id", "text", 3, 8)
     val banded = sigs.select($"doc_id",
