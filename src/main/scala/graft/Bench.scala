@@ -23,6 +23,49 @@ object Bench {
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .getSystemLoadAverage
 
+  /** Idle threshold for a trustworthy record. ABSOLUTE (not
+    * cpus-relative) on purpose: measured on this 32-core host, ambient
+    * load as low as 2.4 — 7% "utilization" — already produced multi-x
+    * outliers, because co-tenant contention hits page cache, tmpfs, and
+    * scheduling latency long before CPUs saturate. 2.0 separates every
+    * observed clean (<0.7) from contaminated (>2.3) record. */
+  private[graft] val IdleLoad = 2.0
+
+  /** REFUSE to sample on a contended host: poll the 1-minute load until
+    * it drops below [[IdleLoad]], loudly on stderr (the driver's stdout
+    * line must stay the single JSON record). Three straight driver
+    * records were contention noise despite carrying
+    * `host_contended:true` — flagging didn't stop a noisy record being
+    * recorded, so the bench now WAITS instead. Bounded: after
+    * `SPARK_GRAFT_BENCH_MAX_WAIT_SEC` (default 900 s) it proceeds
+    * anyway — a record marked contended beats no record on a host that
+    * never goes idle — and says so. Returns the wait in seconds. */
+  private[graft] def awaitIdleHost(): Double = {
+    val maxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "900")
+      .toDouble
+    val t0 = System.nanoTime()
+    def waited = (System.nanoTime() - t0) / 1e9
+    var l = loadAvg()
+    var lastLog = -30.0
+    while (!l.isNaN && l > IdleLoad && waited < maxWaitSec) {
+      if (waited - lastLog >= 30.0) {
+        System.err.println(
+          f"bench: host contended (load $l%.2f > $IdleLoad) — waiting " +
+            f"(${waited}%.0f s of max $maxWaitSec%.0f s)")
+        lastLog = waited
+      }
+      Thread.sleep(5000)
+      l = loadAvg()
+    }
+    if (!l.isNaN && l > IdleLoad)
+      System.err.println(
+        f"bench: host STILL contended (load $l%.2f) after $maxWaitSec%.0f s" +
+          " — proceeding; record will carry host_contended:true")
+    else if (waited > 5.0)
+      System.err.println(f"bench: host idle (load $l%.2f) after $waited%.0f s wait")
+    waited
+  }
+
   private def jd(d: Double): String =
     if (d.isNaN || d.isInfinite) "null" else f"$d%.4f"
 
@@ -102,15 +145,10 @@ object Bench {
         "\"" + r.name + "\":" + r.samples.map(jd).mkString("[", ",", "]"))
         .mkString("{", ",", "}")
     // An already-busy host inflates every sample (round-6 lesson: load 6
-    // made trivial queries read 5-18x slower); flag it in the record so
-    // nobody grades contention as regression. The threshold is ABSOLUTE
-    // (not cpus-relative) on purpose: measured on this 32-core host,
-    // ambient load as low as 2.4 — 7% "utilization" — already produced
-    // multi-x outliers, because co-tenant contention hits page cache,
-    // tmpfs, and scheduling latency long before CPUs saturate. An
-    // absolute 2.0 matches every observed clean (<0.7) vs contaminated
-    // (>2.3) record; cpus stays in the record for anyone re-deriving.
-    val contended = !loadStart.isNaN && loadStart > 2.0
+    // made trivial queries read 5-18x slower); mains now WAIT for an
+    // idle host (awaitIdleHost) and this flag marks the bounded-wait
+    // timeout case — see IdleLoad for the absolute-threshold rationale.
+    val contended = !loadStart.isNaN && loadStart > IdleLoad
     (s"""{"metric":"total","value":${jd(total)},"unit":"sec","queries":$qs,""" +
       s""""sf":"${js(sfDir)}","ok":$oks,"failed":$failed,"errors":$errs,""" +
       s""""resampled":$resampledNames,"load_avg_start":${jd(loadStart)},""" +
@@ -149,6 +187,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val idleWait = awaitIdleHost()
     val spark = session(cpus)
     val loadStart = loadAvg()
     // JVM/codegen warmup so the first measured query isn't charged for it.
@@ -162,11 +201,12 @@ object Bench {
       else SparkEntry.queries.keys.filter(args.contains).toSeq
     val results = measure(spark, sfDir, selected)
     val loadEnd = loadAvg()
-    println(renderJson(results, sfDir, cpus, loadStart, loadEnd))
+    val waitField = Seq(f""""idle_wait_sec":${idleWait}%.1f""")
+    println(renderJson(results, sfDir, cpus, loadStart, loadEnd, waitField))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results/latest_" + new java.io.File(sfDir).getName + ".json")
     writeAudit(outPath, renderJson(results, sfDir, cpus, loadStart, loadEnd,
-      withSamples = true))
+      waitField, withSamples = true))
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

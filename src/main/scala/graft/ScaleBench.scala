@@ -129,11 +129,15 @@ object ScaleBench {
     val selected =
       if (args.isEmpty) SparkEntry.queries.keys.toSeq
       else SparkEntry.queries.keys.filter(args.contains).toSeq
+    // The scaled-dir build above is our own (attributable) load; wait
+    // for the HOST to be idle only after it finishes settling.
+    val idleWait = Bench.awaitIdleHost()
     val loadStart = Bench.loadAvg()
     val results = Bench.measure(spark, scaledDir, selected)
     val loadEnd = Bench.loadAvg()
     val json = Bench.renderJson(results, scaledDir, cpus, loadStart, loadEnd,
-      extraFields = Seq(s""""factor":$factor,"base_sf":"$baseDir""""),
+      extraFields = Seq(s""""factor":$factor,"base_sf":"$baseDir"""",
+        f""""idle_wait_sec":${idleWait}%.1f"""),
       withSamples = true)
     println(json)
     Bench.writeAudit(
