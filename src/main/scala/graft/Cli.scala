@@ -18,6 +18,7 @@ import graft.model._
   *   graft.Cli <projectDir> test [model ...] [--target env]
   *   graft.Cli <projectDir> plan [--full-refresh] | list | validate [--target env]
   *   graft.Cli <projectDir> seed   # load the seeds dir CSVs into the warehouse
+  *   graft.Cli <projectDir> docs   # markdown catalog with materialized schemas
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
@@ -232,7 +233,9 @@ object Cli {
       case "seed" =>
         // dbt `seed` parity: load <project>/seeds/*.csv as versioned
         // warehouse relations models can ref() (model/Seeds.scala).
-        val loaded = Seeds.loadAll(wh, projectDir)
+        // Collision guard against DEFINED models (modelSqlMap), not graph
+        // nodes: a ref'd-but-SQL-less node is exactly what a seed is.
+        val loaded = Seeds.loadAll(wh, projectDir, runner.modelSqlMap.keySet)
         if (loaded.isEmpty) out("no seeds found")
         else loaded.foreach { case (n, rows) => out(s"seeded $n ($rows rows)") }
         0

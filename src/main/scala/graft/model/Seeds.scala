@@ -79,10 +79,22 @@ object Seeds {
 
   /** Load every seed of a project into the warehouse as versioned
     * relations named after the file (`seeds/fx_rates.csv` →
-    * `ref('fx_rates')`). Returns (seedName, rows) per seed. */
-  def loadAll(wh: Warehouse, projectDir: Path): Seq[(String, Long)] =
+    * `ref('fx_rates')`). Returns (seedName, rows) per seed.
+    *
+    * `modelNames` (the project's model set) makes name collisions LOUD:
+    * a seed named like an existing model would silently write a new
+    * version of that model's relation, and every ref() consumer would
+    * read seed data as model output until the next run — dbt fails on
+    * duplicate resource names for the same reason. */
+  def loadAll(wh: Warehouse, projectDir: Path,
+      modelNames: Set[String] = Set.empty): Seq[(String, Long)] =
     seedFiles(projectDir).map { p =>
       val name = p.getFileName.toString.stripSuffix(".csv")
+      if (modelNames.contains(name))
+        throw new ConfigError(
+          s"seed '$name' collides with model '$name': seeds and models " +
+            "share the ref() namespace, so the seed would overwrite the " +
+            "model's relation — rename one of them")
       val df = read(wh, p)
       wh.writeVersion(name, df)
       name -> wh.read(name).count()

@@ -13,10 +13,18 @@ package graft.model
   *                so this mostly documents intent)
   *   - `+model+`  both closures
   *   - `tag:x`    every model carrying tag x
-  *   - `state:modified` (optionally `state:modified+`) — models whose
-  *                SQL or config hash differs from the recorded state
-  *                (the Planner's Create/Update set): dbt's CI
-  *                workhorse, "run only what this change touches"
+  *   - `state:modified` — models whose SQL or config hash differs from
+  *                the recorded state (the Planner's Create/Update set):
+  *                dbt's CI workhorse, "run only what this change
+  *                touches"
+  *
+  * The `+` closure operators compose with EVERY atom form — `tag:x+`
+  * is "the tagged models and everything downstream", `+state:modified`
+  * "the changed models and their upstreams" — parsed BEFORE method
+  * dispatch, so an operator can never be swallowed into a tag/state
+  * name and silently select nothing (tags are open-world: the literal
+  * tag "x+" would resolve to an empty set and "succeed" by running
+  * nothing — the CI inversion the model-name branch fails loudly on).
   *
   * Resolution is pure driver-side graph walking (the DAG is model-count
   * sized — thousands at most, never data-sized). Unknown model names
@@ -37,30 +45,30 @@ object Selector {
     val known = graph.models.toSet
     lazy val changed = modified()
     val picked = atoms.flatMap(_.split("[,\\s]+")).filter(_.nonEmpty).flatMap {
-      case atom if atom == "state:modified" || atom == "state:modified+" =>
-        changed ++
-          (if (atom.endsWith("+")) changed.flatMap(graph.allDependents)
-           else Nil)
-      case atom if atom.startsWith("state:") =>
-        throw new DependencyError(
-          s"unknown state selector '$atom' (supported: state:modified[+])",
-          Map("atom" -> atom))
-      case atom if atom.startsWith("tag:") =>
-        tagged(atom.stripPrefix("tag:"))
-      case atom =>
+      atom =>
+        // Operators first, dispatch second: a trailing/leading `+` left
+        // inside a tag:/state: lookup would select nothing, silently.
         val down = atom.endsWith("+")
         val up = atom.startsWith("+")
-        val name = atom.stripPrefix("+").stripSuffix("+")
-        if (name.isEmpty || name.contains("+"))
+        val core = atom.stripPrefix("+").stripSuffix("+")
+        if (core.isEmpty || core.contains("+"))
           throw new DependencyError(
             s"malformed selector atom '$atom'", Map("atom" -> atom))
-        if (!known.contains(name))
-          throw new DependencyError(
-            s"selector names unknown model '$name'",
-            Map("atom" -> atom, "model" -> name))
-        Seq(name) ++
-          (if (down) graph.allDependents(name) else Nil) ++
-          (if (up) graph.allDependencies(name) else Nil)
+        val base: Seq[String] =
+          if (core == "state:modified") changed
+          else if (core.startsWith("state:"))
+            throw new DependencyError(
+              s"unknown state selector '$atom' (supported: [+]state:modified[+])",
+              Map("atom" -> atom))
+          else if (core.startsWith("tag:")) tagged(core.stripPrefix("tag:"))
+          else if (!known.contains(core))
+            throw new DependencyError(
+              s"selector names unknown model '$core'",
+              Map("atom" -> atom, "model" -> core))
+          else Seq(core)
+        base ++
+          (if (down) base.flatMap(graph.allDependents) else Nil) ++
+          (if (up) base.flatMap(graph.allDependencies) else Nil)
     }
     picked.distinct.sorted
   }

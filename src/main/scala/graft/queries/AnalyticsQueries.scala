@@ -358,7 +358,7 @@ object AnalyticsQueries extends QueryModule {
     val sink = s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}"
     ScaleQueries.withStatePartitions(s, 4) {
       val q = EventStreams.funnelStream(
-        EventStreams.eventStream(s, inDir).as[EventStreams.Event],
+        EventStreams.typedEvents(EventStreams.eventStream(s, inDir)),
         Seq("view", "click", "purchase"), FunnelGapMicros)
         .toDF("user_id", "n_steps", "ts_us")
         .writeStream.format("memory").queryName(sink)
@@ -544,7 +544,7 @@ object AnalyticsQueries extends QueryModule {
     val sink = s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}"
     ScaleQueries.withStatePartitions(s, 4) {
       val q = EventStreams.transitionStream(
-        EventStreams.eventStream(s, inDir).as[EventStreams.Event])
+        EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
         .toDF("from_type", "to_type")
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()

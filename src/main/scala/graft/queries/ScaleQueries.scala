@@ -350,7 +350,7 @@ object ScaleQueries extends QueryModule {
     val sink = s"graft_sessions_${streamRun.incrementAndGet()}"
     withStatePartitions(s, 4) {
       val q = EventStreams.sessionize(
-        EventStreams.eventStream(s, inDir).as[EventStreams.Event])
+        EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
         .writeStream.format("memory").queryName(sink)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

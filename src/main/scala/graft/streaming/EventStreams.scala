@@ -29,6 +29,19 @@ object EventStreams {
   private def micros(ts: java.sql.Timestamp): Long =
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
+  /** NULL-guarded typed view of an event frame — the conversion point
+    * every stateful operator here should enter through. The batch twins
+    * (EventAnalytics.transitionMatrix, the funnel) drop NULL user/ts
+    * rows before pairing; the typed path must apply that guard BEFORE
+    * `.as[Event]`, because Event.user_id is a primitive Long and a
+    * NULL-bearing row throws in the encoder, not in the operator. */
+  def typedEvents(df: DataFrame): Dataset[Event] = {
+    import df.sparkSession.implicits._
+    df.filter(org.apache.spark.sql.functions.col("user_id").isNotNull &&
+        org.apache.spark.sql.functions.col("ts").isNotNull)
+      .as[Event]
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start_us: Long,
       session_end_us: Long, n_events: Int)
@@ -217,6 +230,14 @@ object EventStreams {
     * per-user retention). Downstream counts aggregate the emitted
     * pairs.
     *
+    * NULL policy — the batch twin's: transitionMatrix drops NULL
+    * user/ts rows before pairing, so the stream does too. NULL ts is
+    * filtered HERE (it would otherwise NPE in micros); NULL user_id
+    * cannot reach this operator at all — Event.user_id is a primitive,
+    * so a NULL-bearing row throws in the ENCODER at `.as[Event]` —
+    * which is why the conversion belongs to [[typedEvents]], where the
+    * guard runs before encoding.
+    *
     * Output rows: (from_type, to_type) — one per adjacency. */
   def transitionStream(
       events: Dataset[Event]): Dataset[(String, String)] = {
@@ -232,7 +253,7 @@ object EventStreams {
       last.foreach(state.update)
       out.result().iterator
     }
-    events.groupByKey(_.user_id)
+    events.filter(_.ts != null).groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(update)
   }

@@ -415,6 +415,21 @@ class CliSpec extends SparkSpec {
     assert(doubled == Map("EUR" -> 216L, "GBP" -> 254L, "JPY" -> 2L))
   }
 
+  test("seed named like a model is a loud collision, nothing written") {
+    // Seeds and models share the ref() namespace: a colliding seed
+    // would silently overwrite the model's relation and every ref()
+    // consumer would read seed data as model output (dbt fails loudly
+    // on duplicate resource names).
+    val proj = project(
+      "fx_rates" -> "-- config: materialized=table\nSELECT 1 AS one")
+    val seeds = proj.resolve("seeds")
+    Files.createDirectories(seeds)
+    Files.writeString(seeds.resolve("fx_rates.csv"), "a\n1\n")
+    val (code, lines) = run(proj, "seed")
+    assert(code != 0 &&
+      lines.exists(_.contains("collides with model")))
+  }
+
   test("seed sidecar errors are loud: bad type, unknown column") {
     val proj = project()
     val seeds = proj.resolve("seeds")

@@ -45,6 +45,19 @@ class SelectorSpec extends AnyFunSuite {
     assert(Selector.resolve(graph(), tagFn, Seq("tag:nope")) == Nil)
   }
 
+  test("closure operators compose with tag:/state: atoms, never swallowed") {
+    // tag:x = {c, e}; + applies the closure to the TAGGED SET — before
+    // the fix, "tag:x+" looked up the literal open-world tag "x+" and
+    // silently selected nothing (the CI inversion model names fail
+    // loudly on).
+    assert(Selector.resolve(graph(), tagFn, Seq("tag:x+")) == Seq("c", "e"))
+    assert(Selector.resolve(graph(), tagFn, Seq("+tag:x")) ==
+      Seq("a", "b", "c", "e"))
+    val mod = () => Seq("c")
+    assert(Selector.resolve(graph(), tagFn, Seq("+state:modified"), mod) ==
+      Seq("a", "b", "c"))
+  }
+
   test("state:modified picks the planner's changed set, + adds dependents") {
     val mod = () => Seq("b")
     assert(Selector.resolve(graph(), tagFn, Seq("state:modified"), mod) ==

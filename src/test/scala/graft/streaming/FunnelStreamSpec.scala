@@ -66,6 +66,40 @@ class FunnelStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("NULL user/ts rows are dropped at the typed boundary, batch-style") {
+    // A parquet source with a NULL ts and a NULL user_id row: the batch
+    // twin filters both before pairing; typedEvents must guard them
+    // BEFORE Dataset encoding (user_id is a primitive — unguarded, the
+    // encoder throws) and transitionStream re-guards ts itself.
+    val dir = Files.createTempDirectory("graft_trans_null_").toString
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, new java.sql.Timestamp(0L), 5L, "view", 0.0),
+        org.apache.spark.sql.Row(2L, null, 5L, "poison", 0.0),
+        org.apache.spark.sql.Row(3L, new java.sql.Timestamp(60000L), null, "poison", 0.0),
+        org.apache.spark.sql.Row(4L, new java.sql.Timestamp(120000L), 5L, "click", 0.0)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType))))
+      .write.mode("overwrite").parquet(dir)
+    val q = transitionStream(typedEvents(eventStream(spark, dir)))
+      .toDF("from_type", "to_type")
+      .writeStream.format("memory").queryName("trans_null")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val pairs = spark.table("trans_null")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs == Seq(("view", "click"))) // poison rows dropped, chain intact
+  }
+
   test("transition state chains pairs across batches") {
     val input = MemoryStream[Event](spark)
     val q = transitionStream(input.toDS())
