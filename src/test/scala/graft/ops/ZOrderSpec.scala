@@ -100,4 +100,28 @@ class ZOrderSpec extends SparkSpec {
     // layout is results-invariant: full content round-trips
     assert(wh.read("grid_z").count() == 64L * 64L)
   }
+
+  test("numFiles=0 sizes the layout by bytes and tracks data volume") {
+    val whDir = java.nio.file.Files.createTempDirectory("graft_z_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    val grid = (for { a <- 0L until 64L; b <- 0L until 64L } yield (a, b))
+      .toDF("a", "b")
+    def fileCount(model: String): Long =
+      wh.read(model).select(input_file_name()).distinct().count()
+    // default 128 MB target: tiny frame -> one file
+    wh.writeVersionZOrdered("z_auto", grid, "a", "b", bits = 6)
+    assert(fileCount("z_auto") == 1L)
+    // a small byte target splits the same data into multiple files, so
+    // the count TRACKS volume instead of each file silently growing
+    wh.writeVersionZOrdered("z_small", grid, "a", "b", bits = 6,
+      targetFileBytes = 8L * 1024)
+    val small = fileCount("z_small")
+    assert(small > 1L, s"expected multiple files, got $small")
+    // content is layout-invariant across both sizings
+    assert(wh.read("z_auto").count() == 64L * 64L &&
+      wh.read("z_small").count() == 64L * 64L)
+    // range-clustered writes share the sizing contract
+    wh.writeVersionRangeClustered("rc_auto", grid, Seq("a"))
+    assert(fileCount("rc_auto") == 1L)
+  }
 }
