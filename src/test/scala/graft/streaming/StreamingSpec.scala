@@ -273,6 +273,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expectClosed)
   }
 
+  test("sessionizer restart: killed mid-ingest, resumes from checkpoint, equals uninterrupted") {
+    // The 100 TB continuous-ingest contract: a stateful query stopped
+    // after a partial read must RESUME from its checkpoint — offsets
+    // (which files were consumed) AND state (the open sessions) — and
+    // end bit-equal to a run that never stopped. Sessions are crafted
+    // to SPAN the restart boundary: if state were lost, the resumed run
+    // would re-open user 1's session at t+20min and the merged
+    // 3-event session could never be emitted.
+    def ev(id: Long, user: Long, minute: Long) =
+      Event(id, new java.sql.Timestamp(minute * 60000L), user, "view", 0.0)
+    val root = Files.createTempDirectory("graft_restart_").toString
+    val (src, out, chk) = (s"$root/src", s"$root/out", s"$root/chk")
+    val gapMin = 30L
+    // file A: user 1 starts a session; user 2 opens AND closes one
+    Seq(ev(1, 1L, 0), ev(2, 1L, 10), ev(3, 2L, 0))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    def runOnce(outDir: String, chkDir: String): Unit = {
+      val q = sessionize(eventStream(spark, src).as[Event], gapMin)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", chkDir)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "stream did not finish")
+    }
+    runOnce(out, chk) // consumes file A, then terminates ("the kill")
+    // file B lands while the query is DOWN: continues user 1's open
+    // session (t+20), then closes it (t+90) and closes user 2's too
+    Seq(ev(4, 1L, 20), ev(5, 1L, 90), ev(6, 2L, 95))
+      .toDF().coalesce(1).write.mode("append").parquet(src)
+    runOnce(out, chk) // resume: same checkpoint, processes ONLY file B
+    def sessions(dir: String): Set[(Long, Long, Long, Int)] =
+      spark.read.parquet(dir)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSet
+    val resumed = sessions(out)
+    // the cross-boundary merge happened: 3 events, one session
+    val us = 60000000L
+    assert(resumed.contains((1L, 0L, 20 * us, 3)),
+      s"state lost across restart: $resumed")
+    // uninterrupted twin over the SAME final source, fresh checkpoint
+    runOnce(s"$root/out2", s"$root/chk2")
+    assert(resumed == sessions(s"$root/out2") && resumed.size == 2)
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     // stage events twice (simulating at-least-once replay)
     val dir = Files.createTempDirectory("graft_dup_src_").toString
