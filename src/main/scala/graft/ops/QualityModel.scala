@@ -41,6 +41,28 @@ object QualityModel {
         concat(lit("qw"), col("id").cast("string")), 6) - lit(8388608L))
         .as("w_scaled"))
 
+  /** Build the (bucket, w_scaled) table [[score]] consumes from a
+    * TRAINED (feature, weight) vocabulary — the production loading
+    * seam: a fastText/CCNet-style model ships as feature strings with
+    * float weights; this maps unigram features through the same hash
+    * as score's unigrams and space-joined bigrams ("a b") through its
+    * bigram hash, scaling weights to exact 1e6-unit longs. Features
+    * that collide in the bucket space SUM — the hashing-trick
+    * semantics the classifier was trained under. The result is sparse
+    * (≤ vocab-size rows): unmatched buckets weigh 0 via score's left
+    * join, so a 10^5-feature model stays broadcast-sized however large
+    * `numBuckets` is. */
+  def weightTable(
+      vocab: DataFrame, featureCol: String, weightCol: String,
+      numBuckets: Int): DataFrame =
+    vocab.select(
+      when(col(featureCol).contains(" "),
+        bucket("qf2:", col(featureCol), numBuckets))
+        .otherwise(bucket("qf:", col(featureCol), numBuckets)).as("bucket"),
+      (col(weightCol).cast("double") * lit(1e6)).cast("long").as("w_scaled"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("w_scaled")).as("w_scaled"))
+
   /** The shared hashed feature set: every unigram occurrence (bag
     * style) plus every bigram, in the [[score]] bucket space. */
   private def featureBuckets(textCol: String, numBuckets: Int): Column = {
