@@ -293,16 +293,13 @@ object Graph {
     val deg0 = und.select(col("a").as("id"))
       .unionByName(und.select(col("b").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    // loud bound check (sessions don't run ANSI, so the multiply below
-    // would otherwise WRAP silently and corrupt the total order): ids
-    // must fit under the 10^10 stride and deg·10^10 + id under 2^63
-    val oob = deg0.filter(col("id") < 0L || col("id") >= 10000000000L ||
-      col("d") >= 922337203L).limit(1).count()
-    require(oob == 0L,
-      "triangles: node id outside [0, 10^10) or degree >= 9.2e8 — the " +
-        "(deg, id) order key would overflow; re-map ids first")
+    // Lexicographic (deg, id) STRUCT order key: same degree-orientation
+    // decision as a packed deg·stride+id long, with no overflow bound —
+    // the 10x scale sweep crashed the packed form on stride-shifted
+    // replica ids (the paragraphDedup r7 lesson, applied here). Neither
+    // field is nullable, so struct comparison is total.
     val deg = deg0
-      .select(col("id"), (col("d") * 10000000000L + col("id")).as("ord"))
+      .select(col("id"), struct(col("d"), col("id")).as("ord"))
     val o = und
       .join(deg.select(col("id").as("a"), col("ord").as("__oa")), Seq("a"))
       .join(deg.select(col("id").as("b"), col("ord").as("__ob")), Seq("b"))

@@ -218,6 +218,18 @@ class AnalyticsSpec extends SparkSpec {
       5L -> 0L, 6L -> 0L, 7L -> 0L))
   }
 
+  test("triangles: stride-shifted 10^12-range ids count identically") {
+    // The packed deg*10^10+id order key crashed the 10x scale sweep on
+    // replica ids; the struct key has no bound. Same K4, ids shifted
+    // into the scale-replica range, same counts.
+    val S = 3L * 1000 * 1000 * 1000 * 1000
+    val base = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val e = base.map { case (a, b) => (a + S, b + S) }.toDF("src", "dst")
+    val out = Graph.triangles(e, "src", "dst")
+      .collect().map(r => (r.getLong(0) - S, r.getLong(1))).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("triangles: global count matches the closed-form on a clique") {
     // K6: C(6,3) = 20 triangles, each vertex in C(5,2) = 10
     val ids = (0L until 6L)
