@@ -37,6 +37,45 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  /** Run `f` with the session's shuffle partitioning right-sized to an
+    * iterative operator's working set, restoring the conf whatever
+    * happens. Iterative operators pay Spark's per-stage scheduling
+    * latency maxRounds × stages-per-round times, and that latency grows
+    * with partition count even when AQE coalesces the reads (measured
+    * on connectedComponents: 1.7× faster at 1 shuffle partition than at
+    * the session's 32 on a 5k-edge graph — loops are overhead-bound
+    * long before they are data-bound). `rows` is the REAL materialized
+    * working-set size (count a checkpointed frame — cheap); partitions
+    * are only ever LOWERED, so a 100 TB input keeps the session's
+    * setting untouched. Nesting is safe: an inner call sees the lowered
+    * session value as its ceiling and restores to it. Single-threaded
+    * sessions only — the conf is session-global while `f` runs, which
+    * is the deal every sequential batch/bench/Verify driver here takes;
+    * concurrent-query deployments should leave loop sizing to AQE.
+    *
+    * WHEN IT PAYS (measured, sf0.1): deep convergence loops with many
+    * stages per round — connectedComponents (~5 rounds × ~6 stages,
+    * −40%) and flattenHierarchy's pointer doubling (−25%). Shallow
+    * fixed-round loops (pageRank/HITS/LPA at 2–3 rounds × 2–3 stages)
+    * measured NEUTRAL-TO-WORSE under the same A/B: the sizing count
+    * job plus the lost post-shuffle parallelism outweigh the smaller
+    * scheduling saving — those operators deliberately do NOT use this
+    * helper. Measure before adding call sites. */
+  def withLoopShufflePartitions[A](
+      spark: org.apache.spark.sql.SparkSession, rows: Long,
+      rowsPerPartition: Long = 4L * 1000 * 1000)(f: => A): A = {
+    require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    val sessParts = spark.sessionState.conf.numShufflePartitions
+    val parts =
+      math.max(1L, math.min(sessParts.toLong, rows / rowsPerPartition + 1))
+    if (parts >= sessParts) f
+    else {
+      val key = "spark.sql.shuffle.partitions"
+      try { spark.conf.set(key, parts.toString); f }
+      finally spark.conf.set(key, sessParts.toString)
+    }
+  }
+
   /** Session conf key; unset/false = localCheckpoint, true = reliable. */
   val ReliableConfKey = "spark.graft.reliableCheckpoints"
 

@@ -424,27 +424,15 @@ object Graph {
     // sizes the loop's partitioning below.
     val rawT = graft.Checkpoints.truncate(raw)
     // Right-size the WHOLE operator's shuffle partitioning to the edge
-    // set — loop, star tests, and the final label join alike. An
-    // iterative operator pays Spark's per-stage scheduling latency
-    // maxRounds × stages-per-round times, and that latency grows with
-    // partition count even when AQE coalesces the reads (measured here:
-    // the 5-round sf0.1 run is 1.7× faster at 1 shuffle partition than
-    // at the session's 32 — the contraction loop is overhead-bound long
-    // before it is data-bound). Partitions are sized from the REAL edge
-    // count (one cheap count over the just-materialized frame), only
-    // ever LOWERED — a 100 TB edge set keeps the session's setting —
-    // and the session conf is restored whatever happens. Star
-    // contraction also shrinks the edge set every round, so the
-    // session-wide default is wrong for the loop's tail even on big
-    // inputs; the initial sizing is the conservative upper bound.
-    val sess = raw.sparkSession
-    val sessParts = sess.sessionState.conf.numShufflePartitions
-    val RowsPerPartition = 4L * 1000 * 1000
-    val loopParts = math.max(1L,
-      math.min(sessParts.toLong, rawT.count() / RowsPerPartition + 1))
-    val confKey = "spark.sql.shuffle.partitions"
-    try {
-      if (loopParts < sessParts) sess.conf.set(confKey, loopParts.toString)
+    // set — loop, star tests, and the final label join alike
+    // (Checkpoints.withLoopShufflePartitions: only ever lowers, conf
+    // restored whatever happens; this operator is where the 1.7×
+    // measurement behind the helper came from). Star contraction also
+    // shrinks the edge set every round, so the session-wide default is
+    // wrong for the loop's tail even on big inputs; the initial sizing
+    // is the conservative upper bound.
+    graft.Checkpoints.withLoopShufflePartitions(
+      raw.sparkSession, rawT.count()) {
       // Init fused with a PREFIX small-star pass, one materialization:
       // each node contracts straight to the min of its closed
       // neighborhood before the alternation starts, which on the
@@ -481,7 +469,7 @@ object Graph {
           Seq("id"), "left")
           .select(col("id"),
             coalesce(col("component"), col("id")).as("component")))
-    } finally sess.conf.set(confKey, sessParts.toString)
+    }
   }
 
   /** Deterministic synchronous label-propagation communities (Raghavan
@@ -592,18 +580,22 @@ object Graph {
         when(col("anc").isNull, 0L).otherwise(1L).as("depth")))
     var converged = false
     var round = 0
-    while (!converged && round < maxRounds) {
-      round += 1
-      val next = graft.Checkpoints.truncate(
-        state.as("s1").join(
-          state.select(col("id").as("__a"), col("anc").as("__anc2"),
-            col("depth").as("__d2")),
-          col("anc") === col("__a"), "left")
-          .select(col("id"),
-            coalesce(col("__anc2"), col("anc")).as("anc"),
-            (col("depth") + coalesce(col("__d2"), lit(0L))).as("depth")))
-      converged = next.exceptAll(state).isEmpty
-      state = next
+    // node-sized loop shuffles — same right-sizing as pageRank's
+    graft.Checkpoints.withLoopShufflePartitions(
+      nodes.sparkSession, state.count()) {
+      while (!converged && round < maxRounds) {
+        round += 1
+        val next = graft.Checkpoints.truncate(
+          state.as("s1").join(
+            state.select(col("id").as("__a"), col("anc").as("__anc2"),
+              col("depth").as("__d2")),
+            col("anc") === col("__a"), "left")
+            .select(col("id"),
+              coalesce(col("__anc2"), col("anc")).as("anc"),
+              (col("depth") + coalesce(col("__d2"), lit(0L))).as("depth")))
+        converged = next.exceptAll(state).isEmpty
+        state = next
+      }
     }
     require(converged,
       s"flattenHierarchy: no fixpoint after $maxRounds rounds — a parent " +
