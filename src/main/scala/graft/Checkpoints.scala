@@ -86,13 +86,51 @@ object Checkpoints {
 
   /** Truncate `df`'s lineage eagerly, honoring the session's durability
     * conf. Both paths are eager (the returned frame is materialized), so
-    * callers can treat the result as a stable round snapshot. */
-  def truncate(df: DataFrame): DataFrame =
-    if (reliable(df)) {
-      if (df.sparkSession.sparkContext.getCheckpointDir.isEmpty)
-        throw new IllegalStateException(
-          s"$ReliableConfKey=true but no checkpoint directory is set; " +
-            "call sparkContext.setCheckpointDir(<reliable storage path>) first")
-      df.checkpoint()
-    } else df.localCheckpoint()
+    * callers can treat the result as a stable round snapshot.
+    *
+    * Deliberately NOT `Dataset.checkpoint`/`localCheckpoint`: those
+    * eagerly recompute the origin plan's `Statistics` and store them on
+    * the truncated node (LogicalRDD.rewriteStatsAndConstraints), and the
+    * size-only stats visitor MULTIPLIES children's `sizeInBytes` at
+    * every join. In an iterative loop the carried BigInt therefore
+    * compounds round over round — a round that references the previous
+    * label frame twice (any self-join or join+aggregate pair) at least
+    * DOUBLES the digit count per round, so by round ~20 the driver sits
+    * in Karatsuba/Toom-Cook multiplications on numbers with millions of
+    * digits inside `checkpoint()` itself. Found live: duplicateClusters'
+    * pointer-doubling loop (4× digits/round) pinned one core for 20+
+    * minutes at 30× scale, inside stats estimation, not execution.
+    *
+    * Instead we drop to the RDD boundary and rebuild with
+    * `createDataFrame(rdd, schema)`: the new leaf carries the session's
+    * constant default `sizeInBytes`, so per-round stats stay a handful
+    * of small-BigInt multiplies forever. The trade: a truncated frame
+    * no longer advertises an accurate size, so STATIC auto-broadcast of
+    * it downstream is off — in-loop joins never want that anyway
+    * (label/edge frames are corpus-scale), AQE still broadcast-converts
+    * at runtime from the ACTUAL shuffle bytes, and known-small frames
+    * here use explicit `broadcast()`. Row↔InternalRow conversion at the
+    * boundary is linear in the (narrow) round state and measured in the
+    * loop A/Bs. */
+  def truncate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val rdd =
+      if (reliable(df)) {
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            s"$ReliableConfKey=true but no checkpoint directory is set; " +
+              "call sparkContext.setCheckpointDir(<reliable storage path>) first")
+        val r = df.rdd
+        // persist first so the checkpoint write doesn't recompute the round
+        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        r.checkpoint()
+        r.count()
+        r
+      } else {
+        val r = df.rdd.localCheckpoint()
+        r.count()
+        r
+      }
+    spark.createDataFrame(rdd, df.schema)
+  }
 }

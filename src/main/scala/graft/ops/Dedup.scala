@@ -73,24 +73,40 @@ object Dedup {
   }
 
   /** Collapse duplicate PAIRS into duplicate CLUSTERS: connected
-    * components over the pair graph by iterative min-label propagation
-    * (each node repeatedly adopts the smallest label among itself and
-    * its neighbors — Pregel-style, converges in O(graph diameter)
-    * rounds, and dedup graphs are near-cliques with tiny diameter).
-    * Every distributed step is an equi-join + min aggregate, so each
-    * round is one shuffle; at extreme scale the same loop accepts the
-    * large-star/small-star edge rewrites. The cluster id is the smallest
-    * member id — the same canonical-representative rule as [[exact]].
-    * Output: idCol, cluster. */
+    * components over the pair graph, labeled with the smallest member
+    * id — the same canonical-representative rule as [[exact]].
+    *
+    * Min-label propagation WITH pointer-doubling shortcutting: each
+    * round every node adopts the smallest of (its label, its
+    * neighbors' labels) and then its LABEL'S label — so information
+    * travels one hop by propagation and the known-distance DOUBLES by
+    * shortcutting, giving O(log diameter) rounds. Plain propagation
+    * (the first implementation) is O(diameter) and failed its own
+    * convergence require on the 30× scale sweep: real banded near-dup
+    * graphs contain CHAINS (doc A ~ B ~ C …, one banded collision per
+    * link) deeper than any reasonable fixed round budget. Near-clique
+    * graphs still converge in the same 2–3 rounds with one extra
+    * label-keyed join per round — measured ~cost-neutral at 1×, where
+    * delegating to [[Graph.connectedComponents]]' heavier star rounds
+    * was 2.5× slower; the star operator remains the right choice for
+    * general graphs (arbitrary structure, right-sized loop).
+    *
+    * Every distributed step is an equi-join + aggregate/projection;
+    * rounds are checkpointed ([[graft.Checkpoints]]) so lineage stays
+    * one round deep. Labels only DECREASE and every label is a real
+    * node id, so the shortcut lookup always hits. Fixpoint = no label
+    * changed; loud IllegalStateException past `maxIter`, never
+    * silently-unconverged labels. The budget is log-scale but NOT
+    * exactly log₂(diameter): when a smaller min floods into a region,
+    * it resets that region's pointer depths, so convergence has a
+    * churn tail — the 30× sweep's 297k-edge near-dup graph (75k
+    * nodes, chains + bushy overlap) measured 22 rounds where pure
+    * pointer jumping on a clean 150k-chain needs ~18. Default 50
+    * gives that tail margin; converged loops exit early, so headroom
+    * is free. Output: idCol, cluster. */
   def duplicateClusters(
       pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 20): DataFrame = {
-    // Materialize the (tiny relative to corpus) edge set once; every
-    // round is checkpointed eagerly so lineage stays one round deep and
-    // the convergence check is a trivial scan of the just-materialized
-    // result, not a recomputation. Durability (fast localCheckpoint vs
-    // executor-loss-safe reliable checkpoint) is a session conf — see
-    // graft.Checkpoints.
+      maxIter: Int = 50): DataFrame = {
     val edges = graft.Checkpoints.truncate(
       pairs.select(col(aCol).as("u"), col(bCol).as("v"))
         .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
@@ -104,24 +120,28 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
-      val next = graft.Checkpoints.truncate(labels
+      val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          col("label").as("__old")))
+          col("label").as("__old"))
+      // pointer doubling: adopt the label of my label (label values are
+      // node ids, so the self-join key always resolves)
+      val next = graft.Checkpoints.truncate(stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+          col("__old")))
       converged =
         next.filter(col("label") =!= col("__old")).limit(1).count() == 0
       labels = next.drop("__old")
       iter += 1
     }
-    // A pair graph with diameter > maxIter would return silently wrong
-    // (unconverged) cluster labels — fail loudly instead. Dedup graphs
-    // are near-cliques (diameter ~2-3), so hitting this means maxIter
-    // was set far too low or the input is not a duplicate-pair graph.
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge after $maxIter rounds; " +
-          "raise maxIter (graph diameter exceeds it)")
+          "raise maxIter (doubling + churn tail exceeded the budget)")
     labels.select(col("id").as(aCol), col("label").as("cluster"))
   }
 

@@ -54,11 +54,13 @@ class OpsSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
-    // a diameter deeper than maxIter must fail loudly, never return
-    // silently unconverged labels
-    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    // a graph needing more contraction rounds than maxIter must fail
+    // loudly, never return silently unconverged labels (star
+    // contraction is log-round, so the chain must be long and the
+    // budget 1)
+    val chain = (1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
     assertThrows[IllegalStateException](
-      Dedup.duplicateClusters(chain, "a", "b", maxIter = 2).collect())
+      Dedup.duplicateClusters(chain, "a", "b", maxIter = 1).collect())
   }
 
   test("reliable-checkpoint conf switches truncation to the checkpoint dir") {
@@ -87,6 +89,28 @@ class OpsSpec extends SparkSpec {
       spark.sparkContext.setCheckpointDir(null)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckDir))
     }
+  }
+
+  test("truncate resets plan statistics: no BigInt blowup across loop rounds") {
+    // Dataset.checkpoint carries the origin plan's sizeInBytes forward,
+    // and the size-only visitor MULTIPLIES it at joins — an iterative
+    // self-join loop then at least doubles the stat's DIGIT count per
+    // round, and by round ~20 the driver grinds megadigit Karatsuba
+    // multiplications inside checkpoint() itself (observed live at 30×:
+    // one core pinned 20+ min in stats estimation). truncate must
+    // rebuild from the RDD boundary so each round's leaf stat is the
+    // constant session default.
+    var df = Seq((1L, 1L), (2L, 1L), (3L, 2L)).toDF("id", "label")
+    for (_ <- 1 to 12) {
+      val stepped = df.join(
+        df.select(col("id").as("label"), col("label").as("ll")), Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+      df = graft.Checkpoints.truncate(stepped)
+      val bits = df.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength
+      assert(bits < 256,
+        s"truncated plan stat has $bits-bit sizeInBytes — stats are compounding")
+    }
+    assert(df.count() == 3)
   }
 
   test("simhash: near-identical docs have small hamming distance") {
