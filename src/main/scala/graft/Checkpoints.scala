@@ -101,36 +101,35 @@ object Checkpoints {
     * pointer-doubling loop (4× digits/round) pinned one core for 20+
     * minutes at 30× scale, inside stats estimation, not execution.
     *
-    * Instead we drop to the RDD boundary and rebuild with
-    * `createDataFrame(rdd, schema)`: the new leaf carries the session's
+    * Instead we materialize the SAME binary InternalRow RDD Spark's own
+    * checkpoint materializes (`queryExecution.toRdd`, rows copied out
+    * of their reused buffers exactly as `Dataset.checkpoint` does) and
+    * rebuild the frame over it: the new leaf carries the session's
     * constant default `sizeInBytes`, so per-round stats stay a handful
-    * of small-BigInt multiplies forever. The trade: a truncated frame
+    * of small-BigInt multiplies forever, and no Row↔InternalRow
+    * conversion happens at the boundary. The trade: a truncated frame
     * no longer advertises an accurate size, so STATIC auto-broadcast of
     * it downstream is off — in-loop joins never want that anyway
     * (label/edge frames are corpus-scale), AQE still broadcast-converts
     * at runtime from the ACTUAL shuffle bytes, and known-small frames
-    * here use explicit `broadcast()`. Row↔InternalRow conversion at the
-    * boundary is linear in the (narrow) round state and measured in the
-    * loop A/Bs. */
+    * here use explicit `broadcast()`. */
   def truncate(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftext.Bridge
     val spark = df.sparkSession
-    val rdd =
-      if (reliable(df)) {
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          throw new IllegalStateException(
-            s"$ReliableConfKey=true but no checkpoint directory is set; " +
-              "call sparkContext.setCheckpointDir(<reliable storage path>) first")
-        val r = df.rdd
-        // persist first so the checkpoint write doesn't recompute the round
-        r.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        r.checkpoint()
-        r.count()
-        r
-      } else {
-        val r = df.rdd.localCheckpoint()
-        r.count()
-        r
-      }
-    spark.createDataFrame(rdd, df.schema)
+    val rdd = Bridge.internalRdd(df).map(_.copy())
+    if (reliable(df)) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        throw new IllegalStateException(
+          s"$ReliableConfKey=true but no checkpoint directory is set; " +
+            "call sparkContext.setCheckpointDir(<reliable storage path>) first")
+      // persist first so the checkpoint write doesn't recompute the round
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.checkpoint()
+      rdd.count()
+    } else {
+      rdd.localCheckpoint()
+      rdd.count()
+    }
+    Bridge.fromInternalRows(spark, rdd, df.schema)
   }
 }

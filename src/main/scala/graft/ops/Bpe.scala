@@ -76,12 +76,13 @@ object Bpe {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, cnt)
-        vocab = vocab.select(
+        // keep lineage one round deep — the duplicateClusters loop
+        // discipline (rounds compound otherwise); truncate also resets
+        // plan stats, which otherwise drift over thousands of merge
+        // rounds, and honors the session durability conf
+        vocab = graft.Checkpoints.truncate(vocab.select(
           replace(col("seq"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("seq"),
-          col("f"))
-          // keep lineage one round deep — the duplicateClusters loop
-          // discipline (rounds compound otherwise)
-          .localCheckpoint(true)
+          col("f")))
         r += 1
       }
     }

@@ -1,9 +1,12 @@
 package org.apache.spark.sql.graftext
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.internal.{SortOrder => SortNode}
+import org.apache.spark.sql.types.StructType
 
 /** Minimal bridge into Spark's `private[sql]` surface: wrapping a custom
   * LogicalPlan (graft.plans.AsOfJoinNode) in a Dataset requires
@@ -19,6 +22,22 @@ object Bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The frame's executed plan as an InternalRow RDD — the same binary
+    * rows `Dataset.checkpoint` materializes. Rows are buffer-reused per
+    * partition upstream; callers that persist MUST `.map(_.copy())`
+    * first (as Spark's own checkpoint does). */
+  def internalRdd(df: DataFrame): RDD[InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
+
+  /** Rebuild a DataFrame over a materialized InternalRow RDD — a fresh
+    * LogicalRDD leaf carrying the session-default size statistic, NOT
+    * the origin plan's (see graft.Checkpoints.truncate for why carrying
+    * origin stats compounds across iterative rounds). */
+  def fromInternalRows(
+      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 
   /** Unwrap a possibly-SortOrder Column (`c.desc` / `c.asc` /
     * `c.desc_nulls_first` / ...) into (the ordered-by Column,
