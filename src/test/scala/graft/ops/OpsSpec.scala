@@ -63,6 +63,18 @@ class OpsSpec extends SparkSpec {
       Dedup.duplicateClusters(chain, "a", "b", maxIter = 1).collect())
   }
 
+  test("duplicate clusters: a deep chain converges within the default budget") {
+    // The exact shape that broke at 30x under plain O(diameter)
+    // propagation: a banded near-dup CHAIN (one collision per link).
+    // Pointer doubling must collapse a 4096-node chain (diameter 4095)
+    // well inside the default 50-round budget — log2(4095) ≈ 12 plus
+    // the min-churn tail. Every node must land on the chain's min id.
+    val chain = (1L to 4096L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
+    val got = Dedup.duplicateClusters(chain, "a", "b")
+    assert(got.filter(col("cluster") =!= 1L).limit(1).count() == 0)
+    assert(got.count() == 4096L)
+  }
+
   test("reliable-checkpoint conf switches truncation to the checkpoint dir") {
     // Cluster deployments flip spark.graft.reliableCheckpoints=true so
     // iterative lineage truncation survives executor loss; results must
