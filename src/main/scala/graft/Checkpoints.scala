@@ -122,14 +122,19 @@ object Checkpoints {
         throw new IllegalStateException(
           s"$ReliableConfKey=true but no checkpoint directory is set; " +
             "call sparkContext.setCheckpointDir(<reliable storage path>) first")
-      // persist first so the checkpoint write doesn't recompute the round
+      // persist first so the checkpoint write doesn't recompute the
+      // round, then drop the cached copy — post-checkpoint reads come
+      // from the checkpoint files, and iterative callers would
+      // otherwise accumulate one corpus-scale cached copy per round
+      // until driver GC notices
       rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       rdd.checkpoint()
       rdd.count()
+      rdd.unpersist(blocking = false)
     } else {
       rdd.localCheckpoint()
       rdd.count()
     }
-    Bridge.fromInternalRows(spark, rdd, df.schema)
+    Bridge.truncatedFrame(df, rdd)
   }
 }

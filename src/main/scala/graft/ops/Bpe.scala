@@ -79,7 +79,12 @@ object Bpe {
         // keep lineage one round deep — the duplicateClusters loop
         // discipline (rounds compound otherwise); truncate also resets
         // plan stats, which otherwise drift over thousands of merge
-        // rounds, and honors the session durability conf
+        // rounds, and honors the session durability conf. NOTE for
+        // reliable-mode deployments: that means one checkpoint WRITE
+        // per merge round over the (distinct-word-sized) vocab — set
+        // spark.cleaner.referenceTracking.cleanCheckpoints or a
+        // storage TTL (see graft.Checkpoints) when rounds run to the
+        // thousands, or learn merges in a local-checkpoint session
         vocab = graft.Checkpoints.truncate(vocab.select(
           replace(col("seq"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("seq"),
           col("f")))

@@ -106,8 +106,8 @@ object CurationPipeline {
     // (fast local vs executor-loss-safe reliable) follows the same
     // session conf as duplicateClusters — see graft.Checkpoints.
     val withSplit = graft.Checkpoints.truncate(scored.join(split, Seq(idCol)))
-    // The eager localCheckpoint above was the cache's last consumer
-    // (everything below reads the checkpointed withSplit) — release it
+    // The eager truncation above was the cache's last consumer
+    // (everything below reads the materialized withSplit) — release it
     // now so repeated curate() calls in a long-lived session (bench
     // reruns, notebooks) don't accumulate cached partitions.
     deduped.unpersist()

@@ -124,6 +124,12 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("vl")).as("nl"))
+      // stepped feeds BOTH sides of the doubling self-join below and is
+      // deliberately NOT persisted: its expensive inputs (the edge join
+      // + min-agg) sit behind exchanges that ReuseExchange dedupes
+      // across the two sides, so only the cheap post-shuffle projection
+      // runs twice — persisting instead measured 21.7→31.1 s at 30×
+      // (a cache materialization barrier per round beats nothing twice)
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),

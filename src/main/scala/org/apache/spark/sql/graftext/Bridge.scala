@@ -39,6 +39,40 @@ object Bridge {
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** Rebuild `df` over its own materialized InternalRow RDD, mirroring
+    * `LogicalRDD.fromDataset` (what `Dataset.checkpoint` builds) in
+    * every respect EXCEPT the statistics: the origin's physical
+    * `outputPartitioning` (first leaf of any PartitioningCollection,
+    * Spark's own rule) and `outputOrdering` are preserved — so a loop
+    * round that ends hash-partitioned on its join key does NOT pay a
+    * fresh Exchange next round — while the size statistic is pinned to
+    * the session default instead of the origin plan's eagerly-computed
+    * one, whose BigInt compounds across iterative rounds (see
+    * graft.Checkpoints.truncate). Constraints are dropped with the
+    * stats: both derive from the origin plan walk we must avoid. */
+  def truncatedFrame(df: DataFrame, rdd: RDD[InternalRow]): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val session = ds.sparkSession
+    @annotation.tailrec
+    def firstLeafPartitioning(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeafPartitioning(c.partitionings.head)
+      case other => other
+    }
+    val executed = ds.queryExecution.executedPlan
+    val plan = LogicalRDD(
+      ds.logicalPlan.output, rdd,
+      firstLeafPartitioning(executed.outputPartitioning),
+      executed.outputOrdering,
+      isStreaming = false)(
+      session,
+      Some(Statistics(session.sessionState.conf.defaultSizeInBytes)),
+      None)
+    classic.Dataset.ofRows(session, plan)
+  }
+
   /** Unwrap a possibly-SortOrder Column (`c.desc` / `c.asc` /
     * `c.desc_nulls_first` / ...) into (the ordered-by Column,
     * isDescending, nullsFirst). A plain Column is its own ascending

@@ -54,10 +54,9 @@ class OpsSpec extends SparkSpec {
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
-    // a graph needing more contraction rounds than maxIter must fail
-    // loudly, never return silently unconverged labels (star
-    // contraction is log-round, so the chain must be long and the
-    // budget 1)
+    // a graph needing more rounds than maxIter must fail loudly, never
+    // return silently unconverged labels (pointer doubling is
+    // log-round, so the chain must be long and the budget 1)
     val chain = (1L to 64L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("a", "b")
     assertThrows[IllegalStateException](
       Dedup.duplicateClusters(chain, "a", "b", maxIter = 1).collect())
