@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 import org.apache.spark.sql.internal.{SortOrder => SortNode}
-import org.apache.spark.sql.types.StructType
 
 /** Minimal bridge into Spark's `private[sql]` surface: wrapping a custom
   * LogicalPlan (graft.plans.AsOfJoinNode) in a Dataset requires
@@ -29,15 +28,6 @@ object Bridge {
     * first (as Spark's own checkpoint does). */
   def internalRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
-
-  /** Rebuild a DataFrame over a materialized InternalRow RDD — a fresh
-    * LogicalRDD leaf carrying the session-default size statistic, NOT
-    * the origin plan's (see graft.Checkpoints.truncate for why carrying
-    * origin stats compounds across iterative rounds). */
-  def fromInternalRows(
-      spark: SparkSession, rdd: RDD[InternalRow], schema: StructType): DataFrame =
-    spark.asInstanceOf[classic.SparkSession]
-      .internalCreateDataFrame(rdd, schema)
 
   /** Rebuild `df` over its own materialized InternalRow RDD, mirroring
     * `LogicalRDD.fromDataset` (what `Dataset.checkpoint` builds) in
