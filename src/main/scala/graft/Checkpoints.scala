@@ -115,8 +115,38 @@ object Checkpoints {
     * here use explicit `broadcast()`. */
   def truncate(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftext.Bridge
+    materialize(df, Bridge.internalRdd(df).map(_.copy()))
+  }
+
+  /** [[truncate]] fused with a fixpoint probe: materialize `df` and, in
+    * the SAME pass, count rows whose boolean `flagCol` is true via an
+    * accumulator. Iterative operators otherwise pay one extra job per
+    * round just to ask "did anything change?" — and the diff
+    * formulation some of them used (`exceptAll(prev).isEmpty`) is an
+    * extra SHUFFLE per round on top of the job. Task retries can
+    * over-count an accumulator, never under-count, so the value is
+    * contractually a fixpoint probe (`== 0` vs `> 0`), not an exact
+    * statistic — which is all convergence needs. NULL flags count as
+    * false. Returns the truncated frame (still carrying `flagCol`; the
+    * caller projects it away) and the observed true-count. */
+  def truncateCountTrue(df: DataFrame, flagCol: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.graftext.Bridge
+    val ord = df.schema.fieldIndex(flagCol)
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft.flagTrue")
+    val rdd = Bridge.internalRdd(df).map { r =>
+      if (!r.isNullAt(ord) && r.getBoolean(ord)) acc.add(1L)
+      r.copy()
+    }
+    val out = materialize(df, rdd)
+    (out, acc.value)
+  }
+
+  private def materialize(
+      df: DataFrame,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+    import org.apache.spark.sql.graftext.Bridge
     val spark = df.sparkSession
-    val rdd = Bridge.internalRdd(df).map(_.copy())
     if (reliable(df)) {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         throw new IllegalStateException(

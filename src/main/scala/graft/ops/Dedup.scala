@@ -141,17 +141,22 @@ object Dedup {
       // case) converge in 2–3 plain rounds where the shortcut join is
       // pure overhead, while chain-shaped graphs still get doubling
       // from round 3 on — the asymptotic budget is unchanged.
-      val next = graft.Checkpoints.truncate(
+      val doubled =
         if (iter < 2) stepped
         else stepped
           .join(stepped.select(col("id").as("label"), col("label").as("__ll")),
             Seq("label"), "left")
           .select(col("id"),
             least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-            col("__old")))
-      converged =
-        next.filter(col("label") =!= col("__old")).limit(1).count() == 0
-      labels = next.drop("__old")
+            col("__old"))
+      // fixpoint probe fused into the round's materialization pass
+      // (Checkpoints.truncateCountTrue) — no separate changed-row job
+      val (next, changed) = graft.Checkpoints.truncateCountTrue(
+        doubled.withColumn("__chg", col("label") =!= col("__old"))
+          .drop("__old"),
+        "__chg")
+      converged = changed == 0L
+      labels = next.drop("__chg")
       iter += 1
     }
     if (!converged)

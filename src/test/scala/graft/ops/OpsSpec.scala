@@ -124,6 +124,23 @@ class OpsSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("truncateCountTrue: fused probe counts true flags, NULLs are false") {
+    // The fixpoint probe that rides the round's own materialization —
+    // convergence loops depend on ==0 being exact when nothing changed
+    // and >0 whenever anything did; NULL flags must not throw or count.
+    val df = Seq(
+      (1L, Some(true)), (2L, Some(false)), (3L, None), (4L, Some(true))
+    ).toDF("id", "f")
+    val (mat, n) = graft.Checkpoints.truncateCountTrue(df, "f")
+    assert(n == 2L)
+    // the frame itself is intact and truncated (stable leaf stat)
+    assert(mat.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(mat.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength < 256)
+    val (_, zero) = graft.Checkpoints.truncateCountTrue(
+      df.withColumn("f", lit(false)), "f")
+    assert(zero == 0L)
+  }
+
   test("simhash: near-identical docs have small hamming distance") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
