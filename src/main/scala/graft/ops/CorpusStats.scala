@@ -258,4 +258,123 @@ object CorpusStats {
       .join(overlaps, Seq("src_a", "src_b"), "left")
       .withColumn("overlap", coalesce(col("overlap"), lit(0.0)))
   }
+
+  /** ANALYZE-style column profiling — the data-quality / optimizer-stats
+    * pass every warehouse runs after ingest (dbt `source freshness`'s
+    * sibling; Spark's own `ANALYZE TABLE ... FOR COLUMNS` re-expressed
+    * as a queryable operator): per column, row count, NULL count and
+    * fraction, EXACT distinct count, and typed min/max (numeric columns
+    * report doubles, string columns report strings — the other pair is
+    * NULL). Exactness contract: every statistic is a count, an exact
+    * long, or a picked (never computed) value, so results hash-match
+    * any engine; the one division (null_frac) is a two-long double
+    * division, bit-identical under IEEE 754 on both sides.
+    *
+    * Scale shape: ONE aggregation pass over the table computes every
+    * column's statistics together (Catalyst plans the multi-distinct
+    * aggregate via Expand: rows × (#distinct-aggs + 1) flow through a
+    * single exchange — profile cost grows with column COUNT, never with
+    * extra table scans), then the 1-row result explodes into one row
+    * per column (driver-free pivot). Exact NDV is the declared
+    * semantic; at 100 TB profile cadence, callers wanting the sketch
+    * path use approx_count_distinct — the same trade q_approx_distinct
+    * documents.
+    *
+    * Unsupported column types are rejected loudly — a silent cast would
+    * profile a timestamp as its string form and report min/max that
+    * depend on the session's formatting.
+    *
+    * Output: col_name, n_rows, n_nulls, null_frac, n_distinct,
+    * min_num, max_num, min_str, max_str — one row per profiled column,
+    * col_name prefixed with `prefix` (typically the table name). */
+  def profileColumns(
+      df: DataFrame, cols: Seq[String], prefix: String = ""): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(cols.nonEmpty, "profileColumns: at least one column")
+    val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val kinds: Seq[(String, Boolean)] = cols.map { c =>
+      byName.get(c) match {
+        case Some(_: NumericType) => c -> true
+        case Some(StringType) => c -> false
+        case Some(t) => throw new IllegalArgumentException(
+          s"profileColumns: unsupported type $t for column $c " +
+            "(numeric and string only — cast explicitly to choose semantics)")
+        case None => throw new IllegalArgumentException(
+          s"profileColumns: no column $c in ${df.schema.fieldNames.mkString(", ")}")
+      }
+    }
+    val aggs = kinds.flatMap { case (c, isNum) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        countDistinct(col(c)).as(s"__ndv_$c"),
+        (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__minn_$c"),
+        (if (isNum) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"__maxn_$c"),
+        (if (isNum) lit(null).cast("string") else min(col(c)))
+          .as(s"__mins_$c"),
+        (if (isNum) lit(null).cast("string") else max(col(c)))
+          .as(s"__maxs_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("__n_rows"), aggs: _*)
+    val rows = kinds.map { case (c, _) =>
+      struct(
+        lit(prefix + c).as("col_name"),
+        col(s"__nulls_$c").as("n_nulls"),
+        col(s"__ndv_$c").as("n_distinct"),
+        col(s"__minn_$c").as("min_num"),
+        col(s"__maxn_$c").as("max_num"),
+        col(s"__mins_$c").as("min_str"),
+        col(s"__maxs_$c").as("max_str"))
+    }
+    one.select(col("__n_rows").as("n_rows"),
+        explode(array(rows: _*)).as("__p"))
+      .select(col("__p.col_name"), col("n_rows"), col("__p.n_nulls"),
+        when(col("n_rows") > 0L,
+          col("__p.n_nulls").cast("double") / col("n_rows").cast("double"))
+          .as("null_frac"),
+        col("__p.n_distinct"), col("__p.min_num"), col("__p.max_num"),
+        col("__p.min_str"), col("__p.max_str"))
+  }
+
+  /** Equi-width histogram of a numeric column — the distribution half
+    * of [[profileColumns]] (optimizer selectivity stats, quality-score
+    * dashboards, quantile-trim sanity checks). `bins` buckets span
+    * [min, max]; value→bin is
+    * `least(floor((x − mn) · bins / (mx − mn)), bins − 1)` and the
+    * reported bin edges re-derive from the same doubles — every
+    * operation is a single IEEE-754 op in a fixed order, so bin
+    * placement and edges hash-match any engine evaluating the same
+    * expression shape (no libm, no accumulation). A constant column
+    * (mx = mn) degenerates to one bin covering the point, guarded
+    * before the division ever runs (ANSI discipline). NULLs carry no
+    * distribution information and are counted by [[profileColumns]],
+    * not here. Empty bins are absent (it is a GROUP BY, not a spine —
+    * join [[graft.ops.EventAnalytics]]-style date spines for dense
+    * axes).
+    *
+    * Scale shape: one 2-scalar aggregate (min/max), broadcast to a
+    * map-only bin assignment, one bin-keyed count — hot bins absorb
+    * map-side. Output: bin, lo, hi, n (lo/hi = bin edges, hi of the
+    * last bin = mx exactly). */
+  def valueHistogram(df: DataFrame, valCol: String, bins: Int): DataFrame = {
+    require(bins >= 1, "valueHistogram: bins must be >= 1")
+    val v = df.select(col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val mm = v.agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+    val width = col("__mx") - col("__mn")
+    val bin = when(width === 0.0, 0L).otherwise(
+      least(floor((col("__v") - col("__mn")) * lit(bins.toDouble) / width),
+        lit((bins - 1).toDouble)).cast("long"))
+    v.crossJoin(broadcast(mm))
+      .groupBy(bin.as("bin"), col("__mn"), col("__mx"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("__mn") + col("bin").cast("double") *
+          (col("__mx") - col("__mn")) / lit(bins.toDouble)).as("lo"),
+        when(col("bin") === (bins - 1).toLong, col("__mx")).otherwise(
+          col("__mn") + (col("bin") + 1L).cast("double") *
+            (col("__mx") - col("__mn")) / lit(bins.toDouble)).as("hi"),
+        col("n"))
+  }
 }

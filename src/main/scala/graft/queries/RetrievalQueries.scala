@@ -707,7 +707,76 @@ object RetrievalQueries extends QueryModule {
        |ORDER BY pr.tok""".stripMargin
   }
 
+  // ------------- C107/C108: ANALYZE-style column profile + histogram
+
+  private val HistBins = 16
+
+  private def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.CorpusStats
+    CorpusStats.profileColumns(Tables.load(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"), "documents.")
+      .unionByName(CorpusStats.profileColumns(Tables.load(s, dir, "events"),
+        Seq("event_id", "user_id", "event_type", "value"), "events."))
+      .orderBy("col_name")
+  }
+
+  private val qProfileSql = {
+    def num(t: String, c: String) =
+      s"""SELECT '$t.$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) END AS null_frac,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS DOUBLE) AS min_num,
+         |  CAST(MAX($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM $t""".stripMargin
+    def str(t: String, c: String) =
+      s"""SELECT '$t.$c' AS col_name, COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_nulls,
+         |  CASE WHEN COUNT(*) > 0 THEN
+         |    CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE) END AS null_frac,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+         |  MIN($c) AS min_str, MAX($c) AS max_str
+         |FROM $t""".stripMargin
+    (Seq(num("documents", "doc_id"), str("documents", "text"),
+      str("documents", "lang"), str("documents", "source"),
+      num("documents", "n_chars"), num("events", "event_id"),
+      num("events", "user_id"), str("events", "event_type"),
+      num("events", "value"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))
+  }
+
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.valueHistogram(
+      Tables.load(s, dir, "events"), "value", HistBins).orderBy("bin")
+
+  // Bin math mirrors valueHistogram op-for-op (same IEEE-754 expression
+  // shape and order), so edges and placement hash-match bit for bit.
+  private val qHistogramSql =
+    s"""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events
+       |           WHERE value IS NOT NULL),
+       |m AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM v),
+       |b AS (SELECT CASE WHEN mx - mn = 0.0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(LEAST(FLOOR((x - mn) * $HistBins.0 / (mx - mn)),
+       |              ${HistBins - 1}.0) AS BIGINT) END AS bin, mn, mx
+       |  FROM v CROSS JOIN m)
+       |SELECT bin,
+       |  mn + CAST(bin AS DOUBLE) * (mx - mn) / $HistBins.0 AS lo,
+       |  CASE WHEN bin = ${HistBins - 1} THEN mx
+       |    ELSE mn + CAST(bin + 1 AS DOUBLE) * (mx - mn) / $HistBins.0 END
+       |    AS hi,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile" -> qProfile _,
+    "q_histogram" -> qHistogram _,
     "q_dup_substrings" -> qDupSubstrings _,
     "q_bm25" -> qBm25 _,
     "q_semdedup" -> qSemDedup _,
@@ -724,6 +793,8 @@ object RetrievalQueries extends QueryModule {
     "q_ingest_pipeline" -> qIngestPipeline _)
 
   override def oracleSql: Map[String, String] = Map(
+    "q_profile" -> qProfileSql,
+    "q_histogram" -> qHistogramSql,
     "q_dup_substrings" -> qDupSubstringsSql,
     "q_bm25" -> qBm25Sql,
     "q_semdedup" -> qSemDedupSql,

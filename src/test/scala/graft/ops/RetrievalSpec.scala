@@ -668,4 +668,48 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSeq.sortBy(_._1) ==
       Seq((1, 5L, 3L), (2, 1L, 2L), (3, 2L, 2L)))
   }
+
+  test("profileColumns: typed min/max, exact ndv, NULL accounting") {
+    val df = Seq(
+      (Some(3L), Some("b")), (Some(1L), None),
+      (Some(3L), Some("a")), (None, Some("a"))
+    ).toDF("k", "s")
+    val out = CorpusStats.profileColumns(df, Seq("k", "s"), "t.")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("t.k"); val s = out("t.s")
+    assert(k.getLong(1) == 4L && k.getLong(2) == 1L) // n_rows, n_nulls
+    assert(k.getDouble(3) == 0.25 && k.getLong(4) == 2L) // null_frac, ndv
+    assert(k.getDouble(5) == 1.0 && k.getDouble(6) == 3.0) // min/max_num
+    assert(k.isNullAt(7) && k.isNullAt(8)) // numeric col: no string stats
+    assert(s.getLong(2) == 1L && s.getLong(4) == 2L)
+    assert(s.isNullAt(5) && s.isNullAt(6))
+    assert(s.getString(7) == "a" && s.getString(8) == "b")
+    // unsupported type and unknown column fail loudly
+    val ts = Seq((1L, new java.sql.Timestamp(0L))).toDF("k", "ts")
+    assertThrows[IllegalArgumentException](
+      CorpusStats.profileColumns(ts, Seq("ts")))
+    assertThrows[IllegalArgumentException](
+      CorpusStats.profileColumns(df, Seq("nope")))
+  }
+
+  test("valueHistogram: bin placement, edges, degenerate constant column") {
+    // 8 values in [0, 8], 4 bins of width 2; 8.0 clamps into the last bin
+    val df = Seq(0.0, 0.5, 1.9, 2.0, 3.9, 4.0, 7.9, 8.0).toDF("x")
+    val out = CorpusStats.valueHistogram(df, "x", 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (0L, 0.0, 2.0, 3L), (1L, 2.0, 4.0, 2L),
+      (2L, 4.0, 6.0, 1L), (3L, 6.0, 8.0, 2L)))
+    // bin counts are a partition of the non-null rows
+    assert(out.map(_._4).sum == 8L)
+    // constant column: one bin covering the point, no division blow-up
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    val c = CorpusStats.valueHistogram(const, "x", 4).collect()
+    assert(c.length == 1 && c(0).getLong(0) == 0L && c(0).getLong(3) == 3L)
+    // NULLs carry no distribution info
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    assert(CorpusStats.valueHistogram(withNull, "x", 2)
+      .agg(sum("n")).collect()(0).getLong(0) == 2L)
+  }
 }
