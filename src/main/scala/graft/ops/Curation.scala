@@ -225,6 +225,70 @@ object Curation {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Deterministic proportional-share interleave — the data-loader
+    * ORDER for a weighted source mixture (stride scheduling, Waldspurger
+    * & Weihl OSDI '94, applied to training-data mixing): stratum s's
+    * r-th document (r = 1-based rank in a fixed per-stratum
+    * pseudo-random order) gets key
+    *   mix_key = (r · scale) div w_s,
+    * so reading in (mix_key, stratum, id) order interleaves strata in
+    * proportion to their weights IN EVERY PREFIX — stratum s holds
+    * slots ~k·w_s of any k-slot prefix, the property epoch-level
+    * shuffling ([[shuffleShards]]) does not give and rate-based mixing
+    * ([[Sampling.temperatureMix]]) hits only in expectation. This is
+    * what "the mixture holds even if training stops mid-epoch" means
+    * operationally.
+    *
+    * All arithmetic is exact 64-bit (rank · scale must stay < 2^63 —
+    * at the default scale that is 9.2e12 rows per stratum, loud under
+    * ANSI beyond); the per-stratum order is the engine-stable
+    * md5("mix:"+id) 52-bit key, ties to id. Ranks come from the
+    * two-level [[Bucketing]] prefix count grouped per stratum — never a
+    * per-stratum single-partition window (the C38 lesson; a handful of
+    * strata would otherwise funnel the corpus through a few sorted
+    * tasks). The weight join broadcasts (strata are bounded); strata
+    * missing from `weights` — including a NULL stratum — fail LOUDLY
+    * up front: silently dropping (or defaulting) a source corrupts the
+    * mixture the caller declared. NULL ids have no stable identity and
+    * are excluded (the [[shuffleShards]] rule).
+    *
+    * Output: idCol, strataCol, stratum_rank (1-based long), mix_key
+    * (long). Consumers materialize the order with
+    * repartitionByRange(mix_key) + sortWithinPartitions — total order
+    * without a global window. */
+  def interleaveMix(
+      df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Long], scale: Long = 1000000L,
+      numBuckets: Int = 64): DataFrame = {
+    require(weights.nonEmpty, "interleaveMix: weights must be non-empty")
+    require(weights.values.forall(_ > 0L),
+      "interleaveMix: weights must be positive")
+    require(scale > 0L, "interleaveMix: scale must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol), col(strataCol))
+      .filter(col(idCol).isNotNull)
+    val wdf = weights.toSeq.toDF(strataCol, "__w")
+    val unknown = base.join(broadcast(wdf), Seq(strataCol), "left_anti")
+      .select(col(strataCol)).limit(1).collect()
+    require(unknown.isEmpty,
+      s"interleaveMix: stratum '${unknown.headOption.map(_.get(0)).orNull}' " +
+        "has no declared weight — every stratum (and no NULL stratum) " +
+        "must appear in weights")
+    val keyed = base.join(broadcast(wdf), Seq(strataCol))
+      .withColumn("__ord", graft.functions.HashExprs.md5Long(
+        concat(lit("mix:"), col(idCol).cast("string")), 13))
+    val bucketed = Bucketing.quantileBuckets(
+      keyed, col("__ord"), Seq(strataCol), numBuckets)
+    val offsets = Bucketing.bucketOffsets(bucketed, Seq(strataCol), lit(1L))
+    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
+      .orderBy(col("__ord"), col(idCol))
+    Bucketing.joinOffsets(bucketed, offsets, Seq(strataCol))
+      .withColumn("stratum_rank", col("__boffset") + row_number().over(wIn))
+      .select(col(idCol), col(strataCol), col("stratum_rank"),
+        expr(s"(stratum_rank * ${scale}L) div __w").as("mix_key"))
+  }
+
   // ---------------------------------------------- token-budget selection
 
   /** Select documents per stratum (source / domain / language) in

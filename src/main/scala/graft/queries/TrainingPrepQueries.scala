@@ -288,6 +288,35 @@ object TrainingPrepQueries extends QueryModule {
        |FROM r WHERE rank <= $AnchorTopN
        |ORDER BY dst, rank""".stripMargin
 
+  // ----------- C109: stride-scheduled proportional mixture interleave
+  // Non-uniform weights over the 20 sources (1..4 cycling) so the
+  // interleave actually reorders; scale = interleaveMix's default.
+  private val MixWeights: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong)
+
+  private def qMixOrder(s: SparkSession, dir: String): DataFrame =
+    Curation.interleaveMix(docs(s, dir), "doc_id", "source",
+      MixWeights.toMap).orderBy("mix_key", "source", "doc_id")
+
+  private val qMixOrderSql = {
+    val vals = MixWeights.map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH w(source, wt) AS (VALUES $vals),
+       |base AS (
+       |  SELECT doc_id, d.source, wt,
+       |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+       |      1, 13) AS BIGINT) AS ord
+       |  FROM documents d JOIN w ON d.source = w.source
+       |  WHERE doc_id IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, source, wt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY ord, doc_id) AS BIGINT) AS stratum_rank
+       |  FROM base)
+       |SELECT doc_id, source, stratum_rank,
+       |  CAST((stratum_rank * 1000000) // wt AS BIGINT) AS mix_key
+       |FROM r ORDER BY mix_key, source, doc_id""".stripMargin
+  }
+
   // ------------------ C77: deterministic shuffle + shard assignment
   private val NumShards = 8
 
@@ -415,6 +444,7 @@ object TrainingPrepQueries extends QueryModule {
       "q_curriculum" -> qCurriculum _,
       "q_anchor_text" -> qAnchorText _,
       "q_shuffle_shards" -> qShuffleShards _,
+      "q_mix_order" -> qMixOrder _,
       "q_quantile_trim" -> qQuantileTrim _,
       "q_pq_codes" -> qPqCodes _)
 
@@ -427,6 +457,7 @@ object TrainingPrepQueries extends QueryModule {
     "q_curriculum" -> qCurriculumSql,
     "q_anchor_text" -> qAnchorTextSql,
     "q_shuffle_shards" -> qShuffleShardsSql,
+    "q_mix_order" -> qMixOrderSql,
     "q_quantile_trim" -> qQuantileTrimSql,
     "q_pq_codes" -> qPqCodesSql)
 }

@@ -579,4 +579,44 @@ class CurationSpec extends SparkSpec {
       Curation.leakSafeKFold(docs, "id", clusters, k = 1)
     }
   }
+
+  test("interleaveMix: every prefix holds the weighted mixture") {
+    // Stride scheduling's defining property: with weights A:3, B:1 the
+    // (mix_key, stratum, id) order carries ~3 A's per B in EVERY
+    // prefix — |count_s(k-prefix) − k·w_s/W| < 1 + strata. 12 A docs,
+    // 4 B docs.
+    val df = ((1L to 12L).map(i => (i, "A")) ++
+      (101L to 104L).map(i => (i, "B"))).toDF("id", "src")
+    val out = Curation.interleaveMix(df, "id", "src",
+      Map("A" -> 3L, "B" -> 1L))
+      .orderBy("mix_key", "src", "id").collect()
+    assert(out.length == 16)
+    // per-stratum ranks are a 1..n permutation
+    val ranksA = out.filter(_.getString(1) == "A").map(_.getLong(2)).sorted
+    assert(ranksA.toSeq == (1L to 12L))
+    // mix_key = (rank * scale) div w, exactly
+    assert(out.forall { r =>
+      val w = if (r.getString(1) == "A") 3L else 1L
+      r.getLong(3) == r.getLong(2) * 1000000L / w
+    })
+    // prefix proportionality
+    for (k <- 1 to 16) {
+      val nA = out.take(k).count(_.getString(1) == "A")
+      assert(math.abs(nA - k * 0.75) < 3.0,
+        s"prefix $k: $nA A's, expected ~${k * 0.75}")
+    }
+    // a stratum with no declared weight fails loudly (silent drop would
+    // corrupt the declared mixture), as does a NULL stratum
+    intercept[IllegalArgumentException] {
+      Curation.interleaveMix(df, "id", "src", Map("A" -> 3L))
+    }
+    // NULL ids have no stable identity and are excluded
+    val withNull = Seq((Some(1L), "A"), (None, "A")).toDF("id", "src")
+    assert(Curation.interleaveMix(withNull, "id", "src", Map("A" -> 1L))
+      .count() == 1L)
+    // weights must be positive
+    intercept[IllegalArgumentException] {
+      Curation.interleaveMix(df, "id", "src", Map("A" -> 0L, "B" -> 1L))
+    }
+  }
 }
