@@ -312,13 +312,35 @@ object Warehouse {
 
   /** Explicit `numFiles` wins; 0 auto-sizes from the optimized plan's
     * size estimate (proportional to input bytes — exactness does not
-    * matter, tracking data volume does). */
+    * matter, tracking data volume does).
+    *
+    * Frames without real statistics — anything downstream of
+    * [[graft.Checkpoints.truncate]], whose leaf deliberately carries
+    * the session's `defaultSizeInBytes` sentinel (Long.MaxValue by
+    * default in Spark 4.x) — would divide the sentinel by the target
+    * and hit the 2^20 cap: a million-file write. Detect the sentinel
+    * (estimate at or above `defaultSizeInBytes`) and fall back to a
+    * row-count × schema-width estimate instead. The count is one extra
+    * job, but a truncated frame is already materialized so the pass is
+    * a cheap block scan — and a clustered write of an unsized frame has
+    * no better source of truth. */
   private[model] def resolveNumFiles(
       df: DataFrame, numFiles: Int, targetFileBytes: Long): Int = {
     if (numFiles > 0) numFiles
     else {
       require(targetFileBytes > 0, "targetFileBytes must be positive")
-      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val conf = df.sparkSession.sessionState.conf
+      val stats = df.queryExecution.optimizedPlan.stats
+      val est: BigInt =
+        if (stats.sizeInBytes < conf.defaultSizeInBytes) stats.sizeInBytes
+        else {
+          // In-memory default widths undercount strings/binaries; the
+          // 2x headroom biases toward one extra file rather than one
+          // oversized file. Exactness still does not matter.
+          val rowWidth =
+            math.max(8L, df.schema.map(_.dataType.defaultSize.toLong).sum) * 2
+          BigInt(df.count()) * rowWidth
+        }
       (est / targetFileBytes).min(BigInt(1) << 20).toInt + 1
     }
   }

@@ -314,11 +314,29 @@ object Dedup {
     * surface what was dropped. */
   def boundBuckets(
       banded: DataFrame, bucketKeys: Seq[String], maxBucketSize: Int): DataFrame = {
+    noteCapOnce(maxBucketSize)
     val w = Window.partitionBy(bucketKeys.map(col): _*)
     banded.withColumn("__bucket_n", count(lit(1)).over(w))
       .filter(col("__bucket_n") <= maxBucketSize)
       .drop("__bucket_n")
   }
+
+  // One-time (per JVM) notice that candidate generation is running
+  // capped: as of the r8 API change the cap is the DEFAULT, so callers
+  // who never chose it should at least see it in the log. Logged at
+  // plan-construction time (the drop itself is a lazy filter — counting
+  // dropped rows here would cost an extra job; `hotBuckets` is the
+  // explicit audit path).
+  private val capNoticeLogged = new java.util.concurrent.atomic.AtomicBoolean
+  private def noteCapOnce(maxBucketSize: Int): Unit =
+    if (maxBucketSize != Uncapped && capNoticeLogged.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"graft.ops.Dedup: LSH candidate generation is bucket-capped " +
+          s"(maxBucketSize=$maxBucketSize; default since r8 — a " +
+          s"BEHAVIOR CHANGE from the earlier uncapped default). Rows in " +
+          s"oversized buckets are dropped before the self-join; use " +
+          s"Dedup.hotBuckets(...) to audit dropped buckets or pass " +
+          s"Dedup.Uncapped for exhaustive candidates. Logged once per JVM.")
 
   /** Monitoring companion to [[boundBuckets]]: one row per dropped (hot)
     * bucket with its size, largest first. */

@@ -270,9 +270,11 @@ object Graph {
     * wedge at its minimum vertex closed by one oriented edge, and the
     * wedge fan-out at a hub is bounded by its ORIENTED out-degree
     * (O(√|E|) for any graph), not its raw degree — the curse of the
-    * last reducer is the thing this orientation removes. The order
-    * value is the exact long `deg·10^10 + id` (ids < 10^10 — documented
-    * bound, loud overflow otherwise), identical in the oracle.
+    * last reducer is the thing this orientation removes. The order key
+    * is the lexicographic (degree, id) STRUCT — no packed-long id
+    * bound, valid for the full long id range — and the oracle MUST
+    * compare the same (d, id) tuple (row-value comparison), or a
+    * packed-key oracle mis-orients edges once ids exceed the stride.
     *
     * Scale shape: two equi-joins (wedge build on the pivot, closure
     * probe on the (v, w) edge key) + one keyed count; no node ever

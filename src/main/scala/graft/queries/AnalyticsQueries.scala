@@ -285,19 +285,23 @@ object AnalyticsQueries extends QueryModule {
        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
        |  FROM e WHERE u <> v),
        |deg AS (
-       |  SELECT id, d * 10000000000 + id AS ord FROM (
-       |    SELECT x AS id, COUNT(*) AS d FROM (
-       |      SELECT a AS x FROM und UNION ALL SELECT b FROM und)
-       |    GROUP BY x)),
+       |  SELECT x AS id, COUNT(*) AS d FROM (
+       |    SELECT a AS x FROM und UNION ALL SELECT b FROM und)
+       |  GROUP BY x),
        |o AS (
-       |  SELECT CASE WHEN oa.ord < ob.ord THEN a ELSE b END AS u,
-       |    CASE WHEN oa.ord < ob.ord THEN b ELSE a END AS v,
-       |    greatest(oa.ord, ob.ord) AS vord
+       |  SELECT CASE WHEN (oa.d, oa.id) < (ob.d, ob.id) THEN a ELSE b
+       |    END AS u,
+       |    CASE WHEN (oa.d, oa.id) < (ob.d, ob.id) THEN b ELSE a END AS v,
+       |    CASE WHEN (oa.d, oa.id) < (ob.d, ob.id) THEN ob.d ELSE oa.d
+       |    END AS vd,
+       |    CASE WHEN (oa.d, oa.id) < (ob.d, ob.id) THEN ob.id ELSE oa.id
+       |    END AS vid
        |  FROM und
        |  JOIN deg oa ON oa.id = und.a JOIN deg ob ON ob.id = und.b),
        |tri AS (
        |  SELECT w1.u, w1.v AS x, w2.v AS y
-       |  FROM o w1 JOIN o w2 ON w1.u = w2.u AND w1.vord < w2.vord
+       |  FROM o w1 JOIN o w2
+       |    ON w1.u = w2.u AND (w1.vd, w1.vid) < (w2.vd, w2.vid)
        |  JOIN o w3 ON w3.u = w1.v AND w3.v = w2.v),
        |pern AS (
        |  SELECT id, COUNT(*) AS n FROM (

@@ -260,6 +260,26 @@ class MaterializerSpec extends SparkSpec {
     }
   }
 
+  test("auto file sizing survives frames without real stats (truncated)") {
+    import spark.implicits._
+    // Checkpoints.truncate deliberately leaves the defaultSizeInBytes
+    // sentinel on the new leaf; resolveNumFiles must NOT divide the
+    // sentinel by the byte target (that hits the 2^20 cap -> a
+    // million-file write) but fall back to rows x schema width.
+    val df = graft.Checkpoints.truncate(
+      (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"))
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      spark.sessionState.conf.defaultSizeInBytes,
+      "precondition: truncated frame must carry the stats sentinel")
+    val n = Warehouse.resolveNumFiles(df, numFiles = 0,
+      targetFileBytes = Warehouse.DefaultTargetFileBytes)
+    assert(n >= 1 && n <= 4, s"tiny truncated frame sized to $n files")
+    // and a frame WITH real stats still sizes from the plan estimate
+    val plain = (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "p")
+    val m = Warehouse.resolveNumFiles(plain, 0, Warehouse.DefaultTargetFileBytes)
+    assert(m >= 1 && m <= 4, s"tiny plain frame sized to $m files")
+  }
+
   test("time incremental skips rows at or before the watermark") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val cfg = ModelConfig("ti", materialized = "incremental",
