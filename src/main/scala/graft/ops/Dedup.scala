@@ -76,20 +76,27 @@ object Dedup {
     * components over the pair graph, labeled with the smallest member
     * id — the same canonical-representative rule as [[exact]].
     *
-    * Min-label propagation WITH pointer-doubling shortcutting: each
-    * round every node adopts the smallest of (its label, its
-    * neighbors' labels) and then its LABEL'S label — so information
-    * travels one hop by propagation and the known-distance DOUBLES by
-    * shortcutting, giving O(log diameter) rounds. Plain propagation
-    * (the first implementation) is O(diameter) and failed its own
-    * convergence require on the 30× scale sweep: real banded near-dup
-    * graphs contain CHAINS (doc A ~ B ~ C …, one banded collision per
-    * link) deeper than any reasonable fixed round budget. Near-clique
-    * graphs still converge in the same 2–3 rounds with one extra
-    * label-keyed join per round — measured ~cost-neutral at 1×, where
-    * delegating to [[Graph.connectedComponents]]' heavier star rounds
-    * was 2.5× slower; the star operator remains the right choice for
-    * general graphs (arbitrary structure, right-sized loop).
+    * Min-label propagation WITH ADAPTIVE pointer-doubling
+    * shortcutting: each round every node adopts the smallest of (its
+    * label, its neighbors' labels); once the round-over-round changed
+    * count plateaus (this round retires < half of last round's
+    * changes), each node additionally adopts its LABEL'S label — so
+    * information travels one hop by propagation and the known-distance
+    * DOUBLES by shortcutting, giving O(log diameter) rounds on deep
+    * graphs. Plain propagation (the first implementation) is
+    * O(diameter) and failed its own convergence require on the 30×
+    * scale sweep: real banded near-dup graphs contain CHAINS (doc
+    * A ~ B ~ C …, one banded collision per link) deeper than any
+    * reasonable fixed round budget. The doubling self-join is NOT
+    * free, though — near-clique graphs (the common dedup case)
+    * converge in 2–4 plain rounds, and running the shortcut join
+    * unconditionally from round 3 cost the composed curation funnel
+    * 1.44× at sf0.1 — hence the churn-plateau trigger: geometric
+    * convergence never engages it, arithmetic (chain) convergence
+    * engages it by round 3. Delegating to
+    * [[Graph.connectedComponents]]' heavier star rounds instead was
+    * 2.5× slower at 1×; the star operator remains the right choice
+    * for general graphs (arbitrary structure, right-sized loop).
     *
     * Every distributed step is an equi-join + aggregate/projection;
     * rounds are checkpointed ([[graft.Checkpoints]]) so lineage stays
@@ -116,6 +123,8 @@ object Dedup {
         .withColumn("label", col("id")))
     var iter = 0
     var converged = false
+    var prevChanged = -1L
+    var doubling = false
     // NOT wrapped in withLoopShufflePartitions despite being a deep
     // loop: A/B at 30× (22 rounds, 297k edges) measured neutral-to-
     // worse — right-sizing collapses the edge set to 1 partition and
@@ -136,13 +145,16 @@ object Dedup {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
           col("label").as("__old"))
       // pointer doubling: adopt the label of my label (label values are
-      // node ids, so the self-join key always resolves). Skipped for
-      // the first two rounds: near-clique dedup graphs (the common
-      // case) converge in 2–3 plain rounds where the shortcut join is
-      // pure overhead, while chain-shaped graphs still get doubling
-      // from round 3 on — the asymptotic budget is unchanged.
+      // node ids, so the self-join key always resolves). ADAPTIVE:
+      // engaged only once the plain propagation's churn plateaus (see
+      // below) — near-clique dedup graphs (the common case) shrink
+      // their changed set geometrically and converge in 2–4 plain
+      // rounds where the shortcut self-join is pure overhead (it cost
+      // q_curate_pipeline 1.44× at sf0.1 when unconditional), while
+      // chain-shaped graphs plateau immediately and still get doubling
+      // from round 3 — the O(log diameter) budget is unchanged.
       val doubled =
-        if (iter < 2) stepped
+        if (!doubling) stepped
         else stepped
           .join(stepped.select(col("id").as("label"), col("label").as("__ll")),
             Seq("label"), "left")
@@ -156,6 +168,17 @@ object Dedup {
           .drop("__old"),
         "__chg")
       converged = changed == 0L
+      // Churn-plateau detector: plain min-label propagation converges
+      // geometrically on bushy/clique-like graphs (changed-count halves
+      // or better each round) but only arithmetically on chains
+      // (changed ≈ previous changed). When a round retires less than
+      // half the previous round's changed set, propagation has hit its
+      // linear tail — engage pointer doubling from the next round and
+      // keep it (disengaging re-risks the chain tail). The probe is
+      // free: `changed` already rides the round's materialization pass.
+      if (!doubling && prevChanged > 0 && changed * 2 > prevChanged)
+        doubling = true
+      prevChanged = changed
       labels = next.drop("__chg")
       iter += 1
     }
