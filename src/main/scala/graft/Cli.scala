@@ -22,6 +22,8 @@ import graft.model._
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
+  *   graft.Cli <projectDir> sql "<select>" [--format json|csv|table]
+  *             [--limit N] [--var k=v ...]   # ad-hoc query surface
   */
 object Cli {
 
@@ -238,6 +240,50 @@ object Cli {
         val loaded = Seeds.loadAll(wh, projectDir, runner.modelSqlMap.keySet)
         if (loaded.isEmpty) out("no seeds found")
         else loaded.foreach { case (n, rows) => out(s"seeded $n ($rows rows)") }
+        0
+      case "sql" =>
+        // Ad-hoc raw SQL against the project's warehouse — the last
+        // reference-parity surface (executor.py:517-574,
+        // QueryExecutor.execute_raw_sql): template render (ref/source/
+        // $var substitution) → execute → plan-side LIMIT guard →
+        // ResultFormatter. The debugging workflow: inspect a
+        // materialized relation without writing a model file.
+        //   sql "<select>" [--format json|csv|table] [--limit N] [--var k=v]
+        // The statement may contain '=' and flags-looking words, so it is
+        // the FIRST free positional, taken without positional()'s
+        // k=v exclusion.
+        val stmt = rest.zipWithIndex.collectFirst {
+          case (a, i) if !a.startsWith("--") && a.nonEmpty &&
+            (i == 0 || !rest(i - 1).startsWith("--") ||
+              boolFlags.contains(rest(i - 1))) => a
+        }.getOrElse(throw new SqlError(
+          "usage: sql \"<select>\" [--format json|csv|table] [--limit N] [--var k=v]"))
+        val (_, vars, _) = parseRunArgs(rest)
+        // Materialized models are queryable both as {{ ref('m') }} and by
+        // their bare relation name; view-materialized models resolve
+        // through ref() to their registered temp views.
+        runner.graph.models.filter(wh.exists).foreach(wh.refreshView)
+        val rendered = SqlTemplate.render(
+          stmt, "adhoc_sql",
+          resolveRef = m => wh.relation(m),
+          resolveSource = (s, t) => runner.sources.getOrElse((s, t),
+            throw new ConfigError(s"unknown source $s.$t")),
+          isIncremental = false,
+          variables = vars)
+        // Parse/analysis failures surface as the typed SqlError
+        // (errors.py SQLParseError), with the statement in context —
+        // not a raw AnalysisException stack trace.
+        val df = try spark.sql(rendered) catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new SqlError(e.getMessage,
+              Map("sql" -> rendered.take(200)), e)
+          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+            throw new SqlError(e.getMessage,
+              Map("sql" -> rendered.take(200)), e)
+        }
+        val limit = flagValue(rest, "--limit").map(_.toInt).getOrElse(100)
+        out(ResultFormatter.format(
+          df, flagValue(rest, "--format").getOrElse("table"), limit))
         0
       case "watch" =>
         val interval = rest.headOption.map(_.toLong).getOrElse(2000L)

@@ -25,17 +25,40 @@ object Backfill {
       }.toSeq
   }
 
-  /** Run the model once per interval (appends accumulate in the
-    * warehouse). Sequential by design: intervals of one model are
-    * ordered; parallelism lives inside each Spark job. */
+  /** Run the model over the chunked date range.
+    *
+    * APPEND-strategy chunks are independent by construction (each
+    * selects a disjoint date slice; no merge reads prior chunks), so
+    * they FUSE: every chunk's rendered plan unions into one frame and
+    * materializes with a single write — Catalyst runs the chunk scans
+    * in parallel instead of N sequential write round-trips. The
+    * reference runs chunks serially (backfill.py:26-85) only because
+    * per-statement warehouse DML forced it. Fusion requires the model
+    * to be genuinely chunk-independent: no pre/post hooks (hooks render
+    * per-chunk variables and may be stateful) and an
+    * [[ModelRunner.incrementalInvariant]] body (no is_incremental()
+    * branch, whose rendering depends on chunk order). The fused path
+    * returns ONE result for the whole range.
+    *
+    * Every other strategy keeps the serial loop: time-watermark and
+    * unique-key merges read state left by earlier chunks — order IS
+    * their semantics. */
   def run(
       runner: ModelRunner,
       model: String,
       start: LocalDate,
       end: LocalDate,
       intervalDays: Int = 1,
-      variables: Map[String, String] = Map.empty): Seq[MaterializeResult] =
-    intervals(start, end, intervalDays).map { iv =>
-      runner.executeModel(model, variables ++ iv.variables)
-    }
+      variables: Map[String, String] = Map.empty): Seq[MaterializeResult] = {
+    val ivs = intervals(start, end, intervalDays)
+    val cfg = runner.config(model)
+    val fusible = ivs.size > 1 &&
+      cfg.materialized == "incremental" &&
+      cfg.incrementalStrategy.contains("append") &&
+      cfg.preHooks.isEmpty && cfg.postHooks.isEmpty &&
+      ivs.forall(iv => runner.incrementalInvariant(model, variables ++ iv.variables))
+    if (fusible)
+      Seq(runner.executeModelBatch(model, ivs.map(variables ++ _.variables)))
+    else ivs.map(iv => runner.executeModel(model, variables ++ iv.variables))
+  }
 }

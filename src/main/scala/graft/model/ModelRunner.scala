@@ -16,7 +16,7 @@ import scala.concurrent.duration.Duration
   */
 final class ModelRunner(
     wh: Warehouse,
-    sources: Map[(String, String), String], // (source, table) -> relation
+    val sources: Map[(String, String), String], // (source, table) -> relation
     parallelism: Int = 4,
     maxRetries: Int = 3, // attempts per model (connection.py:37 max_retries)
     retryDelayMs: Long = 1000L) { // doubles per attempt (connection.py:400)
@@ -118,6 +118,59 @@ final class ModelRunner(
     val outcomes = runModelTests(name)
     val hard = outcomes.filter(o => !o.passed && o.severity == "error")
     // run()'s failure path records the failed execution in state
+    if (hard.nonEmpty) throw new ModelRunner.ModelTestFailure(name, hard)
+    val now = java.time.Instant.now().toString
+    wh.state.markExecution(name, success = true, now)
+    wh.state.setHashes(name,
+      StateStore.sha256(modelSql(name)), StateStore.sha256(cfg.toString))
+    val warned = outcomes.count(o => !o.passed)
+    if (warned == 0) result
+    else result.copy(status = s"${result.status} ($warned test warnings)")
+  }
+
+  /** True when `name`'s SQL renders identically under
+    * `is_incremental()` true and false (for these `variables`) — the
+    * guard that makes independent chunked executions fusible into one
+    * plan: a body that branches on is_incremental() would produce
+    * different rows depending on whether an earlier chunk already
+    * created the table, so it must keep the serial chunk loop. */
+  def incrementalInvariant(
+      name: String, variables: Map[String, String] = Map.empty): Boolean = {
+    def r(inc: Boolean) = SqlTemplate.render(
+      modelSql(name), name,
+      resolveRef = m => wh.relation(m),
+      resolveSource = (s, t) => sources.getOrElse((s, t),
+        throw new ConfigError(s"unknown source $s.$t", Map("model" -> name))),
+      isIncremental = inc,
+      variables = variables)
+    r(true) == r(false)
+  }
+
+  /** Execute one model over MANY variable bindings as ONE
+    * materialization: each binding's rendered plan unions into a single
+    * frame, written once. The fused path for independent chunks
+    * ([[Backfill]]'s append-strategy fast path) — Catalyst plans the
+    * union as parallel scans into one write instead of N sequential
+    * materialization round-trips. Contract enforcement, declared tests,
+    * and state marking run once over the fused batch (the final table
+    * is identical to the serial loop's; a chunk that would have failed
+    * its tests mid-loop fails here at the end instead). Callers are
+    * responsible for the fusibility guards (strategy, hooks,
+    * [[incrementalInvariant]]). */
+  def executeModelBatch(
+      name: String,
+      variablesSeq: Seq[Map[String, String]],
+      batchTs: String = "1970-01-01 00:00:00",
+      fullRefresh: Boolean = false): MaterializeResult = {
+    require(variablesSeq.nonEmpty, "executeModelBatch needs >= 1 binding")
+    val cfg = modelCfg(name)
+    val df = variablesSeq
+      .map(v => wh.spark.sql(render(name, v, fullRefresh)))
+      .reduce(_.unionByName(_))
+    cfg.enforceContract(df.schema)
+    val result = mat.materialize(cfg, df, batchTs, fullRefresh)
+    val outcomes = runModelTests(name)
+    val hard = outcomes.filter(o => !o.passed && o.severity == "error")
     if (hard.nonEmpty) throw new ModelRunner.ModelTestFailure(name, hard)
     val now = java.time.Instant.now().toString
     wh.state.markExecution(name, success = true, now)

@@ -270,15 +270,21 @@ object CorpusStats {
     * any engine; the one division (null_frac) is a two-long double
     * division, bit-identical under IEEE 754 on both sides.
     *
-    * Scale shape: ONE aggregation pass over the table computes every
-    * column's statistics together (Catalyst plans the multi-distinct
-    * aggregate via Expand: rows × (#distinct-aggs + 1) flow through a
-    * single exchange — profile cost grows with column COUNT, never with
-    * extra table scans), then the 1-row result explodes into one row
-    * per column (driver-free pivot). Exact NDV is the declared
-    * semantic; at 100 TB profile cadence, callers wanting the sketch
-    * path use approx_count_distinct — the same trade q_approx_distinct
-    * documents.
+    * Scale shape: one aggregation pass per ≤`maxColsPerPass`-column
+    * BATCH (Catalyst plans each batch's multi-distinct aggregate via
+    * Expand: rows × (#distinct-aggs-in-batch + 1) flow through its
+    * exchange), then the 1-row results explode into one row per column
+    * (driver-free pivot). Batching is the wide-table guard: a single
+    * 100-column pass would push rows × 101 through ONE exchange with
+    * ~600 aggregation buffers per hash-map entry — batches bound the
+    * Expand factor and the aggregate width at a constant, trading extra
+    * column-pruned scans (parquet reads only each batch's columns, so
+    * total I/O is unchanged). Exact NDV is the declared semantic;
+    * `approxNdv = true` switches to approx_count_distinct (HLL±~2.3%),
+    * which removes the Expand entirely — one plain aggregate, the right
+    * mode at 100 TB profile cadence where exact NDV's shuffle is the
+    * cost and ±2% NDV is fine (same trade q_approx_distinct documents;
+    * approx results no longer hash-match other engines).
     *
     * Unsupported column types are rejected loudly — a silent cast would
     * profile a timestamp as its string form and report min/max that
@@ -288,9 +294,11 @@ object CorpusStats {
     * min_num, max_num, min_str, max_str — one row per profiled column,
     * col_name prefixed with `prefix` (typically the table name). */
   def profileColumns(
-      df: DataFrame, cols: Seq[String], prefix: String = ""): DataFrame = {
+      df: DataFrame, cols: Seq[String], prefix: String = "",
+      maxColsPerPass: Int = 8, approxNdv: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     require(cols.nonEmpty, "profileColumns: at least one column")
+    require(maxColsPerPass >= 1, "profileColumns: maxColsPerPass >= 1")
     val byName = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val kinds: Seq[(String, Boolean)] = cols.map { c =>
       byName.get(c) match {
@@ -303,10 +311,20 @@ object CorpusStats {
           s"profileColumns: no column $c in ${df.schema.fieldNames.mkString(", ")}")
       }
     }
+    kinds.grouped(maxColsPerPass)
+      .map(batch => profileBatch(df, batch, prefix, approxNdv))
+      .reduce(_.unionByName(_))
+  }
+
+  /** One ≤maxColsPerPass aggregation pass of [[profileColumns]]. */
+  private def profileBatch(
+      df: DataFrame, kinds: Seq[(String, Boolean)], prefix: String,
+      approxNdv: Boolean): DataFrame = {
     val aggs = kinds.flatMap { case (c, isNum) =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
-        countDistinct(col(c)).as(s"__ndv_$c"),
+        (if (approxNdv) approx_count_distinct(col(c))
+         else countDistinct(col(c))).as(s"__ndv_$c"),
         (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
           .as(s"__minn_$c"),
         (if (isNum) max(col(c)).cast("double") else lit(null).cast("double"))

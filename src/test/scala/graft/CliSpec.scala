@@ -490,4 +490,45 @@ class CliSpec extends SparkSpec {
     // the post-hook read the materialized relation through {{ this }}
     assert(spark.table("hook_audit").head().getLong(0) == 2L)
   }
+
+  test("sql command queries materialized models with formats and a LIMIT guard") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "top_orders" ->
+        """-- config: materialized=table
+          |SELECT o_orderkey, o_totalprice FROM {{ source('raw', 'orders') }}
+          |WHERE o_totalprice > 100""".stripMargin)
+    assert(run(proj, "run")._1 == 0)
+
+    // ref() renders against the warehouse catalog; default table format
+    val (c1, l1) = run(proj, "sql",
+      "SELECT COUNT(*) AS n FROM {{ ref('top_orders') }}")
+    assert(c1 == 0)
+    assert(l1.mkString("\n").contains("| n"))
+
+    // bare relation name works too; json format round-trips; the $var
+    // surface substitutes; '=' inside the statement must not confuse
+    // arg parsing
+    val (c2, l2) = run(proj, "sql",
+      "SELECT o_orderkey FROM graft_top_orders WHERE o_orderkey = $k",
+      "--format", "json", "--var", "k=1")
+    assert(c2 == 0)
+    assert(l2.mkString.startsWith("[") && l2.mkString.contains("o_orderkey"))
+
+    // LIMIT guard: plan-side limit bounds driver rows (csv = header + N)
+    val (c3, l3) = run(proj, "sql",
+      "SELECT o_orderkey FROM {{ ref('top_orders') }}", "--format", "csv",
+      "--limit", "5")
+    assert(c3 == 0)
+    assert(l3.mkString("\n").split("\n").length == 6)
+
+    // garbage SQL is a LOUD typed SqlError -> sql_error exit code 4
+    val (c4, l4) = run(proj, "sql", "SELEKT nonsense FRUM nowhere")
+    assert(c4 == 4)
+    assert(l4.exists(_.startsWith("ERROR[sql_error]")))
+
+    // unknown relation is analysis failure -> same typed class
+    val (c5, _) = run(proj, "sql", "SELECT * FROM {{ ref('missing') }}")
+    assert(c5 == 4)
+  }
 }

@@ -692,6 +692,55 @@ class RetrievalSpec extends SparkSpec {
       CorpusStats.profileColumns(df, Seq("nope")))
   }
 
+  test("profileColumns: wide tables batch into bounded Expand passes; approxNdv drops Expand") {
+    import org.apache.spark.sql.functions._
+    // 50-column table: the shape the single-pass Expand multiplied by 51
+    val nCols = 50
+    val base = spark.range(200).toDF("id")
+    val wide = (0 until nCols).foldLeft(base) { (d, i) =>
+      d.withColumn(s"c$i", (col("id") * (i + 1)) % 17)
+    }
+    val cols = (0 until nCols).map(i => s"c$i")
+
+    def expandFactors(df: org.apache.spark.sql.DataFrame): Seq[Int] = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.ExpandExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      // AQE wraps each stage in AdaptiveSparkPlanExec, whose `children`
+      // is empty — unwrap recursively or collect() sees nothing.
+      def walk(p: SparkPlan): Seq[Int] = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case e: ExpandExec => e.projections.size +: e.children.flatMap(walk)
+        case other => other.children.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+
+    // default batching: every Expand bounded at batch+1 = 9, never 51
+    val batched = CorpusStats.profileColumns(wide, cols, "w.")
+    assert(expandFactors(batched).nonEmpty &&
+      expandFactors(batched).forall(_ <= 9),
+      s"batched Expand factors must be <= 9: ${expandFactors(batched)}")
+    // monolithic opt-out reproduces the unbatched plan (factor 51)
+    val mono = CorpusStats.profileColumns(wide, cols, "w.", maxColsPerPass = nCols)
+    assert(expandFactors(mono).exists(_ == nCols + 1))
+    // identical results: batching is a pure plan change
+    val a = batched.orderBy("col_name").collect().map(_.toSeq)
+    val b = mono.orderBy("col_name").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+
+    // approxNdv: no Expand at all (plain aggregate), ndv within HLL error
+    val approx = CorpusStats.profileColumns(wide, cols, "w.", approxNdv = true)
+    assert(expandFactors(approx).isEmpty,
+      "approxNdv profile must plan without Expand")
+    val exactNdv = a.map(r => r.head -> r(4).asInstanceOf[Long]).toMap
+    approx.orderBy("col_name").collect().foreach { r =>
+      val e = exactNdv(r.getString(0)).toDouble
+      assert(math.abs(r.getLong(4) - e) <= math.max(1.0, 0.05 * e),
+        s"approx ndv for ${r.getString(0)}: ${r.getLong(4)} vs exact $e")
+    }
+  }
+
   test("valueHistogram: bin placement, edges, degenerate constant column") {
     // 8 values in [0, 8], 4 bins of width 2; 8.0 clamps into the last bin
     val df = Seq(0.0, 0.5, 1.9, 2.0, 3.9, 4.0, 7.9, 8.0).toDF("x")
