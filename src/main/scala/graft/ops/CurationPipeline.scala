@@ -89,9 +89,15 @@ object CurationPipeline {
     val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
 
     // 4. heuristic quality floor
+    // cache: scored feeds BOTH the split computation (its id list seeds
+    // the cluster bucketing) and the split join below — uncached, the
+    // contamination join + quality scan would execute twice inside the
+    // withSplit materialization (measured ~1.5-2 s per extra pass at
+    // sf0.1, the pipeline's single largest stage).
     val scored = clean
       .withColumn("quality", TextOps.qualityScore(col(textCol)))
       .filter(col("quality") >= cfg.minQuality)
+      .cache()
 
     // 5. leakage-safe split on the SAME near-dup clusters (reused — the
     // iterative label propagation runs once, not twice)
@@ -106,11 +112,12 @@ object CurationPipeline {
     // (fast local vs executor-loss-safe reliable) follows the same
     // session conf as duplicateClusters — see graft.Checkpoints.
     val withSplit = graft.Checkpoints.truncate(scored.join(split, Seq(idCol)))
-    // The eager truncation above was the cache's last consumer
-    // (everything below reads the materialized withSplit) — release it
-    // now so repeated curate() calls in a long-lived session (bench
-    // reruns, notebooks) don't accumulate cached partitions.
+    // The eager truncation above was the caches' last consumer
+    // (everything below reads the materialized withSplit) — release
+    // both now so repeated curate() calls in a long-lived session
+    // (bench reruns, notebooks) don't accumulate cached partitions.
     deduped.unpersist()
+    scored.unpersist()
 
     // 6. pack the train split into fixed-length sequences
     val packed = Curation.packSequences(

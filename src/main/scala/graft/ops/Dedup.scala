@@ -114,21 +114,44 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 50): DataFrame = {
-    val edges = graft.Checkpoints.truncate(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    // Symmetrize via ONE explode, not a two-sided union: the pair plan
+    // (often a full LSH banded self-join) appears once in the lineage,
+    // so the truncation pass executes it once — the union form ran the
+    // candidate generation on BOTH branches of the same job. The edge
+    // count rides the same pass and right-sizes the loop below.
+    val (edges, edgeCount) = graft.Checkpoints.truncateCount(
+      pairs.select(explode(array(
+          struct(col(aCol).as("u"), col(bCol).as("v")),
+          struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct())
-    var labels = graft.Checkpoints.truncate(
-      edges.select(col("u").as("id")).distinct()
-        .withColumn("label", col("id")))
-    var iter = 0
-    var converged = false
-    var prevChanged = -1L
+    // Loop-scoped shuffle right-sizing, tuned for this loop's shape:
+    // the earlier A/B that measured right-sizing neutral-to-worse here
+    // collapsed the 30× (297k-edge) working set to ONE partition and
+    // lost the join parallelism; 40k rows/partition keeps ≥8-way joins
+    // at that scale while a bench-scale pair graph (hundreds of edges)
+    // drops to 1 partition and stops paying 32 tasks of scheduling per
+    // round for tens of rows.
+    graft.Checkpoints.withLoopShufflePartitions(
+        pairs.sparkSession, edgeCount, rowsPerPartition = 40000L) {
+    // Labels-init FUSED with the first propagation round: with initial
+    // labels = own id, round 1's min-neighbor label is just the min
+    // neighbor id, so one aggregate over the symmetric edges replaces
+    // the distinct-nodes frame, its truncation, and round 1's two
+    // joins. The changed count (nodes whose min neighbor undercuts
+    // their id) rides the same materialization pass and seeds the
+    // churn-plateau detector exactly as the unfused round 1 did.
+    val (l0, c0) = graft.Checkpoints.truncateCountTrue(
+      edges.groupBy(col("u").as("id")).agg(min(col("v")).as("__mn"))
+        .select(col("id"),
+          least(col("id"), col("__mn")).as("label"),
+          (col("__mn") < col("id")).as("__chg")),
+      "__chg")
+    var labels = l0.drop("__chg")
+    var iter = 1
+    var converged = c0 == 0L
+    var prevChanged = c0
     var doubling = false
-    // NOT wrapped in withLoopShufflePartitions despite being a deep
-    // loop: A/B at 30× (22 rounds, 297k edges) measured neutral-to-
-    // worse — right-sizing collapses the edge set to 1 partition and
-    // the lost join parallelism cancels the scheduling saving.
     while (iter < maxIter && !converged) {
       val nbrMin = edges
         .join(labels.select(col("id").as("v"), col("label").as("vl")), Seq("v"))
@@ -187,6 +210,7 @@ object Dedup {
         s"duplicateClusters did not converge after $maxIter rounds; " +
           "raise maxIter (doubling + churn tail exceeded the budget)")
     labels.select(col("id").as(aCol), col("label").as("cluster"))
+    } // withLoopShufflePartitions
   }
 
   /** Exact dedup by content fingerprint: one row per distinct normalized
@@ -395,7 +419,11 @@ object Dedup {
     val sh0 = df.select(col(idCol), isEval.as("__is_eval"),
       explode(array_distinct(shingleArray(textCol, n))).as("sh"))
     // The DF-cap window partitions on sh — the same hash partitioning the
-    // join below needs, so AQE reuses the exchange.
+    // join below needs, so AQE reuses the exchange. (An eval-vocabulary
+    // semi-join prefilter was A/B-measured here: it wins only when the
+    // shingle shuffle dominates; at bench scale the extra stages and the
+    // duplicated explode cost more than the window, and the reused
+    // exchange means the window adds NO extra shuffle over the join.)
     val sh = if (maxShingleDf == Int.MaxValue) sh0
              else boundBuckets(sh0, Seq("sh"), maxShingleDf)
     val evalSide = sh.filter(col("__is_eval"))
