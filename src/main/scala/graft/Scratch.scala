@@ -42,4 +42,26 @@ object Scratch {
     cleanupQueue.add(p)
     p.toString
   }
+
+  /** Memoized input landing: build-once scratch data keyed by what it
+    * IS (caller-chosen key, which must capture every input the build
+    * depends on — source dir, projection, planted rows). Streaming
+    * driver queries land their finite input as parquet before reading
+    * it back as a stream; the landed bytes are a pure function of the
+    * (immutable) testdata, yet each invocation re-landed them — under
+    * the bench's two-samples-per-query discipline that was a redundant
+    * write job per sample, the single biggest share of the streaming
+    * family's fixed tax. State-store and checkpoint directories are
+    * NEVER memoized (a reused checkpoint would resume instead of
+    * replay and return an empty second run) — only the read-only
+    * input side. */
+  def landedDir(key: String)(build: String => Unit): String =
+    landedMemo.computeIfAbsent(key, _ => {
+      val d = dir("graft_land_")
+      build(d)
+      d
+    })
+
+  private val landedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 }

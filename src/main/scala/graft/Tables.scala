@@ -62,7 +62,16 @@ object Tables {
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
-    "spark.sql.extensions" -> "graft.GraftExtensions")
+    "spark.sql.extensions" -> "graft.GraftExtensions",
+    // Default streaming checkpoint base on RAM-backed scratch: without
+    // it, every checkpoint-less stream (the bench/Verify AvailableNow
+    // queries) puts its offset/commit logs and fsync'd state-store
+    // deltas under java.io.tmpdir — on this host a real disk, charging
+    // each micro-batch a run of disk fsyncs. Queries that need durable
+    // or resumable checkpoints pass an explicit checkpointLocation,
+    // which overrides this. Cleaned on JVM exit by Scratch.
+    "spark.sql.streaming.checkpointLocation" ->
+      Scratch.dir("graft_stream_ck_"))
 
   /** Register all tables as temp views for SQL access. Idempotent, and
     * memoized per (session, dir): re-registering identical views costs

@@ -354,11 +354,14 @@ object AnalyticsQueries extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.EventStreams
-    val inDir = graft.Scratch.dir("graft_funnel_in_")
-    events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .write.mode("overwrite").parquet(inDir)
+    // shared landed copy with q_stream_sessionize / q_stream_transitions
+    // (same source, same projection, same file shape)
+    val inDir = graft.Scratch.landedDir(s"events5:$dir") { p =>
+      events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").parquet(p)
+    }
     val sink = s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}"
     ScaleQueries.withStatePartitions(s, 4) {
       val q = EventStreams.funnelStream(
@@ -540,11 +543,12 @@ object AnalyticsQueries extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.EventStreams
-    val inDir = graft.Scratch.dir("graft_trans_in_")
-    events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .write.mode("overwrite").parquet(inDir)
+    val inDir = graft.Scratch.landedDir(s"events5:$dir") { p =>
+      events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").parquet(p)
+    }
     val sink = s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}"
     ScaleQueries.withStatePartitions(s, 4) {
       val q = EventStreams.transitionStream(

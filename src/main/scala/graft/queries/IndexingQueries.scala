@@ -226,8 +226,10 @@ object IndexingQueries extends QueryModule {
     import org.apache.spark.sql.streaming.Trigger
     val src = docs(s, dir).filter(col("doc_id") < BloomCorpusMax)
       .select(col("doc_id"), col("text"))
-    val inDir = graft.Scratch.dir("graft_bloom_in_")
-    src.write.mode("overwrite").parquet(inDir)
+    val inDir = graft.Scratch.landedDir(
+        s"docs2bloom$BloomCorpusMax:$dir") { p =>
+      src.write.mode("overwrite").parquet(p)
+    }
     val bits = Sketches.bloomBuild(
       s.readStream.schema(src.schema).parquet(inDir),
       "text", BloomBits, BloomHashes).bitmap

@@ -670,8 +670,9 @@ object RetrievalQueries extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
     val d = docs(s, dir).select(col("doc_id"), col("text"))
-    val inDir = graft.Scratch.dir("graft_cm_in_")
-    d.write.mode("overwrite").parquet(inDir)
+    val inDir = graft.Scratch.landedDir(s"docs2:$dir") { p =>
+      d.write.mode("overwrite").parquet(p)
+    }
     val cells = Sketches.countMinBuild(
       s.readStream.schema(d.schema).parquet(inDir)
         .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok")),

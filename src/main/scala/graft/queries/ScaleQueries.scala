@@ -342,11 +342,12 @@ object ScaleQueries extends QueryModule {
 
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val inDir = scratchDir("graft_stream_in_")
-    Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .write.mode("overwrite").parquet(inDir)
+    val inDir = graft.Scratch.landedDir(s"events5:$dir") { p =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .write.mode("overwrite").parquet(p)
+    }
     val sink = s"graft_sessions_${streamRun.incrementAndGet()}"
     withStatePartitions(s, 4) {
       val q = EventStreams.sessionize(
@@ -390,11 +391,12 @@ object ScaleQueries extends QueryModule {
   // mode would hold back windows newer than the watermark forever on a
   // finite input).
   private def qStreamWindowLive(s: SparkSession, dir: String): DataFrame = {
-    val inDir = scratchDir("graft_stream_win_")
-    Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    val inDir = graft.Scratch.landedDir(s"events5c1:$dir") { p =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
     val sink = s"graft_win_${streamRun.incrementAndGet()}"
     withStatePartitions(s, 4) {
       val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
@@ -420,11 +422,14 @@ object ScaleQueries extends QueryModule {
   // join+aggregate the oracle computes (same finite-input reasoning as
   // q_stream_window_live).
   private def qStreamEnrich(s: SparkSession, dir: String): DataFrame = {
-    val inDir = scratchDir("graft_stream_enrich_")
-    Tables.load(s, dir, "events")
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
-        col("value"))
-      .coalesce(1).write.mode("overwrite").parquet(inDir)
+    // same projection and file shape as q_stream_window_live — the
+    // landing memo key makes the two queries SHARE one landed copy
+    val inDir = graft.Scratch.landedDir(s"events5c1:$dir") { p =>
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
     val dim = Tables.load(s, dir, "customer")
       .join(Tables.load(s, dir, "nation"),
         col("c_nationkey") === col("n_nationkey"))
@@ -503,8 +508,9 @@ object ScaleQueries extends QueryModule {
         col("value"))
     val dupes = base.filter(col("event_id") % 3 === 0)
       .withColumn("event_id", col("event_id") + lit(10000000L))
-    val inDir = scratchDir("graft_stream_dedup_in_")
-    base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(inDir)
+    val inDir = graft.Scratch.landedDir(s"events5c1dupes:$dir") { p =>
+      base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)
+    }
     val sink = s"graft_dedup_${streamRun.incrementAndGet()}"
     withStatePartitions(s, 4) {
       val q = EventStreams.dedupStream(
@@ -535,12 +541,14 @@ object ScaleQueries extends QueryModule {
     val ev = Tables.load(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"))
-    val pDir = scratchDir("graft_attr_p_")
-    val cDir = scratchDir("graft_attr_c_")
-    ev.filter(col("event_type") === "purchase").coalesce(1)
-      .write.mode("overwrite").parquet(pDir)
-    ev.filter(col("event_type") === "click").coalesce(1)
-      .write.mode("overwrite").parquet(cDir)
+    val pDir = graft.Scratch.landedDir(s"events5c1purchase:$dir") { p =>
+      ev.filter(col("event_type") === "purchase").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+    }
+    val cDir = graft.Scratch.landedDir(s"events5c1click:$dir") { p =>
+      ev.filter(col("event_type") === "click").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+    }
     val sink = s"graft_attr_${streamRun.incrementAndGet()}"
     withStatePartitions(s, 4) {
       val q = EventStreams.attributionJoin(
@@ -586,9 +594,10 @@ object ScaleQueries extends QueryModule {
     if (dim == 0)
       return e.select(col("vec_id"), lit(0).cast("int").as("cell")).limit(0)
     val centroids = Similarity.hashCentroids(IvfCells, dim)
-    val inDir = scratchDir("graft_ivf_in_")
+    val inDir = graft.Scratch.landedDir(s"embs2c1:$dir") { p =>
+      e.coalesce(1).write.mode("overwrite").parquet(p)
+    }
     val idxDir = scratchDir("graft_ivf_idx_") + "/index"
-    e.coalesce(1).write.mode("overwrite").parquet(inDir)
     val q = graft.streaming.IndexStreams.ivfIndexStream(
       s.readStream.schema(e.schema).parquet(inDir), centroids,
       "vec_id", "embedding", idxDir,
