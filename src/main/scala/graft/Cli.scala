@@ -22,6 +22,7 @@ import graft.model._
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
+  *   graft.Cli <projectDir> serve [--interval ms] # run-all + watch loop
   *   graft.Cli <projectDir> sql "<select>" [--format json|csv|table]
   *             [--limit N] [--var k=v ...]   # ad-hoc query surface
   */
@@ -288,6 +289,23 @@ object Cli {
       case "watch" =>
         val interval = rest.headOption.map(_.toLong).getOrElse(2000L)
         watch(spark, projectDir, interval)
+        0
+      case "serve" =>
+        // Server mode (reference cli.py:312-335, `serve --watch`): the
+        // same hot-reload loop as `watch`, framed as a long-running
+        // service — an initial full `run` brings the warehouse current
+        // before the loop starts polling, so a fresh deployment serves
+        // materialized relations immediately instead of only after the
+        // first file change. Stop with Ctrl+C / SIGTERM.
+        val interval =
+          flagValue(rest, "--interval").map(_.toLong).getOrElse(2000L)
+        // test seam: bound the loop (production default = forever)
+        val maxIter = flagValue(rest, "--max-iterations")
+          .map(_.toLong).getOrElse(Long.MaxValue)
+        val (_, runner, _) = openProject(spark, projectDir)
+        runner.run()
+        out(s"serving $projectDir (poll ${interval}ms); Ctrl+C to stop")
+        watch(spark, projectDir, interval, maxIter)
         0
       case other =>
         System.err.println(s"unknown command: $other"); 2

@@ -531,4 +531,34 @@ class CliSpec extends SparkSpec {
     val (c5, _) = run(proj, "sql", "SELECT * FROM {{ ref('missing') }}")
     assert(c5 == 4)
   }
+
+  test("serve runs the project current, then keeps the watch loop hot") {
+    Tables.registerAll(spark, sfDir)
+    val proj = project(
+      "base" ->
+        """-- config: materialized=table
+          |SELECT o_orderkey FROM {{ source('raw', 'orders') }}""".stripMargin,
+      "agg" ->
+        """-- config: materialized=table
+          |SELECT COUNT(*) AS n FROM {{ ref('base') }}""".stripMargin)
+    // the initial full run materializes BOTH models before polling
+    // (watch alone would also do it on its first poll; serve's contract
+    // is "current before serving") and the bounded loop then settles
+    val (code, lines) = run(proj, "serve",
+      "--interval", "1", "--max-iterations", "1")
+    assert(code == 0)
+    assert(lines.exists(_.startsWith("serving ")))
+    val whDir = proj.resolve("warehouse").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    assert(wh.currentVersion("base").contains(1L))
+    assert(wh.currentVersion("agg").contains(1L))
+    // a file edit between serves is picked up by the loop
+    Files.writeString(proj.resolve("models/agg.sql"),
+      """-- config: materialized=table
+        |SELECT COUNT(*) + 1 AS n FROM {{ ref('base') }}""".stripMargin)
+    assert(run(proj, "serve",
+      "--interval", "1", "--max-iterations", "1")._1 == 0)
+    val wh2 = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    assert(wh2.currentVersion("agg").contains(2L))
+  }
 }
