@@ -277,6 +277,63 @@ object LlmOpsQueries extends QueryModule {
        |ORDER BY p.a, p.b""".stripMargin
   }
 
+  // ------------------ C110: EXACT set-similarity join (prefix filter)
+  // PPJoin-shape exact join (Chaudhuri et al. 2006; Xiao et al. 2008):
+  // every pair with token-Jaccard >= 0.6, NO false negatives — the
+  // contractual-dedup tier next to the LSH family's bounded-recall
+  // tiers. All threshold arithmetic is integer (percent), so the
+  // oracle's prefix lengths and acceptance tests are bit-identical;
+  // the spec additionally pins the operator against brute-force
+  // all-pairs (losslessness), which the mirrored oracle alone can't.
+  // Unit = 3-token shingles over the FULL corpus: the synthetic docs
+  // draw from a ~31-token vocabulary, so token-level prefixes are all
+  // common (the degenerate case the operator's docstring measures);
+  // 3-shingles give the 27k-unit space prefix filtering prunes with.
+  private val SimJoinPct = 60
+  private val SimJoinShingle = 3
+
+  private def qSimjoinExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.similarityJoinExact(
+      docs(s, dir), "doc_id", "text", SimJoinPct, SimJoinShingle)
+      .orderBy("a", "b")
+
+  private val qSimjoinExactSql =
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, g AS tok FROM (
+       |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+2], ' ')
+       |      for i in range(1, len(toks) - 1)]) AS g
+       |    FROM norm WHERE len(toks) >= 3)),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |expl AS (
+       |  SELECT s.doc_id, z.n, s.tok FROM sh s JOIN sizes z USING (doc_id)),
+       |dfc AS (SELECT tok, COUNT(*) AS df FROM expl GROUP BY tok),
+       |pref AS (
+       |  SELECT tok, doc_id, n FROM (
+       |    SELECT e.tok, e.doc_id, e.n,
+       |      ROW_NUMBER() OVER (PARTITION BY e.doc_id
+       |        ORDER BY d.df, e.tok) AS pos
+       |    FROM expl e JOIN dfc d USING (tok))
+       |  WHERE pos <= n - (($SimJoinPct * n + 99) // 100) + 1),
+       |cand AS (
+       |  SELECT DISTINCT la.doc_id AS a, lb.doc_id AS b,
+       |    la.n AS na, lb.n AS nb
+       |  FROM pref la JOIN pref lb ON la.tok = lb.tok
+       |    AND la.doc_id < lb.doc_id
+       |  WHERE 100 * LEAST(la.n, lb.n) >= $SimJoinPct * GREATEST(la.n, lb.n)),
+       |inter AS (
+       |  SELECT c.a, c.b, c.na, c.nb, COUNT(*) AS n_inter
+       |  FROM cand c
+       |  JOIN expl ea ON ea.doc_id = c.a
+       |  JOIN expl eb ON eb.doc_id = c.b AND eb.tok = ea.tok
+       |  GROUP BY c.a, c.b, c.na, c.nb)
+       |SELECT a, b, CAST(n_inter AS BIGINT) AS n_inter,
+       |  CAST(na + nb - n_inter AS BIGINT) AS n_union,
+       |  CAST(n_inter AS DOUBLE) / CAST(na + nb - n_inter AS DOUBLE) AS jaccard
+       |FROM inter
+       |WHERE 100 * n_inter >= $SimJoinPct * (na + nb - n_inter)
+       |ORDER BY a, b""".stripMargin
+
   // ------------------------------------------------- C4: n-gram Jaccard
   private def qJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(docs(s, dir).filter(col("doc_id") < 40), "doc_id", "text", 2,
@@ -1064,6 +1121,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_keep" -> qDedupKeep _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_jaccard" -> qJaccard _,
+    "q_simjoin_exact" -> qSimjoinExact _,
     "q_jaccard_minhash" -> qJaccardMinhash _,
     "q_ann_bruteforce" -> qAnnBruteforce _,
     "q_ann_lsh" -> qAnnLsh _,
@@ -1099,6 +1157,7 @@ object LlmOpsQueries extends QueryModule {
     "q_dedup_keep" -> qDedupKeepSql,
     "q_dedup_simhash" -> qDedupSimhashSql,
     "q_jaccard" -> qJaccardSql,
+    "q_simjoin_exact" -> qSimjoinExactSql,
     "q_jaccard_minhash" -> qJaccardMinhashSql,
     "q_ann_bruteforce" -> qAnnBruteforceSql,
     "q_ann_lsh" -> qAnnLshSql,

@@ -217,6 +217,60 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L))) // no shared shingles -> no pair row
   }
 
+  test("similarityJoinExact equals brute-force all-pairs jaccard (no false negatives)") {
+    // Random-ish corpus from a SMALL vocabulary so real overlaps occur;
+    // deterministic generator (seeded by doc index, not Random) so the
+    // case replays. 90 docs, lengths 3..12 over a 24-word vocab.
+    val vocab = ('a' to 'x').map(c => s"w$c")
+    val docs = (1L to 90L).map { i =>
+      val len = 3 + (i * 7 % 10).toInt
+      val toks = (0 until len).map(j => vocab(((i * 31 + j * 13) % 24).toInt))
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (p <- Seq(50, 60, 80, 100)) {
+      val got = Dedup.similarityJoinExact(df, "doc_id", "text", p)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)),
+          (r.getLong(2), r.getLong(3)))).toMap
+      // brute force over the SAME normalization (distinct tokens)
+      val sets = docs.map { case (i, t) => i -> t.split(" ").toSet }.toMap
+      val expect = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        inter = (sets(a) & sets(b)).size
+        union = (sets(a) | sets(b)).size
+        if 100 * inter >= p * union
+      } yield ((a, b), (inter.toLong, union.toLong))).toMap
+      assert(got == expect,
+        s"p=$p: missing=${(expect.keySet -- got.keySet).take(5)} " +
+          s"extra=${(got.keySet -- expect.keySet).take(5)}")
+      assert(expect.nonEmpty || p == 100, s"p=$p test has no positive pairs")
+    }
+    // shingle units (the production mode): same losslessness vs brute
+    // force over bigram sets
+    val sets2 = docs.map { case (i, t) =>
+      val tk = t.split(" ")
+      i -> tk.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.toMap
+    val got2 = Dedup.similarityJoinExact(df, "doc_id", "text", 50, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val expect2 = (for {
+      a <- sets2.keys; b <- sets2.keys
+      if a < b && sets2(a).nonEmpty && sets2(b).nonEmpty
+      inter = (sets2(a) & sets2(b)).size
+      union = (sets2(a) | sets2(b)).size
+      if 100 * inter >= 50 * union
+    } yield ((a, b), (inter.toLong, union.toLong))).toMap
+    assert(got2 == expect2)
+
+    // exact duplicates survive at threshold 100 with jaccard 1.0
+    val dup = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta DELTA")).toDF("doc_id", "text")
+    val at100 = Dedup.similarityJoinExact(dup, "doc_id", "text", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4)))
+    assert(at100.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("signature jaccard estimate: identical docs estimate 1.0, near-dups less") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
