@@ -490,6 +490,35 @@ object AnalyticsQueries extends QueryModule {
        |FROM r WHERE rank <= $SampleQuota
        |ORDER BY source, rank""".stripMargin
 
+  // ---------- C111: STREAMING per-stratum quota sampling (C84's twin)
+  // The live reservoir with DETERMINISTIC md5 priorities: the streamed
+  // bottom-k per stratum is exactly the batch sample over the same
+  // rows for any batch split, so the single-batch AvailableNow run
+  // pins against the SAME oracle as q_quota_sample. Cross-batch carry
+  // (reservoir survives the micro-batch boundary) is pinned in
+  // StreamingSpec.
+  private def qStreamQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val inDir = graft.Scratch.landedDir(s"docs_src:$dir") { p =>
+      src.coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    val sink = s"graft_quota_${ScaleQueries.streamRun.incrementAndGet()}"
+    ScaleQueries.withStatePartitions(s, 4) {
+      val q = graft.streaming.SampleStreams.quotaStream(
+        s.readStream.schema(src.schema).parquet(inDir),
+        "doc_id", "source", SampleQuota)
+        .toDF("source", "n_seen", "rank", "doc_id")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    s.table(sink)
+      .select(col("source"), col("rank").cast("int").as("rank"),
+        col("doc_id"))
+      .orderBy("source", "rank")
+  }
+
   // ---------------- C91: paragraph-level keep-first corpus dedup
   // Over the same multi-line frame as C78/C79 — the synthesized
   // stopword line ("be that and of the with have to.", appended to
@@ -593,6 +622,7 @@ object AnalyticsQueries extends QueryModule {
       "q_funnel" -> qFunnel _,
       "q_stream_funnel" -> qStreamFunnel _,
       "q_quota_sample" -> qQuotaSample _,
+      "q_stream_quota" -> qStreamQuota _,
       "q_dedup_editdist" -> qDedupEditdist _,
       "q_sorted_neighborhood" -> qSortedNeighborhood _,
       "q_paragraph_dedup" -> qParagraphDedup _,
@@ -612,6 +642,9 @@ object AnalyticsQueries extends QueryModule {
     // so it pins against the SAME oracle as q_funnel
     "q_stream_funnel" -> qFunnelSql,
     "q_quota_sample" -> qQuotaSampleSql,
+    // identical result contract: the streamed reservoir == the batch
+    // sample over the same rows (deterministic priorities)
+    "q_stream_quota" -> qQuotaSampleSql,
     "q_dedup_editdist" -> qDedupEditdistSql,
     "q_sorted_neighborhood" -> qSortedNeighborhoodSql,
     "q_paragraph_dedup" -> qParagraphDedupSql,

@@ -386,6 +386,65 @@ class StreamingSpec extends SparkSpec {
     assert(art.filter($"fingerprint".isNull || $"h0".isNull).count() == 0)
   }
 
+  test("streaming quota sample: single-batch run equals the batch sample") {
+    val root = Files.createTempDirectory("graft_quota_stream_").toString
+    val src = s"$root/src"
+    val all = Tables.load(spark, sfDir, "documents")
+      .select($"doc_id", $"source")
+    all.coalesce(1).write.parquet(src)
+    val quota = 7
+    val q = SampleStreams.quotaStream(
+      spark.readStream.schema(all.schema).parquet(src),
+      "doc_id", "source", quota)
+      .toDF("source", "n_seen", "rank", "doc_id")
+      .writeStream.format("memory").queryName("quota_single")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val streamed = spark.table("quota_single")
+      .select($"source", $"rank", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val batch = graft.ops.Sampling.quotaSample(all, "doc_id", "source", quota)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
+  test("streaming quota sample: reservoir carries and merges across batches") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // Direct state-transition test with Spark's TestGroupState: batch 2
+    // must merge NEW smaller priorities into the batch-1 reservoir — a
+    // carry failure would freeze batch 1's winners. The engine-level
+    // state-store recovery machinery is pinned separately by the
+    // sessionizer/funnel/transition restart specs.
+    def k(id: Long) = SampleStreams.Keyed("s", id,
+      // descending synthetic priorities so later rows WIN: ord = -id
+      -id)
+    val quota = 3
+    val state = TestGroupState.create[SampleStreams.Reservoir](
+      org.apache.spark.api.java.Optional.empty[SampleStreams.Reservoir](),
+      org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+      1000L, org.apache.spark.api.java.Optional.empty[java.lang.Long]()
+        .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+      hasTimedOut = false)
+    // batch 1: ids 1..4 → reservoir = bottom-3 of ords(-4,-3,-2,-1)
+    val out1 = SampleStreams.quotaUpdate(quota)(
+      "s", Iterator(k(1), k(2), k(3), k(4)), state).toSeq
+    assert(out1.map(_._4) == Seq(4L, 3L, 2L)) // ord asc = id desc
+    assert(out1.forall(_._2 == 4L))
+    // batch 2 over CARRIED state: 10 and 11 beat everything; 0 loses
+    val out2 = SampleStreams.quotaUpdate(quota)(
+      "s", Iterator(k(10), k(0), k(11)), state).toSeq
+    assert(out2.map(_._4) == Seq(11L, 10L, 4L),
+      s"batch-2 reservoir must merge carried state: $out2")
+    assert(out2.forall(_._2 == 7L)) // n_seen accumulated across batches
+    // batch 3 with no reservoir-changing rows emits nothing
+    val out3 = SampleStreams.quotaUpdate(quota)(
+      "s", Iterator(k(-5)), state).toSeq
+    assert(out3.isEmpty)
+    assert(state.get.nSeen == 8L)
+  }
+
   test("cdc stream applies micro-batches through the shared materializer") {
     val whDir = Files.createTempDirectory("graft_wh_").toString
     val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
