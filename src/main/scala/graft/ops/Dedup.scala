@@ -948,6 +948,19 @@ object Dedup {
     * corpus at 0.7M), and w-shingling restores the rare-unit head the
     * filter prunes with.
     *
+    * SCALE CONTRACT — exactness is Ω(candidates): prefix filtering
+    * bounds work by the document frequency of each document's rarest
+    * units, so it stays near-linear only while the unit vocabulary
+    * GROWS with the corpus (real text: shingle spaces are open). On a
+    * CLOSED vocabulary every unit's df grows linearly with corpus
+    * size and candidates grow ~df² — the 10× scale probe measured
+    * 57× on exactly such input. That is the exact tier's inherent
+    * lower bound (any no-false-negative join must touch every
+    * qualifying pair), not a plan defect: hand corpus-growth
+    * workloads to the LSH tiers and reserve this operator for
+    * bounded slices (post-exact-dedup near-dup families, compliance
+    * candidate sets) or open-vocabulary corpora.
+    *
     * Scale shape: explode → df-count aggregate (map-side partial) →
     * per-doc window (partitioned by doc, never global) → prefix-unit
     * equi-join → pair-keyed count verify. Linear in corpus plus

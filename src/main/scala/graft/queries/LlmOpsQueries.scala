@@ -285,20 +285,38 @@ object LlmOpsQueries extends QueryModule {
   // oracle's prefix lengths and acceptance tests are bit-identical;
   // the spec additionally pins the operator against brute-force
   // all-pairs (losslessness), which the mirrored oracle alone can't.
-  // Unit = 3-token shingles over the FULL corpus: the synthetic docs
-  // draw from a ~31-token vocabulary, so token-level prefixes are all
-  // common (the degenerate case the operator's docstring measures);
-  // 3-shingles give the 27k-unit space prefix filtering prunes with.
+  // Unit = 3-token shingles (the synthetic docs draw from a ~31-token
+  // vocabulary, so token-level prefixes are all common — the
+  // degenerate case the operator's docstring measures; 3-shingles
+  // give a 27k-unit space to prune with), over a FIXED doc slice —
+  // the q_jaccard / ANN fixed-probe discipline. The bound is the
+  // measured-honest choice, not a convenience: this corpus's shingle
+  // vocabulary is CLOSED (bounded by the 31-token base vocab), so
+  // every unit's document frequency grows linearly with corpus size
+  // and exact prefix-filter candidates grow ~df² — the 10x scale
+  // probe measured 8.4 s → 475 s (57x) on the full corpus. That is
+  // the exact tier's inherent Ω(candidates) lower bound on
+  // closed-vocabulary input, not a plan defect; corpus-growth
+  // workloads use the LSH tiers, and the exact tier's contract is a
+  // bounded slice (post exact-dedup near-dup families, compliance
+  // scrub candidate sets).
   private val SimJoinPct = 60
   private val SimJoinShingle = 3
+  private val SimJoinMaxId = 4000
 
   private def qSimjoinExact(s: SparkSession, dir: String): DataFrame =
+    // filter BELOW the operator's internal fanOut: `docs()` would bake
+    // a repartition UNDER the filter, shuffling the whole table (and
+    // re-shuffling it on every evaluation of the operator's 4-consumer
+    // explode subtree — measured 49 s at 10x for a constant slice)
     Dedup.similarityJoinExact(
-      docs(s, dir), "doc_id", "text", SimJoinPct, SimJoinShingle)
+      Tables.load(s, dir, "documents").filter(col("doc_id") < SimJoinMaxId),
+      "doc_id", "text", SimJoinPct, SimJoinShingle)
       .orderBy("a", "b")
 
   private val qSimjoinExactSql =
-    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+    s"""WITH norm AS (SELECT doc_id, $sqlToks AS toks FROM documents
+       |  WHERE doc_id < $SimJoinMaxId),
        |sh AS (
        |  SELECT DISTINCT doc_id, g AS tok FROM (
        |    SELECT doc_id, UNNEST([array_to_string(toks[i:i+2], ' ')
