@@ -118,6 +118,19 @@ object Checkpoints {
     materialize(df, Bridge.internalRdd(df).map(_.copy()))
   }
 
+  /** Truncate + total row count in the same materialization pass —
+    * for callers whose next decision needs the materialized size (e.g.
+    * choosing a flat vs two-level ranking shape) without paying a
+    * separate count job. Like [[truncateCountTrue]], the accumulator
+    * value can over-count under task retries, never under-count. */
+  def truncateCount(df: DataFrame): (DataFrame, Long) = {
+    import org.apache.spark.sql.graftext.Bridge
+    val acc = df.sparkSession.sparkContext.longAccumulator("graft.rowCount")
+    val rdd = Bridge.internalRdd(df).map { r => acc.add(1L); r.copy() }
+    val out = materialize(df, rdd)
+    (out, acc.value)
+  }
+
   /** [[truncate]] fused with a fixpoint probe: materialize `df` and, in
     * the SAME pass, count rows whose boolean `flagCol` is true via an
     * accumulator. Iterative operators otherwise pay one extra job per
@@ -129,18 +142,6 @@ object Checkpoints {
     * statistic — which is all convergence needs. NULL flags count as
     * false. Returns the truncated frame (still carrying `flagCol`; the
     * caller projects it away) and the observed true-count. */
-  /** Truncate + total row count in the same materialization pass —
-    * for callers whose next decision needs the materialized size (e.g.
-    * choosing a flat vs two-level ranking shape) without paying a
-    * separate count job. */
-  def truncateCount(df: DataFrame): (DataFrame, Long) = {
-    import org.apache.spark.sql.graftext.Bridge
-    val acc = df.sparkSession.sparkContext.longAccumulator("graft.rowCount")
-    val rdd = Bridge.internalRdd(df).map { r => acc.add(1L); r.copy() }
-    val out = materialize(df, rdd)
-    (out, acc.value)
-  }
-
   def truncateCountTrue(df: DataFrame, flagCol: String): (DataFrame, Long) = {
     import org.apache.spark.sql.graftext.Bridge
     val ord = df.schema.fieldIndex(flagCol)

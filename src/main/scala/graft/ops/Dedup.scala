@@ -33,6 +33,21 @@ object Dedup {
     * default: a single degenerate bucket of B rows emits B² pairs. */
   val Uncapped: Int = Int.MaxValue
 
+  /** Production default for [[similarityJoinExact]]'s candidate-pair
+    * budget. 100M candidate pairs is ~10⁴× the full-corpus candidate
+    * count the operator measures on open-vocabulary sf0.1 text (0.7M)
+    * yet far below the 10×-scale closed-vocabulary blow-up it guards
+    * against (113M from a 4k-doc slice over a 31-token vocabulary) —
+    * honest workloads never see the guard, degenerate ones fail loudly
+    * before the join launches. */
+  val DefaultMaxCandidates: Long = 100L * 1000 * 1000
+
+  /** Explicit opt-out of [[similarityJoinExact]]'s candidate budget —
+    * exhaustive exact joins on slices the caller has already bounded.
+    * Never the production default: a closed vocabulary makes the exact
+    * tier inherently ~df² (see the operator's SCALE CONTRACT). */
+  val UncappedCandidates: Long = Long.MaxValue
+
   /** CPU-heavy per-row stages want full-core parallelism even when the
     * source has few splits (a single parquet row group reads as one
     * partition). One cheap round-robin shuffle of the raw rows buys
@@ -909,6 +924,22 @@ object Dedup {
         col("inter").cast("double") / col("union_n").cast("double"))
       .select(col("a"), col("b"), col("inter"), col("union_n"), col("jaccard"))
 
+  /** The prefix-filter working set shared by [[similarityJoinExact]]'s
+    * join and its candidate-budget pricing pass: each document keeps its
+    * globally-rarest `n − ceil(p·n/100) + 1` units (ties broken by unit
+    * value for determinism). Two documents can reach jaccard ≥ p only if
+    * their prefixes share a unit (Chaudhuri et al. ICDE '06). */
+  private def prefixEntries(
+      expl: DataFrame, dfc: DataFrame, p: Int): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("tok"))
+    expl.join(dfc, Seq("tok"))
+      .withColumn("__pos", row_number().over(w))
+      // long arithmetic: p·n stays exact for any document length
+      .filter(col("__pos") <=
+        col("n") - expr(s"($p * cast(n as bigint) + 99) div 100") + 1)
+      .select(col("tok"), col("id"), col("n"))
+  }
+
   /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
     * al. ICDE 2006 SSJoin; Xiao et al. WWW 2008 PPJoin): ALL pairs of
     * documents whose token-set Jaccard is ≥ `thresholdPct`/100 — with
@@ -961,6 +992,20 @@ object Dedup {
     * bounded slices (post-exact-dedup near-dup families, compliance
     * candidate sets) or open-vocabulary corpora.
     *
+    * That inherent quadratic is LOUD, not silent: before launching the
+    * prefix join the operator prices it from the already-computed df
+    * table — Σ over units of df·(df−1)/2 is an upper bound on candidate
+    * pairs (prefix entries per unit never exceed its df). Only when the
+    * cheap bound exceeds `maxCandidates` does it pay one extra pass to
+    * count the EXACT prefix-join candidates (Σ over prefix units of
+    * cnt·(cnt−1)/2), and if those too exceed the budget it raises a
+    * typed [[graft.model.ExecutionError]] (`execution_error`) routing
+    * the caller to the LSH tiers instead of running the blow-up. On
+    * open-vocabulary corpora (df≈1 head) the bound stays far under
+    * budget and the guard costs one small aggregate over the cached df
+    * table. Pass [[UncappedCandidates]] to skip the guard entirely
+    * (oracle-exact exhaustive baselines on inputs you already know).
+    *
     * Scale shape: explode → df-count aggregate (map-side partial) →
     * per-doc window (partitioned by doc, never global) → prefix-unit
     * equi-join → pair-keyed count verify. Linear in corpus plus
@@ -969,10 +1014,12 @@ object Dedup {
     * Output: a, b, n_inter, n_union, jaccard (a < b). */
   def similarityJoinExact(
       df: DataFrame, idCol: String, textCol: String,
-      thresholdPct: Int, shingleSize: Int = 1): DataFrame = {
+      thresholdPct: Int, shingleSize: Int = 1,
+      maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       "thresholdPct must be in [1, 100]")
     require(shingleSize >= 1, "shingleSize must be >= 1")
+    require(maxCandidates >= 1, "maxCandidates must be positive")
     val p = thresholdPct
     val units =
       if (shingleSize == 1) TextOps.tokens(col(textCol))
@@ -989,13 +1036,40 @@ object Dedup {
     val expl = base.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     val dfc = expl.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
-    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("tok"))
-    val pref = expl.join(dfc, Seq("tok"))
-      .withColumn("__pos", row_number().over(w))
-      // long arithmetic: p·n stays exact for any document length
-      .filter(col("__pos") <=
-        col("n") - expr(s"($p * cast(n as bigint) + 99) div 100") + 1)
-      .select(col("tok"), col("id"), col("n"))
+    if (maxCandidates != UncappedCandidates) {
+      // MEMORY_ONLY: the df table is unit-vocabulary-sized (2 narrow
+      // columns), the guard aggregate materializes it, and the prefix
+      // join below then reads the cache instead of re-scanning the
+      // explode — so the guard's steady-state cost on healthy input is
+      // one near-free aggregate. Eviction just falls back to recompute.
+      dfc.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      val pairSum = (cnt: Column) =>
+        sum(cnt.cast("decimal(38,0)") * (cnt - lit(1))).as("s")
+      val asPairs = (r: org.apache.spark.sql.Row) =>
+        (if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))) / 2
+      val bound = asPairs(dfc.select(pairSum(col("__df"))).first())
+      if (bound > BigDecimal(maxCandidates)) {
+        val exact = asPairs(
+          prefixEntries(expl, dfc, p).groupBy(col("tok"))
+            .agg(count(lit(1)).as("__pc"))
+            .select(pairSum(col("__pc"))).first())
+        if (exact > BigDecimal(maxCandidates))
+          throw new graft.model.ExecutionError(
+            "similarityJoinExact candidate budget exceeded: the prefix " +
+              "join would generate more candidate pairs than maxCandidates " +
+              "allows. This input has a closed or heavily skewed unit " +
+              "vocabulary, where any exact no-false-negative join is " +
+              "inherently ~df-squared; route corpus-growth workloads to " +
+              "the LSH tiers (minhashPairs / simhashPairs / " +
+              "jaccardPairs with a df cap) or raise maxCandidates / pass " +
+              "Dedup.UncappedCandidates explicitly for a bounded slice.",
+            Map("candidates" -> exact.toBigInt.toString,
+              "maxCandidates" -> maxCandidates.toString,
+              "thresholdPct" -> p.toString,
+              "shingleSize" -> shingleSize.toString))
+      }
+    }
+    val pref = prefixEntries(expl, dfc, p)
     val cand = pref.select(col("tok"), col("id").as("a"), col("n").as("na"))
       .join(pref.select(col("tok"), col("id").as("b"), col("n").as("nb")),
         Seq("tok"))

@@ -12,10 +12,14 @@ object SJProbe {
     spark.sparkContext.setLogLevel("WARN")
     val df = graft.Tables.load(spark, dir, "documents")
       .filter(col("doc_id") < 4000)
-    (1 to 3).foreach { i =>
+    (1 to 6).foreach { i =>
+      val cap = if (i % 2 == 0) graft.ops.Dedup.UncappedCandidates
+                else graft.ops.Dedup.DefaultMaxCandidates
+      val label = if (i % 2 == 0) "uncapped" else "guarded "
       val t0 = System.nanoTime()
-      val n = graft.ops.Dedup.similarityJoinExact(df, "doc_id", "text", 60, 3).count()
-      println(f"RUN $i ${(System.nanoTime()-t0)/1e9}%6.2f s  ($n rows)")
+      val n = graft.ops.Dedup.similarityJoinExact(
+        df, "doc_id", "text", 60, 3, cap).count()
+      println(f"RUN $i $label ${(System.nanoTime()-t0)/1e9}%6.2f s  ($n rows)")
     }
     spark.stop()
   }

@@ -271,6 +271,33 @@ class OpsSpec extends SparkSpec {
     assert(at100.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("similarityJoinExact candidate budget fails loudly on closed vocabularies") {
+    // Adversarial input: 40 identical docs over a 3-token vocabulary.
+    // Every token has df=40, so the df-table bound is 3·C(40,2)=2340 and
+    // the EXACT prefix-join candidates (p=80 → prefix length 1, all docs
+    // keep the tie-broken rarest token 'a') are C(40,2)=780.
+    val closed = (1L to 40L).map(i => (i, "a b c")).toDF("doc_id", "text")
+    // budget below the exact candidate count → typed loud failure
+    val err = intercept[graft.model.ExecutionError] {
+      Dedup.similarityJoinExact(closed, "doc_id", "text", 80,
+        maxCandidates = 100).collect()
+    }
+    assert(err.errorClass == "execution_error")
+    assert(err.getMessage.contains("candidate budget exceeded"))
+    assert(err.getMessage.contains("candidates=780"))
+    assert(err.getMessage.contains("LSH"))
+    // budget between the exact count (780) and the cheap bound (2340):
+    // the second-stage exact pricing must admit the join, and results
+    // stay exact — all C(40,2) identical pairs at jaccard 1.0
+    val mid = Dedup.similarityJoinExact(closed, "doc_id", "text", 80,
+      maxCandidates = 1000).collect()
+    assert(mid.length == 780 && mid.forall(_.getDouble(4) == 1.0))
+    // explicit opt-out runs the quadratic without pricing it
+    val un = Dedup.similarityJoinExact(closed, "doc_id", "text", 80,
+      maxCandidates = Dedup.UncappedCandidates).collect()
+    assert(un.length == 780)
+  }
+
   test("signature jaccard estimate: identical docs estimate 1.0, near-dups less") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
