@@ -37,21 +37,26 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
-  /** Run `f` with the session's shuffle partitioning right-sized to an
-    * iterative operator's working set, restoring the conf whatever
-    * happens. Iterative operators pay Spark's per-stage scheduling
+  /** A session whose shuffle partitioning is right-sized to an
+    * iterative operator's working set — the SAME SparkContext, but an
+    * isolated conf, so the lowered partition count is visible ONLY to
+    * frames the caller explicitly plans on it (seed frames hop on via
+    * [[org.apache.spark.sql.graftext.Bridge.rebind]], results hop
+    * back). Iterative operators pay Spark's per-stage scheduling
     * latency maxRounds × stages-per-round times, and that latency grows
     * with partition count even when AQE coalesces the reads (measured
     * on connectedComponents: 1.7× faster at 1 shuffle partition than at
     * the session's 32 on a 5k-edge graph — loops are overhead-bound
     * long before they are data-bound). `rows` is the REAL materialized
-    * working-set size (count a checkpointed frame — cheap); partitions
-    * are only ever LOWERED, so a 100 TB input keeps the session's
-    * setting untouched. Nesting is safe: an inner call sees the lowered
-    * session value as its ceiling and restores to it. Single-threaded
-    * sessions only — the conf is session-global while `f` runs, which
-    * is the deal every sequential batch/bench/Verify driver here takes;
-    * concurrent-query deployments should leave loop sizing to AQE.
+    * working-set size (counted on a checkpointed frame — cheap, or free
+    * via [[truncateCount]]); partitions are only ever LOWERED, so a
+    * 100 TB input gets the parent session back unchanged. Returning the
+    * PARENT when no lowering applies keeps the no-op path allocation-
+    * free. Earlier rounds mutated the parent's session-global conf
+    * under a try/finally instead — any query running CONCURRENTLY on
+    * the session (ModelRunner's future pool, a shared bench session)
+    * silently planned its shuffles with the shrunken count until the
+    * restore; the clone makes that leak structurally impossible.
     *
     * WHEN IT PAYS (measured, sf0.1): deep convergence loops with many
     * stages per round — connectedComponents (~5 rounds × ~6 stages,
@@ -61,18 +66,19 @@ object Checkpoints {
     * job plus the lost post-shuffle parallelism outweigh the smaller
     * scheduling saving — those operators deliberately do NOT use this
     * helper. Measure before adding call sites. */
-  def withLoopShufflePartitions[A](
+  def loopSession(
       spark: org.apache.spark.sql.SparkSession, rows: Long,
-      rowsPerPartition: Long = 4L * 1000 * 1000)(f: => A): A = {
+      rowsPerPartition: Long = 4L * 1000 * 1000)
+      : org.apache.spark.sql.SparkSession = {
     require(rowsPerPartition > 0, "rowsPerPartition must be positive")
     val sessParts = spark.sessionState.conf.numShufflePartitions
     val parts =
       math.max(1L, math.min(sessParts.toLong, rows / rowsPerPartition + 1))
-    if (parts >= sessParts) f
+    if (parts >= sessParts) spark
     else {
-      val key = "spark.sql.shuffle.partitions"
-      try { spark.conf.set(key, parts.toString); f }
-      finally spark.conf.set(key, sessParts.toString)
+      val s = org.apache.spark.sql.graftext.Bridge.cloneSession(spark)
+      s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      s
     }
   }
 

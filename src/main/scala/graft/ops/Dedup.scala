@@ -134,21 +134,25 @@ object Dedup {
     // so the truncation pass executes it once — the union form ran the
     // candidate generation on BOTH branches of the same job. The edge
     // count rides the same pass and right-sizes the loop below.
-    val (edges, edgeCount) = graft.Checkpoints.truncateCount(
+    val (edges0, edgeCount) = graft.Checkpoints.truncateCount(
       pairs.select(explode(array(
           struct(col(aCol).as("u"), col(bCol).as("v")),
           struct(col(bCol).as("u"), col(aCol).as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct())
-    // Loop-scoped shuffle right-sizing, tuned for this loop's shape:
-    // the earlier A/B that measured right-sizing neutral-to-worse here
-    // collapsed the 30× (297k-edge) working set to ONE partition and
-    // lost the join parallelism; 40k rows/partition keeps ≥8-way joins
-    // at that scale while a bench-scale pair graph (hundreds of edges)
-    // drops to 1 partition and stops paying 32 tasks of scheduling per
-    // round for tens of rows.
-    graft.Checkpoints.withLoopShufflePartitions(
-        pairs.sparkSession, edgeCount, rowsPerPartition = 40000L) {
+    // Loop-scoped shuffle right-sizing on a CLONED session (isolated
+    // conf — concurrent queries on the caller's session never see the
+    // lowered count), tuned for this loop's shape: the earlier A/B that
+    // measured right-sizing neutral-to-worse here collapsed the 30×
+    // (297k-edge) working set to ONE partition and lost the join
+    // parallelism; 40k rows/partition keeps ≥8-way joins at that scale
+    // while a bench-scale pair graph (hundreds of edges) drops to 1
+    // partition and stops paying 32 tasks of scheduling per round for
+    // tens of rows.
+    val loopSpark = graft.Checkpoints.loopSession(
+      pairs.sparkSession, edgeCount, rowsPerPartition = 40000L)
+    val edges =
+      org.apache.spark.sql.graftext.Bridge.rebind(edges0, loopSpark)
     // Labels-init FUSED with the first propagation round: with initial
     // labels = own id, round 1's min-neighbor label is just the min
     // neighbor id, so one aggregate over the symmetric edges replaces
@@ -224,8 +228,10 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge after $maxIter rounds; " +
           "raise maxIter (doubling + churn tail exceeded the budget)")
-    labels.select(col("id").as(aCol), col("label").as("cluster"))
-    } // withLoopShufflePartitions
+    // hop back: downstream operators must plan under the CALLER's conf
+    org.apache.spark.sql.graftext.Bridge.rebind(
+      labels.select(col("id").as(aCol), col("label").as("cluster")),
+      pairs.sparkSession)
   }
 
   /** Exact dedup by content fingerprint: one row per distinct normalized

@@ -424,17 +424,20 @@ object Graph {
     // scan + filter chain) must not replay under both the node
     // derivation and the loop init, and its real row count is what
     // sizes the loop's partitioning below.
-    val rawT = graft.Checkpoints.truncate(raw)
+    val (rawT0, rawCount) = graft.Checkpoints.truncateCount(raw)
     // Right-size the WHOLE operator's shuffle partitioning to the edge
-    // set — loop, star tests, and the final label join alike
-    // (Checkpoints.withLoopShufflePartitions: only ever lowers, conf
-    // restored whatever happens; this operator is where the 1.7×
-    // measurement behind the helper came from). Star contraction also
-    // shrinks the edge set every round, so the session-wide default is
-    // wrong for the loop's tail even on big inputs; the initial sizing
-    // is the conservative upper bound.
-    graft.Checkpoints.withLoopShufflePartitions(
-      raw.sparkSession, rawT.count()) {
+    // set on a CLONED loop session (Checkpoints.loopSession: only ever
+    // lowers, isolated conf — queries running concurrently on the
+    // caller's session are untouched; this operator is where the 1.7×
+    // measurement behind the helper came from). The edge count rides
+    // the truncation pass (truncateCount) instead of a separate count
+    // job. Star contraction also shrinks the edge set every round, so
+    // the session-wide default is wrong for the loop's tail even on
+    // big inputs; the initial sizing is the conservative upper bound.
+    val loopSpark =
+      graft.Checkpoints.loopSession(raw.sparkSession, rawCount)
+    val rawT = org.apache.spark.sql.graftext.Bridge.rebind(rawT0, loopSpark)
+    org.apache.spark.sql.graftext.Bridge.rebind({
       // Init fused with a PREFIX small-star pass, one materialization:
       // each node contracts straight to the min of its closed
       // neighborhood before the alternation starts, which on the
@@ -463,7 +466,7 @@ object Graph {
         .unionByName(rawT.select(col("v").as("id"))).distinct()
       // Materialized INSIDE the right-sized region: returned lazily,
       // the label join would otherwise execute later under the
-      // restored session partitioning.
+      // caller's partitioning.
       graft.Checkpoints.truncate(
         nodesT.join(
           g.groupBy(col("u").as("id"))
@@ -471,7 +474,7 @@ object Graph {
           Seq("id"), "left")
           .select(col("id"),
             coalesce(col("component"), col("id")).as("component")))
-    }
+    }, raw.sparkSession) // hop the result back to the caller's session
   }
 
   /** Deterministic synchronous label-propagation communities (Raghavan
@@ -576,15 +579,19 @@ object Graph {
       .filter(col("n") > 1L).limit(1).count()
     require(dup == 0L,
       "flattenHierarchy: duplicate id rows — one parent per id required")
-    var state = graft.Checkpoints.truncate(
+    val (state0, nodeCount) = graft.Checkpoints.truncateCount(
       h.select(col("id"),
         coalesce(col("anc"), col("id")).as("anc"),
         when(col("anc").isNull, 0L).otherwise(1L).as("depth")))
     var converged = false
     var round = 0
-    // node-sized loop shuffles — same right-sizing as pageRank's
-    graft.Checkpoints.withLoopShufflePartitions(
-      nodes.sparkSession, state.count()) {
+    // node-sized loop shuffles on a cloned, right-sized session (the
+    // node count rides the truncation pass, not a separate job); the
+    // caller's session conf is never touched
+    val loopSpark =
+      graft.Checkpoints.loopSession(nodes.sparkSession, nodeCount)
+    var state = org.apache.spark.sql.graftext.Bridge.rebind(state0, loopSpark)
+    locally {
       while (!converged && round < maxRounds) {
         round += 1
         // Rows are keyed uniquely by id and the id set is constant, so
@@ -613,7 +620,9 @@ object Graph {
     require(converged,
       s"flattenHierarchy: no fixpoint after $maxRounds rounds — a parent " +
         "CYCLE, or depth beyond 2^maxRounds; hierarchies must be acyclic")
-    state.select(col("id"), col("anc").as("root"), col("depth"))
+    org.apache.spark.sql.graftext.Bridge.rebind(
+      state.select(col("id"), col("anc").as("root"), col("depth")),
+      nodes.sparkSession)
   }
 
   /** Top anchor texts per link target — the Common-Crawl-style "what do

@@ -22,6 +22,30 @@ object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A full copy of the session — same SparkContext, SharedState and
+    * cache, isolated SessionState with all runtime confs and registered
+    * functions carried over (Spark's own `cloneSession`, which it scopes
+    * private[sql]). Unlike `newSession()`, the clone starts from the
+    * parent's CURRENT conf values, so a caller can then tweak one conf
+    * (e.g. shuffle partitions for an iterative loop) without the change
+    * ever being visible to queries planned on the parent session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Re-home `df`'s analyzed plan onto `target` (same SparkContext):
+    * subsequent operators and the final execution plan under `target`'s
+    * SessionState/conf instead of the session the frame was built on.
+    * Used at loop-session boundaries — seed frames hop onto the
+    * right-sized clone, results hop back — where the frames involved
+    * are truncated LogicalRDD leaves (or cheap projections over them),
+    * so re-analysis is trivial and no data moves. */
+  def rebind(df: DataFrame, target: SparkSession): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    if (ds.sparkSession eq target) df
+    else classic.Dataset.ofRows(
+      target.asInstanceOf[classic.SparkSession], ds.logicalPlan)
+  }
+
   /** The frame's executed plan as an InternalRow RDD — the same binary
     * rows `Dataset.checkpoint` materializes. Rows are buffer-reused per
     * partition upstream; callers that persist MUST `.map(_.copy())`

@@ -81,22 +81,38 @@ class GraphComponentsSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate id"))
   }
 
-  test("loop right-sizing restores the session's shuffle partitions") {
+  test("loop right-sizing never touches the caller session's conf") {
     // connectedComponents lowers spark.sql.shuffle.partitions for its
-    // overhead-bound contraction loop (sized to the edge count, never
-    // raised) and MUST restore the session conf on every path.
+    // overhead-bound contraction loop on a CLONED session
+    // (Checkpoints.loopSession) — the caller's session conf must stay
+    // untouched on every path, including the failure path, so queries
+    // running concurrently on the same session can never observe the
+    // lowered count.
     val key = "spark.sql.shuffle.partitions"
     val before = spark.conf.get(key)
-    cc(Seq((1L, 2L), (2L, 3L)))
+    val out = Graph.connectedComponents(
+      Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
     assert(spark.conf.get(key) == before)
+    // the returned frame is re-homed onto the CALLER's session, so
+    // downstream operators plan under the caller's conf, not the
+    // loop clone's shrunken one
+    assert(out.sparkSession eq spark)
+    assert(out.collect().length == 3)
     // the failure path (no fixpoint within maxRounds, thrown INSIDE
-    // the right-sized region) restores too
+    // the right-sized region) leaves the conf alone too
     val chain = (1L until 40L).map(i => (i, i + 1))
     intercept[IllegalArgumentException] {
       Graph.connectedComponents(
         chain.toDF("src", "dst"), "src", "dst", maxRounds = 1)
     }
     assert(spark.conf.get(key) == before)
+    // loopSession itself: a lowered clone with an isolated conf
+    val clone = graft.Checkpoints.loopSession(spark, rows = 10L)
+    assert(clone ne spark)
+    assert(clone.conf.get(key) == "1" && spark.conf.get(key) == before)
+    // no lowering → the parent comes back, allocation-free
+    assert(graft.Checkpoints.loopSession(
+      spark, rows = 1000L * 1000 * 1000) eq spark)
   }
 
   test("labels agree with duplicateClusters on a shared random graph") {
