@@ -189,6 +189,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val idleWait = awaitIdleHost()
     val spark = session(cpus)
+    val aqe = Tables.applyAdaptivePolicy(spark, sfDir)
     val loadStart = loadAvg()
     // JVM/codegen warmup so the first measured query isn't charged for it.
     try {
@@ -201,7 +202,8 @@ object Bench {
       else SparkEntry.queries.keys.filter(args.contains).toSeq
     val results = measure(spark, sfDir, selected)
     val loadEnd = loadAvg()
-    val waitField = Seq(f""""idle_wait_sec":${idleWait}%.1f""")
+    val waitField =
+      Seq(f""""idle_wait_sec":${idleWait}%.1f""", s""""aqe":$aqe""")
     println(renderJson(results, sfDir, cpus, loadStart, loadEnd, waitField))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results/latest_" + new java.io.File(sfDir).getName + ".json")

@@ -18,7 +18,9 @@ import graft.model._
   *   graft.Cli <projectDir> test [model ...] [--target env]
   *   graft.Cli <projectDir> plan [--full-refresh] | list | validate [--target env]
   *   graft.Cli <projectDir> seed   # load the seeds dir CSVs into the warehouse
-  *   graft.Cli <projectDir> docs   # markdown catalog with materialized schemas
+  *   graft.Cli <projectDir> docs [--yaml]  # markdown catalog with
+  *             materialized schemas; --yaml = effective registry as
+  *             schema.yml YAML (reference export_to_yaml parity)
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
@@ -230,8 +232,14 @@ object Cli {
         if (ok) 0 else 1
       case "docs" =>
         // dbt `docs generate` parity: markdown project catalog with the
-        // ACTUAL materialized schemas (model/Docs.scala)
-        out(Docs.markdown(wh, runner))
+        // ACTUAL materialized schemas (model/Docs.scala). `--yaml`
+        // instead emits the EFFECTIVE model registry (sidecar configs
+        // merged with SQL headers) as schema.yml YAML — the reference's
+        // export_to_yaml (model.py:303-318), for CI diffing declared
+        // vs effective config.
+        if (rest.contains("--yaml"))
+          out(SchemaYaml.export(runner.configMap.values.toSeq))
+        else out(Docs.markdown(wh, runner))
         0
       case "seed" =>
         // dbt `seed` parity: load <project>/seeds/*.csv as versioned
@@ -274,11 +282,10 @@ object Cli {
         // Parse/analysis failures surface as the typed SqlError
         // (errors.py SQLParseError), with the statement in context —
         // not a raw AnalysisException stack trace.
+        // ParseException extends AnalysisException in Spark 4, so one
+        // case covers parse AND analysis failures.
         val df = try spark.sql(rendered) catch {
           case e: org.apache.spark.sql.AnalysisException =>
-            throw new SqlError(e.getMessage,
-              Map("sql" -> rendered.take(200)), e)
-          case e: org.apache.spark.sql.catalyst.parser.ParseException =>
             throw new SqlError(e.getMessage,
               Map("sql" -> rendered.take(200)), e)
         }

@@ -132,12 +132,13 @@ object ScaleBench {
     // The scaled-dir build above is our own (attributable) load; wait
     // for the HOST to be idle only after it finishes settling.
     val idleWait = Bench.awaitIdleHost()
+    val aqe = Tables.applyAdaptivePolicy(spark, scaledDir)
     val loadStart = Bench.loadAvg()
     val results = Bench.measure(spark, scaledDir, selected)
     val loadEnd = Bench.loadAvg()
     val json = Bench.renderJson(results, scaledDir, cpus, loadStart, loadEnd,
       extraFields = Seq(s""""factor":$factor,"base_sf":"$baseDir"""",
-        f""""idle_wait_sec":${idleWait}%.1f"""),
+        f""""idle_wait_sec":${idleWait}%.1f""", s""""aqe":$aqe"""),
       withSamples = true)
     println(json)
     Bench.writeAudit(

@@ -34,7 +34,8 @@ object Tables {
     * sees plain timestamps, but the cast below keeps `load` correct even
     * on sessions that miss the config.
     */
-  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    purgeStopped()
     loadCache.computeIfAbsent((spark, dir, table), _ => {
       val df = spark.read.parquet(path(dir, table))
       df.schema.find(_.name == "ts").map(_.dataType) match {
@@ -45,6 +46,7 @@ object Tables {
         case _ => df
       }
     })
+  }
 
   // `spark.read.parquet` lists files and reads footers for schema on
   // EVERY call — ~30-80 ms per table, and Verify/Bench construct each
@@ -53,8 +55,30 @@ object Tables {
   // The testdata is immutable for a session's lifetime, so the plan
   // (with its captured file index) is safely memoized per (session,
   // dir, table). Bounded: sessions-per-JVM × dirs × 10 tables.
+  // Lifecycle: entries for STOPPED sessions are purged on every access
+  // (the maps are sessions × dirs sized — iterating them is cheaper
+  // than any bookkeeping), so a long-lived JVM cycling sessions does
+  // not retain their cached plans/file indexes forever. The keys are
+  // path-, not content-keyed: a parquet dir rewritten in place during
+  // the JVM's lifetime serves a stale file listing until
+  // [[invalidate]] is called for it (harnesses that regenerate
+  // testdata in place own that call).
   private val loadCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String, String), DataFrame]()
+
+  private def purgeStopped(): Unit = {
+    loadCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    registeredDir.filterInPlace((s, _) => !s.sparkContext.isStopped)
+  }
+
+  /** Drop every cached plan and view registration pointing at `dir`,
+    * for all sessions — the hook for harnesses that rewrite a testdata
+    * dir in place (the memoized plans capture the parquet FILE LISTING,
+    * so a rewrite would otherwise serve deleted/stale files). */
+  def invalidate(dir: String): Unit = {
+    loadCache.keySet.removeIf(k => k._2 == dir)
+    registeredDir.filterInPlace((_, d) => d != dir)
+  }
 
   /** Session configs required to read the testdata. Apply on every builder. */
   val sessionConfigs: Map[String, String] = Map(
@@ -72,6 +96,29 @@ object Tables {
     // which overrides this. Cleaned on JVM exit by Scratch.
     "spark.sql.streaming.checkpointLocation" ->
       Scratch.dir("graft_stream_ck_"))
+
+  /** AQE switch for harness sessions (Bench/Verify/ScaleBench call
+    * this with their scale dir) — kept as an explicit, recorded
+    * decision point because it was a live hypothesis: AQE runs every
+    * shuffle stage as its OWN job and waits on materialized stats
+    * between stages, a fixed scheduling tax that an isolated
+    * floor-query probe (sf0.01, warm) measured at 30-50% of sub-second
+    * plans (q_sample_stratified 0.33→0.17 s with AQE off). The FULL
+    * 171-query A/B at sf0.1 then measured the opposite in the whole:
+    * 143.9 s ON vs 175.2 s OFF — AQE's post-shuffle coalescing carries
+    * the iterative loop stages not covered by loop-session
+    * right-sizing (q_connected_components +4.9 s, q_pagerank +3.4 s,
+    * q_attribution +4.8 s when off), and even the sub-second family in
+    * aggregate got WORSE off (45.4→52.2 s) once landings/writes lost
+    * coalescing. So the policy is AQE ON — Spark's default and the
+    * 100 TB posture — with `SPARK_GRAFT_AQE=off` as the recorded A/B
+    * hook, not a size heuristic. Returns the decision for the
+    * caller's record. */
+  def applyAdaptivePolicy(spark: SparkSession, dir: String): Boolean = {
+    val enabled = !sys.env.get("SPARK_GRAFT_AQE").contains("off")
+    spark.conf.set("spark.sql.adaptive.enabled", enabled.toString)
+    enabled
+  }
 
   /** Register all tables as temp views for SQL access. Idempotent, and
     * memoized per (session, dir): re-registering identical views costs

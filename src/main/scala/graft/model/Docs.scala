@@ -25,12 +25,17 @@ object Docs {
         case None =>
           sb ++= "_referenced but not defined in this project_\n"
         case Some(cfg) =>
+          // schema.yml model description leads the section (dbt docs
+          // ordering); a `-- meta: description=` header still renders
+          // via the meta fallback below when no sidecar declares one.
+          cfg.description.foreach(d => sb ++= s"$d\n\n")
           sb ++= s"- materialized: `${cfg.materialized}`"
           cfg.incrementalStrategy.foreach(s => sb ++= s" (strategy `$s`)")
           sb ++= "\n"
           if (cfg.tags.nonEmpty)
             sb ++= s"- tags: ${cfg.tags.toSeq.sorted.mkString(", ")}\n"
-          cfg.meta.get("description").foreach(d => sb ++= s"- description: $d\n")
+          if (cfg.description.isEmpty)
+            cfg.meta.get("description").foreach(d => sb ++= s"- description: $d\n")
           val deps = g.dependencies(name)
           if (deps.nonEmpty)
             sb ++= s"- depends on: ${deps.toSeq.sorted.mkString(", ")}\n"
@@ -44,10 +49,21 @@ object Docs {
           if (cfg.contract.nonEmpty)
             sb ++= s"- contract: ${cfg.contract.map { case (c, t) => s"$c:$t" }
               .mkString(", ")}\n"
+          val colDocs = cfg.columns.map(c => c.name -> c).toMap
           if (wh.exists(name)) {
             sb ++= s"- columns (materialized v${wh.currentVersion(name).getOrElse(0L)}):\n"
             wh.read(name).schema.fields.foreach { f =>
-              sb ++= s"  - `${f.name}` ${f.dataType.simpleString}\n"
+              val desc = colDocs.get(f.name).flatMap(_.description)
+                .map(d => s" — $d").getOrElse("")
+              sb ++= s"  - `${f.name}` ${f.dataType.simpleString}$desc\n"
+            }
+          } else if (cfg.columns.nonEmpty) {
+            // not materialized yet, but the sidecar documents columns —
+            // render the declared catalog so docs are useful pre-run
+            sb ++= "- columns (declared, not materialized yet):\n"
+            cfg.columns.foreach { c =>
+              val desc = c.description.map(d => s" — $d").getOrElse("")
+              sb ++= s"  - `${c.name}`$desc\n"
             }
           } else sb ++= "- columns: _not materialized yet_\n"
       }

@@ -51,7 +51,9 @@ final case class ModelConfig(
     contract: Seq[(String, String)] = Nil, // (column, spark sql type)
     preHooks: Seq[String] = Nil,  // SQL statements before the model builds
     postHooks: Seq[String] = Nil, // SQL statements after materialization
-    meta: Map[String, String] = Map.empty) {
+    meta: Map[String, String] = Map.empty,
+    description: Option[String] = None, // schema.yml model description
+    columns: Seq[ColumnDoc] = Nil) { // schema.yml column docs (B-gap: model.py:37-58)
 
   def isIncremental: Boolean = materialized == "incremental"
 
@@ -100,6 +102,16 @@ final case class ModelConfig(
       fail(s"unique_key required for CDC model '$name'")
   }
 }
+
+/** Per-column documentation from a schema.yml sidecar — the Spark
+  * re-expression of the reference's ColumnConfig (model.py:37-58).
+  * Column TESTS parsed from the sidecar live in [[ModelConfig.tests]]
+  * (one flat test list regardless of declaration site); this carries
+  * the doc/meta surfaces `docs` renders. */
+final case class ColumnDoc(
+    name: String,
+    description: Option[String] = None,
+    meta: Map[String, String] = Map.empty)
 
 object ModelConfig {
 
@@ -156,9 +168,16 @@ object ModelConfig {
   }
 
   /** Parse `-- config: key=value, key2=value2` and `-- depends_on: a, b`
-    * comment headers out of a model's SQL text.
-    */
-  def fromSql(name: String, sql: String): ModelConfig = {
+    * comment headers out of a model's SQL text, MERGED OVER `base`
+    * (a schema.yml sidecar config, [[SchemaYaml]]): scalar config the
+    * header states wins over the sidecar's; tests, tags, depends_on,
+    * hooks and meta are additive; description and column docs only
+    * come from the sidecar (SQL headers have no such surface). With
+    * the default empty base this is the original header-only parse,
+    * so header-only projects are untouched. */
+  def fromSql(name: String, sql: String,
+      base: ModelConfig = null): ModelConfig = {
+    val b = Option(base).getOrElse(ModelConfig(name))
     val kvs: Map[String, String] = ConfigLine.findAllMatchIn(sql).flatMap { m =>
       m.group(1).split(",").toSeq.flatMap { pair =>
         pair.split("=", 2) match {
@@ -212,21 +231,25 @@ object ModelConfig {
       "unique_key", "change_type_column", "enabled")
     ModelConfig(
       name = name,
-      materialized = kvs.getOrElse("materialized", "view") match {
+      materialized = kvs.get("materialized").map {
         case "incremental_table" => "incremental" // alias, materialization.py:606
         case other => other
-      },
-      incrementalStrategy = kvs.get("incremental_strategy"),
-      timeColumn = kvs.get("time_column"),
-      uniqueKey = kvs.get("unique_key"),
-      changeTypeColumn = kvs.getOrElse("change_type_column", "__cdc_operation"),
-      enabled = kvs.get("enabled").forall(_.toBoolean),
-      dependsOn = deps,
-      tags = tags,
-      tests = tests,
+      }.getOrElse(b.materialized),
+      incrementalStrategy = kvs.get("incremental_strategy")
+        .orElse(b.incrementalStrategy),
+      timeColumn = kvs.get("time_column").orElse(b.timeColumn),
+      uniqueKey = kvs.get("unique_key").orElse(b.uniqueKey),
+      changeTypeColumn =
+        kvs.getOrElse("change_type_column", b.changeTypeColumn),
+      enabled = kvs.get("enabled").map(_.toBoolean).getOrElse(b.enabled),
+      dependsOn = b.dependsOn ++ deps,
+      tags = b.tags ++ tags,
+      tests = b.tests ++ tests,
       contract = contract,
-      preHooks = PreHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
-      postHooks = PostHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
-      meta = kvs.filterNot { case (k, _) => known.contains(k) } ++ metaKvs)
+      preHooks = b.preHooks ++ PreHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
+      postHooks = b.postHooks ++ PostHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
+      meta = b.meta ++ kvs.filterNot { case (k, _) => known.contains(k) } ++ metaKvs,
+      description = b.description,
+      columns = b.columns)
   }
 }

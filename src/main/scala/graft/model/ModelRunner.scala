@@ -30,14 +30,41 @@ final class ModelRunner(
     modelCfg += name -> ModelConfig.fromSql(name, sql)
   }
 
+  /** [[addModel]] with a schema.yml sidecar base config — the SQL's
+    * comment headers merge over (and win scalar conflicts against)
+    * the sidecar's declarations. */
+  def addModel(name: String, sql: String, base: ModelConfig): Unit =
+    synchronized {
+      modelSql += name -> sql
+      modelCfg += name -> ModelConfig.fromSql(name, sql, base)
+    }
+
+  /** Load every `<name>.sql` under `dir`, merged with any dbt-style
+    * `schema*.yml` sidecar files found there ([[SchemaYaml]], reference
+    * model.py:157-232). A sidecar entry naming a model with no SQL
+    * file is a loud [[ConfigError]] — silently ignoring it is how a
+    * renamed model keeps shipping with its tests orphaned. */
   def addModelsFromDir(dir: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".sql"))
-      .foreach { p =>
-        val name = p.getFileName.toString.stripSuffix(".sql")
-        addModel(name, java.nio.file.Files.readString(p))
+    val sidecars = SchemaYaml.loadDir(dir)
+    val sqlFiles = {
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".sql")).toList
+      finally s.close()
+    }
+    val names = sqlFiles.map(_.getFileName.toString.stripSuffix(".sql")).toSet
+    sidecars.keySet.diff(names).toSeq.sorted.headOption.foreach { orphan =>
+      throw new ConfigError(
+        s"schema.yml declares model '$orphan' but no '$orphan.sql' exists " +
+          s"under $dir", Map("model" -> orphan))
+    }
+    sqlFiles.foreach { p =>
+      val name = p.getFileName.toString.stripSuffix(".sql")
+      sidecars.get(name) match {
+        case Some(base) => addModel(name, java.nio.file.Files.readString(p), base)
+        case None => addModel(name, java.nio.file.Files.readString(p))
       }
+    }
   }
 
   def config(name: String): ModelConfig = modelCfg(name)
@@ -107,6 +134,15 @@ final class ModelRunner(
     // Contract gate BEFORE materialization (dbt contract:enforced):
     // a drifted schema must never reach storage or dependents.
     cfg.enforceContract(df.schema)
+    // schema.yml column docs must name REAL output columns — a doc'd
+    // column missing from the model is a loud ConfigError (the sidecar
+    // has drifted from the SQL), checked before storage like contracts.
+    cfg.columns.map(_.name).filterNot(df.schema.fieldNames.contains)
+      .sorted.headOption.foreach { missing =>
+        throw new ConfigError(
+          s"schema.yml documents column '$missing' but model '$name' " +
+            "does not output it", Map("model" -> name))
+      }
     val result = mat.materialize(cfg, df, batchTs, fullRefresh)
     // dbt post-hooks: run once the relation exists ({{ this }} is
     // readable), BEFORE declared tests — a failing test must not skip

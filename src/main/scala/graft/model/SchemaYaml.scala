@@ -1,0 +1,283 @@
+package graft.model
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+
+/** dbt-style `schema.yml` sidecar model configs — the Spark
+  * re-expression of the reference's ModelRegistry schema loading
+  * (src/framework/model.py:157-232: `_load_schema_files` walks the
+  * models dir for `schema*.yml`, each declaring per-model config,
+  * column descriptions and column-level tests) and its YAML export
+  * (model.py:303-318 `export_to_yaml` / `to_dict`).
+  *
+  * A schema file looks like:
+  * {{{
+  * models:
+  *   - name: silver_orders
+  *     description: Cleaned orders
+  *     config: { materialized: table, enabled: true }
+  *     tags: [silver]
+  *     depends_on: [bronze_orders]
+  *     meta: { owner: data-team }
+  *     columns:
+  *       - name: o_orderkey
+  *         description: Primary key
+  *         tests: [not_null, unique]
+  *       - name: o_status
+  *         tests:
+  *           - accepted_values: { values: [F, O, P], severity: warn }
+  *           - relationships: { to: status_dim, field: code }
+  * }}}
+  *
+  * Merge contract (reference parity: YAML registry + parser.py comment
+  * headers coexist): schema.yml values are the BASE and the model's
+  * `-- config:`/`-- test:`/... SQL comment headers override / extend
+  * them ([[ModelConfig.fromSql]]'s `base` parameter) — the SQL file is
+  * closest to the code, so it wins scalar conflicts; tests, tags,
+  * depends_on and meta are additive. Unknown models (a YAML entry with
+  * no `<name>.sql` in the project) raise a typed [[ConfigError]] — a
+  * silently ignored declaration is how a renamed model keeps shipping
+  * untested.
+  */
+object SchemaYaml {
+
+  private def mapper = new ObjectMapper(new YAMLFactory())
+
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => k.toString -> toScala(vv) }.toMap
+    case l: java.util.List[_] => l.asScala.map(toScala).toList
+    case other => other
+  }
+
+  private def str(v: Any): String = String.valueOf(v)
+
+  /** Parse one schema YAML document into per-model base configs,
+    * keyed by model name. */
+  def parse(yaml: String, file: String = "schema.yml")
+      : Map[String, ModelConfig] = {
+    val root =
+      try toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Object]]))
+        .asInstanceOf[Map[String, Any]]
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new ConfigError(s"unparseable schema file: ${e.getMessage}",
+            Map("file" -> file))
+      }
+    val models = root.getOrElse("models", Nil) match {
+      case l: List[Any @unchecked] => l
+      case _ => throw new ConfigError("schema file 'models' must be a list",
+        Map("file" -> file))
+    }
+    models.map {
+      case m: Map[String, Any] @unchecked => parseModel(m, file)
+      case other => throw new ConfigError(
+        s"schema file model entry must be a mapping, got: $other",
+        Map("file" -> file))
+    }.map(c => c.name -> c).toMap
+  }
+
+  private def parseModel(m: Map[String, Any], file: String): ModelConfig = {
+    val name = m.get("name").map(str).getOrElse(
+      throw new ConfigError("schema file model entry missing 'name'",
+        Map("file" -> file)))
+    def fail(msg: String): Nothing =
+      throw new ConfigError(msg, Map("file" -> file, "model" -> name))
+    val cfg = m.getOrElse("config", Map.empty[String, Any]) match {
+      case c: Map[String, Any] @unchecked => c
+      case other => fail(s"'config' must be a mapping, got: $other")
+    }
+    def strList(key: String, src: Map[String, Any] = m): Seq[String] =
+      src.getOrElse(key, Nil) match {
+        case l: List[Any @unchecked] => l.map(str)
+        case other => fail(s"'$key' must be a list, got: $other")
+      }
+    val columns: Seq[ColumnDoc] = m.getOrElse("columns", Nil) match {
+      case l: List[Any @unchecked] => l.map {
+        case c: Map[String, Any] @unchecked =>
+          val cname = c.get("name").map(str).getOrElse(
+            fail("column entry missing 'name'"))
+          ColumnDoc(cname, c.get("description").map(str),
+            meta = c.getOrElse("meta", Map.empty[String, Any]) match {
+              case mm: Map[String, Any] @unchecked =>
+                mm.map { case (k, v) => k -> str(v) }
+              case other => fail(s"column '$cname' meta must be a mapping: $other")
+            })
+        case other => fail(s"column entry must be a mapping, got: $other")
+      }
+      case other => fail(s"'columns' must be a list, got: $other")
+    }
+    // column-level tests bind to their column; model-level tests must
+    // name theirs via a `column` param (TestConfig.from_dict's
+    // {test_name: {params}} shape, model.py:22-33)
+    val colTests: Seq[TestSpec] = (m.getOrElse("columns", Nil) match {
+      case l: List[Any @unchecked] => l
+      case _ => Nil
+    }).flatMap {
+      case c: Map[String, Any] @unchecked =>
+        val cname = c.get("name").map(str).getOrElse("")
+        (c.getOrElse("tests", Nil) match {
+          case l: List[Any @unchecked] => l
+          case other => fail(s"column '$cname' tests must be a list: $other")
+        }).map(t => parseYamlTest(t, Some(cname), fail))
+      case _ => Nil
+    }
+    val modelTests: Seq[TestSpec] = (m.getOrElse("tests", Nil) match {
+      case l: List[Any @unchecked] => l
+      case other => fail(s"'tests' must be a list, got: $other")
+    }).map(t => parseYamlTest(t, None, fail))
+    val known = Set("materialized", "incremental_strategy", "time_column",
+      "unique_key", "change_type_column", "enabled")
+    ModelConfig(
+      name = name,
+      materialized = cfg.get("materialized").map(str).map {
+        case "incremental_table" => "incremental"
+        case other => other
+      }.getOrElse("view"),
+      incrementalStrategy = cfg.get("incremental_strategy").map(str),
+      timeColumn = cfg.get("time_column").map(str),
+      uniqueKey = cfg.get("unique_key").map(str),
+      changeTypeColumn =
+        cfg.get("change_type_column").map(str).getOrElse("__cdc_operation"),
+      enabled = cfg.get("enabled").map(str).forall(_.toBoolean),
+      dependsOn = strList("depends_on").toSet,
+      tags = strList("tags").toSet,
+      tests = colTests ++ modelTests,
+      meta = (m.getOrElse("meta", Map.empty[String, Any]) match {
+        case mm: Map[String, Any] @unchecked =>
+          mm.map { case (k, v) => k -> str(v) }
+        case other => fail(s"'meta' must be a mapping, got: $other")
+      }) ++ cfg.filterNot { case (k, _) => known.contains(k) }
+        .map { case (k, v) => k -> str(v) },
+      description = m.get("description").map(str),
+      columns = columns)
+  }
+
+  /** One YAML test declaration → [[TestSpec]]. A bare string is a
+    * no-arg test on the enclosing column; a one-key mapping carries
+    * params (dbt shapes: `accepted_values: {values: [...]}`,
+    * `relationships: {to: model, field: col}`, `range: {min, max}`,
+    * optional `severity`, and `column` for model-level tests). */
+  private def parseYamlTest(t: Any, column: Option[String],
+      fail: String => Nothing): TestSpec = t match {
+    case s: String =>
+      TestSpec(s, column.getOrElse(fail(s"test '$s' needs a column")))
+    case m: Map[String, Any] @unchecked if m.size == 1 =>
+      val (tpe, raw) = m.head
+      val params = raw match {
+        case null => Map.empty[String, Any]
+        case p: Map[String, Any] @unchecked => p
+        case other => fail(s"test '$tpe' params must be a mapping: $other")
+      }
+      val col = params.get("column").map(str).orElse(column)
+        .getOrElse(fail(s"test '$tpe' needs a column"))
+      val severity = params.get("severity").map(str).getOrElse("error")
+      val args: Seq[String] = tpe match {
+        case "accepted_values" => params.getOrElse("values", Nil) match {
+          case l: List[Any @unchecked] => l.map(str)
+          case other => fail(s"accepted_values needs 'values' list: $other")
+        }
+        case "relationships" =>
+          Seq(params.get("to").map(str).getOrElse(
+              fail("relationships needs 'to'")),
+            params.get("field").map(str).getOrElse(
+              fail("relationships needs 'field'")))
+        case "range" =>
+          Seq(params.get("min").map(str).getOrElse(fail("range needs 'min'")),
+            params.get("max").map(str).getOrElse(fail("range needs 'max'")))
+        case _ => Nil
+      }
+      TestSpec(tpe, col, args, severity)
+    case other => fail(s"unrecognized test declaration: $other")
+  }
+
+  /** Load every `schema*.yml`/`schema*.yaml` under `dir` (recursive,
+    * reference model.py:180-190) into one name-keyed base-config map;
+    * duplicate declarations of one model across files are a loud
+    * [[ConfigError]] (last-wins would silently drop tests). */
+  def loadDir(dir: Path): Map[String, ModelConfig] = {
+    if (!Files.isDirectory(dir)) return Map.empty
+    val files = {
+      val s = Files.walk(dir)
+      try s.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        Files.isRegularFile(p) && n.startsWith("schema") &&
+          (n.endsWith(".yml") || n.endsWith(".yaml"))
+      }.toList.sortBy(_.toString)
+      finally s.close()
+    }
+    files.foldLeft(Map.empty[String, ModelConfig]) { (acc, f) =>
+      val parsed = parse(Files.readString(f), f.toString)
+      parsed.keySet.intersect(acc.keySet).toSeq.sorted.headOption.foreach {
+        dup => throw new ConfigError(
+          s"model '$dup' declared in more than one schema file",
+          Map("file" -> f.toString))
+      }
+      acc ++ parsed
+    }
+  }
+
+  /** Export parsed model configs back to schema.yml YAML — the
+    * registry round-trip (model.py:303-318 `export_to_yaml`) that lets
+    * CI diff the effective config (headers merged over sidecars)
+    * against the declared one. `parse(export(cfgs))` recovers the same
+    * configs modulo header-only surfaces YAML does not declare
+    * (contracts, hooks). */
+  def export(configs: Seq[ModelConfig]): String = {
+    def jmap(kvs: Seq[(String, Any)]): java.util.LinkedHashMap[String, Any] = {
+      val m = new java.util.LinkedHashMap[String, Any]()
+      kvs.foreach { case (k, v) => m.put(k, v) }
+      m
+    }
+    def jlist(xs: Seq[Any]): java.util.List[Any] = xs.asJava
+    def testNode(t: TestSpec, columnLevel: Boolean): Any = {
+      val params = Seq.newBuilder[(String, Any)]
+      t.testType match {
+        case "accepted_values" => params += "values" -> jlist(t.params)
+        case "relationships" if t.params.length == 2 =>
+          params += "to" -> t.params(0); params += "field" -> t.params(1)
+        case "range" if t.params.length == 2 =>
+          params += "min" -> t.params(0); params += "max" -> t.params(1)
+        case _ => ()
+      }
+      if (!columnLevel) params += "column" -> t.column
+      if (t.severity != "error") params += "severity" -> t.severity
+      val ps = params.result()
+      if (ps.isEmpty) t.testType else jmap(Seq(t.testType -> jmap(ps)))
+    }
+    val models = configs.sortBy(_.name).map { c =>
+      val colTestCols = c.columns.map(_.name).toSet
+      val entry = Seq.newBuilder[(String, Any)]
+      entry += "name" -> c.name
+      c.description.foreach(d => entry += "description" -> d)
+      entry += "config" -> jmap(Seq(
+          "materialized" -> c.materialized) ++
+        c.incrementalStrategy.map("incremental_strategy" -> _) ++
+        c.timeColumn.map("time_column" -> _) ++
+        c.uniqueKey.map("unique_key" -> _) ++
+        (if (c.enabled) Nil else Seq("enabled" -> false)))
+      if (c.tags.nonEmpty) entry += "tags" -> jlist(c.tags.toSeq.sorted)
+      if (c.dependsOn.nonEmpty)
+        entry += "depends_on" -> jlist(c.dependsOn.toSeq.sorted)
+      if (c.columns.nonEmpty) entry += "columns" -> jlist(c.columns.map { cd =>
+        val ce = Seq.newBuilder[(String, Any)]
+        ce += "name" -> cd.name
+        cd.description.foreach(d => ce += "description" -> d)
+        val ts = c.tests.filter(_.column == cd.name)
+        if (ts.nonEmpty)
+          ce += "tests" -> jlist(ts.map(testNode(_, columnLevel = true)))
+        if (cd.meta.nonEmpty)
+          ce += "meta" -> jmap(cd.meta.toSeq.sortBy(_._1))
+        jmap(ce.result())
+      })
+      val looseTests = c.tests.filterNot(t => colTestCols.contains(t.column))
+      if (looseTests.nonEmpty)
+        entry += "tests" -> jlist(looseTests.map(testNode(_, columnLevel = false)))
+      if (c.meta.nonEmpty) entry += "meta" -> jmap(c.meta.toSeq.sortBy(_._1))
+      jmap(entry.result())
+    }
+    mapper.writeValueAsString(jmap(Seq("models" -> jlist(models))))
+  }
+}

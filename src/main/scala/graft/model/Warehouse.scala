@@ -121,15 +121,16 @@ final class Warehouse(
       targetFileBytes: Long = Warehouse.DefaultTargetFileBytes): Unit = {
     require(rangeCols.nonEmpty && numFiles >= 0, "range spec required")
     import org.apache.spark.sql.functions.col
-    val files = Warehouse.resolveNumFiles(df, numFiles, targetFileBytes)
-    val next = currentVersion(model).getOrElse(0L) + 1
-    val dir = versionDir(model, next)
-    val cols = rangeCols.map(col)
-    df.repartitionByRange(files, cols: _*)
-      .sortWithinPartitions(cols: _*)
-      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
-    state.update(model)(_.copy(currentVersion = next))
-    refreshView(model)
+    Warehouse.withResolvedNumFiles(df, numFiles, targetFileBytes) { files =>
+      val next = currentVersion(model).getOrElse(0L) + 1
+      val dir = versionDir(model, next)
+      val cols = rangeCols.map(col)
+      df.repartitionByRange(files, cols: _*)
+        .sortWithinPartitions(cols: _*)
+        .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      state.update(model)(_.copy(currentVersion = next))
+      refreshView(model)
+    }
   }
 
   /** Z-order-clustered version write (Delta/Iceberg `OPTIMIZE ZORDER
@@ -150,16 +151,17 @@ final class Warehouse(
       targetFileBytes: Long = Warehouse.DefaultTargetFileBytes): Unit = {
     require(numFiles >= 0, "numFiles must be non-negative (0 = by bytes)")
     import org.apache.spark.sql.functions.col
-    val files = Warehouse.resolveNumFiles(df, numFiles, targetFileBytes)
-    val next = currentVersion(model).getOrElse(0L) + 1
-    val dir = versionDir(model, next)
-    graft.ops.ZOrder.withZValue(df, colA, colB, bits)
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(dir.toString)
-    state.update(model)(_.copy(currentVersion = next))
-    refreshView(model)
+    Warehouse.withResolvedNumFiles(df, numFiles, targetFileBytes) { files =>
+      val next = currentVersion(model).getOrElse(0L) + 1
+      val dir = versionDir(model, next)
+      graft.ops.ZOrder.withZValue(df, colA, colB, bits)
+        .repartitionByRange(files, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(dir.toString)
+      state.update(model)(_.copy(currentVersion = next))
+      refreshView(model)
+    }
   }
 
   // Catalog table names are global to the Spark session; two Warehouse
@@ -320,10 +322,13 @@ object Warehouse {
     * default in Spark 4.x) — would divide the sentinel by the target
     * and hit the 2^20 cap: a million-file write. Detect the sentinel
     * (estimate at or above `defaultSizeInBytes`) and fall back to a
-    * row-count × schema-width estimate instead. The count is one extra
-    * job, but a truncated frame is already materialized so the pass is
-    * a cheap block scan — and a clustered write of an unsized frame has
-    * no better source of truth. */
+    * row-count × schema-width estimate instead. For a TRUNCATED frame
+    * (every analyzed-plan leaf a LogicalRDD) that count is a cheap
+    * block scan. Any OTHER saturated-stats frame — e.g. a deep join
+    * plan whose compounded BigInt stats overflow the sentinel — would
+    * execute its full plan once for the count and again for the write,
+    * so [[Warehouse.withResolvedNumFiles]] persists it first and the
+    * write reuses the materialization. */
   private[model] def resolveNumFiles(
       df: DataFrame, numFiles: Int, targetFileBytes: Long): Int = {
     if (numFiles > 0) numFiles
@@ -342,6 +347,35 @@ object Warehouse {
           BigInt(df.count()) * rowWidth
         }
       (est / targetFileBytes).min(BigInt(1) << 20).toInt + 1
+    }
+  }
+
+  /** Whether [[resolveNumFiles]] on this frame would pay a count that
+    * RE-EXECUTES the plan (saturated stats on a non-materialized
+    * frame) rather than scanning already-materialized blocks. */
+  private def countWouldReExecute(df: DataFrame, numFiles: Int): Boolean =
+    numFiles == 0 && {
+      val conf = df.sparkSession.sessionState.conf
+      df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        conf.defaultSizeInBytes &&
+        !org.apache.spark.sql.graftext.Bridge.allLeavesMaterialized(df)
+    }
+
+  /** Run `body` with the resolved file count, persisting `df` across
+    * sizing + write exactly when the sizing count would otherwise
+    * re-execute the plan (the write then reads the cache instead of
+    * recomputing), and dropping the cache afterwards. The common cases
+    * — explicit numFiles, honest stats, truncated frames — take the
+    * plain path with no persistence. */
+  private[model] def withResolvedNumFiles[A](
+      df: DataFrame, numFiles: Int, targetFileBytes: Long)(
+      body: Int => A): A = {
+    if (!countWouldReExecute(df, numFiles))
+      body(resolveNumFiles(df, numFiles, targetFileBytes))
+    else {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try body(resolveNumFiles(df, numFiles, targetFileBytes))
+      finally df.unpersist(blocking = false)
     }
   }
 }

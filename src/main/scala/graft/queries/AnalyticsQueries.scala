@@ -513,7 +513,17 @@ object AnalyticsQueries extends QueryModule {
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // Latest-snapshot rule applied IN the query: the sink accumulates
+    // one reservoir snapshot per micro-batch (append mode), and only
+    // the rows from a stratum's final snapshot (max n_seen) are the
+    // sample. The coalesce(1) landing happens to make the AvailableNow
+    // run a single batch, but oracle parity must not depend on that —
+    // a multi-file landing or maxFilesPerTrigger would otherwise leave
+    // stale snapshots in the sink and duplicate (source, rank) pairs.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
     s.table(sink)
+      .withColumn("__max_seen", max(col("n_seen")).over(w))
+      .filter(col("n_seen") === col("__max_seen"))
       .select(col("source"), col("rank").cast("int").as("rank"),
         col("doc_id"))
       .orderBy("source", "rank")

@@ -87,6 +87,20 @@ object Bridge {
     classic.Dataset.ofRows(session, plan)
   }
 
+  /** True when every leaf of `df`'s ANALYZED plan is an
+    * already-materialized RDD leaf (LogicalRDD — what
+    * graft.Checkpoints.truncate builds): an action over such a frame is
+    * a cheap block scan, never a plan re-execution. Used by write-path
+    * sizing to decide whether a row count is free or would double the
+    * materialization cost. */
+  def allLeavesMaterialized(df: DataFrame): Boolean = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    ds.queryExecution.analyzed.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+  }
+
   /** Unwrap a possibly-SortOrder Column (`c.desc` / `c.asc` /
     * `c.desc_nulls_first` / ...) into (the ordered-by Column,
     * isDescending, nullsFirst). A plain Column is its own ascending

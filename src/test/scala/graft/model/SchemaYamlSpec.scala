@@ -1,0 +1,168 @@
+package graft.model
+
+import java.nio.file.Files
+import graft.{SparkSpec, Tables}
+
+/** schema.yml sidecar configs (reference model.py:157-232) — parse,
+  * header merge, ModelRunner e2e (YAML-declared tests run; docs show
+  * descriptions), loud unknown-model/column errors, export round-trip. */
+class SchemaYamlSpec extends SparkSpec {
+
+  private val yamlText =
+    """models:
+      |  - name: silver_orders
+      |    description: Cleaned orders
+      |    config:
+      |      materialized: table
+      |      owner_team: core
+      |    tags: [silver, core]
+      |    depends_on: [bronze_orders]
+      |    meta:
+      |      owner: data-team
+      |    columns:
+      |      - name: o_orderkey
+      |        description: Primary key
+      |        tests: [not_null, unique]
+      |      - name: o_orderstatus
+      |        description: Order state flag
+      |        tests:
+      |          - accepted_values: { values: [F, O, P], severity: warn }
+      |      - name: o_totalprice
+      |        tests:
+      |          - range: { min: 0, max: 1000000 }
+      |    tests:
+      |      - relationships: { column: o_custkey, to: customers, field: c_custkey }
+      |""".stripMargin
+
+  test("parse: config, tags, columns, every test shape, meta") {
+    val cfgs = SchemaYaml.parse(yamlText)
+    val c = cfgs("silver_orders")
+    assert(c.materialized == "table")
+    assert(c.description.contains("Cleaned orders"))
+    assert(c.tags == Set("silver", "core"))
+    assert(c.dependsOn == Set("bronze_orders"))
+    assert(c.meta("owner") == "data-team")
+    // non-reserved config keys ride into meta (like unknown header kvs)
+    assert(c.meta("owner_team") == "core")
+    assert(c.columns.map(_.name) ==
+      Seq("o_orderkey", "o_orderstatus", "o_totalprice"))
+    assert(c.columns.head.description.contains("Primary key"))
+    val byType = c.tests.groupBy(_.testType)
+    assert(byType("not_null").head.column == "o_orderkey")
+    assert(byType("unique").head.column == "o_orderkey")
+    val av = byType("accepted_values").head
+    assert(av.column == "o_orderstatus" && av.params == Seq("F", "O", "P") &&
+      av.severity == "warn")
+    assert(byType("range").head.params == Seq("0", "1000000"))
+    val rel = byType("relationships").head
+    assert(rel.column == "o_custkey" && rel.params == Seq("customers", "c_custkey"))
+  }
+
+  test("SQL headers merge over the sidecar base: scalars win, lists add") {
+    val base = SchemaYaml.parse(yamlText)("silver_orders")
+    val merged = ModelConfig.fromSql("silver_orders",
+      """-- config: materialized=view
+        |-- tags: gold
+        |-- test: not_null(o_custkey)
+        |SELECT 1""".stripMargin, base)
+    assert(merged.materialized == "view") // header wins the scalar
+    assert(merged.tags == Set("silver", "core", "gold")) // additive
+    assert(merged.tests.exists(t =>
+      t.testType == "not_null" && t.column == "o_custkey")) // header test added
+    assert(merged.tests.exists(t =>
+      t.testType == "accepted_values")) // sidecar tests kept
+    assert(merged.description.contains("Cleaned orders"))
+    // header-only parse (no sidecar) unchanged
+    val plain = ModelConfig.fromSql("m", "-- config: materialized=table\nSELECT 1")
+    assert(plain.materialized == "table" && plain.description.isEmpty)
+  }
+
+  private def fixture() = {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+  }
+
+  test("e2e: YAML-declared tests run through ModelRunner; docs show descriptions") {
+    val dir = Files.createTempDirectory("graft_proj_models_")
+    Files.writeString(dir.resolve("orders_clean.sql"),
+      "-- config: materialized=table\n" +
+        "SELECT o_orderkey, o_orderstatus FROM {{ source('raw', 'orders') }}")
+    Files.writeString(dir.resolve("schema.yml"),
+      """models:
+        |  - name: orders_clean
+        |    description: Orders with valid status
+        |    columns:
+        |      - name: o_orderkey
+        |        description: Primary key
+        |        tests: [not_null, unique]
+        |      - name: o_orderstatus
+        |        tests:
+        |          - accepted_values: { values: [F, O, P] }
+        |""".stripMargin)
+    val runner = fixture()
+    runner.addModelsFromDir(dir)
+    assert(runner.config("orders_clean").materialized == "table")
+    runner.executeModel("orders_clean")
+    val outcomes = runner.runModelTests("orders_clean")
+    assert(outcomes.length == 3 && outcomes.forall(_.passed))
+    val wh = new Warehouse(spark,
+      Files.createTempDirectory("graft_wh2_").toString,
+      StateStore(Files.createTempDirectory("graft_st2_").toString))
+    val md = Docs.markdown(wh, runner)
+    assert(md.contains("Orders with valid status"))
+    assert(md.contains("Primary key"))
+    // a failing YAML test gates the model like a header test would
+    val dir2 = Files.createTempDirectory("graft_proj_models2_")
+    Files.writeString(dir2.resolve("orders_bad.sql"),
+      "-- config: materialized=table\n" +
+        "SELECT o_orderkey, 'X' AS o_orderstatus FROM {{ source('raw', 'orders') }}")
+    Files.writeString(dir2.resolve("schema.yml"),
+      """models:
+        |  - name: orders_bad
+        |    columns:
+        |      - name: o_orderstatus
+        |        tests:
+        |          - accepted_values: { values: [F, O, P] }
+        |""".stripMargin)
+    val runner2 = fixture()
+    runner2.addModelsFromDir(dir2)
+    intercept[ModelRunner.ModelTestFailure] {
+      runner2.executeModel("orders_bad")
+    }
+  }
+
+  test("unknown model and drifted column doc fail loudly") {
+    val dir = Files.createTempDirectory("graft_proj_models3_")
+    Files.writeString(dir.resolve("real_model.sql"), "SELECT 1 AS a")
+    Files.writeString(dir.resolve("schema.yml"),
+      "models:\n  - name: renamed_model\n    description: gone\n")
+    val e = intercept[ConfigError] { fixture().addModelsFromDir(dir) }
+    assert(e.getMessage.contains("renamed_model"))
+    // column documented in the sidecar but absent from the model output
+    val dir2 = Files.createTempDirectory("graft_proj_models4_")
+    Files.writeString(dir2.resolve("m.sql"),
+      "-- config: materialized=table\nSELECT 1 AS a")
+    Files.writeString(dir2.resolve("schema.yml"),
+      "models:\n  - name: m\n    columns:\n      - name: b\n")
+    val runner = fixture()
+    runner.addModelsFromDir(dir2)
+    val e2 = intercept[ConfigError] { runner.executeModel("m") }
+    assert(e2.getMessage.contains("'b'"))
+  }
+
+  test("export round-trips: parse(export(parse(yaml))) == parse(yaml)") {
+    val first = SchemaYaml.parse(yamlText)
+    val exported = SchemaYaml.export(first.values.toSeq)
+    val second = SchemaYaml.parse(exported)
+    assert(second == first)
+    // duplicate model declarations across files are loud
+    val dir = Files.createTempDirectory("graft_proj_models5_")
+    Files.writeString(dir.resolve("x.sql"), "SELECT 1 AS a")
+    Files.writeString(dir.resolve("schema.yml"), "models:\n  - name: x\n")
+    Files.writeString(dir.resolve("schema_extra.yml"), "models:\n  - name: x\n")
+    val e = intercept[ConfigError] { SchemaYaml.loadDir(dir) }
+    assert(e.getMessage.contains("more than one schema file"))
+  }
+}
