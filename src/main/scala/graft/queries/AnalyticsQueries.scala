@@ -363,7 +363,7 @@ object AnalyticsQueries extends QueryModule {
         .write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}"
-    ScaleQueries.withStatePartitions(s, 4) {
+    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = EventStreams.funnelStream(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)),
         Seq("view", "click", "purchase"), FunnelGapMicros)
@@ -504,7 +504,7 @@ object AnalyticsQueries extends QueryModule {
       src.coalesce(1).write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_quota_${ScaleQueries.streamRun.incrementAndGet()}"
-    ScaleQueries.withStatePartitions(s, 4) {
+    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = graft.streaming.SampleStreams.quotaStream(
         s.readStream.schema(src.schema).parquet(inDir),
         "doc_id", "source", SampleQuota)
@@ -589,7 +589,7 @@ object AnalyticsQueries extends QueryModule {
         .write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}"
-    ScaleQueries.withStatePartitions(s, 4) {
+    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = EventStreams.transitionStream(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
         .toDF("from_type", "to_type")

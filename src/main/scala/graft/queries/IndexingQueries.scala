@@ -234,7 +234,7 @@ object IndexingQueries extends QueryModule {
       s.readStream.schema(src.schema).parquet(inDir),
       "text", BloomBits, BloomHashes).bitmap
     val sink = s"graft_bloom_${ScaleQueries.streamRun.incrementAndGet()}"
-    ScaleQueries.withStatePartitions(s, 4) {
+    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = bits.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

@@ -678,7 +678,7 @@ object RetrievalQueries extends QueryModule {
         .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok")),
       "tok", CmD, CmW).cells
     val sink = s"graft_cm_${ScaleQueries.streamRun.incrementAndGet()}"
-    ScaleQueries.withStatePartitions(s, 4) {
+    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = cells.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()

@@ -333,10 +333,28 @@ object ScaleQueries extends QueryModule {
     * because bench/driver runs are strictly sequential; if concurrent
     * driver runs ever appear, scope the conf via a cloned
     * SparkSession (`s.cloneSession()`) instead. */
+  /** Stream-query state partition count. Swept at sf0.1 over the
+    * 12-query streaming family (two rounds each, idle host):
+    * 1→36.3/—, 2→20.7/—, 4→18.5/25.9, 8→16.3/23.3, 16→43.6,
+    * 32→51.4 s. The cliff above 8 is per-partition state-store
+    * instantiation + task scheduling (every stateful operator
+    * instantiates one store per partition per micro-batch); below 4
+    * the single-task stages serialize real work. 8 won both rounds at
+    * this SF; a production deployment sizes this to its state volume
+    * (state stores scale out with partitions — the 100 TB posture is
+    * MORE partitions, not fewer). */
+  private[queries] val DefaultStatePartitions = 8
+
   private[queries] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // SPARK_GRAFT_STATE_PARTITIONS overrides every stream's state
+    // partition count for A/B runs (state stores instantiate per
+    // partition per stateful operator — the dominant per-query fixed
+    // tax candidate at bench scale).
+    val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(n)
+    s.conf.set(key, eff.toString)
     try body finally s.conf.set(key, prev)
   }
 
@@ -349,7 +367,7 @@ object ScaleQueries extends QueryModule {
         .write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_sessions_${streamRun.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.sessionize(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
         .writeStream.format("memory").queryName(sink)
@@ -398,7 +416,7 @@ object ScaleQueries extends QueryModule {
         .coalesce(1).write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_win_${streamRun.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
         .writeStream.format("memory").queryName(sink)
         .outputMode("update").trigger(Trigger.AvailableNow()).start()
@@ -435,7 +453,7 @@ object ScaleQueries extends QueryModule {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
     val sink = s"graft_enrich_${streamRun.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.enrichedWindowedCounts(
         EventStreams.eventStream(s, inDir), dim, "c_custkey", "n_name")
         .writeStream.format("memory").queryName(sink)
@@ -512,7 +530,7 @@ object ScaleQueries extends QueryModule {
       base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_dedup_${streamRun.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.dedupStream(
         EventStreams.eventStream(s, inDir), Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"),
@@ -550,7 +568,7 @@ object ScaleQueries extends QueryModule {
         .write.mode("overwrite").parquet(p)
     }
     val sink = s"graft_attr_${streamRun.incrementAndGet()}"
-    withStatePartitions(s, 4) {
+    withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.attributionJoin(
         EventStreams.eventStream(s, pDir), EventStreams.eventStream(s, cDir),
         lookbackMinutes = 60)
