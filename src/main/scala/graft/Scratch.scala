@@ -62,6 +62,15 @@ object Scratch {
       d
     })
 
+  /** Drop memoized landings whose key mentions `substr` (e.g. a source
+    * dir being rewritten in place) — the staleness hook mirroring
+    * [[Tables.invalidate]]: landing keys are caller-chosen strings, so
+    * harnesses that regenerate inputs mid-JVM invalidate by the same
+    * dir string they key with. The landed files themselves stay on
+    * scratch until JVM exit (another landing may still read them). */
+  def invalidateLandings(substr: String): Unit =
+    landedMemo.keySet.removeIf((k: String) => k.contains(substr))
+
   private val landedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 }
