@@ -1075,6 +1075,11 @@ object Dedup {
               "shingleSize" -> shingleSize.toString))
       }
     }
+    // pref feeds both sides of the candidate self-join below and stays
+    // LAZY like the expl subtree: persisting it was A/B-measured a
+    // wash at sf0.1 (6 alternating warm runs each way, medians
+    // identical at 6.63 s) — the cache materialization barrier eats
+    // exactly what the saved second window pass buys.
     val pref = prefixEntries(expl, dfc, p)
     val cand = pref.select(col("tok"), col("id").as("a"), col("n").as("na"))
       .join(pref.select(col("tok"), col("id").as("b"), col("n").as("nb")),
