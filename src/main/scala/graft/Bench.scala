@@ -189,7 +189,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val idleWait = awaitIdleHost()
     val spark = session(cpus)
-    val aqe = Tables.applyAdaptivePolicy(spark, sfDir)
+    val aqe = Tables.applyAdaptivePolicy(spark)
     val loadStart = loadAvg()
     // JVM/codegen warmup so the first measured query isn't charged for it.
     try {

@@ -132,7 +132,7 @@ object ScaleBench {
     // The scaled-dir build above is our own (attributable) load; wait
     // for the HOST to be idle only after it finishes settling.
     val idleWait = Bench.awaitIdleHost()
-    val aqe = Tables.applyAdaptivePolicy(spark, scaledDir)
+    val aqe = Tables.applyAdaptivePolicy(spark)
     val loadStart = Bench.loadAvg()
     val results = Bench.measure(spark, scaledDir, selected)
     val loadEnd = Bench.loadAvg()

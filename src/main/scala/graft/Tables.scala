@@ -98,7 +98,7 @@ object Tables {
       Scratch.dir("graft_stream_ck_"))
 
   /** AQE switch for harness sessions (Bench/Verify/ScaleBench call
-    * this with their scale dir) — kept as an explicit, recorded
+    * this at session setup) — kept as an explicit, recorded
     * decision point because it was a live hypothesis: AQE runs every
     * shuffle stage as its OWN job and waits on materialized stats
     * between stages, a fixed scheduling tax that an isolated
@@ -114,7 +114,7 @@ object Tables {
     * 100 TB posture — with `SPARK_GRAFT_AQE=off` as the recorded A/B
     * hook, not a size heuristic. Returns the decision for the
     * caller's record. */
-  def applyAdaptivePolicy(spark: SparkSession, dir: String): Boolean = {
+  def applyAdaptivePolicy(spark: SparkSession): Boolean = {
     val enabled = !sys.env.get("SPARK_GRAFT_AQE").contains("off")
     spark.conf.set("spark.sql.adaptive.enabled", enabled.toString)
     enabled

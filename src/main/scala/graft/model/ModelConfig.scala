@@ -245,7 +245,10 @@ object ModelConfig {
       dependsOn = b.dependsOn ++ deps,
       tags = b.tags ++ tags,
       tests = b.tests ++ tests,
-      contract = contract,
+      // a base contract survives unless the header declares its own
+      // (headers win whole-contract, never entry-by-entry — a partial
+      // merge could silently relax a column's type)
+      contract = if (contract.nonEmpty) contract else b.contract,
       preHooks = b.preHooks ++ PreHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
       postHooks = b.postHooks ++ PostHookLine.findAllMatchIn(sql).map(_.group(1)).toSeq,
       meta = b.meta ++ kvs.filterNot { case (k, _) => known.contains(k) } ++ metaKvs,

@@ -43,7 +43,9 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   */
 object SchemaYaml {
 
-  private def mapper = new ObjectMapper(new YAMLFactory())
+  // ObjectMapper construction is expensive and the instance is
+  // thread-safe once configured — build it once.
+  private val mapper = new ObjectMapper(new YAMLFactory())
 
   private def toScala(v: Any): Any = v match {
     case m: java.util.Map[_, _] =>
@@ -53,6 +55,11 @@ object SchemaYaml {
   }
 
   private def str(v: Any): String = String.valueOf(v)
+
+  /** A key's value, with YAML's empty-value null treated as ABSENT —
+    * `description:` left blank must not become the string "null". */
+  private def opt(m: Map[String, Any], key: String): Option[Any] =
+    m.get(key).filter(_ != null)
 
   /** Parse one schema YAML document into per-model base configs,
     * keyed by model name. */
@@ -66,41 +73,49 @@ object SchemaYaml {
           throw new ConfigError(s"unparseable schema file: ${e.getMessage}",
             Map("file" -> file))
       }
-    val models = root.getOrElse("models", Nil) match {
+    val models = opt(root, "models").getOrElse(Nil) match {
       case l: List[Any @unchecked] => l
       case _ => throw new ConfigError("schema file 'models' must be a list",
         Map("file" -> file))
     }
-    models.map {
+    val parsed = models.map {
       case m: Map[String, Any] @unchecked => parseModel(m, file)
       case other => throw new ConfigError(
         s"schema file model entry must be a mapping, got: $other",
         Map("file" -> file))
-    }.map(c => c.name -> c).toMap
+    }
+    // duplicates WITHIN one file are as silent-drop-prone as across
+    // files (loadDir's check) — last-wins would discard the earlier
+    // entry's tests
+    parsed.groupBy(_.name).collectFirst { case (n, cs) if cs.size > 1 => n }
+      .foreach { dup => throw new ConfigError(
+        s"model '$dup' declared more than once in this schema file",
+        Map("file" -> file)) }
+    parsed.map(c => c.name -> c).toMap
   }
 
   private def parseModel(m: Map[String, Any], file: String): ModelConfig = {
-    val name = m.get("name").map(str).getOrElse(
+    val name = opt(m, "name").map(str).getOrElse(
       throw new ConfigError("schema file model entry missing 'name'",
         Map("file" -> file)))
     def fail(msg: String): Nothing =
       throw new ConfigError(msg, Map("file" -> file, "model" -> name))
-    val cfg = m.getOrElse("config", Map.empty[String, Any]) match {
+    val cfg = opt(m, "config").getOrElse(Map.empty[String, Any]) match {
       case c: Map[String, Any] @unchecked => c
       case other => fail(s"'config' must be a mapping, got: $other")
     }
     def strList(key: String, src: Map[String, Any] = m): Seq[String] =
-      src.getOrElse(key, Nil) match {
+      opt(src, key).getOrElse(Nil) match {
         case l: List[Any @unchecked] => l.map(str)
         case other => fail(s"'$key' must be a list, got: $other")
       }
-    val columns: Seq[ColumnDoc] = m.getOrElse("columns", Nil) match {
+    val columns: Seq[ColumnDoc] = opt(m, "columns").getOrElse(Nil) match {
       case l: List[Any @unchecked] => l.map {
         case c: Map[String, Any] @unchecked =>
-          val cname = c.get("name").map(str).getOrElse(
+          val cname = opt(c, "name").map(str).getOrElse(
             fail("column entry missing 'name'"))
-          ColumnDoc(cname, c.get("description").map(str),
-            meta = c.getOrElse("meta", Map.empty[String, Any]) match {
+          ColumnDoc(cname, opt(c, "description").map(str),
+            meta = opt(c, "meta").getOrElse(Map.empty[String, Any]) match {
               case mm: Map[String, Any] @unchecked =>
                 mm.map { case (k, v) => k -> str(v) }
               case other => fail(s"column '$cname' meta must be a mapping: $other")
@@ -112,19 +127,19 @@ object SchemaYaml {
     // column-level tests bind to their column; model-level tests must
     // name theirs via a `column` param (TestConfig.from_dict's
     // {test_name: {params}} shape, model.py:22-33)
-    val colTests: Seq[TestSpec] = (m.getOrElse("columns", Nil) match {
+    val colTests: Seq[TestSpec] = (opt(m, "columns").getOrElse(Nil) match {
       case l: List[Any @unchecked] => l
       case _ => Nil
     }).flatMap {
       case c: Map[String, Any] @unchecked =>
-        val cname = c.get("name").map(str).getOrElse("")
-        (c.getOrElse("tests", Nil) match {
+        val cname = opt(c, "name").map(str).getOrElse("")
+        (opt(c, "tests").getOrElse(Nil) match {
           case l: List[Any @unchecked] => l
           case other => fail(s"column '$cname' tests must be a list: $other")
         }).map(t => parseYamlTest(t, Some(cname), fail))
       case _ => Nil
     }
-    val modelTests: Seq[TestSpec] = (m.getOrElse("tests", Nil) match {
+    val modelTests: Seq[TestSpec] = (opt(m, "tests").getOrElse(Nil) match {
       case l: List[Any @unchecked] => l
       case other => fail(s"'tests' must be a list, got: $other")
     }).map(t => parseYamlTest(t, None, fail))
@@ -132,26 +147,26 @@ object SchemaYaml {
       "unique_key", "change_type_column", "enabled")
     ModelConfig(
       name = name,
-      materialized = cfg.get("materialized").map(str).map {
+      materialized = opt(cfg, "materialized").map(str).map {
         case "incremental_table" => "incremental"
         case other => other
       }.getOrElse("view"),
-      incrementalStrategy = cfg.get("incremental_strategy").map(str),
-      timeColumn = cfg.get("time_column").map(str),
-      uniqueKey = cfg.get("unique_key").map(str),
+      incrementalStrategy = opt(cfg, "incremental_strategy").map(str),
+      timeColumn = opt(cfg, "time_column").map(str),
+      uniqueKey = opt(cfg, "unique_key").map(str),
       changeTypeColumn =
-        cfg.get("change_type_column").map(str).getOrElse("__cdc_operation"),
-      enabled = cfg.get("enabled").map(str).forall(_.toBoolean),
+        opt(cfg, "change_type_column").map(str).getOrElse("__cdc_operation"),
+      enabled = opt(cfg, "enabled").map(str).forall(_.toBoolean),
       dependsOn = strList("depends_on").toSet,
       tags = strList("tags").toSet,
       tests = colTests ++ modelTests,
-      meta = (m.getOrElse("meta", Map.empty[String, Any]) match {
+      meta = (opt(m, "meta").getOrElse(Map.empty[String, Any]) match {
         case mm: Map[String, Any] @unchecked =>
           mm.map { case (k, v) => k -> str(v) }
         case other => fail(s"'meta' must be a mapping, got: $other")
       }) ++ cfg.filterNot { case (k, _) => known.contains(k) }
         .map { case (k, v) => k -> str(v) },
-      description = m.get("description").map(str),
+      description = opt(m, "description").map(str),
       columns = columns)
   }
 
@@ -171,22 +186,22 @@ object SchemaYaml {
         case p: Map[String, Any] @unchecked => p
         case other => fail(s"test '$tpe' params must be a mapping: $other")
       }
-      val col = params.get("column").map(str).orElse(column)
+      val col = opt(params, "column").map(str).orElse(column)
         .getOrElse(fail(s"test '$tpe' needs a column"))
-      val severity = params.get("severity").map(str).getOrElse("error")
+      val severity = opt(params, "severity").map(str).getOrElse("error")
       val args: Seq[String] = tpe match {
-        case "accepted_values" => params.getOrElse("values", Nil) match {
+        case "accepted_values" => opt(params, "values").getOrElse(Nil) match {
           case l: List[Any @unchecked] => l.map(str)
           case other => fail(s"accepted_values needs 'values' list: $other")
         }
         case "relationships" =>
-          Seq(params.get("to").map(str).getOrElse(
+          Seq(opt(params, "to").map(str).getOrElse(
               fail("relationships needs 'to'")),
-            params.get("field").map(str).getOrElse(
+            opt(params, "field").map(str).getOrElse(
               fail("relationships needs 'field'")))
         case "range" =>
-          Seq(params.get("min").map(str).getOrElse(fail("range needs 'min'")),
-            params.get("max").map(str).getOrElse(fail("range needs 'max'")))
+          Seq(opt(params, "min").map(str).getOrElse(fail("range needs 'min'")),
+            opt(params, "max").map(str).getOrElse(fail("range needs 'max'")))
         case _ => Nil
       }
       TestSpec(tpe, col, args, severity)

@@ -1059,7 +1059,10 @@ object Dedup {
           prefixEntries(expl, dfc, p).groupBy(col("tok"))
             .agg(count(lit(1)).as("__pc"))
             .select(pairSum(col("__pc"))).first())
-        if (exact > BigDecimal(maxCandidates))
+        if (exact > BigDecimal(maxCandidates)) {
+          // the join this cache was materialized for will never run —
+          // release it rather than pinning storage for a failed call
+          dfc.unpersist(blocking = false)
           throw new graft.model.ExecutionError(
             "similarityJoinExact candidate budget exceeded: the prefix " +
               "join would generate more candidate pairs than maxCandidates " +
@@ -1073,6 +1076,7 @@ object Dedup {
               "maxCandidates" -> maxCandidates.toString,
               "thresholdPct" -> p.toString,
               "shingleSize" -> shingleSize.toString))
+        }
       }
     }
     // pref feeds both sides of the candidate self-join below and stays

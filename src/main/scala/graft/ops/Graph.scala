@@ -591,31 +591,29 @@ object Graph {
     val loopSpark =
       graft.Checkpoints.loopSession(nodes.sparkSession, nodeCount)
     var state = org.apache.spark.sql.graftext.Bridge.rebind(state0, loopSpark)
-    locally {
-      while (!converged && round < maxRounds) {
-        round += 1
-        // Rows are keyed uniquely by id and the id set is constant, so
-        // a row-local "did my (anc, depth) move?" flag is exactly the
-        // old exceptAll(state).isEmpty fixpoint — minus one shuffle AND
-        // one job per round (the probe rides the round's own
-        // materialization via Checkpoints.truncateCountTrue). anc is
-        // non-null (coalesced at init) and depth only grows, so the
-        // anc comparison alone would suffice; both are kept for the
-        // self-stabilizing-state invariant to stay locally checkable.
-        val (next, changed) = graft.Checkpoints.truncateCountTrue(
-          state.as("s1").join(
-            state.select(col("id").as("__a"), col("anc").as("__anc2"),
-              col("depth").as("__d2")),
-            col("anc") === col("__a"), "left")
-            .select(col("id"),
-              coalesce(col("__anc2"), col("anc")).as("anc"),
-              (col("depth") + coalesce(col("__d2"), lit(0L))).as("depth"),
-              (coalesce(col("__anc2"), col("anc")) =!= col("anc") ||
-                coalesce(col("__d2"), lit(0L)) =!= lit(0L)).as("__chg")),
-          "__chg")
-        converged = changed == 0L
-        state = next.drop("__chg")
-      }
+    while (!converged && round < maxRounds) {
+      round += 1
+      // Rows are keyed uniquely by id and the id set is constant, so
+      // a row-local "did my (anc, depth) move?" flag is exactly the
+      // old exceptAll(state).isEmpty fixpoint — minus one shuffle AND
+      // one job per round (the probe rides the round's own
+      // materialization via Checkpoints.truncateCountTrue). anc is
+      // non-null (coalesced at init) and depth only grows, so the
+      // anc comparison alone would suffice; both are kept for the
+      // self-stabilizing-state invariant to stay locally checkable.
+      val (next, changed) = graft.Checkpoints.truncateCountTrue(
+        state.as("s1").join(
+          state.select(col("id").as("__a"), col("anc").as("__anc2"),
+            col("depth").as("__d2")),
+          col("anc") === col("__a"), "left")
+          .select(col("id"),
+            coalesce(col("__anc2"), col("anc")).as("anc"),
+            (col("depth") + coalesce(col("__d2"), lit(0L))).as("depth"),
+            (coalesce(col("__anc2"), col("anc")) =!= col("anc") ||
+              coalesce(col("__d2"), lit(0L)) =!= lit(0L)).as("__chg")),
+        "__chg")
+      converged = changed == 0L
+      state = next.drop("__chg")
     }
     require(converged,
       s"flattenHierarchy: no fixpoint after $maxRounds rounds — a parent " +

@@ -165,4 +165,27 @@ class SchemaYamlSpec extends SparkSpec {
     val e = intercept[ConfigError] { SchemaYaml.loadDir(dir) }
     assert(e.getMessage.contains("more than one schema file"))
   }
+
+  test("within-file duplicates and blank YAML values handled loudly/safely") {
+    // duplicate model names in ONE file must not silently last-win
+    val e = intercept[ConfigError] {
+      SchemaYaml.parse("models:\n  - name: m\n  - name: m\n")
+    }
+    assert(e.getMessage.contains("more than once"))
+    // YAML empty values (null) are ABSENT, never the string "null"
+    val c = SchemaYaml.parse(
+      """models:
+        |  - name: m
+        |    description:
+        |    config:
+        |    columns:
+        |      - name: a
+        |        description:
+        |""".stripMargin)("m")
+    assert(c.description.isEmpty)
+    assert(c.materialized == "view")
+    assert(c.columns.head.description.isEmpty)
+    // an empty models key is an empty registry, not an error
+    assert(SchemaYaml.parse("models:\n").isEmpty)
+  }
 }
