@@ -157,6 +157,48 @@ object Bench {
       extraFields.map("," + _).mkString + sampleField + "}")
   }
 
+  /** Render the SHORT stdout summary record. The driver captures only
+    * the last ~2000 chars of stdout; a 171-query map is ~10 KB, so the
+    * r10 driver record truncated mid-JSON (`"parsed": null`). The
+    * stdout line now carries the headline numbers plus the slowest
+    * queries up to a strict length budget and points at `detailPath`
+    * for the full per-query record; the audit file keeps everything
+    * (every query, ok-map, raw samples). */
+  def renderSummary(results: Seq[QRes], sfDir: String, cpus: String,
+      loadStart: Double, loadEnd: Double,
+      extraFields: Seq[String] = Nil,
+      detailPath: String = ""): String = {
+    val cpusJson = cpus.toIntOption.map(_.toString)
+      .getOrElse("\"" + js(cpus) + "\"")
+    val okResults = results.filter(_.ok)
+    val total = okResults.map(_.sec).sum
+    val failed = results.count(!_.ok)
+    val errs = results.flatMap(r => r.err.map(e =>
+        "\"" + r.name + "\":\"" + js(e) + "\""))
+      .mkString("{", ",", "}")
+    val contended = !loadStart.isNaN && loadStart > IdleLoad
+    val fixed =
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":"${js(sfDir)}",""" +
+      s""""n_queries":${results.size},"failed":$failed,"errors":$errs,""" +
+      s""""resampled_n":${results.count(_.resampled)},""" +
+      s""""load_avg_start":${jd(loadStart)},"load_avg_end":${jd(loadEnd)},""" +
+      s""""host_contended":$contended,"cpus":$cpusJson""" +
+      extraFields.map("," + _).mkString +
+      (if (detailPath.isEmpty) "" else s""","detail":"${js(detailPath)}"""")
+    // Slowest-first query entries, added while the line stays inside the
+    // driver's capture window (strict budget, counted per entry).
+    val budget = 1500 - fixed.length
+    val entries = okResults.sortBy(-_.sec)
+      .map(r => "\"" + r.name + "\":" + f"${r.sec}%.2f")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    entries.foreach { e =>
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    }
+    fixed + s""","queries_omitted":${okResults.size - kept.size}""" +
+      kept.mkString(""","queries":{""", ",", "}}")
+  }
+
   /** Write the audit copy; never let a bad path break the stdout
     * contract (the driver's record is the printed line) — but never
     * fail SILENTLY either: the target is deleted first (a stale file
@@ -204,11 +246,14 @@ object Bench {
     val loadEnd = loadAvg()
     val waitField =
       Seq(f""""idle_wait_sec":${idleWait}%.1f""", s""""aqe":$aqe""")
-    println(renderJson(results, sfDir, cpus, loadStart, loadEnd, waitField))
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results/latest_" + new java.io.File(sfDir).getName + ".json")
+    // The full per-query record goes to the file FIRST; stdout carries
+    // the short summary so the driver's bounded tail capture parses.
     writeAudit(outPath, renderJson(results, sfDir, cpus, loadStart, loadEnd,
       waitField, withSamples = true))
+    println(renderSummary(results, sfDir, cpus, loadStart, loadEnd,
+      waitField, outPath))
     spark.stop()
     if (results.exists(!_.ok)) sys.exit(1)
   }

@@ -69,10 +69,20 @@ object SchemaYaml {
       try toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Object]]))
         .asInstanceOf[Map[String, Any]]
       catch {
+        // A CONTENT-FREE file (empty, comments-only) is "no content to
+        // map", not a parse error — it declares no models, matching the
+        // reference's `if not data: return` (model.py _load_schema_file).
+        case e: com.fasterxml.jackson.databind.exc.MismatchedInputException
+            if Option(e.getMessage).exists(_.startsWith("No content")) =>
+          return Map.empty
         case scala.util.control.NonFatal(e) =>
           throw new ConfigError(s"unparseable schema file: ${e.getMessage}",
             Map("file" -> file))
       }
+    // An empty file, a comments-only file, or a bare `---` parses to a
+    // null document (not an error): declare no models, matching the
+    // reference's `if not data: return` (model.py:_load_schema_file).
+    if (root == null) return Map.empty
     val models = opt(root, "models").getOrElse(Nil) match {
       case l: List[Any @unchecked] => l
       case _ => throw new ConfigError("schema file 'models' must be a list",
@@ -272,6 +282,8 @@ object SchemaYaml {
         c.incrementalStrategy.map("incremental_strategy" -> _) ++
         c.timeColumn.map("time_column" -> _) ++
         c.uniqueKey.map("unique_key" -> _) ++
+        (if (c.changeTypeColumn == "__cdc_operation") Nil
+         else Seq("change_type_column" -> c.changeTypeColumn)) ++
         (if (c.enabled) Nil else Seq("enabled" -> false)))
       if (c.tags.nonEmpty) entry += "tags" -> jlist(c.tags.toSeq.sorted)
       if (c.dependsOn.nonEmpty)

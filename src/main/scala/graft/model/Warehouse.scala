@@ -353,7 +353,7 @@ object Warehouse {
   /** Whether [[resolveNumFiles]] on this frame would pay a count that
     * RE-EXECUTES the plan (saturated stats on a non-materialized
     * frame) rather than scanning already-materialized blocks. */
-  private def countWouldReExecute(df: DataFrame, numFiles: Int): Boolean =
+  private[model] def countWouldReExecute(df: DataFrame, numFiles: Int): Boolean =
     numFiles == 0 && {
       val conf = df.sparkSession.sessionState.conf
       df.queryExecution.optimizedPlan.stats.sizeInBytes >=
@@ -372,7 +372,12 @@ object Warehouse {
       body: Int => A): A = {
     if (!countWouldReExecute(df, numFiles))
       body(resolveNumFiles(df, numFiles, targetFileBytes))
-    else {
+    else if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE) {
+      // The caller already persisted this frame: its sizing count reads
+      // the caller's cache, and the cache lifecycle stays the CALLER's —
+      // unpersisting here would silently degrade their subsequent reads.
+      body(resolveNumFiles(df, numFiles, targetFileBytes))
+    } else {
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try body(resolveNumFiles(df, numFiles, targetFileBytes))
       finally df.unpersist(blocking = false)

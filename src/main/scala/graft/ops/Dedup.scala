@@ -48,6 +48,22 @@ object Dedup {
     * tier inherently ~df² (see the operator's SCALE CONTRACT). */
   val UncappedCandidates: Long = Long.MaxValue
 
+  /** One-slot registry for [[similarityJoinExact]]'s guard cache.
+    * The df table must stay cached until the CALLER materializes the
+    * returned (lazy) frame, so the call itself cannot unpersist it on
+    * success — instead each call releases the previous call's cache,
+    * bounding pinned storage to one vocabulary-sized table per JVM
+    * (repeated calls — probe loops, long-lived model runs — no longer
+    * accumulate). Unpersisting a cache a straggling reader still holds
+    * is safe: Spark falls back to recomputing from lineage. */
+  private val lastGuardCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def swapGuardCache(next: DataFrame): Unit = {
+    val prev = lastGuardCache.getAndSet(next)
+    if (prev != null) prev.unpersist(blocking = false)
+  }
+
   /** CPU-heavy per-row stages want full-core parallelism even when the
     * source has few splits (a single parquet row group reads as one
     * partition). One cheap round-robin shuffle of the raw rows buys
@@ -1048,7 +1064,11 @@ object Dedup {
       // join below then reads the cache instead of re-scanning the
       // explode — so the guard's steady-state cost on healthy input is
       // one near-free aggregate. Eviction just falls back to recompute.
+      // Registered in the one-slot guard-cache registry: the NEXT call
+      // releases it (the caller's lazy result frame still needs it
+      // after this method returns, so success cannot unpersist here).
       dfc.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      swapGuardCache(dfc)
       val pairSum = (cnt: Column) =>
         sum(cnt.cast("decimal(38,0)") * (cnt - lit(1))).as("s")
       val asPairs = (r: org.apache.spark.sql.Row) =>
@@ -1063,6 +1083,7 @@ object Dedup {
           // the join this cache was materialized for will never run —
           // release it rather than pinning storage for a failed call
           dfc.unpersist(blocking = false)
+          lastGuardCache.compareAndSet(dfc, null)
           throw new graft.model.ExecutionError(
             "similarityJoinExact candidate budget exceeded: the prefix " +
               "join would generate more candidate pairs than maxCandidates " +

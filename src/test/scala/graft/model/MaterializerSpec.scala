@@ -280,6 +280,33 @@ class MaterializerSpec extends SparkSpec {
     assert(m >= 1 && m <= 4, s"tiny plain frame sized to $m files")
   }
 
+  test("withResolvedNumFiles leaves a caller-persisted frame cached") {
+    import org.apache.spark.storage.StorageLevel
+    // An ExternalRDD-backed frame (rdd.toDF, NOT createDataFrame whose
+    // LogicalRDD leaf counts as materialized): stats saturated + leaf
+    // not materialized, so the sizing count would re-execute the plan —
+    // the branch that persists across sizing + write.
+    def extFrame() = spark.sparkContext.parallelize(0 until 100)
+      .map(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    val own = extFrame()
+    assert(Warehouse.countWouldReExecute(own, 0),
+      "precondition: frame must take the persist-across-sizing branch")
+    assert(Warehouse.withResolvedNumFiles(own, 0,
+      Warehouse.DefaultTargetFileBytes)(identity) >= 1)
+    assert(own.storageLevel == StorageLevel.NONE,
+      "self-initiated cache must be dropped after the write")
+    // but a CALLER-persisted frame keeps the caller's cache: the
+    // finally-unpersist must not silently degrade their later reads
+    val callers = extFrame()
+    callers.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(Warehouse.withResolvedNumFiles(callers, 0,
+        Warehouse.DefaultTargetFileBytes)(identity) >= 1)
+      assert(callers.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "caller-owned cache must survive the sizing + write")
+    } finally callers.unpersist(blocking = false)
+  }
+
   test("time incremental skips rows at or before the watermark") {
     val wh = freshWh(); val mat = new Materializer(wh)
     val cfg = ModelConfig("ti", materialized = "incremental",

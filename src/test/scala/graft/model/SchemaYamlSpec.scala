@@ -187,5 +187,29 @@ class SchemaYamlSpec extends SparkSpec {
     assert(c.columns.head.description.isEmpty)
     // an empty models key is an empty registry, not an error
     assert(SchemaYaml.parse("models:\n").isEmpty)
+    // a null DOCUMENT (empty file / comments-only / bare ---) is an
+    // empty registry too — typed, never an NPE (reference model.py's
+    // `if not data: return`)
+    assert(SchemaYaml.parse("").isEmpty)
+    assert(SchemaYaml.parse("# just a comment\n").isEmpty)
+    assert(SchemaYaml.parse("---\n").isEmpty)
+  }
+
+  test("export round-trips a custom change_type_column") {
+    val yaml =
+      """models:
+        |  - name: cdc_m
+        |    config:
+        |      materialized: cdc
+        |      change_type_column: op_code
+        |""".stripMargin
+    val first = SchemaYaml.parse(yaml)
+    assert(first("cdc_m").changeTypeColumn == "op_code")
+    val second = SchemaYaml.parse(SchemaYaml.export(first.values.toSeq))
+    assert(second("cdc_m").changeTypeColumn == "op_code")
+    // the default column is NOT emitted (no noise in exported sidecars)
+    val plain = SchemaYaml.export(
+      SchemaYaml.parse("models:\n  - name: m\n").values.toSeq)
+    assert(!plain.contains("change_type_column"))
   }
 }

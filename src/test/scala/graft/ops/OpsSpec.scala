@@ -298,6 +298,23 @@ class OpsSpec extends SparkSpec {
     assert(un.length == 780)
   }
 
+  test("similarityJoinExact guard cache is bounded across repeated calls") {
+    // The budget guard persists the df table for the caller's lazy
+    // result; the one-slot registry must release the PREVIOUS call's
+    // cache so repeated calls (probe loops, long-lived model runs)
+    // never accumulate pinned storage.
+    val df = (1L to 30L).map(i => (i, s"tok$i alpha tok${i + 1}"))
+      .toDF("doc_id", "text")
+    def run(): Unit =
+      { Dedup.similarityJoinExact(df, "doc_id", "text", 50).count(); () }
+    run()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    run(); run(); run()
+    val after4 = spark.sparkContext.getPersistentRDDs.size
+    assert(after4 <= after1,
+      s"guard caches accumulated across calls: $after1 -> $after4")
+  }
+
   test("signature jaccard estimate: identical docs estimate 1.0, near-dups less") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
