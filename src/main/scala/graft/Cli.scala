@@ -23,6 +23,9 @@ import graft.model._
   *             schema.yml YAML (reference export_to_yaml parity)
   *   graft.Cli <projectDir> deps [--format text|dot]
   *   graft.Cli <projectDir> lineage <model> [--impact col] | lineage --json
+  *   graft.Cli <projectDir> source-freshness [--as-of ts]
+  *             [--select source[.table]]  # dbt source freshness over
+  *             schema.yml `sources:` declarations (Freshness.checkTable)
   *   graft.Cli <projectDir> watch [intervalMs]   # hot reload loop
   *   graft.Cli <projectDir> serve [--interval ms] # run-all + watch loop
   *   graft.Cli <projectDir> sql "<select>" [--format json|csv|table]
@@ -293,6 +296,50 @@ object Cli {
         out(ResultFormatter.format(
           df, flagValue(rest, "--format").getOrElse("table"), limit))
         0
+      case "source-freshness" =>
+        // dbt `source freshness` parity: every schema.yml source table
+        // with a loaded_at_field + warn/error window is checked via
+        // Freshness.checkTable (B33) against --as-of (defaults to now;
+        // pass an explicit timestamp for replayable CI checks).
+        //   source-freshness [--as-of "yyyy-MM-dd HH:mm:ss"]
+        //                    [--select source[.table]]
+        val specs0 = SchemaYaml.loadDirSources(projectDir.resolve("models"))
+        val specs = flagValue(rest, "--select") match {
+          case Some(sel) => specs0.filter(s =>
+            s.source == sel || s.qualified == sel)
+          case None => specs0
+        }
+        val checkable = specs.filter(_.hasFreshness)
+        if (checkable.isEmpty) {
+          out("no freshness-checkable sources" +
+            (if (specs.nonEmpty) s" (${specs.size} declared without " +
+              "loaded_at_field + freshness)" else ""))
+          0
+        } else {
+          import org.apache.spark.sql.functions.{current_timestamp, to_timestamp, lit}
+          val asOf = flagValue(rest, "--as-of")
+            .map(t => to_timestamp(lit(t))).getOrElse(current_timestamp())
+          var worst = "ok"
+          checkable.foreach { s =>
+            // identifier: a path reads as parquet, a bare name resolves
+            // in the session catalog (tableExists would choke parsing a
+            // path identifier)
+            val df =
+              if (s.identifier.contains("/")) spark.read.parquet(s.identifier)
+              else spark.table(s.identifier)
+            val (warnS, errS) = s.effectiveWindows
+            val row = Freshness.checkTable(
+              df, s.loadedAtField.get, asOf, warnS, errS).head()
+            val status = row.getAs[String]("status")
+            val age =
+              if (row.isNullAt(row.fieldIndex("age_us"))) "no rows"
+              else f"${row.getAs[Long]("age_us") / 1e6}%.0f s old"
+            out(s"$status ${s.qualified} ($age)")
+            if (status == "error" ||
+                (status == "warn" && worst == "ok")) worst = status
+          }
+          if (worst == "error") 1 else 0
+        }
       case "watch" =>
         val interval = rest.headOption.map(_.toLong).getOrElse(2000L)
         watch(spark, projectDir, interval)
@@ -330,7 +377,13 @@ object Cli {
       .getOrElse(dir.resolve("warehouse").toString)
     val state = StateStore(whDir + "/state", env)
     val wh = new Warehouse(spark, whDir, state)
-    val sources = Tables.names.map(t => ("raw", t) -> t).toMap ++ cfg.sourceTableMap
+    // schema.yml `sources:` declarations join config/sources.yml in the
+    // source() resolution map (schema.yml wins: it sits next to the
+    // models that consume it)
+    val yamlSources = SchemaYaml.loadDirSources(dir.resolve("models"))
+      .map(s => (s.source, s.table) -> s.sqlRelation).toMap
+    val sources = Tables.names.map(t => ("raw", t) -> t).toMap ++
+      cfg.sourceTableMap ++ yamlSources
     val runner = new ModelRunner(wh, sources)
     val modelsDir = dir.resolve("models")
     if (Files.isDirectory(modelsDir)) runner.addModelsFromDir(modelsDir)

@@ -42,4 +42,25 @@ object Freshness {
           .otherwise("ok"))
       .select(col(groupCol), col("max_ts_us"), col("age_us"), col("status"))
   }
+
+  /** Whole-table freshness (dbt `source freshness` on an ungrouped
+    * source): one row of (max_ts_us, age_us, status). Same thresholds
+    * and NULL semantics as [[check]]; a global aggregate instead of a
+    * grouped one — the scan still prunes to the single timestamp
+    * column, and the aggregate is a constant-size partial per
+    * partition. An EMPTY table yields NULL max_ts → "error" (a source
+    * with no rows at all has no evidence of freshness). */
+  def checkTable(
+      df: DataFrame, tsCol: String, asOf: Column,
+      warnAfterS: Long, errorAfterS: Long): DataFrame = {
+    require(warnAfterS <= errorAfterS,
+      "warnAfter must not exceed errorAfter")
+    df.agg(max(unix_micros(col(tsCol))).as("max_ts_us"))
+      .withColumn("age_us", unix_micros(asOf) - col("max_ts_us"))
+      .withColumn("status",
+        when(col("age_us").isNull ||
+          col("age_us") > errorAfterS * 1000000L, "error")
+          .when(col("age_us") > warnAfterS * 1000000L, "warn")
+          .otherwise("ok"))
+  }
 }

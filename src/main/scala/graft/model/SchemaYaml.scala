@@ -41,6 +41,31 @@ import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
   * silently ignored declaration is how a renamed model keeps shipping
   * untested.
   */
+/** One source table declared in a schema.yml `sources:` section (dbt's
+  * source + freshness shape). `identifier` is what `source(src, tbl)`
+  * resolves to (a session relation name or a parquet path);
+  * `loadedAtField` + the warn/error windows (seconds) feed
+  * [[Freshness.checkTable]] through the CLI's `source-freshness` verb. */
+final case class SourceTableSpec(
+    source: String, table: String, identifier: String,
+    loadedAtField: Option[String] = None,
+    warnAfterS: Option[Long] = None, errorAfterS: Option[Long] = None) {
+  def qualified: String = s"$source.$table"
+  /** What `source()` renders into SQL: a path identifier becomes
+    * Spark's path-table syntax, a bare name stays a catalog relation. */
+  def sqlRelation: String =
+    if (identifier.contains("/")) s"parquet.`$identifier`" else identifier
+  /** Checkable = a timestamp column plus at least one threshold. */
+  def hasFreshness: Boolean =
+    loadedAtField.isDefined && (warnAfterS.isDefined || errorAfterS.isDefined)
+  /** dbt semantics for a single-sided declaration: warn-only never
+    * errors, error-only warns at the error bound. */
+  def effectiveWindows: (Long, Long) = {
+    val err = errorAfterS.getOrElse(Long.MaxValue / 2000000L) // "never"
+    (warnAfterS.getOrElse(err), err)
+  }
+}
+
 object SchemaYaml {
 
   // ObjectMapper construction is expensive and the instance is
@@ -218,21 +243,140 @@ object SchemaYaml {
     case other => fail(s"unrecognized test declaration: $other")
   }
 
+  /** The `schema*.yml`/`schema*.yaml` files under `dir`, recursive,
+    * in deterministic path order (reference model.py:180-190). */
+  private def schemaFiles(dir: Path): List[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.startsWith("schema") &&
+        (n.endsWith(".yml") || n.endsWith(".yaml"))
+    }.toList.sortBy(_.toString)
+    finally s.close()
+  }
+
+  /** Parse the `sources:` section of one schema YAML document (dbt
+    * shape: sources → tables, with optional `loaded_at_field` and
+    * `freshness: {warn_after: {count, period}, error_after: ...}` at
+    * either level — table-level overrides source-level). Identifier
+    * resolution mirrors [[ProjectConfig.sourceTableMap]]: explicit
+    * `identifier`/`path`, else `<source path>/<table>`, else the bare
+    * table name. */
+  def parseSources(yaml: String, file: String = "schema.yml")
+      : Seq[SourceTableSpec] = {
+    if (yaml.trim.isEmpty) return Nil
+    val root =
+      try toScala(mapper.readValue(yaml, classOf[java.util.Map[String, Object]]))
+        .asInstanceOf[Map[String, Any]]
+      catch {
+        case e: com.fasterxml.jackson.databind.exc.MismatchedInputException
+            if Option(e.getMessage).exists(_.startsWith("No content")) =>
+          return Nil
+        case scala.util.control.NonFatal(e) =>
+          throw new ConfigError(s"unparseable schema file: ${e.getMessage}",
+            Map("file" -> file))
+      }
+    if (root == null) return Nil
+    val srcs = opt(root, "sources").getOrElse(Nil) match {
+      case l: List[Any @unchecked] => l
+      case _ => throw new ConfigError("schema file 'sources' must be a list",
+        Map("file" -> file))
+    }
+    val specs = srcs.flatMap {
+      case s: Map[String, Any] @unchecked =>
+        val srcName = opt(s, "name").map(str).getOrElse(
+          throw new ConfigError("source entry missing 'name'",
+            Map("file" -> file)))
+        def fail(msg: String): Nothing = throw new ConfigError(msg,
+          Map("file" -> file, "source" -> srcName))
+        val basePath = opt(s, "path").map(str)
+        val srcLoadedAt = opt(s, "loaded_at_field").map(str)
+        val srcFresh = opt(s, "freshness").map(parseFreshness(_, fail))
+        (opt(s, "tables").getOrElse(Nil) match {
+          case l: List[Any @unchecked] => l
+          case other => fail(s"'tables' must be a list, got: $other")
+        }).map {
+          case t: Map[String, Any] @unchecked =>
+            val tName = opt(t, "name").map(str).getOrElse(
+              fail("source table entry missing 'name'"))
+            val ident = opt(t, "identifier").orElse(opt(t, "path")).map(str)
+              .orElse(basePath.map(p => s"$p/$tName"))
+              .getOrElse(tName)
+            // dbt parity: a PRESENT-but-null `freshness:` on a table is
+            // the explicit opt-out of the source-level default (a dim
+            // table under a fresh source), distinct from key-absent
+            // which inherits.
+            val fresh =
+              if (t.contains("freshness") && t("freshness") == null) None
+              else opt(t, "freshness").map(parseFreshness(_, fail))
+                .orElse(srcFresh)
+            SourceTableSpec(srcName, tName, ident,
+              loadedAtField = opt(t, "loaded_at_field").map(str)
+                .orElse(srcLoadedAt),
+              warnAfterS = fresh.flatMap(_._1),
+              errorAfterS = fresh.flatMap(_._2))
+          case other => fail(s"source table entry must be a mapping: $other")
+        }
+      case other => throw new ConfigError(
+        s"source entry must be a mapping, got: $other", Map("file" -> file))
+    }
+    specs.groupBy(_.qualified).collectFirst { case (q, ss) if ss.size > 1 => q }
+      .foreach { dup => throw new ConfigError(
+        s"source table '$dup' declared more than once in this schema file",
+        Map("file" -> file)) }
+    specs
+  }
+
+  /** `freshness:` block → (warnAfterS, errorAfterS). dbt's window shape:
+    * `{count: N, period: minute|hour|day}`. A declared error window
+    * must not be tighter than the warn window. */
+  private def parseFreshness(v: Any, fail: String => Nothing)
+      : (Option[Long], Option[Long]) = v match {
+    case m: Map[String, Any] @unchecked =>
+      def window(key: String): Option[Long] = opt(m, key).map {
+        case w: Map[String, Any] @unchecked =>
+          val count = opt(w, "count").map(str).getOrElse(
+            fail(s"freshness $key needs 'count'")).toLong
+          if (count <= 0) fail(s"freshness $key count must be positive")
+          count * (opt(w, "period").map(str).getOrElse("hour") match {
+            case "minute" => 60L
+            case "hour" => 3600L
+            case "day" => 86400L
+            case other => fail(s"unknown freshness period '$other'")
+          })
+        case other => fail(s"freshness $key must be a mapping, got: $other")
+      }
+      val (warn, err) = (window("warn_after"), window("error_after"))
+      for (w <- warn; e <- err if w > e)
+        fail("freshness warn_after exceeds error_after")
+      (warn, err)
+    case other => fail(s"'freshness' must be a mapping, got: $other")
+  }
+
+  /** Every `sources:` declaration under `dir` (same file walk as
+    * [[loadDir]]); duplicate (source, table) across files is loud. */
+  def loadDirSources(dir: Path): Seq[SourceTableSpec] = {
+    if (!Files.isDirectory(dir)) return Nil
+    val files = schemaFiles(dir)
+    files.foldLeft(Seq.empty[SourceTableSpec]) { (acc, f) =>
+      val parsed = parseSources(Files.readString(f), f.toString)
+      val seen = acc.map(_.qualified).toSet
+      parsed.map(_.qualified).find(seen.contains).foreach { dup =>
+        throw new ConfigError(
+          s"source table '$dup' declared in more than one schema file",
+          Map("file" -> f.toString))
+      }
+      acc ++ parsed
+    }
+  }
+
   /** Load every `schema*.yml`/`schema*.yaml` under `dir` (recursive,
     * reference model.py:180-190) into one name-keyed base-config map;
     * duplicate declarations of one model across files are a loud
     * [[ConfigError]] (last-wins would silently drop tests). */
   def loadDir(dir: Path): Map[String, ModelConfig] = {
     if (!Files.isDirectory(dir)) return Map.empty
-    val files = {
-      val s = Files.walk(dir)
-      try s.iterator().asScala.filter { p =>
-        val n = p.getFileName.toString
-        Files.isRegularFile(p) && n.startsWith("schema") &&
-          (n.endsWith(".yml") || n.endsWith(".yaml"))
-      }.toList.sortBy(_.toString)
-      finally s.close()
-    }
+    val files = schemaFiles(dir)
     files.foldLeft(Map.empty[String, ModelConfig]) { (acc, f) =>
       val parsed = parse(Files.readString(f), f.toString)
       parsed.keySet.intersect(acc.keySet).toSeq.sorted.headOption.foreach {

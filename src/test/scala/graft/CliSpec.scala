@@ -532,6 +532,53 @@ class CliSpec extends SparkSpec {
     assert(c5 == 4)
   }
 
+  test("source-freshness checks schema.yml sources and wires source()") {
+    import org.apache.spark.sql.functions._
+    Tables.registerAll(spark, sfDir)
+    // a parquet source with a known newest row
+    val srcDir = Files.createTempDirectory("graft_fresh_src_").toString
+    spark.range(3).select(col("id"),
+      to_timestamp(lit("2024-03-01 00:00:00")).as("loaded_at"))
+      .write.mode("overwrite").parquet(srcDir + "/clicks.parquet")
+    val proj = project(
+      "click_count" ->
+        """-- config: materialized=table
+          |SELECT COUNT(*) AS n FROM {{ source('ext', 'clicks') }}"""
+          .stripMargin)
+    Files.writeString(proj.resolve("models/schema.yml"),
+      s"""sources:
+         |  - name: ext
+         |    loaded_at_field: loaded_at
+         |    freshness:
+         |      warn_after: { count: 1, period: hour }
+         |      error_after: { count: 1, period: day }
+         |    tables:
+         |      - name: clicks
+         |        identifier: $srcDir/clicks.parquet
+         |""".stripMargin)
+    // the schema.yml source resolves through source() in a model run
+    assert(run(proj, "run")._1 == 0)
+    val whDir = proj.resolve("warehouse").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    assert(wh.read("click_count").head().getLong(0) == 3L)
+    // within the warn window -> ok, exit 0
+    val (c1, l1) = run(proj, "source-freshness",
+      "--as-of", "2024-03-01 00:30:00")
+    assert(c1 == 0 && l1.exists(_.startsWith("ok ext.clicks")))
+    // past warn, under error -> warn, still exit 0
+    val (c2, l2) = run(proj, "source-freshness",
+      "--as-of", "2024-03-01 12:00:00")
+    assert(c2 == 0 && l2.exists(_.startsWith("warn ext.clicks")))
+    // past the error window -> error, exit 1
+    val (c3, l3) = run(proj, "source-freshness",
+      "--as-of", "2024-03-05 00:00:00")
+    assert(c3 == 1 && l3.exists(_.startsWith("error ext.clicks")))
+    // --select narrows; a non-checkable selection says so and passes
+    val (c4, l4) = run(proj, "source-freshness",
+      "--select", "ext.nothere", "--as-of", "2024-03-05 00:00:00")
+    assert(c4 == 0 && l4.exists(_.contains("no freshness-checkable")))
+  }
+
   test("serve runs the project current, then keeps the watch loop hot") {
     Tables.registerAll(spark, sfDir)
     val proj = project(

@@ -195,6 +195,75 @@ class SchemaYamlSpec extends SparkSpec {
     assert(SchemaYaml.parse("---\n").isEmpty)
   }
 
+  test("sources: parse with table-level freshness overriding source-level") {
+    val yaml =
+      """sources:
+        |  - name: raw
+        |    path: /data/raw
+        |    loaded_at_field: ts
+        |    freshness:
+        |      warn_after: { count: 12, period: hour }
+        |      error_after: { count: 1, period: day }
+        |    tables:
+        |      - name: events
+        |        identifier: raw_events
+        |        loaded_at_field: event_ts
+        |        freshness:
+        |          warn_after: { count: 30, period: minute }
+        |          error_after: { count: 2, period: hour }
+        |      - name: orders
+        |      - name: unfresh_dim
+        |        freshness:
+        |""".stripMargin
+    val specs = SchemaYaml.parseSources(yaml)
+    assert(specs.map(_.qualified) ==
+      Seq("raw.events", "raw.orders", "raw.unfresh_dim"))
+    val ev = specs.find(_.table == "events").get
+    assert(ev.identifier == "raw_events")
+    assert(ev.loadedAtField.contains("event_ts"))
+    assert(ev.warnAfterS.contains(1800L) && ev.errorAfterS.contains(7200L))
+    val ord = specs.find(_.table == "orders").get
+    assert(ord.identifier == "/data/raw/orders", "base-path fallback")
+    assert(ord.loadedAtField.contains("ts"), "source-level loaded_at inherits")
+    assert(ord.warnAfterS.contains(43200L) && ord.errorAfterS.contains(86400L))
+    // a blank freshness block inherits NOTHING and is not checkable…
+    val dim = specs.find(_.table == "unfresh_dim").get
+    assert(!dim.hasFreshness)
+    // …and single-sided windows resolve per dbt semantics
+    assert(SourceTableSpec("s", "t", "t", Some("ts"),
+      warnAfterS = Some(60L)).effectiveWindows._1 == 60L)
+    assert(SourceTableSpec("s", "t", "t", Some("ts"),
+      errorAfterS = Some(60L)).effectiveWindows == ((60L, 60L)))
+    // malformed declarations are loud, typed errors
+    intercept[ConfigError] { SchemaYaml.parseSources(
+      "sources:\n  - name: s\n    tables:\n      - name: t\n        freshness:\n          warn_after: { period: hour }\n") }
+    intercept[ConfigError] { SchemaYaml.parseSources(
+      "sources:\n  - name: s\n    tables:\n      - name: t\n        freshness:\n          warn_after: { count: 5, period: fortnight }\n") }
+    intercept[ConfigError] { SchemaYaml.parseSources(
+      "sources:\n  - name: s\n    tables:\n      - name: t\n        freshness:\n          warn_after: { count: 5, period: day }\n          error_after: { count: 1, period: hour }\n") }
+    // duplicates within one file are loud
+    intercept[ConfigError] { SchemaYaml.parseSources(
+      "sources:\n  - name: s\n    tables: [ { name: t }, { name: t } ]\n") }
+    // a models-only file declares no sources; content-free files too
+    assert(SchemaYaml.parseSources("models:\n  - name: m\n").isEmpty)
+    assert(SchemaYaml.parseSources("# nothing\n").isEmpty)
+  }
+
+  test("loadDirSources: cross-file duplicates loud, recursive walk") {
+    val dir = Files.createTempDirectory("graft_src_models_")
+    Files.writeString(dir.resolve("schema.yml"),
+      "sources:\n  - name: raw\n    tables: [ { name: a } ]\n")
+    Files.createDirectory(dir.resolve("sub"))
+    Files.writeString(dir.resolve("sub").resolve("schema_more.yml"),
+      "sources:\n  - name: raw\n    tables: [ { name: b } ]\n")
+    assert(SchemaYaml.loadDirSources(dir).map(_.qualified).sorted ==
+      Seq("raw.a", "raw.b"))
+    Files.writeString(dir.resolve("schema_dup.yml"),
+      "sources:\n  - name: raw\n    tables: [ { name: a } ]\n")
+    val e = intercept[ConfigError] { SchemaYaml.loadDirSources(dir) }
+    assert(e.getMessage.contains("raw.a"))
+  }
+
   test("export round-trips a custom change_type_column") {
     val yaml =
       """models:
