@@ -32,6 +32,14 @@ object Bridge {
   def cloneSession(spark: SparkSession): SparkSession =
     spark.asInstanceOf[classic.SparkSession].cloneSession()
 
+  /** Block until every queued listener event has been delivered
+    * (`listenerBus.waitUntilEmpty` is private[spark]). Metrics harnesses
+    * (tools.SpillBench) snapshot listener-accumulated task metrics
+    * around each query; without the drain the async bus would attribute
+    * a query's tail tasks to the next query. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Re-home `df`'s analyzed plan onto `target` (same SparkContext):
     * subsequent operators and the final execution plan under `target`'s
     * SessionState/conf instead of the session the frame was built on.
