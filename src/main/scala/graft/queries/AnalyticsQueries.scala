@@ -362,7 +362,8 @@ object AnalyticsQueries extends QueryModule {
           col("value"))
         .write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}"
+    val sink = ScaleQueries.trackSink(s,
+      s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}")
     ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = EventStreams.funnelStream(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)),
@@ -503,7 +504,8 @@ object AnalyticsQueries extends QueryModule {
     val inDir = graft.Scratch.landedDir(s"docs_src:$dir") { p =>
       src.coalesce(1).write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_quota_${ScaleQueries.streamRun.incrementAndGet()}"
+    val sink = ScaleQueries.trackSink(s,
+      s"graft_quota_${ScaleQueries.streamRun.incrementAndGet()}")
     ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = graft.streaming.SampleStreams.quotaStream(
         s.readStream.schema(src.schema).parquet(inDir),
@@ -588,7 +590,8 @@ object AnalyticsQueries extends QueryModule {
           col("value"))
         .write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}"
+    val sink = ScaleQueries.trackSink(s,
+      s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}")
     ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = EventStreams.transitionStream(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))

@@ -233,7 +233,8 @@ object IndexingQueries extends QueryModule {
     val bits = Sketches.bloomBuild(
       s.readStream.schema(src.schema).parquet(inDir),
       "text", BloomBits, BloomHashes).bitmap
-    val sink = s"graft_bloom_${ScaleQueries.streamRun.incrementAndGet()}"
+    val sink = ScaleQueries.trackSink(s,
+      s"graft_bloom_${ScaleQueries.streamRun.incrementAndGet()}")
     ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = bits.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()

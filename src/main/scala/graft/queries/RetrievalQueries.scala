@@ -677,7 +677,8 @@ object RetrievalQueries extends QueryModule {
       s.readStream.schema(d.schema).parquet(inDir)
         .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok")),
       "tok", CmD, CmW).cells
-    val sink = s"graft_cm_${ScaleQueries.streamRun.incrementAndGet()}"
+    val sink = ScaleQueries.trackSink(s,
+      s"graft_cm_${ScaleQueries.streamRun.incrementAndGet()}")
     ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
       val q = cells.writeStream.format("memory").queryName(sink)
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()

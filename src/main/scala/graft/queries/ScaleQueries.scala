@@ -317,6 +317,27 @@ object ScaleQueries extends QueryModule {
   // from the batch sessionization with a QUALIFY filter.
   private[queries] val streamRun = new AtomicInteger(0)
 
+  /** One-slot registry for streaming MEMORY sinks. A memory sink
+    * retains its query's FULL output as a driver-side LocalRelation
+    * until the temp view is dropped; the driver queries mint a fresh
+    * sink name per call, so repeated calls in one JVM (bench samples,
+    * warm probes) accumulated every previous run's output — measured
+    * as 4-40x sample swings at 30x (q_stream_dedup samples
+    * 14→39→101→143 s as retained sinks GC-thrashed the driver).
+    * Each new sink drops the previous one: queries run serially in
+    * the bench/driver harness, and the previous result frame has
+    * always been consumed by then. Production pipelines use file/
+    * foreachBatch sinks (Materializer), not memory sinks — this is
+    * harness hygiene, same pattern as Dedup's guard-cache slot. */
+  private val lastMemorySink =
+    new java.util.concurrent.atomic.AtomicReference[(SparkSession, String)]()
+
+  private[queries] def trackSink(s: SparkSession, name: String): String = {
+    val prev = lastMemorySink.getAndSet((s, name))
+    if (prev != null) prev._1.catalog.dropTempView(prev._2)
+    name
+  }
+
   /** Stateful streaming operators instantiate one state store per
     * `spark.sql.shuffle.partitions` AT STREAM START (the attribution
     * join: four stores per partition) — with 32 batch-sized partitions
@@ -366,7 +387,7 @@ object ScaleQueries extends QueryModule {
           col("value"))
         .write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_sessions_${streamRun.incrementAndGet()}"
+    val sink = trackSink(s, s"graft_sessions_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.sessionize(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
@@ -415,7 +436,7 @@ object ScaleQueries extends QueryModule {
           col("value"))
         .coalesce(1).write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_win_${streamRun.incrementAndGet()}"
+    val sink = trackSink(s, s"graft_win_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
         .writeStream.format("memory").queryName(sink)
@@ -452,7 +473,7 @@ object ScaleQueries extends QueryModule {
       .join(Tables.load(s, dir, "nation"),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
-    val sink = s"graft_enrich_${streamRun.incrementAndGet()}"
+    val sink = trackSink(s, s"graft_enrich_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.enrichedWindowedCounts(
         EventStreams.eventStream(s, inDir), dim, "c_custkey", "n_name")
@@ -529,7 +550,7 @@ object ScaleQueries extends QueryModule {
     val inDir = graft.Scratch.landedDir(s"events5c1dupes:$dir") { p =>
       base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_dedup_${streamRun.incrementAndGet()}"
+    val sink = trackSink(s, s"graft_dedup_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.dedupStream(
         EventStreams.eventStream(s, inDir), Seq("user_id", "event_type"))
@@ -567,7 +588,7 @@ object ScaleQueries extends QueryModule {
       ev.filter(col("event_type") === "click").coalesce(1)
         .write.mode("overwrite").parquet(p)
     }
-    val sink = s"graft_attr_${streamRun.incrementAndGet()}"
+    val sink = trackSink(s, s"graft_attr_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
       val q = EventStreams.attributionJoin(
         EventStreams.eventStream(s, pDir), EventStreams.eventStream(s, cDir),

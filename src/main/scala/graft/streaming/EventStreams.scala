@@ -15,6 +15,23 @@ import graft.model.{Materializer, ModelConfig, Warehouse}
   * flatMapGroupsWithState, with `foreachBatch` bridging micro-batches
   * into the same Materializer used by batch models — one merge
   * implementation for both arrival modes.
+  *
+  * == State-partition contract ==
+  * Stateful operators here inherit `spark.sql.shuffle.partitions` as
+  * their state partition count, and that number is FROZEN into the
+  * checkpoint at first start. The bench harness pins its single-batch
+  * driver runs to 8 (`ScaleQueries.DefaultStatePartitions`, swept at
+  * sf0.1 and re-confirmed at 30× — warm steady state at 8 beats 32
+  * because per-partition state-store instantiation plus task
+  * scheduling dominate micro-batches at bench scale); that is BENCH
+  * TUNING, not an operator default. A production caller sizes it
+  * before the first start as
+  * `state keys × bytes/key ÷ target state-per-task` (typical target
+  * 100–500 MB/task so store load/snapshot stays off the critical
+  * path), i.e. the 100 TB posture is MORE partitions, not fewer —
+  * these operators' per-key state is constant-size by contract
+  * (sketch cells, per-user session accumulators, seen-key sets), so
+  * state volume scales with keys and shards cleanly by key hash.
   */
 object EventStreams {
 
