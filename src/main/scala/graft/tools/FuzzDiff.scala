@@ -38,8 +38,18 @@ import java.nio.file.{Files, Paths}
   *     the two engines legitimately read those differently.
   *
   * Usage: graft.tools.FuzzDiff <sfDir> <outDir> [n] [seed]
+  *
+  * Grammar versions: changing the shape set changes the (seed, n) →
+  * SQL mapping, so every record carries `"gen"` and replay is defined
+  * per generator version (v1 = 9 families, r11 seeds 11/42; v2 adds
+  * FK-chain joins, conditional aggregation, EXISTS/NOT EXISTS,
+  * IN-subquery semi joins, ROLLUP+GROUPING(), global ORDER BY+LIMIT
+  * top-k, and CTE aggregate-join-back).
   */
 object FuzzDiff {
+
+  /** Bumped whenever the shape grammar changes (see Scaladoc). */
+  private val GenVersion = 2
 
   private final case class Col(name: String, t: Char) // i/d/s/t
   private final case class Tbl(name: String, keys: Seq[String], cols: Seq[Col]) {
@@ -95,6 +105,18 @@ object FuzzDiff {
     ("customer", "c_nationkey", "nation", "n_nationkey"),
     ("supplier", "s_nationkey", "nation", "n_nationkey"),
     ("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Composable FK paths for multi-way join shapes (each edge's right
+    * table is the next edge's left table). */
+  private val chains: Seq[Seq[(String, String, String, String)]] = Seq(
+    Seq(("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey")),
+    Seq(("orders", "o_custkey", "customer", "c_custkey"),
+      ("customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation", "n_regionkey", "region", "r_regionkey")),
+    Seq(("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("supplier", "s_nationkey", "nation", "n_nationkey")))
 
   private final class Gen(seed: Long) {
     val rnd = new java.util.Random(seed)
@@ -208,7 +230,7 @@ object FuzzDiff {
 
   /** Generate one named shape. Returns (kind, sql). */
   private def shape(g: Gen): (String, String) = {
-    g.int(9) match {
+    g.int(16) match {
       case 0 => // filter + project (+computed columns)
         val t = g.tbl()
         ("filter_project",
@@ -278,13 +300,106 @@ object FuzzDiff {
           s"SELECT ${(t.keys :+ c).distinct.mkString(", ")} FROM ${t.name} WHERE " +
             s"CAST($c AS BIGINT) > (SELECT CAST(MIN($c2) AS BIGINT) + " +
             s"${g.int(5)} FROM ${t2.name} WHERE ${g.pred(t2)})")
-      case _ => // distinct projection
+      case 8 => // distinct projection
         val t = g.tbl()
         val cols = scala.util.Random.javaRandomToRandom(g.rnd)
           .shuffle(t.cols.filter(_.t != 'd').map(_.name)).take(1 + g.int(2))
         ("distinct",
           s"SELECT DISTINCT ${cols.mkString(", ")} FROM ${t.name} " +
             s"WHERE ${g.pred(t)}")
+      case 9 => // multi-way FK chain join (+aggregate on the first hop)
+        val chain = g.pick(chains)
+        val hops = chain.take(2 + g.int(chain.length - 1)) // 2..len edges
+        val first = tables.find(_.name == hops.head._1).get
+        val last = tables.find(_.name == hops.last._3).get
+        val aliases = ("t0" +: hops.indices.map(i => s"t${i + 1}")).toIndexedSeq
+        val joins = hops.zipWithIndex.map { case ((_, lc, rt, rc), i) =>
+          s"JOIN $rt ${aliases(i + 1)} ON ${aliases(i)}.$lc = ${aliases(i + 1)}.$rc"
+        }.mkString(" ")
+        val gks = g.groupKeys(last, aliases.last)
+        val sel = gks.map { case (e, a) => s"$e AS $a" } ++ g.aggList(first, "t0")
+        ("chain_join",
+          s"SELECT ${sel.mkString(", ")} FROM ${first.name} t0 $joins " +
+            s"WHERE ${g.pred(first, "t0")} " +
+            s"GROUP BY ${gks.map(_._1).mkString(", ")}")
+      case 10 => // conditional aggregation (CASE inside SUM)
+        val t = g.factTbl()
+        val gks = g.groupKeys(t)
+        val sel = gks.map { case (e, a) => s"$e AS $a" } ++ Seq(
+          s"CAST(SUM(CASE WHEN ${g.pred(t)} THEN 1 ELSE 0 END) AS BIGINT) AS hits",
+          s"CAST(SUM(CASE WHEN ${g.pred(t)} THEN ${g.intExpr(t)} ELSE 0 END) AS BIGINT) AS cond_sum",
+          "CAST(COUNT(*) AS BIGINT) AS cnt")
+        ("conditional_agg",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} " +
+            s"GROUP BY ${gks.map(_._1).mkString(", ")}")
+      case 11 => // EXISTS / NOT EXISTS correlated semi/anti join
+        val (ct, cc, pt, pc) = g.pick(fks)
+        val child = tables.find(_.name == ct).get
+        val parent = tables.find(_.name == pt).get
+        val op = if (g.int(2) == 0) "EXISTS" else "NOT EXISTS"
+        val cols = (parent.keys ++
+          Seq(g.pick(parent.cols).name)).distinct.map("p." + _)
+        ("exists_join",
+          s"SELECT ${cols.mkString(", ")} FROM $pt p WHERE $op " +
+            s"(SELECT 1 FROM $ct c WHERE c.$cc = p.$pc AND ${g.pred(child, "c")})" +
+            (if (g.int(2) == 0) s" AND ${g.pred(parent, "p")}" else ""))
+      case 12 => // IN / NOT IN subquery on a (non-null) key column
+        val (ct, cc, pt, pc) = g.pick(fks)
+        val child = tables.find(_.name == ct).get
+        val parent = tables.find(_.name == pt).get
+        val op = if (g.int(3) == 0) "NOT IN" else "IN"
+        val cols = (child.keys ++ Seq(cc, g.pick(child.cols).name)).distinct
+        ("in_subquery",
+          s"SELECT ${cols.mkString(", ")} FROM $ct WHERE $cc $op " +
+            s"(SELECT $pc FROM $pt WHERE ${g.pred(parent)}) " +
+            s"AND ${g.pred(child)}")
+      case 13 => // ROLLUP with GROUPING() level markers
+        val t = g.factTbl()
+        // Two keys with DISTINCT aliases (two draws can hit the same
+        // column with different moduli — same alias would emit duplicate
+        // output column names).
+        val gks = {
+          var ks = g.groupKeys(t).distinctBy(_._2)
+          var guard = 0
+          while (ks.size < 2 && guard < 8) {
+            ks = (ks ++ g.groupKeys(t)).distinctBy(_._2); guard += 1
+          }
+          if (ks.size < 2) ks = Seq(ks.head, (ks.head._1, ks.head._2 + "_b"))
+          ks.take(2)
+        }
+        val Seq((k1, a1), (k2, a2)) = gks
+        val sel = Seq(s"$k1 AS $a1", s"$k2 AS $a2",
+          s"CAST(GROUPING($k1) AS INTEGER) AS g1",
+          s"CAST(GROUPING($k2) AS INTEGER) AS g2",
+          "CAST(COUNT(*) AS BIGINT) AS cnt",
+          s"CAST(SUM(${g.intExpr(t)}) AS BIGINT) AS s_ie")
+        // HAVING COUNT(*) > 0 is a no-op on every non-empty grouping-set
+        // row (each aggregates >= 1 input row) and exists ONLY for the
+        // empty-input corner this fuzzer caught on its first gen-2 run:
+        // the ANSI expansion of ROLLUP includes the () set, which
+        // aggregates globally and yields one cnt=0 row over an empty
+        // input (DuckDB does this); Spark's grouping-sets Expand+
+        // Aggregate yields zero rows. Pinned in ExtraQueriesSpec
+        // ("rollup over an EMPTY input"); the clause makes the SHAPE
+        // portable without losing rollup coverage.
+        ("rollup",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} WHERE ${g.pred(t)} " +
+            s"GROUP BY ROLLUP($k1, $k2) HAVING COUNT(*) > 0")
+      case 14 => // global ORDER BY + LIMIT top-k (full-row total order)
+        val t = g.tbl()
+        val ord = t.cols.map(_.name + " NULLS FIRST").mkString(", ")
+        ("order_limit",
+          s"SELECT ${t.cols.map(_.name).mkString(", ")} FROM ${t.name} " +
+            s"WHERE ${g.pred(t)} ORDER BY $ord LIMIT ${1 + g.int(30)}")
+      case _ => // CTE aggregate joined back to its base table
+        val t = g.factTbl()
+        val (gk, _) = g.groupKeys(t).head
+        val cols = (t.keys ++ Seq(g.pick(t.cols).name)).distinct
+        ("cte_join_back",
+          s"WITH grp AS (SELECT $gk AS k, CAST(COUNT(*) AS BIGINT) AS c " +
+            s"FROM ${t.name} WHERE ${g.pred(t)} GROUP BY $gk) " +
+            s"SELECT ${cols.mkString(", ")}, grp.c FROM ${t.name} " +
+            s"JOIN grp ON $gk = grp.k WHERE ${g.pred(t)}")
     }
   }
 
@@ -328,7 +443,7 @@ object FuzzDiff {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       okSqls.map { case (name, _, sql) => s"${q(name)}: ${q(sql)}" }
         .mkString("{", ",", "}"))
-    println(s"""{"seed":$seed,"n":$n,"sf":"$sfDir","spark_failures":${failed.size},""" +
+    println(s"""{"gen":$GenVersion,"seed":$seed,"n":$n,"sf":"$sfDir","spark_failures":${failed.size},""" +
       s""""kinds":{${kindCounts.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
       s""""failed":[${failed.map(f => q(f._1) + ":" + q(f._2)).mkString(",")}]}""")

@@ -14,6 +14,30 @@ class ExtraQueriesSpec extends SparkSpec {
       .map(_.getAs[Long]("n")).sum)
   }
 
+  test("rollup over an EMPTY input emits zero rows (Spark deviates from " +
+      "ANSI here — pinned so the contract is explicit)") {
+    // Caught by tools/FuzzDiff gen-2 seed 11 (f_rollup_0069): the ANSI
+    // expansion of ROLLUP(a, b) includes the () grouping set, which
+    // aggregates globally and must yield ONE cnt=0 row even over an
+    // empty input — DuckDB/Postgres do. Spark's Expand+Aggregate
+    // grouping-sets plan groups by the synthetic grouping id, so an
+    // empty input yields ZERO rows. graft inherits Spark's semantics;
+    // callers needing the ANSI grand-total row on possibly-empty
+    // inputs must union the () set explicitly (second assertion).
+    val empty = spark.sql(
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM VALUES ('F', '1-URGENT') AS t(o_orderstatus, o_orderpriority)
+        |WHERE o_orderstatus = 'NOPE'
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin)
+    assert(empty.count() == 0L) // ANSI/DuckDB would return 1 row, n=0
+    val explicitGrand = spark.sql(
+      """SELECT NULL AS o_orderstatus, NULL AS o_orderpriority, COUNT(*) AS n
+        |FROM VALUES ('F', '1-URGENT') AS t(o_orderstatus, o_orderpriority)
+        |WHERE o_orderstatus = 'NOPE'""".stripMargin)
+    assert(explicitGrand.count() == 1L)
+    assert(explicitGrand.collect().head.getAs[Long]("n") == 0L)
+  }
+
   test("cube emits all grouping combinations") {
     val rows = ExtraQueries.queries("q_cube")(spark, sfDir).collect()
     // 3 statuses x 5 priorities + 3 + 5 + 1 grand total
