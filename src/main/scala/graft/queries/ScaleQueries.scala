@@ -376,7 +376,29 @@ object ScaleQueries extends QueryModule {
     val eff = sys.env.get("SPARK_GRAFT_STATE_PARTITIONS")
       .map(_.toInt).getOrElse(n)
     s.conf.set(key, eff.toString)
-    try body finally s.conf.set(key, prev)
+    // SPARK_GRAFT_STATE_PROVIDER=rocksdb (or a full provider class
+    // name) swaps the state-store backend for A/B runs. The default
+    // HDFSBackedStateStoreProvider keeps every partition's state map
+    // ON-HEAP and lingers after query termination until the
+    // maintenance unload tick — the candidate cause of q_stream_dedup's
+    // positional warm spikes at 30× (millions of dedup keys per run
+    // GC-churning the driver-executor JVM). RocksDB keeps state
+    // off-heap — also the production posture for large-state streams.
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = s.conf.getOption(provKey)
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER").foreach { p =>
+      s.conf.set(provKey, if (p == "rocksdb")
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      else p)
+    }
+    try body finally {
+      s.conf.set(key, prev)
+      if (sys.env.contains("SPARK_GRAFT_STATE_PROVIDER"))
+        prevProv match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+    }
   }
 
   private def qStreamSessionize(s: SparkSession, dir: String): DataFrame = {
