@@ -61,7 +61,13 @@ object Curation {
   def c4LineClean(
       df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 3): DataFrame = {
-    val lines = df.select(col(idCol), col(textCol),
+    // The has-text bit is projected BEFORE the explode: carrying the
+    // raw textCol on every exploded line row ships the whole document
+    // once per line through the id-keyed reassembly exchange — an
+    // O(doc_len × n_lines) shuffle-byte blow-up per doc that the r11
+    // 100× full-set record surfaced (q_c4_clean was one of only two
+    // above-linear queries at factor 100).
+    val lines = df.select(col(idCol), col(textCol).isNotNull.as("__ht"),
       posexplode_outer(lineUnits(col(textCol))).as(Seq("pos", "line")))
     val keep = col("line").isNotNull &&
       trim(col("line")).rlike("[.!?\"]$") &&
@@ -73,7 +79,7 @@ object Curation {
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
       // every text is non-NULL within a group (posexplode_outer emits a
       // single NULL line only for NULL text, where n_lines counts 0)
-      max(col(textCol).isNotNull).as("__has_text"),
+      max(col("__ht")).as("__has_text"),
       array_join(transform(
         array_sort(collect_list(when(col("__keep"),
           struct(col("pos"), col("line"))))),

@@ -1181,7 +1181,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minChars: Int = 1): DataFrame = {
     require(minChars >= 1, "minChars must be >= 1")
-    val lines = df.select(col(idCol), col(textCol),
+    // The has-text bit is projected BEFORE the explode: carrying raw
+    // textCol on every exploded line row ships the whole document once
+    // per line through BOTH the line-keyed join exchange and the
+    // id-keyed reassembly exchange — an O(doc_len × n_lines)
+    // shuffle-byte blow-up per doc that the r11 100× full-set record
+    // surfaced (q_paragraph_dedup was one of only two above-linear
+    // queries at factor 100).
+    val lines = df.select(col(idCol), col(textCol).isNotNull.as("__ht"),
       posexplode_outer(split(col(textCol), "\n", -1))
         .as(Seq("pos", "line")))
     // NULL ids carry no occurrence order (a NULL-id doc can never
@@ -1210,7 +1217,7 @@ object Dedup {
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
       // NULL text emits a single NULL line (posexplode_outer), where
       // n_lines counts 0 — the c4LineClean convention
-      max(col(textCol).isNotNull).as("__has_text"),
+      max(col("__ht")).as("__has_text"),
       array_join(transform(
         array_sort(collect_list(when(col("__keep"),
           struct(col("pos"), col("line"))))),
