@@ -132,10 +132,21 @@ object Cli {
           // (executor.py:153-190): log failures, keep going, exit nonzero
           // --log-json: structured per-model event lines (logger.py:81-106)
           if (rest.contains("--log-json")) runner.setLogSink(Some(out))
+          // --atomic: run-level transaction — any failure restores every
+          // pointer/watermark to its pre-run value (ModelRunner.runAtomic)
           val results =
-            try runner.run(targets, allVars, continueOnError = true,
-              fullRefresh = rest.contains("--full-refresh"))
-            finally runner.setLogSink(None)
+            try {
+              if (rest.contains("--atomic"))
+                try runner.runAtomic(targets, allVars,
+                  fullRefresh = rest.contains("--full-refresh"))
+                catch { case scala.util.control.NonFatal(e) =>
+                  val err = graft.model.GraftError.classify(e, "run")
+                  out(s"ATOMIC RUN FAILED (rolled back): ${e.getMessage}")
+                  return err.exitCode
+                }
+              else runner.run(targets, allVars, continueOnError = true,
+                fullRefresh = rest.contains("--full-refresh"))
+            } finally runner.setLogSink(None)
           results.foreach(r => out(s"${r.modelName}: ${r.materialization} ${r.status}"))
           // executor.py:446 get_metrics / export_metrics_json
           if (rest.contains("--metrics")) out(runner.metricsJson)
@@ -396,7 +407,8 @@ object Cli {
 
   /** Flags that take no value (a following positional is NOT their arg). */
   private val boolFlags =
-    Set("--dry-run", "--json", "--metrics", "--full-refresh", "--log-json")
+    Set("--dry-run", "--json", "--metrics", "--full-refresh", "--log-json",
+      "--atomic")
 
   /** Positional (non-flag, non-flag-value) arguments. */
   private def positional(rest: Seq[String]): Seq[String] =

@@ -284,6 +284,51 @@ final class ModelRunner(
     } finally pool.shutdown()
   }
 
+  /** Run-level ATOMICITY over the whole selected DAG (the reference's
+    * `execute_transaction`, connection.py:454, lifted from statement
+    * scope to run scope): every model's new output lands as a fresh
+    * immutable version directory, and a failure ANYWHERE in the run
+    * restores every already-flipped pointer — plus the change-detection
+    * hashes and incremental watermarks that travel with it — to its
+    * pre-run value, so a mid-DAG failure leaves the warehouse exactly
+    * as the run found it. The versioned-pointer machinery is the
+    * staging area: version directories are never mutated (physical
+    * appends route through `Warehouse.appendAsVersion` for the run's
+    * duration), so restore is a metadata-only pointer flip and the
+    * abandoned versions are ordinary vacuum garbage.
+    *
+    * Execution counters and `lastExecuted` are NOT restored — they are
+    * run history, not data state, and the failed attempt happened.
+    *
+    * Fail-fast (continueOnError is meaningless under atomicity); the
+    * failure rethrows after rollback so the caller sees the cause. */
+  def runAtomic(
+      targets: Option[Seq[String]] = None,
+      variables: Map[String, String] = Map.empty,
+      batchTs: String = "1970-01-01 00:00:00",
+      fullRefresh: Boolean = false): Seq[MaterializeResult] = {
+    val affected = graph.executionOrder(targets).flatten
+      .filter(modelSql.contains)
+    val snapshot = affected.map(m => m -> wh.state.get(m))
+    wh.versionedAppends = true
+    try run(targets, variables, batchTs, continueOnError = false,
+      fullRefresh = fullRefresh)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        snapshot.foreach { case (m, prior) =>
+          wh.state.update(m) { cur =>
+            val p = prior.getOrElse(ModelState(m))
+            cur.copy(fileHash = p.fileHash, configHash = p.configHash,
+              currentVersion = p.currentVersion, incremental = p.incremental)
+          }
+          // temp views must not keep serving rolled-back data
+          if (wh.exists(m)) wh.refreshView(m)
+          else wh.spark.catalog.dropTempView(wh.relation(m))
+        }
+        throw e
+    } finally wh.versionedAppends = false
+  }
+
   // Typed failures from the last continueOnError run, for callers that
   // need to discriminate failure classes (the CLI's exit code).
   private val runErrors =

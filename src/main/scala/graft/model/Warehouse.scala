@@ -238,11 +238,42 @@ final class Warehouse(
     }
   }
 
-  /** Append files into the current version (no pointer flip). */
-  def append(model: String, df: DataFrame): Unit = {
-    val dir = currentPath(model).getOrElse(
+  /** When set (an atomic run — see `ModelRunner.runAtomic`), physical
+    * appends route through [[appendAsVersion]] so every mutation of the
+    * run is a pointer flip over immutable version directories and a
+    * mid-DAG failure can roll back by restoring pointers. Off by
+    * default: in-place append is O(batch) with zero link overhead and
+    * is the right steady-state for non-transactional runs. */
+  @volatile var versionedAppends: Boolean = false
+
+  /** Append files into the current version (no pointer flip) — or, in
+    * atomic-run mode, into a fresh version via [[appendAsVersion]]. */
+  def append(model: String, df: DataFrame): Unit =
+    if (versionedAppends) appendAsVersion(model, df)
+    else {
+      val dir = currentPath(model).getOrElse(
+        throw new StateError(s"cannot append to missing model '$model'"))
+      df.write.mode(SaveMode.Append).parquet(dir)
+      refreshView(model)
+    }
+
+  /** Versioned append: the batch lands in a NEW version directory whose
+    * prior files are hard-linked in (O(batch) data + O(files) links —
+    * the [[writeVersionScoped]] carry-forward idiom, flat), then the
+    * pointer flips. The previous version stays immutable, so an atomic
+    * run can abandon the new version by restoring the pointer. */
+  def appendAsVersion(model: String, df: DataFrame): Unit = {
+    val prev = currentPath(model).getOrElse(
       throw new StateError(s"cannot append to missing model '$model'"))
-    df.write.mode(SaveMode.Append).parquet(dir)
+    val next = currentVersion(model).getOrElse(0L) + 1
+    val dir = versionDir(model, next)
+    // a rolled-back atomic run leaves an abandoned v<next> behind —
+    // clear it, like writeVersion's SaveMode.Overwrite does implicitly
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    linkTree(Paths.get(prev), dir)
+    df.write.mode(SaveMode.Append).parquet(dir.toString)
+    state.update(model)(_.copy(currentVersion = next))
     refreshView(model)
   }
 

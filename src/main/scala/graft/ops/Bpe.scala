@@ -129,4 +129,56 @@ object Bpe {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     applyMerges(df, textCol, rules)
   }
+
+  /** DOCUMENT-level tokenization under learned merges — the apply side
+    * closed over the corpus: per document, the number of BPE tokens its
+    * text segments into. This is the count the packing / chunking /
+    * token-budget family ([[Curation.packSequences]],
+    * [[Curation.tokenBudget]], chunking) should consume when the
+    * training run's real tokenizer matters — whitespace counts
+    * (`TextOps.tokenCount`) mis-size sequences by the corpus's
+    * subword-per-word ratio.
+    *
+    * Factorization (the standard one): segmentation is computed ONCE on
+    * the distinct-word vocabulary ([[applyMerges]] — tiny next to the
+    * corpus), then joined back to the corpus word stream. Words outside
+    * the trainable `[a-z0-9]+` alphabet (punctuation-bearing — never in
+    * the vocab by [[wordFreq]]'s filter) pass through as ONE atom each,
+    * the byte/unknown-fallback convention.
+    *
+    * Scale shape: one corpus-sized explode, one word-keyed equi-join
+    * against the vocabulary segment table (vocabulary-sized — AQE
+    * broadcasts it when it fits; a shuffle join otherwise, keyed on the
+    * word, the inverted-index shape), one doc-keyed count/sum aggregate
+    * with map-side partials. No driver-side data: the merge rules are
+    * the only literals and are thousands at most.
+    *
+    * Documents with NULL text have no token stream and are absent from
+    * the output (the explode convention).
+    *
+    * Output: idCol, n_words (whitespace words), n_tokens (BPE tokens). */
+  def tokenizeDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val seg = applyMerges(df, textCol, merges)
+      .select(col("word"), col("n_subtokens"))
+    df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(seg, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n_subtokens"), lit(1L))).as("n_tokens"))
+  }
+
+  /** [[learnMerges]] + [[tokenizeDocs]] in one call — train `rounds`
+    * rules on the corpus, then count each document's tokens under
+    * them. */
+  def tokenizeCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    val rules = learnMerges(df, textCol, rounds).orderBy("round")
+      .collect() // bounded: one row per learned rule
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    tokenizeDocs(df, idCol, textCol, rules)
+  }
 }

@@ -61,12 +61,14 @@ object Curation {
   def c4LineClean(
       df: DataFrame, idCol: String, textCol: String,
       minWords: Int = 3): DataFrame = {
-    // The has-text bit is projected BEFORE the explode: carrying the
-    // raw textCol on every exploded line row ships the whole document
-    // once per line through the id-keyed reassembly exchange — an
-    // O(doc_len × n_lines) shuffle-byte blow-up per doc that the r11
-    // 100× full-set record surfaced (q_c4_clean was one of only two
-    // above-linear queries at factor 100).
+    // The has-text bit is projected BEFORE the explode as plan
+    // hygiene: it makes the pruning of raw textCol off the exploded
+    // rows explicit instead of relying on the optimizer. (The r11
+    // before/after probe REFUTED the original shuffle-volume theory —
+    // the map-side partial aggregate already evaluated isNotNull, so
+    // text never crossed the reassembly exchange; the above-linear
+    // 100× slope is the sort-based collect_list fallback, adjudicated
+    // in PERF_NOTES r11.)
     val lines = df.select(col(idCol), col(textCol).isNotNull.as("__ht"),
       posexplode_outer(lineUnits(col(textCol))).as(Seq("pos", "line")))
     val keep = col("line").isNotNull &&

@@ -59,6 +59,28 @@ object Dedup {
   private val lastGuardCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Exploded-working-set size (Σ document-frequency = exploded rows)
+    * above which [[similarityJoinExact]] persists the (id, n, unit)
+    * explode instead of re-deriving it in each of its four consumers.
+    * The crossover is measured, both ends: at sf0.1 (3.8M rows) lazy
+    * wins (9.4 s vs 14.4 s — re-scans stay inside whole-stage codegen);
+    * at 30× (115M rows) eager wins (see
+    * bench_results/r12_simjoin_eager_ab.json). 32M splits the measured
+    * regimes about a decade above the lazy-wins point. */
+  val EagerWorkingSetRows: Long = 32L * 1000 * 1000
+
+  /** One-slot registry for [[similarityJoinExact]]'s eager working-set
+    * cache — same lifecycle discipline as [[lastGuardCache]]: the
+    * caller's lazy result frame still reads it after the method
+    * returns, so each CALL releases the PREVIOUS call's cache. */
+  private val lastWorkingSetCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
+  private def swapWorkingSetCache(next: DataFrame): Unit = {
+    val prev = lastWorkingSetCache.getAndSet(next)
+    if (prev != null && (prev ne next)) prev.unpersist(blocking = false)
+  }
+
   private def swapGuardCache(next: DataFrame): Unit = {
     val prev = lastGuardCache.getAndSet(next)
     if (prev != null) prev.unpersist(blocking = false)
@@ -949,8 +971,10 @@ object Dedup {
   /** The prefix-filter working set shared by [[similarityJoinExact]]'s
     * join and its candidate-budget pricing pass: each document keeps its
     * globally-rarest `n − ceil(p·n/100) + 1` units (ties broken by unit
-    * value for determinism). Two documents can reach jaccard ≥ p only if
-    * their prefixes share a unit (Chaudhuri et al. ICDE '06). */
+    * value for determinism), each carrying its rank `pos` in the
+    * document's global unit order (PPJoin's positional filter needs
+    * it). Two documents can reach jaccard ≥ p only if their prefixes
+    * share a unit (Chaudhuri et al. ICDE '06). */
   private def prefixEntries(
       expl: DataFrame, dfc: DataFrame, p: Int): DataFrame = {
     val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("tok"))
@@ -959,7 +983,7 @@ object Dedup {
       // long arithmetic: p·n stays exact for any document length
       .filter(col("__pos") <=
         col("n") - expr(s"($p * cast(n as bigint) + 99) div 100") + 1)
-      .select(col("tok"), col("id"), col("n"))
+      .select(col("tok"), col("id"), col("n"), col("__pos").as("pos"))
   }
 
   /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
@@ -982,8 +1006,13 @@ object Dedup {
     * RAREST tokens (the standard PPJoin bound: fan-out per prefix
     * token is its document frequency, and prefix tokens are chosen to
     * be the rarest), plus the length filter
-    * 100·min(|A|,|B|) ≥ p·max(|A|,|B|) (J ≤ min/max) prunes
-    * cross-size pairs before the verify stage.
+    * 100·min(|A|,|B|) ≥ p·max(|A|,|B|) (J ≤ min/max) and PPJoin's
+    * POSITIONAL filter (Xiao et al. WWW '08 §3.2: a shared prefix unit
+    * at ranks (i, j) caps the intersection at
+    * min(i,j) + min(|A|−i, |B|−j); rows that cannot reach the
+    * ⌈p·(|A|+|B|)/(100+p)⌉ overlap requirement are dropped) prune
+    * cross-size and positionally-hopeless pairs before the verify
+    * stage — both lossless, both free of extra shuffles.
     *
     * All threshold arithmetic is INTEGER (p = percent): prefix length
     * uses ⌈p·n/100⌉ = (p·n + 99) div 100 and the acceptance test is
@@ -1050,14 +1079,27 @@ object Dedup {
       array_distinct(units).as("toks"))
       .filter(size(col("toks")) > 0)
     // The exploded (id, n, unit) working set is read four times (df
-    // counts, prefix ranking, both sides of the verify join); an eager
-    // truncation here was A/B-measured WORSE at sf0.1 (14.4 s vs 9.4 s:
-    // the localCheckpoint write+read of the 3.8M-row explode costs more
-    // than three pipelined re-scans that stay inside whole-stage
-    // codegen with pruned columns), so the subtree stays lazy.
+    // counts, prefix ranking, both sides of the verify join). Whether
+    // to materialize it is REGIME-DEPENDENT: at sf0.1 (3.8M exploded
+    // rows) an eager truncation was A/B-measured WORSE (14.4 s vs
+    // 9.4 s — the write+read costs more than three pipelined re-scans
+    // inside whole-stage codegen), but at 30× (115M rows) the same A/B
+    // inverts: four re-scans of a hundreds-of-millions-row explode
+    // dominate, and persisting once wins. The guard's pricing aggregate
+    // already sums Σdf = exploded row count for free, so the decision
+    // is made from measurement, not guesswork: persist when the
+    // working set exceeds [[EagerWorkingSetRows]] (override with
+    // SPARK_GRAFT_SIMJOIN_EAGER=on|off for A/B probes).
     val expl = base.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     val dfc = expl.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
+    val eagerEnv = sys.props.get("spark.graft.simjoin.eager")
+      .orElse(sys.env.get("SPARK_GRAFT_SIMJOIN_EAGER"))
+    def persistWorkingSet(): Unit = {
+      expl.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      swapWorkingSetCache(expl)
+    }
+    if (eagerEnv.contains("on")) persistWorkingSet()
     if (maxCandidates != UncappedCandidates) {
       // MEMORY_ONLY: the df table is unit-vocabulary-sized (2 narrow
       // columns), the guard aggregate materializes it, and the prefix
@@ -1073,17 +1115,25 @@ object Dedup {
         sum(cnt.cast("decimal(38,0)") * (cnt - lit(1))).as("s")
       val asPairs = (r: org.apache.spark.sql.Row) =>
         (if (r.isNullAt(0)) BigDecimal(0) else BigDecimal(r.getDecimal(0))) / 2
-      val bound = asPairs(dfc.select(pairSum(col("__df"))).first())
+      // one aggregate over the (cached) df table prices the join AND
+      // sizes the working set: Σdf = exploded row count
+      val head = dfc.select(pairSum(col("__df")), sum(col("__df"))).first()
+      val bound = asPairs(head)
+      val explRows = if (head.isNullAt(1)) 0L else head.getLong(1)
+      if (eagerEnv.isEmpty && explRows >= EagerWorkingSetRows)
+        persistWorkingSet()
       if (bound > BigDecimal(maxCandidates)) {
         val exact = asPairs(
           prefixEntries(expl, dfc, p).groupBy(col("tok"))
             .agg(count(lit(1)).as("__pc"))
             .select(pairSum(col("__pc"))).first())
         if (exact > BigDecimal(maxCandidates)) {
-          // the join this cache was materialized for will never run —
-          // release it rather than pinning storage for a failed call
+          // the join these caches were materialized for will never run
+          // — release them rather than pinning storage for a failed call
           dfc.unpersist(blocking = false)
           lastGuardCache.compareAndSet(dfc, null)
+          expl.unpersist(blocking = false)
+          lastWorkingSetCache.compareAndSet(expl, null)
           throw new graft.model.ExecutionError(
             "similarityJoinExact candidate budget exceeded: the prefix " +
               "join would generate more candidate pairs than maxCandidates " +
@@ -1106,12 +1156,31 @@ object Dedup {
     // identical at 6.63 s) — the cache materialization barrier eats
     // exactly what the saved second window pass buys.
     val pref = prefixEntries(expl, dfc, p)
-    val cand = pref.select(col("tok"), col("id").as("a"), col("n").as("na"))
-      .join(pref.select(col("tok"), col("id").as("b"), col("n").as("nb")),
-        Seq("tok"))
+    // PPJoin positional filter (Xiao et al. WWW '08 §3.2): both
+    // documents' units are sorted by the SAME global total order
+    // (df, unit), so a shared prefix unit at ranks (pa, pb) bounds the
+    // whole intersection — at most min(pa,pb)−1 shared units can
+    // precede it and at most min(na−pa, nb−pb) can follow, so
+    // |A∩B| ≤ min(pa,pb) + min(na−pa, nb−pb). J ≥ p/100 needs
+    // |A∩B| ≥ ⌈p·(na+nb)/(100+p)⌉ (from 100·i ≥ p·(na+nb−i), integer
+    // i). Any join row violating the bound is dropped BEFORE the
+    // distinct: the bound holds unconditionally per shared unit, so a
+    // qualifying pair keeps every one of its rows and is never lost —
+    // only pairs all of whose prefix collisions are positionally
+    // hopeless disappear, cutting the verify join's input severalfold
+    // at zero extra shuffles (the ranks ride the prefix entries the
+    // join already carries).
+    val alpha = expr(s"($p * (cast(na as bigint) + nb) + ${100 + p} - 1) " +
+      s"div ${100 + p}")
+    val cand = pref.select(col("tok"), col("id").as("a"), col("n").as("na"),
+        col("pos").as("pa"))
+      .join(pref.select(col("tok"), col("id").as("b"), col("n").as("nb"),
+        col("pos").as("pb")), Seq("tok"))
       .filter(col("a") < col("b") &&
         lit(100) * least(col("na"), col("nb")) >=
           lit(p) * greatest(col("na"), col("nb")))
+      .filter(least(col("pa"), col("pb")) +
+        least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select(col("a"), col("b"), col("na"), col("nb")).distinct()
     cand
       .join(expl.select(col("id").as("a"), col("tok")), Seq("a"))
@@ -1181,13 +1250,14 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       minChars: Int = 1): DataFrame = {
     require(minChars >= 1, "minChars must be >= 1")
-    // The has-text bit is projected BEFORE the explode: carrying raw
-    // textCol on every exploded line row ships the whole document once
-    // per line through BOTH the line-keyed join exchange and the
-    // id-keyed reassembly exchange — an O(doc_len × n_lines)
-    // shuffle-byte blow-up per doc that the r11 100× full-set record
-    // surfaced (q_paragraph_dedup was one of only two above-linear
-    // queries at factor 100).
+    // The has-text bit is projected BEFORE the explode as plan
+    // hygiene: it makes the pruning of raw textCol off the exploded
+    // rows explicit instead of relying on the optimizer, and it
+    // narrows the line-keyed join's probe input in the non-broadcast
+    // regime. (The r11 before/after probe REFUTED the original
+    // shuffle-volume theory for the reassembly exchange — the map-side
+    // partial aggregate already evaluated isNotNull there, so text
+    // never crossed that shuffle; see PERF_NOTES r11.)
     val lines = df.select(col(idCol), col(textCol).isNotNull.as("__ht"),
       posexplode_outer(split(col(textCol), "\n", -1))
         .as(Seq("pos", "line")))

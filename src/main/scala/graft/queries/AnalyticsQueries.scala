@@ -235,6 +235,44 @@ object AnalyticsQueries extends QueryModule {
        |FROM w${BpeRounds + 1}
        |ORDER BY word""".stripMargin
 
+  // - C112: corpus tokenize-and-count under the learned merges, wired
+  //   end-to-end into sequence packing — the tokenizer loop closed into
+  //   the training-layout family: per-doc BPE token counts (vocabulary
+  //   segmented once, joined back to the corpus word stream; out-of-
+  //   alphabet words pass as one atom) feed Curation.packSequences as
+  //   its token column, replacing the whitespace counts the packing
+  //   family defaults to. The oracle replays the full chain: the shared
+  //   merge CTEs, the vocab segmentation, the doc join, the prefix-sum
+  //   layout.
+  private val TokenizeSeqLen = 64
+
+  private def qTokenizeDocs(s: SparkSession, dir: String): DataFrame =
+    Curation.packSequences(
+      Bpe.tokenizeCorpus(docs(s, dir), "doc_id", "text", BpeRounds),
+      "doc_id", col("n_tokens"), TokenizeSeqLen)
+      .orderBy("doc_id")
+
+  private val qTokenizeDocsSql =
+    s"""WITH $sqlBpeChain,
+       |seg AS (
+       |  SELECT word, CAST(len(${bpeSyms("seq")}) AS BIGINT) AS n_subtokens
+       |  FROM w${BpeRounds + 1}),
+       |dw AS (SELECT doc_id, UNNEST($sqlToks) AS word FROM documents),
+       |tok AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(COALESCE(n_subtokens, 1)) AS BIGINT) AS n_tokens
+       |  FROM dw LEFT JOIN seg USING (word) GROUP BY doc_id),
+       |o AS (
+       |  SELECT doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM tok)
+       |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       |  CAST(start_offset // $TokenizeSeqLen AS BIGINT) AS first_seq,
+       |  CAST((start_offset + GREATEST(n_tokens, 1) - 1) // $TokenizeSeqLen
+       |    AS BIGINT) AS last_seq
+       |FROM o ORDER BY doc_id""".stripMargin
+
   // ------------------------- C81: integer HITS hubs and authorities
   private def qHits(s: SparkSession, dir: String): DataFrame =
     Graph.hits(TrainingPrepQueries.linkEdges(s, dir), "src", "dst",
@@ -630,6 +668,7 @@ object AnalyticsQueries extends QueryModule {
       "q_c4_clean" -> qC4Clean _,
       "q_bpe_merges" -> qBpeMerges _,
       "q_bpe_encode" -> qBpeEncode _,
+      "q_tokenize_docs" -> qTokenizeDocs _,
       "q_hits" -> qHits _,
       "q_triangles" -> qTriangles _,
       "q_funnel" -> qFunnel _,
@@ -648,6 +687,7 @@ object AnalyticsQueries extends QueryModule {
     "q_c4_clean" -> qC4CleanSql,
     "q_bpe_merges" -> qBpeMergesSql,
     "q_bpe_encode" -> qBpeEncodeSql,
+    "q_tokenize_docs" -> qTokenizeDocsSql,
     "q_hits" -> qHitsSql,
     "q_triangles" -> qTrianglesSql,
     "q_funnel" -> qFunnelSql,

@@ -364,13 +364,25 @@ object FuzzDiff {
           while (ks.size < 2 && guard < 8) {
             ks = (ks ++ g.groupKeys(t)).distinctBy(_._2); guard += 1
           }
-          if (ks.size < 2) ks = Seq(ks.head, (ks.head._1, ks.head._2 + "_b"))
           ks.take(2)
         }
-        val Seq((k1, a1), (k2, a2)) = gks
-        val sel = Seq(s"$k1 AS $a1", s"$k2 AS $a2",
-          s"CAST(GROUPING($k1) AS INTEGER) AS g1",
-          s"CAST(GROUPING($k2) AS INTEGER) AS g2",
+        // Near-unreachable fallback when 8 redraws never produced two
+        // distinct keys: a SINGLE-key rollup, not ROLLUP(k1, k1) —
+        // duplicate grouping-set expansion and GROUPING() resolution
+        // for a repeated expression are not guaranteed to agree across
+        // engines, so the duplicated-key shape could only ever yield a
+        // false-positive divergence.
+        val (k1, a1) = gks.head
+        val (keySel, rollupKeys) = gks match {
+          case Seq(_, (k2, a2)) =>
+            (Seq(s"$k1 AS $a1", s"$k2 AS $a2",
+              s"CAST(GROUPING($k1) AS INTEGER) AS g1",
+              s"CAST(GROUPING($k2) AS INTEGER) AS g2"), s"$k1, $k2")
+          case _ =>
+            (Seq(s"$k1 AS $a1",
+              s"CAST(GROUPING($k1) AS INTEGER) AS g1"), k1)
+        }
+        val sel = keySel ++ Seq(
           "CAST(COUNT(*) AS BIGINT) AS cnt",
           s"CAST(SUM(${g.intExpr(t)}) AS BIGINT) AS s_ie")
         // HAVING COUNT(*) > 0 is a no-op on every non-empty grouping-set
@@ -384,7 +396,7 @@ object FuzzDiff {
         // portable without losing rollup coverage.
         ("rollup",
           s"SELECT ${sel.mkString(", ")} FROM ${t.name} WHERE ${g.pred(t)} " +
-            s"GROUP BY ROLLUP($k1, $k2) HAVING COUNT(*) > 0")
+            s"GROUP BY ROLLUP($rollupKeys) HAVING COUNT(*) > 0")
       case 14 => // global ORDER BY + LIMIT top-k (full-row total order)
         val t = g.tbl()
         val ord = t.cols.map(_.name + " NULLS FIRST").mkString(", ")

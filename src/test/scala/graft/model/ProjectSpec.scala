@@ -101,6 +101,44 @@ class ResilienceSpec extends SparkSpec {
     assertThrows[Exception](runner.run())
   }
 
+  test("atomic run: mid-DAG failure restores every pointer and watermark") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val state = StateStore(whDir + "/state")
+    val wh = new Warehouse(spark, whDir, state)
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+    runner.addModel("base",
+      "-- config: materialized=table\nSELECT o_orderkey, o_totalprice FROM {{ source('raw', 'orders') }}")
+    runner.addModel("inc",
+      "-- config: materialized=incremental, incremental_strategy=append\nSELECT COUNT(*) AS n FROM {{ ref('base') }}")
+    // establish the pre-run state the rollback must restore
+    runner.run(Some(Seq("base", "inc")))
+    val v0base = state.get("base").get.currentVersion
+    val v0inc = state.get("inc").get.currentVersion
+    val rows0 = wh.read("inc").count()
+    // a third level that fails at execution, AFTER base and inc have
+    // already re-materialized (and flipped) inside the atomic run
+    runner.addModel("boom",
+      "-- config: materialized=table\nSELECT no_such_column FROM {{ ref('inc') }}")
+    assertThrows[Exception](runner.runAtomic())
+    assert(state.get("base").get.currentVersion == v0base)
+    assert(state.get("inc").get.currentVersion == v0inc)
+    assert(!wh.exists("boom"))
+    // the incremental APPEND rolled back too (versioned-append mode):
+    // the restored pointer serves the pre-run row count
+    assert(wh.read("inc").count() == rows0)
+    assert(!wh.versionedAppends)
+    // a second atomic attempt reuses the abandoned v<next> dirs cleanly
+    assertThrows[Exception](runner.runAtomic())
+    assert(state.get("base").get.currentVersion == v0base)
+    assert(state.get("inc").get.currentVersion == v0inc)
+    assert(wh.read("inc").count() == rows0)
+    // and a plain (non-atomic) run afterwards works and flips forward
+    val results = runner.run(Some(Seq("base", "inc")))
+    assert(results.forall(r => !r.status.startsWith("failed")))
+    assert(state.get("base").get.currentVersion > v0base)
+  }
+
   test("model contract gates materialization; conforming model runs") {
     Tables.registerAll(spark, sfDir)
     val whDir = Files.createTempDirectory("graft_wh_").toString

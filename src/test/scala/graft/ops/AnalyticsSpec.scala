@@ -123,6 +123,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(out2("abab") == "ab ab" && out2("cd") == "c d")
   }
 
+  test("bpe tokenize: per-doc counts under learned merges, OOV words = 1") {
+    // merges learned from the 3-doc corpus: (a,b) f=8, (ab,ab) f=3,
+    // (c,d) f=2 — so abab, ab, cd each segment to ONE symbol
+    // doc 1 "abab abab cd": abab→1 sym ×2, cd→1 sym  => 3 tokens, 3 words
+    // doc 2 "abab x. cd":   abab→1, "x." OOV (punct) →1, cd→1 => 3, 3
+    // doc 3 "ab ab":        "ab" segments via rule 1 → 1 sym ×2 => 2, 2
+    val df = Seq((1L, "abab abab cd"), (2L, "abab x. cd"), (3L, "ab ab"))
+      .toDF("doc_id", "text")
+    val out = Bpe.tokenizeCorpus(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((2L, 2L))))
+    // with NO merges every in-vocab word counts its characters
+    val none = Bpe.tokenizeDocs(df, "doc_id", "text", Nil)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none == Map(1L -> 10L, 2L -> 7L, 3L -> 4L))
+  }
+
   // ------------------------------------ C81: integer HITS
 
   test("hits: directory page is the hub, its targets the authorities") {

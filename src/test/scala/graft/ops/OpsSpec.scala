@@ -315,6 +315,35 @@ class OpsSpec extends SparkSpec {
       s"guard caches accumulated across calls: $after1 -> $after4")
   }
 
+  test("similarityJoinExact eager working set: identical results, bounded cache") {
+    // The 30×/100× regime persists the exploded working set instead of
+    // re-deriving it in each of its four consumers; results must be
+    // bit-identical and the one-slot registry must release the previous
+    // call's cache (same discipline as the guard cache).
+    val vocab = ('a' to 'x').map(c => s"w$c")
+    val docs = (1L to 60L).map { i =>
+      val len = 3 + (i * 7 % 10).toInt
+      (i, (0 until len).map(j => vocab(((i * 31 + j * 13) % 24).toInt))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val lazyRes = Dedup.similarityJoinExact(df, "doc_id", "text", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    sys.props("spark.graft.simjoin.eager") = "on"
+    try {
+      def run() = Dedup.similarityJoinExact(df, "doc_id", "text", 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(run() == lazyRes)
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      run(); run()
+      val after3 = spark.sparkContext.getPersistentRDDs.size
+      assert(after3 <= after1,
+        s"working-set caches accumulated: $after1 -> $after3")
+    } finally sys.props.remove("spark.graft.simjoin.eager")
+  }
+
   test("signature jaccard estimate: identical docs estimate 1.0, near-dups less") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
