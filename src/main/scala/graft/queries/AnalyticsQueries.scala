@@ -400,20 +400,17 @@ object AnalyticsQueries extends QueryModule {
           col("value"))
         .write.mode("overwrite").parquet(p)
     }
-    val sink = ScaleQueries.trackSink(s,
-      s"graft_funnel_${ScaleQueries.streamRun.incrementAndGet()}")
-    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
-      val q = EventStreams.funnelStream(
+    val res = ScaleQueries.withStatePartitions(
+      s, ScaleQueries.DefaultStatePartitions) {
+      ScaleQueries.runStream(s, EventStreams.funnelStream(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)),
         Seq("view", "click", "purchase"), FunnelGapMicros)
-        .toDF("user_id", "n_steps", "ts_us")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .toDF("user_id", "n_steps", "ts_us"),
+        "append", "graft_funnel")
     }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("n_steps").desc)
-    s.table(sink)
+    res
       .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
       .select(Seq(col("user_id"), col("n_steps")) ++
         (1 to 3).map(i =>
@@ -542,16 +539,13 @@ object AnalyticsQueries extends QueryModule {
     val inDir = graft.Scratch.landedDir(s"docs_src:$dir") { p =>
       src.coalesce(1).write.mode("overwrite").parquet(p)
     }
-    val sink = ScaleQueries.trackSink(s,
-      s"graft_quota_${ScaleQueries.streamRun.incrementAndGet()}")
-    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
-      val q = graft.streaming.SampleStreams.quotaStream(
+    val res = ScaleQueries.withStatePartitions(
+      s, ScaleQueries.DefaultStatePartitions) {
+      ScaleQueries.runStream(s, graft.streaming.SampleStreams.quotaStream(
         s.readStream.schema(src.schema).parquet(inDir),
         "doc_id", "source", SampleQuota)
-        .toDF("source", "n_seen", "rank", "doc_id")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .toDF("source", "n_seen", "rank", "doc_id"),
+        "append", "graft_quota")
     }
     // Latest-snapshot rule applied IN the query: the sink accumulates
     // one reservoir snapshot per micro-batch (append mode), and only
@@ -561,7 +555,7 @@ object AnalyticsQueries extends QueryModule {
     // a multi-file landing or maxFilesPerTrigger would otherwise leave
     // stale snapshots in the sink and duplicate (source, rank) pairs.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
-    s.table(sink)
+    res
       .withColumn("__max_seen", max(col("n_seen")).over(w))
       .filter(col("n_seen") === col("__max_seen"))
       .select(col("source"), col("rank").cast("int").as("rank"),
@@ -628,17 +622,13 @@ object AnalyticsQueries extends QueryModule {
           col("value"))
         .write.mode("overwrite").parquet(p)
     }
-    val sink = ScaleQueries.trackSink(s,
-      s"graft_trans_${ScaleQueries.streamRun.incrementAndGet()}")
-    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
-      val q = EventStreams.transitionStream(
+    ScaleQueries.withStatePartitions(
+      s, ScaleQueries.DefaultStatePartitions) {
+      ScaleQueries.runStream(s, EventStreams.transitionStream(
         EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
-        .toDF("from_type", "to_type")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+        .toDF("from_type", "to_type"),
+        "append", "graft_trans")
     }
-    s.table(sink)
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("n_transitions"))
       .orderBy("from_type", "to_type")

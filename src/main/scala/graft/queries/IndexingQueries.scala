@@ -233,15 +233,12 @@ object IndexingQueries extends QueryModule {
     val bits = Sketches.bloomBuild(
       s.readStream.schema(src.schema).parquet(inDir),
       "text", BloomBits, BloomHashes).bitmap
-    val sink = ScaleQueries.trackSink(s,
-      s"graft_bloom_${ScaleQueries.streamRun.incrementAndGet()}")
-    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
-      val q = bits.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    val res = ScaleQueries.withStatePartitions(
+      s, ScaleQueries.DefaultStatePartitions) {
+      ScaleQueries.runStream(s, bits, "complete", "graft_bloom")
     }
     Sketches.bloomMightContain(
-      Sketches.BloomFilter(s.table(sink), BloomBits, BloomHashes),
+      Sketches.BloomFilter(res, BloomBits, BloomHashes),
       docs(s, dir).select(col("doc_id"), col("text")), "text")
       .select(col("doc_id"), col("might_contain"))
       .orderBy("doc_id")

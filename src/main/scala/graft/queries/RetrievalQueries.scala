@@ -677,15 +677,12 @@ object RetrievalQueries extends QueryModule {
       s.readStream.schema(d.schema).parquet(inDir)
         .select(explode(graft.ops.TextOps.tokens(col("text"))).as("tok")),
       "tok", CmD, CmW).cells
-    val sink = ScaleQueries.trackSink(s,
-      s"graft_cm_${ScaleQueries.streamRun.incrementAndGet()}")
-    ScaleQueries.withStatePartitions(s, ScaleQueries.DefaultStatePartitions) {
-      val q = cells.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
+    val res = ScaleQueries.withStatePartitions(
+      s, ScaleQueries.DefaultStatePartitions) {
+      ScaleQueries.runStream(s, cells, "complete", "graft_cm")
     }
     Sketches.countMinEstimate(
-      Sketches.CMSketch(s.table(sink), CmD, CmW),
+      Sketches.CMSketch(res, CmD, CmW),
       CmProbes.toDF("tok"), "tok")
       .orderBy("tok")
   }

@@ -338,6 +338,76 @@ object ScaleQueries extends QueryModule {
     name
   }
 
+  /** One-slot registry for file-sink output dirs ([[runStream]] file
+    * mode): each run deletes the previous run's directory, same
+    * bounded-accumulation discipline as [[lastMemorySink]]. */
+  private val lastFileSink =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  /** Run a finite streaming query to completion and return its result.
+    *
+    * Default path: a MEMORY sink (driver-side result table) — the right
+    * harness shape at oracle scale, but at 30×/100× the driver-held
+    * rows re-parallelize as multi-MB task binaries when the result is
+    * sorted for output ("task of very large size" warnings polluting
+    * the streaming family's scale records). `SPARK_GRAFT_STREAM_SINK=
+    * file` switches to the PRODUCTION shape: `foreachBatch` landing
+    * each micro-batch as parquet, result read back distributed — rows
+    * never gather on the driver.
+    *
+    * Equivalence: the memory sink in append/update mode APPENDS each
+    * batch's emitted rows (no key-level replacement), which is exactly
+    * the per-batch parquet union; in complete mode it replaces the
+    * table per batch, so file mode keeps only the LAST batch. The
+    * single-batch guarantee the update-mode driver queries already
+    * rely on for oracle equality (input landed as one file) is
+    * unchanged by the sink. */
+  private[queries] def runStream(
+      s: SparkSession, df: DataFrame, mode: String,
+      name: String): DataFrame = {
+    val run = streamRun.incrementAndGet()
+    if (!sys.env.get("SPARK_GRAFT_STREAM_SINK").contains("file")) {
+      val sink = trackSink(s, s"${name}_$run")
+      val q = df.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(sink)
+    } else {
+      val dir = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_stream_${name}_$run").toString
+      val prev = lastFileSink.getAndSet(dir)
+      if (prev != null) deleteRecursively(new java.io.File(prev))
+      val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
+      val land = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => {
+        lastBatch.set(math.max(lastBatch.get, id))
+        batch.write.mode("overwrite").parquet(s"$dir/b$id")
+      }
+      val q = df.writeStream.outputMode(mode)
+        .option("checkpointLocation", s"$dir/_chk")
+        .foreachBatch(land)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val last = lastBatch.get
+      if (last < 0)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          df.schema)
+      else {
+        val dirs =
+          if (mode == "complete") Seq(s"$dir/b$last")
+          else (0L to last).map(i => s"$dir/b$i")
+            .filter(p => new java.io.File(p).exists)
+        s.read.schema(df.schema).parquet(dirs: _*)
+      }
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   /** Stateful streaming operators instantiate one state store per
     * `spark.sql.shuffle.partitions` AT STREAM START (the attribution
     * join: four stores per partition) — with 32 batch-sized partitions
@@ -409,15 +479,11 @@ object ScaleQueries extends QueryModule {
           col("value"))
         .write.mode("overwrite").parquet(p)
     }
-    val sink = trackSink(s, s"graft_sessions_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
-      val q = EventStreams.sessionize(
-        EventStreams.typedEvents(EventStreams.eventStream(s, inDir)))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    s.table(sink).orderBy("user_id", "session_start_us")
+      runStream(s, EventStreams.sessionize(
+        EventStreams.typedEvents(EventStreams.eventStream(s, inDir))).toDF(),
+        "append", "graft_sessions")
+    }.orderBy("user_id", "session_start_us")
   }
 
   private val qStreamSessionizeSql =
@@ -458,14 +524,11 @@ object ScaleQueries extends QueryModule {
           col("value"))
         .coalesce(1).write.mode("overwrite").parquet(p)
     }
-    val sink = trackSink(s, s"graft_win_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
-      val q = EventStreams.windowedCounts(EventStreams.eventStream(s, inDir))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    s.table(sink).orderBy("window_start_us", "event_type")
+      runStream(s,
+        EventStreams.windowedCounts(EventStreams.eventStream(s, inDir)),
+        "update", "graft_win")
+    }.orderBy("window_start_us", "event_type")
   }
 
   private val qStreamWindowLiveSql =
@@ -495,15 +558,11 @@ object ScaleQueries extends QueryModule {
       .join(Tables.load(s, dir, "nation"),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"))
-    val sink = trackSink(s, s"graft_enrich_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
-      val q = EventStreams.enrichedWindowedCounts(
-        EventStreams.eventStream(s, inDir), dim, "c_custkey", "n_name")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    s.table(sink).orderBy("window_start_us", "n_name")
+      runStream(s, EventStreams.enrichedWindowedCounts(
+        EventStreams.eventStream(s, inDir), dim, "c_custkey", "n_name"),
+        "update", "graft_enrich")
+    }.orderBy("window_start_us", "n_name")
   }
 
   private val qStreamEnrichSql =
@@ -572,17 +631,13 @@ object ScaleQueries extends QueryModule {
     val inDir = graft.Scratch.landedDir(s"events5c1dupes:$dir") { p =>
       base.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(p)
     }
-    val sink = trackSink(s, s"graft_dedup_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
-      val q = EventStreams.dedupStream(
+      runStream(s, EventStreams.dedupStream(
         EventStreams.eventStream(s, inDir), Seq("user_id", "event_type"))
         .select(col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("ts_us"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    s.table(sink).orderBy("user_id", "event_type", "ts_us")
+          unix_micros(col("ts")).as("ts_us")),
+        "append", "graft_dedup")
+    }.orderBy("user_id", "event_type", "ts_us")
   }
 
   private val qStreamDedupSql =
@@ -610,19 +665,15 @@ object ScaleQueries extends QueryModule {
       ev.filter(col("event_type") === "click").coalesce(1)
         .write.mode("overwrite").parquet(p)
     }
-    val sink = trackSink(s, s"graft_attr_${streamRun.incrementAndGet()}")
     withStatePartitions(s, DefaultStatePartitions) {
-      val q = EventStreams.attributionJoin(
+      runStream(s, EventStreams.attributionJoin(
         EventStreams.eventStream(s, pDir), EventStreams.eventStream(s, cDir),
         lookbackMinutes = 60)
         .select(col("purchase_id"), col("user_id"),
           unix_micros(col("purchase_ts")).as("purchase_ts_us"),
-          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    s.table(sink).orderBy("purchase_id", "click_id")
+          col("click_id"), unix_micros(col("click_ts")).as("click_ts_us")),
+        "append", "graft_attr")
+    }.orderBy("purchase_id", "click_id")
   }
 
   private val qAttributionSql =

@@ -44,12 +44,18 @@ import java.nio.file.{Files, Paths}
   * per generator version (v1 = 9 families, r11 seeds 11/42; v2 adds
   * FK-chain joins, conditional aggregation, EXISTS/NOT EXISTS,
   * IN-subquery semi joins, ROLLUP+GROUPING(), global ORDER BY+LIMIT
-  * top-k, and CTE aggregate-join-back).
+  * top-k, and CTE aggregate-join-back; v3 adds the TYPED corners —
+  * decimal arithmetic/casts with explicit result types (division
+  * excluded: the engines' published result-scale rules legitimately
+  * differ), timestamp/interval arithmetic and DATE_TRUNC bucketing
+  * over the DST-free UTC session, LIKE/_-wildcard/string-comparison
+  * edges, and NULL-in-IN / NOT-IN-vs-NULL-subquery three-valued-logic
+  * corners).
   */
 object FuzzDiff {
 
   /** Bumped whenever the shape grammar changes (see Scaladoc). */
-  private val GenVersion = 2
+  private val GenVersion = 3
 
   private final case class Col(name: String, t: Char) // i/d/s/t
   private final case class Tbl(name: String, keys: Seq[String], cols: Seq[Col]) {
@@ -230,7 +236,7 @@ object FuzzDiff {
 
   /** Generate one named shape. Returns (kind, sql). */
   private def shape(g: Gen): (String, String) = {
-    g.int(16) match {
+    g.int(20) match {
       case 0 => // filter + project (+computed columns)
         val t = g.tbl()
         ("filter_project",
@@ -403,6 +409,101 @@ object FuzzDiff {
         ("order_limit",
           s"SELECT ${t.cols.map(_.name).mkString(", ")} FROM ${t.name} " +
             s"WHERE ${g.pred(t)} ORDER BY $ord LIMIT ${1 + g.int(30)}")
+      case 16 => // decimal arithmetic + casts (v3 typed corner)
+        // Every result column carries an EXPLICIT decimal type: + and *
+        // follow the standard (s1+s2 / max-scale) rules both engines
+        // share. DIVISION is deliberately absent — Spark's and DuckDB's
+        // published result-scale rules for '/' genuinely differ, so it
+        // can never be a same-type comparison. Down-scaling goes
+        // through ROUND(x, 1) (half away from zero on BOTH engines),
+        // never a bare down-scale CAST: this generator's first v3 run
+        // caught that Spark's decimal→decimal cast ROUNDS half-up while
+        // DuckDB's TRUNCATES toward zero (0.15 → 0.2 vs 0.1) — a REAL
+        // cross-engine semantics difference, pinned as a spec in
+        // ExtraQueriesSpec ("decimal down-scale cast rounds half-up").
+        val t = g.pick(tables.filter(_.of('d').nonEmpty))
+        val d1 = g.pick(t.of('d')).name
+        val d2 = g.pick(t.of('d')).name
+        val i1 = g.pick(t.of('i')).name
+        val sel = (t.keys ++ Seq(
+          s"CAST($d1 AS DECIMAL(18,2)) AS dec2",
+          // exact 2-dec source → 1-dec via ROUND exercises decimal
+          // rounding portably (see the cast-vs-truncate note above)
+          s"CAST(ROUND(CAST($d1 AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) " +
+            "AS dec1",
+          s"CAST(CAST($d1 AS DECIMAL(18,2)) + CAST($d2 AS DECIMAL(18,2)) " +
+            s"AS DECIMAL(20,2)) AS dsum",
+          s"CAST(CAST($d1 AS DECIMAL(18,2)) * CAST(${1 + g.int(9)} " +
+            s"AS DECIMAL(4,0)) AS DECIMAL(24,2)) AS dmul",
+          s"CAST(CAST($i1 AS DECIMAL(18,0)) - CAST($d2 AS DECIMAL(18,2)) " +
+            s"AS DECIMAL(20,2)) AS ddiff")).distinct
+        ("decimal",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} WHERE ${g.pred(t)}")
+      case 17 => // decimal aggregate (SUM over exact decimals)
+        val t = g.pick(tables.filter(t =>
+          t.of('d').nonEmpty && Set("orders", "lineitem", "customer")(t.name)))
+        val d1 = g.pick(t.of('d')).name
+        val gks = g.groupKeys(t)
+        val sel = gks.map { case (e, a) => s"$e AS $a" } ++ Seq(
+          s"CAST(SUM(CAST($d1 AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS dsum",
+          s"MIN(CAST($d1 AS DECIMAL(18,2))) AS dmin",
+          s"MAX(CAST($d1 AS DECIMAL(18,2))) AS dmax",
+          "CAST(COUNT(*) AS BIGINT) AS cnt")
+        ("decimal_agg",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} WHERE ${g.pred(t)} " +
+            s"GROUP BY ${gks.map(_._1).mkString(", ")}")
+      case 18 => // timestamp/interval arithmetic + DATE_TRUNC buckets
+        val t = g.pick(tables.filter(_.of('t').nonEmpty))
+        val ts = g.pick(t.of('t')).name
+        val unit = g.pick(Seq("DAY", "MONTH"))
+        val nU = 1 + g.int(if (unit == "DAY") 90 else 11)
+        val bucket = g.pick(Seq("month", "year", "quarter", "week"))
+        val cmp = s"TIMESTAMP '${1995 + g.int(6)}-0${1 + g.int(9)}-15 00:00:00'"
+        val sel = Seq(
+          s"CAST(DATE_TRUNC('$bucket', $ts) AS DATE) AS bkt",
+          "CAST(COUNT(*) AS BIGINT) AS cnt",
+          // shifted-bucket marker: month arithmetic clamps end-of-month
+          // identically (add_months semantics) or this diverges loudly
+          s"CAST(MIN(CAST($ts + INTERVAL $nU $unit AS DATE)) AS DATE) AS mn_shift",
+          s"CAST(MAX(EXTRACT(${g.pick(Seq("MONTH", "DAY", "QUARTER"))} " +
+            s"FROM $ts)) AS INTEGER) AS mx_part")
+        ("interval_arith",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} " +
+            s"WHERE $ts + INTERVAL $nU $unit ${g.pick(Seq("<=", ">"))} $cmp " +
+            s"GROUP BY DATE_TRUNC('$bucket', $ts)")
+      case 19 => // LIKE/_-wildcard/string-order edges + NULL 3VL in IN
+        val (ct, cc, pt, pc) = g.pick(fks)
+        val child = tables.find(_.name == ct).get
+        val parent = tables.find(_.name == pt).get
+        val sc = g.pick(child.of('s')).name
+        val letter = ('a' + g.int(26)).toChar
+        val strPred = g.int(4) match {
+          case 0 => s"$sc LIKE '%${letter}_%'" // _ wildcard after a literal
+          case 1 => s"$sc NOT LIKE '%$letter%'"
+          case 2 => s"$sc ${g.pick(Seq("<", ">="))} '${letter.toUpper}'"
+          case _ => s"UPPER($sc) LIKE '%${letter.toUpper}%'"
+        }
+        if (g.int(2) == 0) {
+          // NULL-bearing NOT IN subquery: NULLIF plants a NULL, so NOT
+          // IN must yield ZERO rows under three-valued logic on both
+          // engines whenever the subquery is non-empty; IN is unfazed.
+          val op = if (g.int(3) == 0) "NOT IN" else "IN"
+          val nullAt = g.int(1000)
+          ("null_3vl",
+            s"SELECT ${(child.keys :+ cc).distinct.mkString(", ")} " +
+              s"FROM $ct WHERE $cc $op " +
+              s"(SELECT NULLIF($pc, $nullAt) FROM $pt WHERE ${g.pred(parent)}) " +
+              s"AND $strPred")
+        } else {
+          // IN-list carrying an explicit NULL: matches stay true, the
+          // rest evaluate UNKNOWN and filter out — never an error
+          val ic = g.pick(child.of('i')).name
+          val vals = Seq.fill(2)(g.int(2000)).distinct.mkString(", ")
+          ("null_3vl",
+            s"SELECT ${(child.keys :+ ic).distinct.mkString(", ")}, " +
+              s"CASE WHEN $strPred THEN 'y' ELSE 'n' END AS sp " +
+              s"FROM $ct WHERE $ic IN ($vals, NULL)")
+        }
       case _ => // CTE aggregate joined back to its base table
         val t = g.factTbl()
         val (gk, _) = g.groupKeys(t).head

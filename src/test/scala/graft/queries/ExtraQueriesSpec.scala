@@ -38,6 +38,28 @@ class ExtraQueriesSpec extends SparkSpec {
     assert(explicitGrand.collect().head.getAs[Long]("n") == 0L)
   }
 
+  test("decimal down-scale cast rounds half-up (DuckDB's truncates — " +
+      "pinned so the contract is explicit)") {
+    // Caught by tools/FuzzDiff gen-3 seed 7 (f_decimal_0004 et al.):
+    // Spark's decimal→decimal down-scale CAST rounds HALF_UP (half away
+    // from zero), DuckDB's cast TRUNCATES toward zero (0.15 → 0.1;
+    // probed directly: 0.05→0.0, 0.25→0.2, -0.15→-0.1). Both engines'
+    // ROUND(x, s) agree (half away from zero), so every shared surface
+    // — the fuzzer's decimal family and any oracle SQL that narrows a
+    // decimal — must down-scale through ROUND, never a bare CAST.
+    // graft inherits Spark's cast semantics; this spec pins them.
+    val r = spark.sql(
+      """SELECT CAST(CAST(v AS DECIMAL(18,2)) AS DECIMAL(18,1)) AS c,
+        |       CAST(ROUND(CAST(v AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS rd
+        |FROM VALUES ('0.05'), ('0.15'), ('0.25'), ('-0.15') AS t(v)
+        |ORDER BY v""".stripMargin)
+      .collect().map(row => (row.getDecimal(0).toPlainString,
+        row.getDecimal(1).toPlainString))
+    // cast: half-up everywhere (DuckDB cast would give 0.0/0.1/0.2/-0.1)
+    assert(r.toSeq == Seq(("-0.2", "-0.2"), ("0.1", "0.1"),
+      ("0.2", "0.2"), ("0.3", "0.3")))
+  }
+
   test("cube emits all grouping combinations") {
     val rows = ExtraQueries.queries("q_cube")(spark, sfDir).collect()
     // 3 statuses x 5 priorities + 3 + 5 + 1 grand total
