@@ -64,7 +64,8 @@ object Dedup {
     * explode instead of re-deriving it in each of its four consumers.
     * The crossover is measured, both ends: at sf0.1 (3.8M rows) lazy
     * wins (9.4 s vs 14.4 s — re-scans stay inside whole-stage codegen);
-    * at 30× (115M rows) eager wins (see
+    * at 30× (115M rows) eager wins 2× on interleaved min-of-2 medians
+    * (~104 s vs the r11 lazy binary's 205.3 s; 2.5× cold-for-cold —
     * bench_results/r12_simjoin_eager_ab.json). 32M splits the measured
     * regimes about a decade above the lazy-wins point. */
   val EagerWorkingSetRows: Long = 32L * 1000 * 1000
@@ -76,14 +77,28 @@ object Dedup {
   private val lastWorkingSetCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Release the previous slot, BLOCKING, then hand the slot to `next`
+    * — the caller persists AFTER this returns. Order matters:
+    * CacheManager matches cache entries by LOGICAL PLAN, and repeated
+    * calls over the same input build plan-identical frames — persisting
+    * first makes the new persist a no-op against the previous entry,
+    * and the subsequent unpersist of the previous frame then removes
+    * the SHARED entry, silently uncaching the new call (measured in the
+    * r12 30× eager A/B: warm samples degraded to 4–11× cold because
+    * every repeated call cancelled its own cache). Blocking, so an
+    * async removal can't race the re-registration of the same plan. */
   private def swapWorkingSetCache(next: DataFrame): Unit = {
     val prev = lastWorkingSetCache.getAndSet(next)
-    if (prev != null && (prev ne next)) prev.unpersist(blocking = false)
+    if (prev != null && (prev ne next)) prev.unpersist(blocking = true)
   }
 
+  // Same release-BEFORE-persist ordering and blocking rationale as
+  // [[swapWorkingSetCache]]: repeated calls build plan-identical df
+  // tables, so unpersisting the previous frame after the new persist
+  // removes the plan-matched SHARED entry and uncaches the new call.
   private def swapGuardCache(next: DataFrame): Unit = {
     val prev = lastGuardCache.getAndSet(next)
-    if (prev != null) prev.unpersist(blocking = false)
+    if (prev != null && (prev ne next)) prev.unpersist(blocking = true)
   }
 
   /** CPU-heavy per-row stages want full-core parallelism even when the
@@ -1096,8 +1111,8 @@ object Dedup {
     val eagerEnv = sys.props.get("spark.graft.simjoin.eager")
       .orElse(sys.env.get("SPARK_GRAFT_SIMJOIN_EAGER"))
     def persistWorkingSet(): Unit = {
+      swapWorkingSetCache(expl) // release prev FIRST (see its Scaladoc)
       expl.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      swapWorkingSetCache(expl)
     }
     if (eagerEnv.contains("on")) persistWorkingSet()
     if (maxCandidates != UncappedCandidates) {
@@ -1109,8 +1124,8 @@ object Dedup {
       // Registered in the one-slot guard-cache registry: the NEXT call
       // releases it (the caller's lazy result frame still needs it
       // after this method returns, so success cannot unpersist here).
+      swapGuardCache(dfc) // release prev FIRST (see its Scaladoc)
       dfc.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-      swapGuardCache(dfc)
       val pairSum = (cnt: Column) =>
         sum(cnt.cast("decimal(38,0)") * (cnt - lit(1))).as("s")
       val asPairs = (r: org.apache.spark.sql.Row) =>
