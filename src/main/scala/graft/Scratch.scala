@@ -25,8 +25,10 @@ object Scratch {
 
   private def deleteRecursively(p: Path): Unit = {
     try {
-      if (Files.isDirectory(p))
-        Files.list(p).forEach(deleteRecursively)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p) // closed: NIO streams hold a file handle
+        try s.forEach(deleteRecursively) finally s.close()
+      }
       Files.deleteIfExists(p)
     } catch { case _: Throwable => () } // best-effort: never fail exit
   }

@@ -309,20 +309,41 @@ final class ModelRunner(
       fullRefresh: Boolean = false): Seq[MaterializeResult] = {
     val affected = graph.executionOrder(targets).flatten
       .filter(modelSql.contains)
-    val snapshot = affected.map(m => m -> wh.state.get(m))
+    val snapshot = affected.map(m =>
+      (m, wh.state.get(m), wh.spark.catalog.tableExists(wh.relation(m))))
     wh.versionedAppends = true
     try run(targets, variables, batchTs, continueOnError = false,
       fullRefresh = fullRefresh)
     catch {
       case scala.util.control.NonFatal(e) =>
-        snapshot.foreach { case (m, prior) =>
+        snapshot.foreach { case (m, prior, hadRelation) =>
           wh.state.update(m) { cur =>
             val p = prior.getOrElse(ModelState(m))
             cur.copy(fileHash = p.fileHash, configHash = p.configHash,
               currentVersion = p.currentVersion, incremental = p.incremental)
           }
-          // temp views must not keep serving rolled-back data
+          // Temp views must not keep serving rolled-back data — but a
+          // relation the run FOUND in place is session state the
+          // contract preserves. Table-backed models re-point at the
+          // restored version; view/temp_table models (exists() is
+          // always false for them — no version pointer) re-register
+          // their definition, which rebuilds the pre-run plan because
+          // snapshot order is topological, so every upstream pointer
+          // is already restored when a downstream view re-renders.
+          // Only a relation the run CREATED is dropped.
           if (wh.exists(m)) wh.refreshView(m)
+          else if (hadRelation)
+            // Best-effort: a re-render can only fail for the reasons
+            // the original registration would have (e.g. the failing
+            // model IS this view's upstream) — then the stale view
+            // cannot be preserved truthfully and is dropped instead
+            // of masking the run's own exception.
+            try wh.registerView(m,
+              wh.spark.sql(render(m, variables, fullRefresh)))
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                wh.spark.catalog.dropTempView(wh.relation(m))
+            }
           else wh.spark.catalog.dropTempView(wh.relation(m))
         }
         throw e

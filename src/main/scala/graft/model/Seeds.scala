@@ -32,8 +32,10 @@ object Seeds {
     if (!Files.isDirectory(dir)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      val s = Files.list(dir) // closed: NIO streams hold a file handle
+      try s.iterator().asScala
         .filter(_.toString.endsWith(".csv")).toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
     }
   }
 

@@ -26,6 +26,13 @@ final class Warehouse(
   /** Relation name a model is visible under for spark.sql. */
   def relation(model: String): String = s"graft_$model"
 
+  // NIO directory streams hold an OS file handle until closed — every
+  // Files.walk/Files.list here drains through this so version cleanup
+  // and carry-forward scans don't leak handles until GC finalization.
+  private def withStream[A, B](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => B): B =
+    try f(s.iterator().asScala) finally s.close()
+
   private def versionDir(model: String, v: Long): Path =
     Paths.get(root, model, s"v$v")
 
@@ -210,7 +217,7 @@ final class Warehouse(
     * fully-changed leaves were rewritten by the scoped write). */
   private def carryForward(
       prev: Path, dst: Path, rel: String, changed: Set[String]): Unit =
-    Files.list(prev).iterator().asScala
+    withStream(Files.list(prev))(_
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
       .foreach { p =>
         val childRel =
@@ -222,20 +229,20 @@ final class Warehouse(
           Files.createDirectories(target)
           carryForward(p, target, childRel, changed)
         } else if (!Files.exists(target)) linkTree(p, target)
-      }
+      })
 
   /** Recursively hard-link `src` under `dst` (copy fallback for file
     * systems without link support). */
   private def linkTree(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.list(src).iterator().asScala.foreach { p =>
+    withStream(Files.list(src))(_.foreach { p =>
       val t = dst.resolve(p.getFileName.toString)
       if (Files.isDirectory(p)) linkTree(p, t)
       else try Files.createLink(t, p)
       catch { case _: UnsupportedOperationException | _: java.io.IOException =>
         Files.copy(p, t)
       }
-    }
+    })
   }
 
   /** When set (an atomic run — see `ModelRunner.runAtomic`), physical
@@ -270,7 +277,7 @@ final class Warehouse(
     // a rolled-back atomic run leaves an abandoned v<next> behind —
     // clear it, like writeVersion's SaveMode.Overwrite does implicitly
     if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      withStream(Files.walk(dir))(_.toSeq.reverse.foreach(Files.delete))
     linkTree(Paths.get(prev), dir)
     df.write.mode(SaveMode.Append).parquet(dir.toString)
     state.update(model)(_.copy(currentVersion = next))
@@ -310,17 +317,17 @@ final class Warehouse(
     val current = currentVersion(model).getOrElse(return 0)
     val modelDir = Paths.get(root, model)
     if (!Files.isDirectory(modelDir)) return 0
-    val versions = Files.list(modelDir).iterator().asScala
+    val versions = withStream(Files.list(modelDir))(_
       .filter(p => p.getFileName.toString.matches("v\\d+"))
       .map(p => p.getFileName.toString.drop(1).toLong)
-      .toSeq.sorted
+      .toSeq).sorted
     val toDrop = versions.filter(_ <= current).dropRight(keep)
     toDrop.foreach { v =>
       // external catalog entry (bucketed versions) before the files
       spark.sql(s"DROP TABLE IF EXISTS ${catalogName(model, v)}")
       catalogTableCache.remove(catalogName(model, v))
       val dir = versionDir(model, v)
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      withStream(Files.walk(dir))(_.toSeq.reverse.foreach(Files.delete))
     }
     toDrop.size
   }

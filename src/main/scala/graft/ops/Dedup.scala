@@ -59,6 +59,11 @@ object Dedup {
   private val lastGuardCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Spark conf key overriding [[eagerWorkingSetRows]] — the exploded-
+    * working-set row count above which [[similarityJoinExact]] persists
+    * its (id, n, unit) explode (set to Long.MaxValue to force lazy). */
+  val EagerRowsConfKey = "spark.graft.simjoin.eagerRows"
+
   /** Exploded-working-set size (Σ document-frequency = exploded rows)
     * above which [[similarityJoinExact]] persists the (id, n, unit)
     * explode instead of re-deriving it in each of its four consumers.
@@ -66,9 +71,23 @@ object Dedup {
     * wins (9.4 s vs 14.4 s — re-scans stay inside whole-stage codegen);
     * at 30× (115M rows) eager wins 2× on interleaved min-of-2 medians
     * (~104 s vs the r11 lazy binary's 205.3 s; 2.5× cold-for-cold —
-    * bench_results/r12_simjoin_eager_ab.json). 32M splits the measured
-    * regimes about a decade above the lazy-wins point. */
-  val EagerWorkingSetRows: Long = 32L * 1000 * 1000
+    * bench_results/r12_simjoin_eager_ab.json). The default splits the
+    * measured regimes about a decade above the lazy-wins point — but
+    * the inversion tracks how much of the MEMORY_AND_DISK persist the
+    * executors can actually hold, so it scales with executor heap
+    * rather than being a literal: heap/256 reproduces the calibrated
+    * 32M-row point on the 8 GiB-heap bench host (~32 B of working set
+    * per heap-resident row at this operator's row shape), floored at
+    * 8M rows so small heaps don't go eager inside the measured
+    * lazy-wins regime. Operators that need a different point set
+    * [[EagerRowsConfKey]] explicitly. */
+  def eagerWorkingSetRows(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(EagerRowsConfKey).map(_.toLong).getOrElse {
+      val heapBytes = spark.conf.getOption("spark.executor.memory")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Runtime.getRuntime.maxMemory()) // local mode: same JVM
+      math.max(8L * 1000 * 1000, heapBytes / 256)
+    }
 
   /** One-slot registry for [[similarityJoinExact]]'s eager working-set
     * cache — same lifecycle discipline as [[lastGuardCache]]: the
@@ -1101,10 +1120,12 @@ object Dedup {
     // inside whole-stage codegen), but at 30× (115M rows) the same A/B
     // inverts: four re-scans of a hundreds-of-millions-row explode
     // dominate, and persisting once wins. The guard's pricing aggregate
-    // already sums Σdf = exploded row count for free, so the decision
-    // is made from measurement, not guesswork: persist when the
-    // working set exceeds [[EagerWorkingSetRows]] (override with
-    // SPARK_GRAFT_SIMJOIN_EAGER=on|off for A/B probes).
+    // already sums Σdf = exploded row count for free (on the uncapped
+    // path a dedicated one-pass count prices it), so the decision is
+    // made from measurement, not guesswork: persist when the working
+    // set exceeds [[eagerWorkingSetRows]] (threshold via the
+    // spark.graft.simjoin.eagerRows conf; SPARK_GRAFT_SIMJOIN_EAGER=
+    // on|off forces either regime for A/B probes).
     val expl = base.select(col("id"), size(col("toks")).as("n"),
       explode(col("toks")).as("tok"))
     val dfc = expl.groupBy(col("tok")).agg(count(lit(1)).as("__df"))
@@ -1135,7 +1156,8 @@ object Dedup {
       val head = dfc.select(pairSum(col("__df")), sum(col("__df"))).first()
       val bound = asPairs(head)
       val explRows = if (head.isNullAt(1)) 0L else head.getLong(1)
-      if (eagerEnv.isEmpty && explRows >= EagerWorkingSetRows)
+      if (eagerEnv.isEmpty &&
+          explRows >= eagerWorkingSetRows(df.sparkSession))
         persistWorkingSet()
       if (bound > BigDecimal(maxCandidates)) {
         val exact = asPairs(
@@ -1164,6 +1186,15 @@ object Dedup {
               "shingleSize" -> shingleSize.toString))
         }
       }
+    } else if (eagerEnv.isEmpty) {
+      // UncappedCandidates skips the pricing guard, but the size-based
+      // eager decision is general (the regime note above): one cheap
+      // count over the explode prices it here too, so a caller passing
+      // UncappedCandidates at 30×/100× scale still gets the measured
+      // eager win instead of silently staying lazy.
+      val explRows = expl.select(count(lit(1))).first().getLong(0)
+      if (explRows >= eagerWorkingSetRows(df.sparkSession))
+        persistWorkingSet()
     }
     // pref feeds both sides of the candidate self-join below and stays
     // LAZY like the expl subtree: persisting it was A/B-measured a
@@ -1297,7 +1328,10 @@ object Dedup {
       .withColumn("__keep", col("line").isNotNull &&
         (length(trim(col("line"))) < minChars ||
           key === col("__first") || col("__first").isNull))
-    flagged.groupBy(col(idCol)).agg(
+    if (sys.props.get("spark.graft.reassembly")
+        .orElse(sys.env.get("SPARK_GRAFT_REASSEMBLY")).contains("sorted"))
+      reassembleSorted(flagged, idCol)
+    else flagged.groupBy(col(idCol)).agg(
       count(col("line")).as("n_lines"),
       sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
       // NULL text emits a single NULL line (posexplode_outer), where
@@ -1309,5 +1343,62 @@ object Dedup {
         t => t.getField("line")), "\n").as("__clean"))
       .select(col(idCol), col("n_lines"), col("n_kept"),
         when(col("__has_text"), col("__clean")).as("text_clean"))
+  }
+
+  /** Streaming sorted reassembly — the A/B alternative to
+    * [[paragraphDedup]]'s aggregate tail (SPARK_GRAFT_REASSEMBLY=
+    * sorted): ONE hash exchange on the doc id + ONE spillable
+    * within-partition sort on (id, pos), then a run-detecting
+    * mapPartitions that string-builds each document's clean text as
+    * its rows stream past. Removes both the per-doc array_sort and
+    * the collect_list aggregate whose sort-based fallback is the
+    * measured above-linear 100× slope — the order comes from the
+    * shuffle machinery's external sort instead of per-group buffers.
+    * Row order within a doc is GUARANTEED by the explicit sort (the
+    * pre-sorted-collect_list trick is not used precisely because the
+    * object-hash aggregate's sort fallback sorts by group key only
+    * and is not stable). NULL ids group together, matching groupBy's
+    * single-NULL-group semantics. */
+  private[ops] def reassembleSorted(
+      flagged: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sorted = flagged
+      .select(col(idCol), col("__ht"), col("pos"), col("line"),
+        col("__keep"))
+      .repartition(col(idCol))
+      .sortWithinPartitions(col(idCol), col("pos"))
+    val schema = StructType(Seq(
+      sorted.schema.fields(0),
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_kept", LongType, nullable = false),
+      StructField("text_clean", StringType, nullable = true)))
+    sorted.mapPartitions { rows =>
+      new Iterator[Row] {
+        private var pending: Row = if (rows.hasNext) rows.next() else null
+        override def hasNext: Boolean = pending != null
+        override def next(): Row = {
+          val id = pending.get(0)
+          var nLines = 0L; var nKept = 0L; var hasText = false
+          val sb = new java.lang.StringBuilder
+          var continue = true
+          while (continue) {
+            val r = pending
+            if (!r.isNullAt(1) && r.getBoolean(1)) hasText = true
+            if (!r.isNullAt(3)) nLines += 1
+            if (!r.isNullAt(4) && r.getBoolean(4)) {
+              if (nKept > 0) sb.append('\n')
+              sb.append(r.getString(3))
+              nKept += 1
+            }
+            pending = if (rows.hasNext) rows.next() else null
+            continue = pending != null &&
+              java.util.Objects.equals(pending.get(0), id)
+          }
+          Row(id, nLines, nKept, if (hasText) sb.toString else null)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+      .toDF(idCol, "n_lines", "n_kept", "text_clean")
   }
 }

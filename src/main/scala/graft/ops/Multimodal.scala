@@ -257,15 +257,127 @@ object Multimodal {
       StructField("features", ArrayType(DoubleType, containsNull = false),
         nullable = true))(p => stubFeature(p, dim).toSeq)
 
+  // ------------------------------------------------- real pixel codecs
+  // javax.imageio ships in the JDK — the one codec library every JVM
+  // executor already has, so the resample stage needs no dependency.
+  // ImageIO's default stream cache writes a temp FILE per decode;
+  // executors want pure in-memory codec calls.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic REAL raster image: w×h pixels of a two-tone diagonal
+    * banding pattern derived from `seed`, encoded with the JDK's
+    * ImageIO ("png" lossless ARGB, "jpeg" via TYPE_INT_RGB — the JPEG
+    * writer rejects alpha). Actual pixel data, so [[resizeFit]]'s
+    * resample path genuinely decodes and filters it — the fixture side
+    * of the real-pixel contract. */
+  def synthRaster(fmt: String, w: Int, h: Int, seed: Long): Array[Byte] = {
+    val imgType =
+      if (fmt == "jpeg") java.awt.image.BufferedImage.TYPE_INT_RGB
+      else java.awt.image.BufferedImage.TYPE_INT_ARGB
+    val img = new java.awt.image.BufferedImage(w, h, imgType)
+    val c1 = 0xFF000000 | ((seed * 2654435761L).toInt & 0xFFFFFF)
+    val c2 = 0xFF000000 | (((seed + 17) * 2654435761L).toInt & 0xFFFFFF)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (((x + y) / 4) % 2 == 0) c1 else c2)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Append a REAL raster payload generated per row from (format, w, h,
+    * seed) columns — same narrow, partition-preserving mapPartitions
+    * shape as [[decode]]. The generator stage of a real-pixel test/demo
+    * pipeline; production reads payloads from the lake instead. */
+  def withRasterPayload(df: DataFrame, fmtCol: String, wCol: String,
+      hCol: String, seedCol: String, out: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(out, BinaryType, nullable = true))
+    val fi = df.schema.fieldIndex(fmtCol)
+    val wi = df.schema.fieldIndex(wCol)
+    val hi = df.schema.fieldIndex(hCol)
+    val si = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(fi) || r.isNullAt(wi) || r.isNullAt(hi)) null
+          else synthRaster(r.getString(fi), r.getInt(wi), r.getInt(hi),
+            r.getLong(si))
+        Row.fromSeq(r.toSeq :+ payload)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Header bytes of `fmt` carrying (w, h) — byte-level twins of the
+    * [[synthJpeg]]/[[synthPng]] column builders, used as the degraded
+    * output when a payload has no decodable pixel data. */
+  private def headerOnly(fmt: String, w: Int, h: Int): Array[Byte] =
+    if (fmt == "jpeg")
+      bytes(0xFF, 0xD8) ++
+        (bytes(0xFF, 0xE0, 0x00, 0x10) ++ "JFIF".getBytes("US-ASCII") ++
+          Array.fill(10)(0.toByte)) ++
+        bytes(0xFF, 0xC0, 0x00, 0x11, 0x08) ++
+        Array((h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte) ++
+        bytes(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    else
+      bytes(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+        (bytes(0x00, 0x00, 0x00, 0x0D) ++ "IHDR".getBytes("US-ASCII")) ++
+        Array((w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte,
+          w.toByte, (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte,
+          h.toByte) ++
+        bytes(0x08, 0x06, 0x00, 0x00, 0x00)
+
+  /** REAL pixel resample (the de-stubbed C40 seam): ImageIO decode →
+    * bilinear Graphics2D draw into (w, h) → re-encode in the same
+    * format, all JDK-only and in-memory. A payload ImageIO cannot
+    * decode (header-only fixtures, truncated assets) degrades to a
+    * well-formed same-format header carrying the target dims, so the
+    * round-trip dimension contract holds for every parseable header.
+    * Never throws — one corrupt asset must not kill a 100 TB scan. */
+  def resamplePixels(
+      payload: Array[Byte], fmt: String, w: Int, h: Int): Array[Byte] =
+    try {
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (src == null) headerOnly(fmt, w, h)
+      else {
+        val imgType =
+          if (fmt == "jpeg") java.awt.image.BufferedImage.TYPE_INT_RGB
+          else java.awt.image.BufferedImage.TYPE_INT_ARGB
+        val dst = new java.awt.image.BufferedImage(w, h, imgType)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, fmt, bos)
+        bos.toByteArray
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => headerOnly(fmt, w, h)
+    }
+
   /** Aspect-preserving resize-to-fit: computes the target dimensions
     * with integer-exact arithmetic (the longer axis pins to the box,
-    * the other scales by the same ratio, floored, min 1) and re-encodes
-    * a well-formed header of the same format carrying them. The pixel
-    * resample itself is a codec-library call inside the same map slot
-    * (STUBBED — not in this container); the schema / payload contract is
-    * real: `resized_payload` is a decodable image whose header carries
-    * the resized dimensions. Non-image (or unparseable) assets pass
-    * through with null resize fields.
+    * the other scales by the same ratio, floored, min 1), then runs a
+    * REAL pixel resample per asset ([[resamplePixels]]: JDK ImageIO
+    * decode → bilinear redraw → same-format re-encode) in the same
+    * narrow mapPartitions slot the metadata decode uses — no shuffle,
+    * batch-at-a-time, partition-preserving; codec work is map-only and
+    * embarrassingly parallel, so the stage scales linearly with
+    * executors. `resized_payload` is a decodable image whose pixels AND
+    * header carry the resized dimensions; payloads without decodable
+    * pixel data degrade to a well-formed header (dimension contract
+    * intact). Non-image (or unparseable) assets pass through with null
+    * resize fields.
     *
     * Appends: asset (decode metadata), resized_width, resized_height,
     * resized_payload (jpeg/png only). */
@@ -283,12 +395,26 @@ object Multimodal {
         greatest(lit(1), floor(h * targetW / w)).cast("int"))
       .otherwise(lit(targetH))
     val isImage = col("asset.width").isNotNull
-    d.withColumn("resized_width", when(isImage, newW))
+    val withDims = d
+      .withColumn("resized_width", when(isImage, newW))
       .withColumn("resized_height", when(isImage, newH))
-      .withColumn("resized_payload",
-        when(col("asset.format") === "jpeg",
-          synthJpeg(col("resized_width"), col("resized_height")))
-        .when(col("asset.format") === "png",
-          synthPng(col("resized_width"), col("resized_height"))))
+    val schema = StructType(withDims.schema.fields :+
+      StructField("resized_payload", BinaryType, nullable = true))
+    val pIdx = withDims.schema.fieldIndex(payloadCol)
+    val aIdx = withDims.schema.fieldIndex("asset")
+    val wIdx = withDims.schema.fieldIndex("resized_width")
+    val hIdx = withDims.schema.fieldIndex("resized_height")
+    withDims.mapPartitions { rows =>
+      rows.map { r =>
+        val asset = r.getAs[Row](aIdx)
+        val fmt = if (asset == null) null else asset.getString(1)
+        val out =
+          if ((fmt == "jpeg" || fmt == "png") && !r.isNullAt(wIdx))
+            resamplePixels(r.getAs[Array[Byte]](pIdx), fmt,
+              r.getInt(wIdx), r.getInt(hIdx))
+          else null
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 }

@@ -836,21 +836,28 @@ object LlmOpsQueries extends QueryModule {
        |ORDER BY doc_id, dim""".stripMargin
 
   // --------------------------------------- C40: multimodal resize-to-fit
-  // Aspect-preserving resize of synthesized JPEG/PNG payloads into a
-  // 320x200 box. The resized payload is re-DECODED and its round-trip
+  // Aspect-preserving resize of REAL raster JPEG/PNG payloads (actual
+  // pixel data, ImageIO-encoded — r13 de-stubs the resample seam) into
+  // a 32x20 box. The resized payload is re-DECODED and its round-trip
   // dimensions emitted, so the driver pins bytes-out as well as the
   // integer resize arithmetic (which DuckDB recomputes analytically).
-  private val RszW = 320
-  private val RszH = 200
+  // Source dims stay small (<= 63px): per-asset cost is codec-bound and
+  // map-only — linear and embarrassingly parallel at scale, but there is
+  // no reason to burn megapixels proving a dimension contract.
+  private val RszW = 32
+  private val RszH = 20
 
   private def qMultimodalResize(s: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
-    val w = (lit(100) + id % 700).cast("int")
-    val h = (lit(80) + (id * 13) % 900).cast("int")
-    val payload = when(id % 2 === 0, Multimodal.synthJpeg(w, h))
-      .otherwise(Multimodal.synthPng(w, h))
-    val resized = Multimodal.resizeFit(
-      docs(s, dir).select(id, payload.as("payload")), "payload", RszW, RszH)
+    val src = docs(s, dir).select(id,
+      when(id % 2 === 0, lit("jpeg")).otherwise(lit("png")).as("fmt"),
+      (lit(8) + id % 56).cast("int").as("w"),
+      (lit(6) + (id * 13) % 58).cast("int").as("h"),
+      id.cast("long").as("seed"))
+    val withPayload = Multimodal
+      .withRasterPayload(src, "fmt", "w", "h", "seed")
+      .select(col("doc_id"), col("payload"))
+    val resized = Multimodal.resizeFit(withPayload, "payload", RszW, RszH)
       .select(col("doc_id"), col("asset.format").as("format"),
         col("asset.width").as("width"), col("asset.height").as("height"),
         col("resized_width"), col("resized_height"),
@@ -866,8 +873,8 @@ object LlmOpsQueries extends QueryModule {
   private val qMultimodalResizeSql =
     s"""WITH dims AS (
        |  SELECT doc_id,
-       |    CAST(100 + doc_id % 700 AS INTEGER) AS w,
-       |    CAST(80 + (doc_id * 13) % 900 AS INTEGER) AS h
+       |    CAST(8 + doc_id % 56 AS INTEGER) AS w,
+       |    CAST(6 + (doc_id * 13) % 58 AS INTEGER) AS h
        |  FROM documents),
        |r AS (
        |  SELECT doc_id,

@@ -340,7 +340,14 @@ object ScaleQueries extends QueryModule {
 
   /** One-slot registry for file-sink output dirs ([[runStream]] file
     * mode): each run deletes the previous run's directory, same
-    * bounded-accumulation discipline as [[lastMemorySink]]. */
+    * bounded-accumulation discipline as [[lastMemorySink]] — and the
+    * same SERIAL-CONSUMPTION contract: the returned frame is a LAZY
+    * read over this directory, so it must be fully consumed (collected
+    * or written) before the next [[runStream]] call, which reclaims
+    * the backing files. Interleaving two streaming queries before
+    * consuming the first result is out of contract on BOTH sink modes
+    * (the memory slot drops the previous temp view the same way); the
+    * Verify/Bench drivers are strictly serial. */
   private val lastFileSink =
     new java.util.concurrent.atomic.AtomicReference[String](null)
 

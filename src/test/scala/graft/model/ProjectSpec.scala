@@ -139,6 +139,32 @@ class ResilienceSpec extends SparkSpec {
     assert(state.get("base").get.currentVersion > v0base)
   }
 
+  test("atomic rollback preserves pre-run VIEW relations, drops created ones") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+    runner.addModel("vbase",
+      "-- config: materialized=table\nSELECT o_orderkey, o_totalprice FROM {{ source('raw', 'orders') }}")
+    runner.addModel("v",
+      "-- config: materialized=view\nSELECT COUNT(*) AS n FROM {{ ref('vbase') }}")
+    runner.run(Some(Seq("vbase", "v")))
+    assert(spark.catalog.tableExists(wh.relation("v")))
+    val rows0 = spark.table(wh.relation("v")).collect().map(_.getLong(0)).toSeq
+    // third level fails AFTER vbase re-materialized and v re-registered
+    runner.addModel("boom2",
+      "-- config: materialized=table\nSELECT no_such_column FROM {{ ref('v') }}")
+    assertThrows[Exception](runner.runAtomic())
+    // the view the run FOUND in place survived the rollback and serves
+    // the pre-run result over the restored upstream pointer
+    assert(spark.catalog.tableExists(wh.relation("v")),
+      "pre-run view relation was dropped by the rollback")
+    assert(spark.table(wh.relation("v")).collect()
+      .map(_.getLong(0)).toSeq == rows0)
+    // a relation the failed run would have CREATED does not linger
+    assert(!spark.catalog.tableExists(wh.relation("boom2")))
+  }
+
   test("model contract gates materialization; conforming model runs") {
     Tables.registerAll(spark, sfDir)
     val whDir = Files.createTempDirectory("graft_wh_").toString

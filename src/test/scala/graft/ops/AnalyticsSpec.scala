@@ -80,6 +80,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) == ((0L, 0L, None)))
   }
 
+  test("c4: map-only HOF plan ≡ explode/agg plan (mode equivalence)") {
+    val df = Seq(
+      (1L, "keep this proper line.\nno terminator\nanother good line stays!"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, "every line cut here"),
+      (5L, "accept our cookie policy now.\nbut this line survives fine."))
+      .toDF("doc_id", "text")
+    def run() = Curation.c4LineClean(df, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSet
+    val hof = run() // default since r13: zero-shuffle HOF plan
+    sys.props("spark.graft.c4.mode") = "agg"
+    try assert(run() == hof)
+    finally sys.props.remove("spark.graft.c4.mode")
+  }
+
   // ---------------------------------------- C80: BPE merge learning
 
   test("bpe: learns the frequency-ordered merges of a known corpus") {

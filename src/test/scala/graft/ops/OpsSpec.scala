@@ -344,6 +344,37 @@ class OpsSpec extends SparkSpec {
     } finally sys.props.remove("spark.graft.simjoin.eager")
   }
 
+  test("simjoin eager threshold: conf override, heap default, uncapped auto-eager") {
+    // default derives from executor heap (heap/256, floored at 8M rows)
+    assert(Dedup.eagerWorkingSetRows(spark) >= 8L * 1000 * 1000)
+    // explicit conf wins over the derivation
+    spark.conf.set(Dedup.EagerRowsConfKey, "100")
+    try {
+      assert(Dedup.eagerWorkingSetRows(spark) == 100L)
+      // threshold below this corpus's exploded size: the size-based
+      // eager persist fires on BOTH the capped and the UNCAPPED path
+      // (the decision is general, not guard-scoped) — results
+      // identical, one-slot cache registry still bounded
+      val vocab = ('a' to 'x').map(c => s"w$c")
+      val df = (1L to 60L).map { i =>
+        val len = 3 + (i * 7 % 10).toInt
+        (i, (0 until len).map(j => vocab(((i * 31 + j * 13) % 24).toInt))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      def run(cap: Long) =
+        Dedup.similarityJoinExact(df, "doc_id", "text", 50,
+          maxCandidates = cap)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3))).toSet
+      val capped = run(Dedup.DefaultMaxCandidates)
+      assert(run(Dedup.UncappedCandidates) == capped)
+      val after1 = spark.sparkContext.getPersistentRDDs.size
+      run(Dedup.UncappedCandidates); run(Dedup.UncappedCandidates)
+      assert(spark.sparkContext.getPersistentRDDs.size <= after1,
+        "uncapped eager working-set caches accumulated")
+    } finally spark.conf.unset(Dedup.EagerRowsConfKey)
+  }
+
   test("signature jaccard estimate: identical docs estimate 1.0, near-dups less") {
     val near1 = "the quick brown fox jumps over the lazy dog again and again today"
     val near2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
@@ -876,6 +907,31 @@ class OpsSpec extends SparkSpec {
     // to doc 3 and the NULL-id copy is stripped
     assert(out(None) == "only here")
     assert(out(Some(3L)) == "shared")
+  }
+
+  test("paragraphDedup: sorted streaming reassembly ≡ aggregate reassembly") {
+    import spark.implicits._
+    // multi-partition corpus with duplicated/unique/short lines, NULL
+    // ids and NULL/empty texts — every branch both tails must agree on
+    val docs = (1L to 200L).map { i =>
+      val lines = (0 to (i % 7).toInt).map(j => s"line ${(i + j) % 23} body text")
+      (if (i % 31 == 0) null else java.lang.Long.valueOf(i),
+        if (i % 17 == 0) null
+        else if (i % 13 == 0) ""
+        else lines.mkString("\n"))
+    }
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    def run() = Dedup.paragraphDedup(df, "doc_id", "text").collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSet
+    val agg = run()
+    sys.props("spark.graft.reassembly") = "sorted"
+    try {
+      val sorted = run()
+      assert(sorted == agg,
+        s"tails disagree: only-agg=${agg.diff(sorted).take(3)} " +
+          s"only-sorted=${sorted.diff(agg).take(3)}")
+    } finally sys.props.remove("spark.graft.reassembly")
   }
 
   // ---------- C106: consensus near-dup (minhash ∩ simhash bands)

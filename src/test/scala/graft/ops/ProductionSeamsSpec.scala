@@ -159,4 +159,41 @@ class ProductionSeamsSpec extends SparkSpec {
       .select(col("asset.width"), col("asset.height")).collect().head
     assert(rt.getInt(0) == 16 && rt.getInt(1) == 10)
   }
+
+  test("resizeFit performs a REAL pixel resample, not a header rewrite") {
+    // solid-red source: any genuine pixel resample preserves the color;
+    // a header-only rewrite cannot (the payload would carry no raster)
+    val img = new java.awt.image.BufferedImage(
+      40, 30, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 40; y <- 0 until 30) img.setRGB(x, y, 0xFF0000)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = Multimodal.resizeFit(
+      Seq((1L, bos.toByteArray)).toDF("id", "payload"), "payload", 16, 16)
+      .select(col("resized_width"), col("resized_height"),
+        col("resized_payload")).collect().head
+    assert(out.getInt(0) == 16 && out.getInt(1) == 12) // 40x30 into 16x16
+    val dec = javax.imageio.ImageIO.read(
+      new ByteArrayInputStream(out.getAs[Array[Byte]](2)))
+    assert(dec != null && dec.getWidth == 16 && dec.getHeight == 12)
+    assert((dec.getRGB(8, 6) & 0xFFFFFF) == 0xFF0000) // pixels survived
+
+    // header-only fixtures (no raster) degrade to the documented
+    // header fallback: round-trip dims still hold
+    val hdr = Multimodal.resizeFit(
+      Seq(2).toDF("id").select(col("id"),
+        Multimodal.synthJpeg(lit(640), lit(320)).as("payload")),
+      "payload", 320, 200)
+      .select(col("resized_payload")).collect().head.getAs[Array[Byte]](0)
+    val rt2 = Multimodal.decodeHeader(hdr)
+    assert(rt2.getString(1) == "jpeg" &&
+      rt2.getInt(2) == 320 && rt2.getInt(3) == 160)
+
+    // synthRaster produces ImageIO-decodable payloads in both formats
+    Seq("png", "jpeg").foreach { f =>
+      val r = javax.imageio.ImageIO.read(
+        new ByteArrayInputStream(Multimodal.synthRaster(f, 20, 10, 7L)))
+      assert(r != null && r.getWidth == 20 && r.getHeight == 10, f)
+    }
+  }
 }
