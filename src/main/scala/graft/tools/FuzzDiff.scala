@@ -50,12 +50,30 @@ import java.nio.file.{Files, Paths}
   * differ), timestamp/interval arithmetic and DATE_TRUNC bucketing
   * over the DST-free UTC session, LIKE/_-wildcard/string-comparison
   * edges, and NULL-in-IN / NOT-IN-vs-NULL-subquery three-valued-logic
-  * corners).
+  * corners); v4 adds the WINDOW-FRAME corners — RANGE frames over
+  * deliberately LOW-cardinality order keys so peer groups are real
+  * (RANGE CURRENT ROW spans all peers; only tie-insensitive aggregates
+  * ride them), numeric-offset RANGE windows, bounded ROWS frames and
+  * first/last_value over a full-row total order (ANSI frame EXCLUDE is
+  * absent from Spark's grammar, so peer-group shapes are the portable
+  * way to stress tie handling) — and explicit GROUPING SETS with
+  * overlapping columns, the () set, and occasional DUPLICATE sets
+  * (ANSI says a repeated set emits its rows twice).
+  *
+  * v4 also adds a SPARK-vs-SPARK family the DuckDB oracle can't cover:
+  * batch-vs-stream equivalence on the watermarked operators. Each
+  * round draws (window/slide/gap, key, watermark delay), runs the SAME
+  * declarative aggregate once as a Structured Streaming query (file
+  * source, AvailableNow, memory sink) and once as a batch DataFrame,
+  * and requires identical result sets — the single-batch finite-input
+  * reasoning the fixed q_stream_* oracle entries rely on, here
+  * stress-tested across the parameter space (tumbling + sliding
+  * windows, session_window, watermarked dropDuplicates).
   */
 object FuzzDiff {
 
   /** Bumped whenever the shape grammar changes (see Scaladoc). */
-  private val GenVersion = 3
+  private val GenVersion = 4
 
   private final case class Col(name: String, t: Char) // i/d/s/t
   private final case class Tbl(name: String, keys: Seq[String], cols: Seq[Col]) {
@@ -236,7 +254,7 @@ object FuzzDiff {
 
   /** Generate one named shape. Returns (kind, sql). */
   private def shape(g: Gen): (String, String) = {
-    g.int(20) match {
+    g.int(23) match {
       case 0 => // filter + project (+computed columns)
         val t = g.tbl()
         ("filter_project",
@@ -409,6 +427,33 @@ object FuzzDiff {
         ("order_limit",
           s"SELECT ${t.cols.map(_.name).mkString(", ")} FROM ${t.name} " +
             s"WHERE ${g.pred(t)} ORDER BY $ord LIMIT ${1 + g.int(30)}")
+      case 15 => // RANGE frames over a LOW-cardinality key (v4 corner):
+        // peer groups are real, so RANGE CURRENT ROW spans all peers and
+        // the running frame includes the whole tie group at once. Only
+        // tie-INSENSITIVE aggregates (SUM/COUNT/MIN/MAX of frame
+        // members) ride these frames — any per-row choice among peers
+        // would be legitimately nondeterministic on both engines.
+        val t = g.factTbl()
+        val ic = g.pick(t.of('i')).name
+        val ordK = s"CAST($ic AS BIGINT) % ${3 + g.int(8)}" // ties guaranteed
+        val (gk, ga) = g.groupKeys(t).head
+        val e = g.intExpr(t)
+        val off = 1 + g.int(4)
+        val sel = Seq(
+          s"${t.keys.mkString(", ")}", s"$gk AS grp_$ga", s"$ordK AS ok",
+          s"CAST(SUM($e) OVER (PARTITION BY $gk ORDER BY $ordK " +
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)" +
+            " AS r_run",
+          s"CAST(COUNT(*) OVER (PARTITION BY $gk ORDER BY $ordK " +
+            "RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS BIGINT) AS peers",
+          s"CAST(SUM($e) OVER (PARTITION BY $gk ORDER BY $ordK " +
+            s"RANGE BETWEEN $off PRECEDING AND CURRENT ROW) AS BIGINT)" +
+            " AS r_win",
+          s"CAST(MIN($e) OVER (PARTITION BY $gk ORDER BY $ordK " +
+            s"RANGE BETWEEN CURRENT ROW AND $off FOLLOWING) AS BIGINT)" +
+            " AS r_min")
+        ("range_frame",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} WHERE ${g.pred(t)}")
       case 16 => // decimal arithmetic + casts (v3 typed corner)
         // Every result column carries an EXPLICIT decimal type: + and *
         // follow the standard (s1+s2 / max-scale) rules both engines
@@ -504,6 +549,79 @@ object FuzzDiff {
               s"CASE WHEN $strPred THEN 'y' ELSE 'n' END AS sp " +
               s"FROM $ct WHERE $ic IN ($vals, NULL)")
         }
+      case 20 => // bounded ROWS frames + first/last_value (v4 corner):
+        // full-row total order makes ROWS frames deterministic even on
+        // nominal-key duplicates; first/last_value read the ORDER key
+        // itself so tie members are interchangeable by construction.
+        val t = g.factTbl()
+        val (gk, ga) = g.groupKeys(t).head
+        val e = g.intExpr(t)
+        val ord = t.cols.map(_.name + " NULLS FIRST").mkString(", ")
+        val p = 1 + g.int(3); val f = g.int(3)
+        val lead = t.keys.head
+        val sel = Seq(
+          s"${t.cols.map(_.name).mkString(", ")}", s"$gk AS grp_$ga",
+          s"CAST(SUM($e) OVER (PARTITION BY $gk ORDER BY $ord " +
+            s"ROWS BETWEEN $p PRECEDING AND $f FOLLOWING) AS BIGINT)" +
+            " AS w_sum",
+          s"CAST(COUNT(*) OVER (PARTITION BY $gk ORDER BY $ord " +
+            s"ROWS BETWEEN $p PRECEDING AND $f FOLLOWING) AS BIGINT)" +
+            " AS w_cnt",
+          s"CAST(FIRST_VALUE(CAST($lead AS BIGINT)) OVER (PARTITION BY $gk " +
+            s"ORDER BY $ord ROWS BETWEEN $p PRECEDING AND CURRENT ROW) " +
+            "AS BIGINT) AS fv",
+          s"CAST(LAST_VALUE(CAST($lead AS BIGINT)) OVER (PARTITION BY $gk " +
+            s"ORDER BY $ord ROWS BETWEEN CURRENT ROW AND $f FOLLOWING) " +
+            "AS BIGINT) AS lv",
+          s"CAST(LAG(CAST($lead AS BIGINT), ${1 + g.int(2)}) OVER " +
+            s"(PARTITION BY $gk ORDER BY $ord) AS BIGINT) AS lg")
+        ("rows_frame",
+          s"SELECT ${sel.mkString(", ")} FROM ${t.name} WHERE ${g.pred(t)}")
+      case 21 => // explicit GROUPING SETS (v4 corner): overlapping
+        // columns, the () set, and (1-in-4) a DUPLICATE set — ANSI says
+        // a repeated set contributes its rows again; a divergence here
+        // becomes a pinned spec. HAVING COUNT(*) > 0 guards the
+        // empty-input () corner exactly like the ROLLUP family.
+        val t = g.factTbl()
+        val gks = {
+          var ks = g.groupKeys(t).distinctBy(_._2)
+          var guard = 0
+          while (ks.size < 2 && guard < 8) {
+            ks = (ks ++ g.groupKeys(t)).distinctBy(_._2); guard += 1
+          }
+          ks.take(2)
+        }
+        if (gks.size < 2) {
+          // degenerate redraw fallback: single-key grouping sets
+          val (k1, a1) = gks.head
+          ("grouping_sets",
+            s"SELECT $k1 AS $a1, CAST(GROUPING($k1) AS INTEGER) AS g1, " +
+              s"CAST(COUNT(*) AS BIGINT) AS cnt FROM ${t.name} " +
+              s"WHERE ${g.pred(t)} GROUP BY GROUPING SETS (($k1), ()) " +
+              "HAVING COUNT(*) > 0")
+        } else {
+          val Seq((k1, a1), (k2, a2)) = gks
+          // the (k1, k2) set is always present: the SELECT list and the
+          // GROUPING() markers reference both keys, which is only valid
+          // when each appears in at least one grouping set
+          val chosen = {
+            val extras = Seq(s"($k1)", s"($k2)", "()")
+              .filter(_ => g.int(3) > 0)
+            val subset = s"($k1, $k2)" +: extras
+            if (g.int(4) == 0) subset :+ subset(g.int(subset.size))
+            else subset // 1-in-4: a DUPLICATE set (ANSI: rows emitted twice)
+          }
+          val sel = Seq(s"$k1 AS $a1", s"$k2 AS $a2",
+            s"CAST(GROUPING($k1) AS INTEGER) AS g1",
+            s"CAST(GROUPING($k2) AS INTEGER) AS g2",
+            "CAST(COUNT(*) AS BIGINT) AS cnt",
+            s"CAST(SUM(${g.intExpr(t)}) AS BIGINT) AS s_ie")
+          ("grouping_sets",
+            s"SELECT ${sel.mkString(", ")} FROM ${t.name} " +
+              s"WHERE ${g.pred(t)} " +
+              s"GROUP BY GROUPING SETS (${chosen.mkString(", ")}) " +
+              "HAVING COUNT(*) > 0")
+        }
       case _ => // CTE aggregate joined back to its base table
         val t = g.factTbl()
         val (gk, _) = g.groupKeys(t).head
@@ -514,6 +632,124 @@ object FuzzDiff {
             s"SELECT ${cols.mkString(", ")}, grp.c FROM ${t.name} " +
             s"JOIN grp ON $gk = grp.k WHERE ${g.pred(t)}")
     }
+  }
+
+  // --------------------------------------------------------------------
+  // v4 Spark-vs-Spark family: batch-vs-stream equivalence on the
+  // watermarked operators. Finite input landed as ONE file +
+  // Trigger.AvailableNow = a single micro-batch, so no row is ever late
+  // against the watermark and the streaming result must equal the batch
+  // result of the SAME declarative plan — the invariant the fixed
+  // q_stream_* oracle entries rely on, stress-tested here across random
+  // (window, slide, gap, key, delay) draws. Returns divergence records.
+  private def streamEquivalence(
+      spark: SparkSession, sfDir: String, g: Gen,
+      rounds: Int): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{DataFrame, Row}
+    val inDir = graft.Scratch.landedDir(s"fuzz_events:$sfDir") { p =>
+      graft.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    }
+    val divergences = Seq.newBuilder[String]
+    var runId = 0
+    def runStreamLocal(df: DataFrame, mode: String): Array[Row] = {
+      runId += 1
+      val nm = s"fz_stream_$runId"
+      val q = df.writeStream.format("memory").queryName(nm).outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = spark.table(nm).collect()
+      spark.catalog.dropTempView(nm)
+      rows
+    }
+    def src(streaming: Boolean): DataFrame =
+      (if (streaming) graft.streaming.EventStreams.eventStream(spark, inDir)
+       else spark.read.parquet(inDir))
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+    (0 until rounds).foreach { i =>
+      g.int(3) match {
+        case 0 => // tumbling/sliding windowed aggregate
+          val w = Seq(30, 60, 120, 240)(g.int(4))
+          val slide = if (g.int(2) == 0) w else w / Seq(2, 3)(g.int(2))
+          val delay = Seq(5, 10, 30)(g.int(3))
+          val key =
+            if (g.int(2) == 0) col("event_type").cast("string")
+            else (col("user_id") % 8).cast("string")
+          def plan(df: DataFrame, streaming: Boolean): DataFrame = {
+            val in = if (streaming)
+              df.withWatermark("ts", s"$delay minutes") else df
+            in.groupBy(
+                window(col("ts"), s"$w minutes", s"$slide minutes").as("w"),
+                key.as("k"))
+              .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+              .select(unix_micros(col("w.start")).as("ws"), col("k"),
+                col("n"), col("s"))
+          }
+          val sRes = runStreamLocal(plan(src(true), true), "update")
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3))).toSet
+          val bRes = plan(src(false), false).collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+              r.getLong(3))).toSet
+          if (sRes != bRes) divergences +=
+            s"window w=$w slide=$slide delay=$delay round=$i: " +
+              s"stream-only=${sRes.diff(bRes).take(2)} " +
+              s"batch-only=${bRes.diff(sRes).take(2)}"
+        case 1 => // session_window aggregate (same expression both modes;
+          // update output is unsupported for streaming session windows —
+          // complete mode re-emits everything, which for the single
+          // AvailableNow batch IS the final merged session set)
+          val gap = Seq(10, 30, 60)(g.int(3))
+          val delay = Seq(5, 15)(g.int(2))
+          def plan(df: DataFrame, streaming: Boolean): DataFrame = {
+            val in = if (streaming)
+              df.withWatermark("ts", s"$delay minutes") else df
+            in.groupBy(session_window(col("ts"), s"$gap minutes").as("w"),
+                col("user_id"))
+              .agg(count(lit(1)).as("n"), sum(col("event_id")).as("s"))
+              .select(unix_micros(col("w.start")).as("ws"),
+                unix_micros(col("w.end")).as("we"), col("user_id"),
+                col("n"), col("s"))
+          }
+          val sRes = runStreamLocal(plan(src(true), true), "complete")
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSet
+          val bRes = plan(src(false), false).collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))).toSet
+          if (sRes != bRes) divergences +=
+            s"session gap=$gap delay=$delay round=$i: " +
+              s"stream-only=${sRes.diff(bRes).take(2)} " +
+              s"batch-only=${bRes.diff(sRes).take(2)}"
+        case _ => // watermark-bounded streaming dedup vs batch distinct:
+          // WHICH row survives per key is arrival-order-dependent, so
+          // the invariant is the KEY SET, not the surviving rows.
+          val delay = Seq(5, 30)(g.int(2))
+          val keys =
+            if (g.int(2) == 0) Seq("user_id", "event_type")
+            else Seq("event_type")
+          val sRes = runStreamLocal(
+            src(true).withWatermark("ts", s"$delay minutes")
+              .dropDuplicates("ts" +: keys), "append")
+            .map(r => keys.map(k => String.valueOf(r.getAs[Any](k)))
+              .mkString("|") + "|" + r.getAs[java.sql.Timestamp]("ts"))
+            .toSet
+          val bRes = src(false).dropDuplicates("ts" +: keys).collect()
+            .map(r => keys.map(k => String.valueOf(r.getAs[Any](k)))
+              .mkString("|") + "|" + r.getAs[java.sql.Timestamp]("ts"))
+            .toSet
+          if (sRes != bRes) divergences +=
+            s"dedup keys=${keys.mkString(",")} delay=$delay round=$i: " +
+              s"|stream|=${sRes.size} |batch|=${bRes.size} " +
+              s"stream-only=${sRes.diff(bRes).take(2)} " +
+              s"batch-only=${bRes.diff(sRes).take(2)}"
+      }
+    }
+    divergences.result()
   }
 
   def main(args: Array[String]): Unit = {
@@ -556,11 +792,18 @@ object FuzzDiff {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
       okSqls.map { case (name, _, sql) => s"${q(name)}: ${q(sql)}" }
         .mkString("{", ",", "}"))
+    val streamRounds = args.lift(4).map(_.toInt).getOrElse(9)
+    val streamDiv =
+      if (streamRounds > 0) streamEquivalence(spark, sfDir, g, streamRounds)
+      else Nil
+    streamDiv.foreach(d => System.err.println(s"[fuzz] STREAM DIVERGENCE: $d"))
     println(s"""{"gen":$GenVersion,"seed":$seed,"n":$n,"sf":"$sfDir","spark_failures":${failed.size},""" +
       s""""kinds":{${kindCounts.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+      s""""stream_rounds":$streamRounds,"stream_divergences":${streamDiv.size},""" +
+      s""""stream_diffs":[${streamDiv.map(q).mkString(",")}],""" +
       s""""failed":[${failed.map(f => q(f._1) + ":" + q(f._2)).mkString(",")}]}""")
     spark.stop()
-    if (failed.nonEmpty) sys.exit(1)
+    if (failed.nonEmpty || streamDiv.nonEmpty) sys.exit(1)
   }
 }
