@@ -309,14 +309,29 @@ final class ModelRunner(
       fullRefresh: Boolean = false): Seq[MaterializeResult] = {
     val affected = graph.executionOrder(targets).flatten
       .filter(modelSql.contains)
-    val snapshot = affected.map(m =>
-      (m, wh.state.get(m), wh.spark.catalog.tableExists(wh.relation(m))))
+    val snapshot = affected.map { m =>
+      val hadRelation = wh.spark.catalog.tableExists(wh.relation(m))
+      // For view/temp_table-backed models, also capture the PRE-RUN
+      // analyzed plan (spark.table analyzes eagerly, inlining the
+      // stored view definition): rollback must restore the definition
+      // that was serving BEFORE the run, not re-render the possibly
+      // edited current modelSql — an edited definition would otherwise
+      // serve new SQL over restored upstream data until the next run
+      // heals it. Table-backed upstreams resolved inside the captured
+      // plan point at version directories, which are immutable and
+      // restored by the pointer flip, so the plan replays exactly.
+      val priorPlan =
+        if (hadRelation && !wh.exists(m))
+          scala.util.Try(wh.spark.table(wh.relation(m))).toOption
+        else None
+      (m, wh.state.get(m), hadRelation, priorPlan)
+    }
     wh.versionedAppends = true
     try run(targets, variables, batchTs, continueOnError = false,
       fullRefresh = fullRefresh)
     catch {
       case scala.util.control.NonFatal(e) =>
-        snapshot.foreach { case (m, prior, hadRelation) =>
+        snapshot.foreach { case (m, prior, hadRelation, priorPlan) =>
           wh.state.update(m) { cur =>
             val p = prior.getOrElse(ModelState(m))
             cur.copy(fileHash = p.fileHash, configHash = p.configHash,
@@ -327,23 +342,26 @@ final class ModelRunner(
           // contract preserves. Table-backed models re-point at the
           // restored version; view/temp_table models (exists() is
           // always false for them — no version pointer) re-register
-          // their definition, which rebuilds the pre-run plan because
-          // snapshot order is topological, so every upstream pointer
-          // is already restored when a downstream view re-renders.
-          // Only a relation the run CREATED is dropped.
+          // the PRE-RUN captured plan, so even a run that EDITED the
+          // view's definition restores exactly what was serving before
+          // (re-rendering the current modelSql here would serve the
+          // new SQL over restored upstream data). Only a relation the
+          // run CREATED is dropped.
           if (wh.exists(m)) wh.refreshView(m)
-          else if (hadRelation)
-            // Best-effort: a re-render can only fail for the reasons
-            // the original registration would have (e.g. the failing
-            // model IS this view's upstream) — then the stale view
-            // cannot be preserved truthfully and is dropped instead
-            // of masking the run's own exception.
-            try wh.registerView(m,
-              wh.spark.sql(render(m, variables, fullRefresh)))
-            catch {
-              case scala.util.control.NonFatal(_) =>
-                wh.spark.catalog.dropTempView(wh.relation(m))
-            }
+          else if (hadRelation) priorPlan match {
+            case Some(df) => wh.registerView(m, df)
+            case None =>
+              // Pre-run capture failed (view was unreadable then too)
+              // — best-effort re-render; if that also fails the stale
+              // view cannot be preserved truthfully and is dropped
+              // instead of masking the run's own exception.
+              try wh.registerView(m,
+                wh.spark.sql(render(m, variables, fullRefresh)))
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  wh.spark.catalog.dropTempView(wh.relation(m))
+              }
+          }
           else wh.spark.catalog.dropTempView(wh.relation(m))
         }
         throw e

@@ -43,19 +43,64 @@ object Bpe {
   /** One learned merge. */
   final case class Merge(round: Int, a: String, b: String, count: Long)
 
+  /** Session conf key: merge rounds between lineage truncations in
+    * [[learnMerges]] (default [[DefaultTruncateEvery]], min 1). Between
+    * truncations a round's merge rides as one chained `replace`
+    * projection over the last materialized vocab — a narrow map the
+    * next round's aggregate recomputes for pennies — so a tokenizer
+    * training thousands of merges pays one materialization (and, in
+    * reliable-checkpoint mode, one checkpoint WRITE) per `every` rounds
+    * instead of per round. Set to 1 to restore truncate-every-round. */
+  val TruncateEveryConfKey = "spark.graft.bpe.truncateEvery"
+
+  /** Default truncation cadence: lineage stays ≤8 cheap projections
+    * deep (plan stats don't compound across projections — only joins
+    * multiply sizeInBytes — so the duplicateClusters stats-blowup
+    * failure mode cannot arise between truncations). */
+  val DefaultTruncateEvery = 8
+
+  private def truncateEvery(spark: SparkSession): Int =
+    spark.conf.getOption(TruncateEveryConfKey)
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(DefaultTruncateEvery)
+
   private def symbols(seq: Column): Column =
     split(trim(seq, "|"), "\\|\\|")
 
   /** Learn `rounds` merges from the corpus. Returns one row per round:
     * (round 1-based, sym_a, sym_b, pair_count, merged). Stops early if
-    * no adjacent pair remains (degenerate single-symbol vocab). */
+    * no adjacent pair remains (degenerate single-symbol vocab).
+    *
+    * Loop discipline (the duplicateClusters pattern, defaulted here in
+    * r14): the corpus-sized pass happens once ([[wordFreq]], truncated
+    * with its row count riding the same materialization), then the
+    * whole merge loop runs on a CLONED loop session whose shuffle
+    * partitioning is right-sized to the vocabulary
+    * ([[graft.Checkpoints.loopSession]]) — thousands of rounds × a
+    * 32-partition aggregate is pure scheduling overhead when the vocab
+    * fits in a handful of partitions. Lineage is truncated every
+    * [[TruncateEveryConfKey]] rounds rather than every round; the
+    * rounds in between chain their merges as `replace` projections
+    * over the last materialized snapshot. */
   def learnMerges(
       df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = df.sparkSession
     require(rounds >= 1, "rounds must be >= 1")
     // each char c becomes "|c|"; concatenation yields "|a||b||c|"
-    var vocab = wordFreq(df, textCol)
-      .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"), col("f"))
+    val (vocab0, vocabRows) = graft.Checkpoints.truncateCount(
+      wordFreq(df, textCol)
+        .select(regexp_replace(col("word"), "(.)", "|$1|").as("seq"),
+          col("f")))
+    // Vocab rows are narrow (one word + a long); the per-round explode
+    // fans out ~word-length×, and the pair aggregate is join-free, so
+    // 100k rows/partition keeps real corpora multi-way parallel while
+    // a test-scale vocab drops to 1 partition and stops paying 32
+    // tasks of scheduling per merge round.
+    val loopSpark = graft.Checkpoints.loopSession(
+      spark, vocabRows, rowsPerPartition = 100000L)
+    var vocab = org.apache.spark.sql.graftext.Bridge.rebind(vocab0, loopSpark)
+    val every = truncateEvery(spark)
+    var sinceTruncate = 0
     val merges = Seq.newBuilder[Merge]
     var r = 1
     var exhausted = false
@@ -76,18 +121,14 @@ object Bpe {
         val (a, b, cnt) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(r, a, b, cnt)
-        // keep lineage one round deep — the duplicateClusters loop
-        // discipline (rounds compound otherwise); truncate also resets
-        // plan stats, which otherwise drift over thousands of merge
-        // rounds, and honors the session durability conf. NOTE for
-        // reliable-mode deployments: that means one checkpoint WRITE
-        // per merge round over the (distinct-word-sized) vocab — set
-        // spark.cleaner.referenceTracking.cleanCheckpoints or a
-        // storage TTL (see graft.Checkpoints) when rounds run to the
-        // thousands, or learn merges in a local-checkpoint session
-        vocab = graft.Checkpoints.truncate(vocab.select(
+        vocab = vocab.select(
           replace(col("seq"), lit(s"|$a||$b|"), lit(s"|$a$b|")).as("seq"),
-          col("f")))
+          col("f"))
+        sinceTruncate += 1
+        if (sinceTruncate >= every) {
+          vocab = graft.Checkpoints.truncate(vocab)
+          sinceTruncate = 0
+        }
         r += 1
       }
     }

@@ -79,14 +79,56 @@ object Dedup {
     * 32M-row point on the 8 GiB-heap bench host (~32 B of working set
     * per heap-resident row at this operator's row shape), floored at
     * 8M rows so small heaps don't go eager inside the measured
-    * lazy-wins regime. Operators that need a different point set
-    * [[EagerRowsConfKey]] explicitly. */
+    * lazy-wins regime. The persist is cluster-wide but the heap figure
+    * is per executor, so the derived point multiplies by the executor
+    * count (`spark.executor.instances` when set; 1 otherwise — local
+    * mode and dynamic allocation both land on the conservative
+    * single-JVM calibration, where going eager early only trades
+    * recompute for disk). Operators that need a different point set
+    * [[EagerRowsConfKey]] explicitly; a malformed conf value falls back
+    * to the derived default rather than failing the query. */
   def eagerWorkingSetRows(spark: org.apache.spark.sql.SparkSession): Long =
-    spark.conf.getOption(EagerRowsConfKey).map(_.toLong).getOrElse {
-      val heapBytes = spark.conf.getOption("spark.executor.memory")
-        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-        .getOrElse(Runtime.getRuntime.maxMemory()) // local mode: same JVM
-      math.max(8L * 1000 * 1000, heapBytes / 256)
+    spark.conf.getOption(EagerRowsConfKey)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse {
+        val heapBytes = spark.conf.getOption("spark.executor.memory")
+          .flatMap(v => scala.util.Try(
+            org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v)).toOption)
+          .getOrElse(Runtime.getRuntime.maxMemory()) // local mode: same JVM
+        val executors = spark.conf.getOption("spark.executor.instances")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .filter(_ > 0).getOrElse(1)
+        derivedEagerRows(heapBytes, executors)
+      }
+
+  /** Pure derivation behind [[eagerWorkingSetRows]], split out so the
+    * executor-count scaling is unit-testable (`spark.executor.instances`
+    * is a static conf a live test session cannot set). */
+  private[ops] def derivedEagerRows(heapBytes: Long, executors: Int): Long =
+    math.max(8L * 1000 * 1000, heapBytes / 256 * math.max(1, executors))
+
+  /** Session conf key selecting [[paragraphDedup]]'s reassembly tail:
+    * "agg" (default) = per-doc sorted-collect aggregate; "sorted" =
+    * [[reassembleSorted]]'s one-exchange streaming run detector. The
+    * default is MEASURED on local[32] with node-local shuffle
+    * (bench_results/r13_reassembly_ab.json: agg wins 1.68× at 30×,
+    * 1.77× at 100× — the Row-codec boundary plus the full partition
+    * sort cost more than the per-doc array_sorts); on a cluster whose
+    * shuffle/spill tier makes external sort cheap relative to
+    * per-group buffers that call can invert, and this conf is the
+    * switch — no rebuild. Resolution order: session conf, then the
+    * system property / SPARK_GRAFT_REASSEMBLY env the A/B harness
+    * sets; anything other than "sorted" means the default tail. */
+  val ReassemblyConfKey = "spark.graft.reassembly"
+
+  private def reassemblyMode(
+      spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption(ReassemblyConfKey)
+      .orElse(sys.props.get(ReassemblyConfKey))
+      .orElse(sys.env.get("SPARK_GRAFT_REASSEMBLY"))
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("sorted") => "sorted"
+      case _ => "agg"
     }
 
   /** One-slot registry for [[similarityJoinExact]]'s eager working-set
@@ -1188,13 +1230,30 @@ object Dedup {
       }
     } else if (eagerEnv.isEmpty) {
       // UncappedCandidates skips the pricing guard, but the size-based
-      // eager decision is general (the regime note above): one cheap
-      // count over the explode prices it here too, so a caller passing
-      // UncappedCandidates at 30×/100× scale still gets the measured
-      // eager win instead of silently staying lazy.
-      val explRows = expl.select(count(lit(1))).first().getLong(0)
-      if (explRows >= eagerWorkingSetRows(df.sparkSession))
+      // eager decision is general (the regime note above), with two
+      // orderings that matter at scale. (1) A clearly-tiny corpus skips
+      // the sizing pass entirely: exploded rows ≤ distinct-unit rows ≤
+      // token count, a token is ≥2 bytes of text, and even at a
+      // conservative 8× parquet compression a scan of S bytes explodes
+      // to ≤ 4·S rows — when that upper bound is already under the
+      // threshold the count cannot flip the decision, so it isn't paid.
+      // (Unknown-stats inputs report ~Long.MaxValue and simply take the
+      // counted path.) (2) When the count IS paid, persist FIRST so the
+      // counting pass populates the cache — count-then-persist computed
+      // the explode twice, once for the count and again to fill the
+      // cache on the first real consumer; a below-threshold result just
+      // releases the speculative cache (recompute-from-lineage safe).
+      val threshold = eagerWorkingSetRows(df.sparkSession)
+      val rowUpperBound =
+        df.queryExecution.optimizedPlan.stats.sizeInBytes * 4
+      if (rowUpperBound >= threshold) {
         persistWorkingSet()
+        val explRows = expl.select(count(lit(1))).first().getLong(0)
+        if (explRows < threshold) {
+          expl.unpersist(blocking = false)
+          lastWorkingSetCache.compareAndSet(expl, null)
+        }
+      }
     }
     // pref feeds both sides of the candidate self-join below and stays
     // LAZY like the expl subtree: persisting it was A/B-measured a
@@ -1328,8 +1387,7 @@ object Dedup {
       .withColumn("__keep", col("line").isNotNull &&
         (length(trim(col("line"))) < minChars ||
           key === col("__first") || col("__first").isNull))
-    if (sys.props.get("spark.graft.reassembly")
-        .orElse(sys.env.get("SPARK_GRAFT_REASSEMBLY")).contains("sorted"))
+    if (reassemblyMode(df.sparkSession) == "sorted")
       reassembleSorted(flagged, idCol)
     else flagged.groupBy(col(idCol)).agg(
       count(col("line")).as("n_lines"),
@@ -1346,8 +1404,8 @@ object Dedup {
   }
 
   /** Streaming sorted reassembly — the A/B alternative to
-    * [[paragraphDedup]]'s aggregate tail (SPARK_GRAFT_REASSEMBLY=
-    * sorted): ONE hash exchange on the doc id + ONE spillable
+    * [[paragraphDedup]]'s aggregate tail ([[ReassemblyConfKey]] =
+    * "sorted"): ONE hash exchange on the doc id + ONE spillable
     * within-partition sort on (id, pos), then a run-detecting
     * mapPartitions that string-builds each document's clean text as
     * its rows stream past. Removes both the per-doc array_sort and

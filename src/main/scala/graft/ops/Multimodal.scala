@@ -251,11 +251,105 @@ object Multimodal {
     * `Dataset.mapPartitions` shape as [[decode]]: batch-at-a-time, no
     * shuffle, partition-preserving, fixed-width `array<double>` output
     * schema — exactly the contract an Arrow-batched encoder stage has on
-    * a real cluster. Null payloads yield null features. */
+    * a real cluster. Null payloads yield null features. This variant is
+    * the MODEL-WEIGHTS seam (the stub encoder documents where a learned
+    * vision/audio encoder plugs in); [[dctFeatures]] is the shipped
+    * weights-free perceptual encoder over decodable rasters. */
   def featureExtract(df: DataFrame, payloadCol: String, dim: Int): DataFrame =
     appendMapped(df, payloadCol,
       StructField("features", ArrayType(DoubleType, containsNull = false),
         nullable = true))(p => stubFeature(p, dim).toSeq)
+
+  // ---------------------------------------------- real perceptual feature
+  /** The 4×4 integer core-transform matrix of H.264/AVC (Malvar,
+    * Hallapuro, Karczewicz & Kerofsky, "Low-complexity transform and
+    * quantization in H.264/AVC", IEEE TCSVT 2003) — the standard
+    * integer-exact DCT-II approximation. Integer-exact matters here for
+    * the same reason it does across this engine: a float DCT's cos()
+    * sums are not bit-reproducible across engines and summation orders,
+    * so they could never be oracle-pinned; this transform is pure
+    * 64-bit integer arithmetic. */
+  private val Dct4: Array[Array[Long]] = Array(
+    Array(1L, 1L, 1L, 1L),
+    Array(2L, 1L, -1L, -2L),
+    Array(1L, -1L, -1L, 1L),
+    Array(1L, -2L, 2L, -1L))
+
+  /** REAL per-payload perceptual feature (the de-stubbed C39 encoder):
+    * ImageIO decode → 4×4 grid of integer luma block sums (BT.601
+    * scaled ×1000, 299R + 587G + 114B — sums, not means, so no division
+    * noise) → 2-D 4×4 integer core transform (T·S·Tᵀ). The 16
+    * coefficients are a pHash-shaped frequency signature: (0,0) is
+    * total luma mass, the rest measure horizontal / vertical / diagonal
+    * banding energy — a genuine image-content feature for near-dup and
+    * similarity work over decoded rasters, computable on any JVM with
+    * zero dependencies, and bit-identical in every engine that replays
+    * the integer arithmetic (what makes `q_multimodal_features`
+    * oracle-checkable over planted lossless payloads). Pixel (x, y)
+    * folds into block (y·4/h, x·4/w) — floor mapping, every block
+    * non-empty for w, h ≥ 4. Undecodable payloads return null
+    * (degrade-don't-throw: one corrupt asset must not kill a 100 TB
+    * scan). */
+  def dctFeature(payload: Array[Byte]): Array[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = Array.ofDim[Long](4, 4)
+        var y = 0
+        while (y < h) {
+          val row = s(y * 4 / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            row(x * 4 / w) +=
+              299L * ((rgb >> 16) & 255) + 587L * ((rgb >> 8) & 255) +
+                114L * (rgb & 255)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Long](16)
+        var u = 0
+        while (u < 4) {
+          var v = 0
+          while (v < 4) {
+            var acc = 0L
+            var i = 0
+            while (i < 4) {
+              var j = 0
+              while (j < 4) {
+                acc += Dct4(u)(i) * s(i)(j) * Dct4(v)(j)
+                j += 1
+              }
+              i += 1
+            }
+            out(u * 4 + v) = acc
+            v += 1
+          }
+          u += 1
+        }
+        out
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
+  /** [[dctFeature]] over every row's payload — the same narrow,
+    * partition-preserving mapPartitions contract as [[featureExtract]],
+    * emitting a fixed 16-coefficient `array<long>` `features` column
+    * (null for null or undecodable payloads). Map-only: linear and
+    * embarrassingly parallel at 100 TB, codec-bound per asset. */
+  def dctFeatures(df: DataFrame, payloadCol: String): DataFrame =
+    appendMapped(df, payloadCol,
+      StructField("features", ArrayType(LongType, containsNull = false),
+        nullable = true)) { p =>
+      val f = dctFeature(p)
+      if (f == null) null else f.toSeq
+    }
 
   // ------------------------------------------------- real pixel codecs
   // javax.imageio ships in the JDK — the one codec library every JVM
@@ -287,7 +381,13 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, fmt, bos)
+    // ImageIO.write returns false (without throwing) when no writer
+    // handles `fmt` — surface that as an error instead of silently
+    // emitting a zero-byte payload a downstream decode can't explain.
+    if (!javax.imageio.ImageIO.write(img, fmt, bos))
+      throw new IllegalArgumentException(
+        s"synthRaster: no ImageIO writer for format '$fmt' " +
+          "(JDK ships png/jpeg/gif/bmp/wbmp)")
     bos.toByteArray
   }
 
@@ -306,7 +406,8 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val payload =
-          if (r.isNullAt(fi) || r.isNullAt(wi) || r.isNullAt(hi)) null
+          if (r.isNullAt(fi) || r.isNullAt(wi) || r.isNullAt(hi) ||
+              r.isNullAt(si)) null
           else synthRaster(r.getString(fi), r.getInt(wi), r.getInt(hi),
             r.getLong(si))
         Row.fromSeq(r.toSeq :+ payload)

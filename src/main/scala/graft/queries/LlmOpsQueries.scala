@@ -808,32 +808,70 @@ object LlmOpsQueries extends QueryModule {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ------------------------------------ C39: multimodal feature extraction
-  // The "run an encoder over every asset" stage: featureExtract's
-  // mapPartitions plumbing is production-shaped (narrow, batched,
-  // fixed-width array<double> schema); the encoder itself is the
-  // documented md5-fold stub, which DuckDB re-derives component by
-  // component — so the driver pins the full path payload→vector.
-  private val FeatDim = 4
-
+  // De-stubbed (r14): the encoder is a REAL JDK-only perceptual feature
+  // — ImageIO pixel decode → 4×4 integer luma block sums → 2-D H.264
+  // integer core transform (Multimodal.dctFeature, a pHash-shaped
+  // frequency signature). Payloads are planted LOSSLESS PNG rasters
+  // (synthRaster's two-tone diagonal banding — every pixel a closed-form
+  // function of (doc_id, w, h)), so DuckDB re-derives every pixel, block
+  // sum, and coefficient analytically: any decode slip, luma/weight
+  // error, block-boundary off-by-one, or transform mistake
+  // hash-mismatches. featureExtract's md5-fold stub remains the
+  // documented model-weights seam; this query pins the production path
+  // payload → decode → feature vector.
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    // coalesce on BOTH sides: a null text would otherwise yield null
-    // features here (zero exploded rows) but FeatDim null-feature rows
-    // in the oracle's cross join — count divergence on dirty data
-    val withPayload = docs(s, dir)
-      .select(col("doc_id"),
-        Multimodal.asPayload(coalesce(col("text"), lit(""))).as("payload"))
-    Multimodal.featureExtract(withPayload, "payload", FeatDim)
+    val id = col("doc_id")
+    val src = docs(s, dir).select(id,
+      lit("png").as("fmt"), // lossless — a JPEG roundtrip would desync pixels
+      (lit(8) + id % 24).cast("int").as("w"),
+      (lit(8) + (id * 5) % 24).cast("int").as("h"),
+      id.cast("long").as("seed"))
+    val withPayload = Multimodal
+      .withRasterPayload(src, "fmt", "w", "h", "seed")
+      .select(col("doc_id"), col("payload"))
+    Multimodal.dctFeatures(withPayload, "payload")
       .select(col("doc_id"),
         posexplode(col("features")).as(Seq("dim", "feature")))
       .orderBy("doc_id", "dim")
   }
 
+  // The oracle replays synthRaster + dctFeature from first principles:
+  // planted colors c1/c2 (Knuth multiplicative hash of the seed, low 24
+  // bits), the ((x+y)/4)%2 diagonal banding, BT.601 ×1000 integer luma,
+  // floor block mapping (x·4/w), and the 4×4 integer transform applied
+  // as two joins against its VALUES matrix. All-integer end to end.
   private val qMultimodalFeaturesSql =
-    s"""SELECT doc_id, CAST(j AS INTEGER) AS dim,
-       |  (CAST('0x' || substr(md5(COALESCE(text, '') || ':' || CAST(j AS VARCHAR)), 1, 6) AS BIGINT)
-       |    / 16777216.0) - 0.5 AS feature
-       |FROM documents, UNNEST(range(0, $FeatDim)) AS t(j)
-       |ORDER BY doc_id, dim""".stripMargin
+    """WITH dims AS (
+      |  SELECT doc_id,
+      |    CAST(8 + doc_id % 24 AS BIGINT) AS w,
+      |    CAST(8 + (doc_id * 5) % 24 AS BIGINT) AS h,
+      |    (doc_id * 2654435761) % 16777216 AS rgb1,
+      |    ((doc_id + 17) * 2654435761) % 16777216 AS rgb2
+      |  FROM documents),
+      |lum AS (
+      |  SELECT doc_id, w, h,
+      |    299 * (rgb1 // 65536) + 587 * ((rgb1 // 256) % 256) + 114 * (rgb1 % 256) AS l1,
+      |    299 * (rgb2 // 65536) + 587 * ((rgb2 // 256) % 256) + 114 * (rgb2 % 256) AS l2
+      |  FROM dims),
+      |blk AS (
+      |  SELECT doc_id,
+      |    (ty.y * 4) // h AS bi, (tx.x * 4) // w AS bj,
+      |    SUM(CASE WHEN ((tx.x + ty.y) // 4) % 2 = 0 THEN l1 ELSE l2 END) AS s
+      |  FROM lum, range(0, 32) tx(x), range(0, 32) ty(y)
+      |  WHERE tx.x < w AND ty.y < h
+      |  GROUP BY 1, 2, 3),
+      |tm(r, c, t) AS (VALUES
+      |  (0, 0, 1), (0, 1, 1), (0, 2, 1), (0, 3, 1),
+      |  (1, 0, 2), (1, 1, 1), (1, 2, -1), (1, 3, -2),
+      |  (2, 0, 1), (2, 1, -1), (2, 2, -1), (2, 3, 1),
+      |  (3, 0, 1), (3, 1, -2), (3, 2, 2), (3, 3, -1))
+      |SELECT b.doc_id, CAST(tu.r * 4 + tv.r AS INTEGER) AS dim,
+      |  CAST(SUM(tu.t * b.s * tv.t) AS BIGINT) AS feature
+      |FROM blk b
+      |JOIN tm tu ON tu.c = b.bi
+      |JOIN tm tv ON tv.c = b.bj
+      |GROUP BY b.doc_id, tu.r, tv.r
+      |ORDER BY doc_id, dim""".stripMargin
 
   // --------------------------------------- C40: multimodal resize-to-fit
   // Aspect-preserving resize of REAL raster JPEG/PNG payloads (actual

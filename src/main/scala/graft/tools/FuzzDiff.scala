@@ -435,7 +435,13 @@ object FuzzDiff {
         // would be legitimately nondeterministic on both engines.
         val t = g.factTbl()
         val ic = g.pick(t.of('i')).name
-        val ordK = s"CAST($ic AS BIGINT) % ${3 + g.int(8)}" // ties guaranteed
+        // COALESCE the order key: a NULL int column would otherwise form
+        // a NULL peer group, and NULL-vs-value ordering inside RANGE
+        // offset frames is a classic Spark-vs-oracle divergence surface
+        // — this case stresses TIES, not NULL-frame semantics. The
+        // sentinel joins the modulo ring as an ordinary tie value.
+        val ordK =
+          s"COALESCE(CAST($ic AS BIGINT), 0) % ${3 + g.int(8)}" // ties guaranteed
         val (gk, ga) = g.groupKeys(t).head
         val e = g.intExpr(t)
         val off = 1 + g.int(4)

@@ -165,6 +165,34 @@ class ResilienceSpec extends SparkSpec {
     assert(!spark.catalog.tableExists(wh.relation("boom2")))
   }
 
+  test("atomic rollback restores a pre-run view's OLD definition, not the edited one") {
+    Tables.registerAll(spark, sfDir)
+    val whDir = Files.createTempDirectory("graft_wh_").toString
+    val wh = new Warehouse(spark, whDir, StateStore(whDir + "/state"))
+    val runner = new ModelRunner(wh, Map(("raw", "orders") -> "orders"))
+    runner.addModel("ebase",
+      "-- config: materialized=table\nSELECT o_orderkey, o_totalprice FROM {{ source('raw', 'orders') }}")
+    runner.addModel("ev",
+      "-- config: materialized=view\nSELECT COUNT(*) AS n FROM {{ ref('ebase') }}")
+    runner.run(Some(Seq("ebase", "ev")))
+    val n0 = spark.table(wh.relation("ev")).head().getLong(0)
+    // EDIT the view's definition, then fail the atomic run downstream
+    // of it: the rollback must restore the OLD definition's result —
+    // re-rendering the edited SQL would serve n+1000000 over restored
+    // upstream data (the r13 ADVICE window)
+    runner.addModel("ev",
+      "-- config: materialized=view\nSELECT COUNT(*) + 1000000 AS n FROM {{ ref('ebase') }}")
+    runner.addModel("eboom",
+      "-- config: materialized=table\nSELECT no_such_column FROM {{ ref('ev') }}")
+    assertThrows[Exception](runner.runAtomic())
+    assert(spark.catalog.tableExists(wh.relation("ev")))
+    assert(spark.table(wh.relation("ev")).head().getLong(0) == n0,
+      "rollback re-rendered the EDITED view definition instead of restoring the pre-run one")
+    // the next healthy run applies the edit going forward
+    runner.run(Some(Seq("ebase", "ev")))
+    assert(spark.table(wh.relation("ev")).head().getLong(0) == n0 + 1000000)
+  }
+
   test("model contract gates materialization; conforming model runs") {
     Tables.registerAll(spark, sfDir)
     val whDir = Files.createTempDirectory("graft_wh_").toString

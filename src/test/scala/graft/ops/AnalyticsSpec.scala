@@ -125,6 +125,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(Bpe.learnMerges(df, "text", 3).count() == 0L)
   }
 
+  test("bpe: truncation cadence is invisible to the learned merges") {
+    // a corpus deep enough that 12 rounds cross several truncation
+    // boundaries at every cadence: identical rules must come out
+    // whether lineage is cut every round, every 3rd, or (default) 8th
+    val df = (1L to 40L).map { i =>
+      (i, Seq.fill(3 + (i % 4).toInt)(s"w${i % 7}abcde").mkString(" "))
+    }.toDF("doc_id", "text")
+    def rules(every: Option[String]) = {
+      every.foreach(spark.conf.set(Bpe.TruncateEveryConfKey, _))
+      try Bpe.learnMerges(df, "text", 12).orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+          r.getLong(3))).toSeq
+      finally spark.conf.unset(Bpe.TruncateEveryConfKey)
+    }
+    val everyRound = rules(Some("1"))
+    assert(everyRound.size == 12)
+    assert(rules(Some("3")) == everyRound)
+    assert(rules(None) == everyRound)       // default cadence (8)
+    assert(rules(Some("bogus")) == everyRound) // malformed -> default
+  }
+
   test("bpe encode: merges replay in learned order") {
     val df = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
     // learned rules: (a,b) then (ab,ab) then (c,d) — abab collapses to

@@ -346,7 +346,20 @@ class OpsSpec extends SparkSpec {
 
   test("simjoin eager threshold: conf override, heap default, uncapped auto-eager") {
     // default derives from executor heap (heap/256, floored at 8M rows)
-    assert(Dedup.eagerWorkingSetRows(spark) >= 8L * 1000 * 1000)
+    val derived = Dedup.eagerWorkingSetRows(spark)
+    assert(derived >= 8L * 1000 * 1000)
+    // malformed conf falls back to the derived default, never throws
+    spark.conf.set(Dedup.EagerRowsConfKey, "not-a-number")
+    try assert(Dedup.eagerWorkingSetRows(spark) == derived)
+    finally spark.conf.unset(Dedup.EagerRowsConfKey)
+    // the persist is cluster-wide: the derived point scales with the
+    // executor count (pure derivation — instances is a static conf a
+    // live session can't set, so the scaling is pinned directly)
+    val gib = 1024L * 1024 * 1024
+    assert(Dedup.derivedEagerRows(8 * gib, 1) == 8 * gib / 256)
+    assert(Dedup.derivedEagerRows(8 * gib, 100) == 8 * gib / 256 * 100)
+    assert(Dedup.derivedEagerRows(1, 1) == 8L * 1000 * 1000)   // floor
+    assert(Dedup.derivedEagerRows(8 * gib, 0) == 8 * gib / 256) // guard
     // explicit conf wins over the derivation
     spark.conf.set(Dedup.EagerRowsConfKey, "100")
     try {
@@ -658,6 +671,51 @@ class OpsSpec extends SparkSpec {
       .md5Hex("hello world:0".getBytes("UTF-8")).substring(0, 6)
     val expected = java.lang.Long.parseLong(hex, 16).toDouble / 16777216.0 - 0.5
     assert(out(1)(0) == expected)
+  }
+
+  test("DCT perceptual feature: integer-exact transform over real pixels") {
+    // Uniform-color raster: all 16 block sums equal s0, and the H.264
+    // core transform's rows 1..3 sum to zero — so every coefficient
+    // except (0,0) must be EXACTLY zero and dct[0] = 16 * s0. This pins
+    // the luma weights, the block fold, and the transform application
+    // with no reference implementation in the loop.
+    val w = 12; val h = 8
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0xFF4080C0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.dctFeature(bos.toByteArray)
+    val lum = 299L * 0x40 + 587L * 0x80 + 114L * 0xC0
+    val blockSum = lum * (w / 4) * (h / 4) // 3x2 pixels per block
+    assert(f(0) == 16L * blockSum)
+    assert(f.drop(1).forall(_ == 0L))
+    // Banded raster (the synthRaster pattern): replay the definition
+    // pixel-for-pixel and compare all 16 coefficients.
+    val banded = Multimodal.synthRaster("png", 10, 7, 42L)
+    val c1 = (42L * 2654435761L).toInt & 0xFFFFFF
+    val c2 = ((42L + 17) * 2654435761L).toInt & 0xFFFFFF
+    def l(rgb: Int) =
+      299L * ((rgb >> 16) & 255) + 587L * ((rgb >> 8) & 255) + 114L * (rgb & 255)
+    val s = Array.ofDim[Long](4, 4)
+    for (y <- 0 until 7; x <- 0 until 10)
+      s(y * 4 / 7)(x * 4 / 10) += (if (((x + y) / 4) % 2 == 0) l(c1) else l(c2))
+    val t = Array(Array(1L, 1L, 1L, 1L), Array(2L, 1L, -1L, -2L),
+      Array(1L, -1L, -1L, 1L), Array(1L, -2L, 2L, -1L))
+    val exp = for (u <- 0 until 4; v <- 0 until 4) yield
+      (for (i <- 0 until 4; j <- 0 until 4)
+        yield t(u)(i) * s(i)(j) * t(v)(j)).sum
+    assert(Multimodal.dctFeature(banded).toSeq == exp)
+    // degrade contract: undecodable and header-only payloads yield null
+    assert(Multimodal.dctFeature(Array[Byte](1, 2, 3)) == null)
+    // column wrapper: null payload -> null features
+    val df = Seq((1, bos.toByteArray), (2, null: Array[Byte]))
+      .toDF("id", "payload")
+    val out = Multimodal.dctFeatures(df, "payload").collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(2)) null else r.getSeq[Long](2))).toMap
+    assert(out(1) != null && out(1).size == 16)
+    assert(out(2) == null)
   }
 
   test("resize-to-fit: integer-exact dims, round-trip decodable payload") {
