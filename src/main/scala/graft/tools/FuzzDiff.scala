@@ -60,6 +60,14 @@ import java.nio.file.{Files, Paths}
   * overlapping columns, the () set, and occasional DUPLICATE sets
   * (ANSI says a repeated set emits its rows twice).
   *
+  * v5 changes one v4 shape and adds a sibling MODE: case 15's RANGE
+  * order key is COALESCEd (a NULL int column formed a NULL peer group,
+  * and NULL-vs-value ordering inside offset frames is a legitimate
+  * engine-divergence surface — the case stresses ties, not NULL-frame
+  * semantics), and operator-PROPERTY fuzzing over the C-family ships
+  * as [[PropFuzz]] (random corpora + parameter draws, invariants
+  * asserted engine-side — see its Scaladoc for the property list).
+  *
   * v4 also adds a SPARK-vs-SPARK family the DuckDB oracle can't cover:
   * batch-vs-stream equivalence on the watermarked operators. Each
   * round draws (window/slide/gap, key, watermark delay), runs the SAME
@@ -73,7 +81,7 @@ import java.nio.file.{Files, Paths}
 object FuzzDiff {
 
   /** Bumped whenever the shape grammar changes (see Scaladoc). */
-  private val GenVersion = 4
+  private val GenVersion = 5
 
   private final case class Col(name: String, t: Char) // i/d/s/t
   private final case class Tbl(name: String, keys: Seq[String], cols: Seq[Col]) {
