@@ -87,6 +87,22 @@ object Tables {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.extensions" -> "graft.GraftExtensions",
+    // InferFiltersFromGenerate is a pessimization for this engine
+    // (r14, measured): every generator here explodes an array COMPUTED
+    // from text/embeddings (shingles, token arrays, vector transforms),
+    // so the rule's inferred `size(arr) > 0 AND isnotnull(arr)` filter
+    // re-evaluates the whole tokenize/shingle pipeline per row — as an
+    // INTERPRETED Filter (higher-order functions don't codegen), and
+    // predicate pushdown then moves it below the fan-out repartition
+    // into the single-map-task scan stage of a one-file input. The rows
+    // it could prune (empty arrays) are dropped by the Generate itself
+    // one exchange later at zero cost. Same-session A/B at sf0.1:
+    // q_simjoin_exact 10.73 -> 2.91 s (3.7x), q_embed_outliers /
+    // q_boilerplate neutral within noise; full-bench A/B in
+    // OPTIMIZATION_r14.md. The exclusion is semantics-preserving (the
+    // rule only ever ADDS redundant filters).
+    "spark.sql.optimizer.excludedRules" ->
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     // Default streaming checkpoint base on RAM-backed scratch: without
     // it, every checkpoint-less stream (the bench/Verify AvailableNow
     // queries) puts its offset/commit logs and fsync'd state-store

@@ -121,6 +121,13 @@ object Dedup {
     * sets; anything other than "sorted" means the default tail. */
   val ReassemblyConfKey = "spark.graft.reassembly"
 
+  /** Session conf key selecting [[similarityJoinExact]]'s verify tail:
+    * unset/"array" (default, r14) = per-pair codegen'd array_intersect
+    * over the attached distinct-unit arrays; "join" = the pre-r14
+    * exploded pair×token join + pair-count aggregate. See the tail
+    * comment in [[similarityJoinExact]] for the measured rationale. */
+  val VerifyConfKey = "spark.graft.simjoin.verify"
+
   private def reassemblyMode(
       spark: org.apache.spark.sql.SparkSession): String =
     spark.conf.getOption(ReassemblyConfKey)
@@ -1151,9 +1158,18 @@ object Dedup {
     val units =
       if (shingleSize == 1) TextOps.tokens(col(textCol))
       else shingleArray(textCol, shingleSize)
+    // NO size(toks)>0 filter here: `base` feeds only the explode below,
+    // and explode already emits nothing for empty/null arrays, so the
+    // filter was pure overhead — and EXPENSIVE overhead: the optimizer
+    // pushed it below fanOut's repartition exchange, substituting the
+    // whole tokenize+shingle pipeline into an interpreted (higher-order
+    // functions don't codegen) Filter evaluated TWICE per row inside
+    // the SINGLE-TASK scan stage (one map task per input file at bench
+    // scale). Measured at sf0.1: the scan stage was 3.2 s of the
+    // query's 9.8 s, twice (guard job + main job, exchange reuse does
+    // not span QueryExecutions) — r14 StageProbe/MetricsProbe record.
     val base = fanOut(df).select(col(idCol).as("id"),
       array_distinct(units).as("toks"))
-      .filter(size(col("toks")) > 0)
     // The exploded (id, n, unit) working set is read four times (df
     // counts, prefix ranking, both sides of the verify join). Whether
     // to materialize it is REGIME-DEPENDENT: at sf0.1 (3.8M exploded
@@ -1174,8 +1190,16 @@ object Dedup {
     val eagerEnv = sys.props.get("spark.graft.simjoin.eager")
       .orElse(sys.env.get("SPARK_GRAFT_SIMJOIN_EAGER"))
     def persistWorkingSet(): Unit = {
-      swapWorkingSetCache(expl) // release prev FIRST (see its Scaladoc)
-      expl.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r14: the cached frame is BASE (id, toks array), not the explode
+      // — every consumer (dfc, both pref sides, both verify sides)
+      // derives from base, so one base cache stops every re-scan and
+      // re-tokenize exactly like the old expl cache did, while holding
+      // ~shingle-factor fewer bytes (no per-token (id, n) duplication)
+      // and serving the array-verify tail below, which needs the toks
+      // ARRAYS and never the explode. Consumers re-derive the explode
+      // from cached arrays — generator-only CPU, no scan, no tokenize.
+      swapWorkingSetCache(base) // release prev FIRST (see its Scaladoc)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     if (eagerEnv.contains("on")) persistWorkingSet()
     if (maxCandidates != UncappedCandidates) {
@@ -1211,8 +1235,8 @@ object Dedup {
           // — release them rather than pinning storage for a failed call
           dfc.unpersist(blocking = false)
           lastGuardCache.compareAndSet(dfc, null)
-          expl.unpersist(blocking = false)
-          lastWorkingSetCache.compareAndSet(expl, null)
+          base.unpersist(blocking = false)
+          lastWorkingSetCache.compareAndSet(base, null)
           throw new graft.model.ExecutionError(
             "similarityJoinExact candidate budget exceeded: the prefix " +
               "join would generate more candidate pairs than maxCandidates " +
@@ -1250,8 +1274,8 @@ object Dedup {
         persistWorkingSet()
         val explRows = expl.select(count(lit(1))).first().getLong(0)
         if (explRows < threshold) {
-          expl.unpersist(blocking = false)
-          lastWorkingSetCache.compareAndSet(expl, null)
+          base.unpersist(blocking = false)
+          lastWorkingSetCache.compareAndSet(base, null)
         }
       }
     }
@@ -1287,11 +1311,46 @@ object Dedup {
       .filter(least(col("pa"), col("pb")) +
         least(col("na") - col("pa"), col("nb") - col("pb")) >= alpha)
       .select(col("a"), col("b"), col("na"), col("nb")).distinct()
-    cand
-      .join(expl.select(col("id").as("a"), col("tok")), Seq("a"))
-      .join(expl.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("n_inter"))
+    // Verify tail — count |A∩B| per surviving candidate pair. Default
+    // ("array", r14): attach both documents' distinct-unit ARRAYS from
+    // `base` (two 1:1 id joins) and count the intersection per pair
+    // with one codegen'd array_intersect. The replaced pair×token
+    // exploded join + corpus-wide pair-count aggregate multiplied the
+    // candidate rows by avg document length before collapsing them
+    // again (sf0.1: 232k pairs → 16.2M join rows → 232k groups), and —
+    // worse — AQE coalesced the candidate exchange to ONE partition
+    // from its bytes (1.9 MB) with no view of that 70× downstream
+    // expansion, so the whole verify ran single-threaded (1.1 s of a
+    // 3.9 s query, r14 StageProbe). The explicit-width repartition
+    // pins the verify's parallelism for exactly that reason. Old tail
+    // kept behind spark.graft.simjoin.verify=join (conf, sysprop, or
+    // SPARK_GRAFT_SIMJOIN_VERIFY env) for A/B; both tails count the
+    // same distinct-unit intersection (toks is array_distinct'd, so
+    // per-pair token matches ARE the intersection set, see the
+    // VerifySpec equivalence pin).
+    val verifyJoin = df.sparkSession.conf.getOption(VerifyConfKey)
+      .orElse(sys.props.get(VerifyConfKey))
+      .orElse(sys.env.get("SPARK_GRAFT_SIMJOIN_VERIFY"))
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).contains("join")
+    val verified =
+      if (verifyJoin)
+        cand
+          .join(expl.select(col("id").as("a"), col("tok")), Seq("a"))
+          .join(expl.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+          .groupBy(col("a"), col("b"), col("na"), col("nb"))
+          .agg(count(lit(1)).as("n_inter"))
+      else
+        cand
+          .repartition(df.sparkSession.sparkContext.defaultParallelism,
+            col("a"), col("b"))
+          .join(base.select(col("id").as("a"), col("toks").as("__ta")),
+            Seq("a"))
+          .join(base.select(col("id").as("b"), col("toks").as("__tb")),
+            Seq("b"))
+          .select(col("a"), col("b"), col("na"), col("nb"),
+            size(array_intersect(col("__ta"), col("__tb"))).cast("long")
+              .as("n_inter"))
+    verified
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .filter(lit(100) * col("n_inter") >= lit(p) * col("n_union"))
       .select(col("a"), col("b"), col("n_inter"), col("n_union"),

@@ -315,6 +315,31 @@ class OpsSpec extends SparkSpec {
       s"guard caches accumulated across calls: $after1 -> $after4")
   }
 
+  test("similarityJoinExact verify tails are equivalent (array vs join)") {
+    // r14: the default verify counts |A∩B| per candidate pair with a
+    // codegen'd array_intersect over the attached distinct-unit arrays;
+    // the pre-r14 exploded pair×token join + pair-count aggregate stays
+    // behind spark.graft.simjoin.verify=join. Both must emit identical
+    // rows (n_inter/n_union/jaccard included) on token AND shingle
+    // units — this is the equivalence pin the tail comment cites.
+    val vocab = ('a' to 'x').map(c => s"w$c")
+    val docs = (1L to 80L).map { i =>
+      val len = 3 + (i * 7 % 10).toInt
+      (i, (0 until len).map(j => vocab(((i * 29 + j * 11) % 24).toInt))
+        .mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for ((p, sh) <- Seq((50, 1), (60, 2), (80, 1))) {
+      def rows() = Dedup.similarityJoinExact(df, "doc_id", "text", p, sh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      val arrayTail = rows()
+      sys.props(Dedup.VerifyConfKey) = "join"
+      val joinTail = try rows() finally sys.props.remove(Dedup.VerifyConfKey)
+      assert(arrayTail == joinTail, s"p=$p shingle=$sh: verify tails diverge")
+    }
+  }
+
   test("similarityJoinExact eager working set: identical results, bounded cache") {
     // The 30×/100× regime persists the exploded working set instead of
     // re-deriving it in each of its four consumers; results must be
