@@ -68,7 +68,8 @@ object Checkpoints {
     * helper. Measure before adding call sites. */
   def loopSession(
       spark: org.apache.spark.sql.SparkSession, rows: Long,
-      rowsPerPartition: Long = 4L * 1000 * 1000)
+      rowsPerPartition: Long = 4L * 1000 * 1000,
+      keepAqe: Boolean = false)
       : org.apache.spark.sql.SparkSession = {
     require(rowsPerPartition > 0, "rowsPerPartition must be positive")
     val sessParts = spark.sessionState.conf.numShufflePartitions
@@ -78,6 +79,26 @@ object Checkpoints {
     else {
       val s = org.apache.spark.sql.graftext.Bridge.cloneSession(spark)
       s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      // AQE off INSIDE the right-sized clone (r14): AQE runs every
+      // shuffle stage as its own job and re-plans between stages — at
+      // the session's full width that coalescing is what carries loop
+      // stages (the r11 full-set A/B: q_connected_components +4.9 s
+      // with AQE off), but on THIS clone the partition count is already
+      // sized to the working set, so AQE has nothing left to coalesce
+      // and only its per-stage scheduling tax remains. Same-session
+      // A/B (r14, bench_results/r14_loop_aqe_ab.json): loop-family
+      // queries ~10-25% faster, none slower. The clone only exists
+      // when partitions were LOWERED (small working sets); at 100 TB
+      // loopSession returns the parent unchanged and AQE stays on.
+      // NOT unconditional: loops whose per-round joins depend on AQE's
+      // runtime broadcast conversion (connectedComponents' star joins:
+      // 4.7 -> 9.2 s when AQE went off — truncated frames advertise the
+      // default sizeInBytes, so the STATIC planner can't broadcast
+      // them) pass keepAqe=true. SPARK_GRAFT_LOOP_AQE=on restores AQE
+      // everywhere for A/B.
+      if (!keepAqe && !sys.props.get("spark.graft.loop.aqe")
+            .orElse(sys.env.get("SPARK_GRAFT_LOOP_AQE")).contains("on"))
+        s.conf.set("spark.sql.adaptive.enabled", "false")
       s
     }
   }

@@ -349,8 +349,11 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters did not converge after $maxIter rounds; " +
           "raise maxIter (doubling + churn tail exceeded the budget)")
-    // hop back: downstream operators must plan under the CALLER's conf
-    org.apache.spark.sql.graftext.Bridge.rebind(
+    // hop back: downstream operators must plan under the CALLER's conf.
+    // rebindExit, not rebind: the loop ran at lowered width, and its
+    // 1-partition hash layout must not be advertised to the caller's
+    // planner (see Bridge.rebindExit — measured in q_curate_pipeline).
+    org.apache.spark.sql.graftext.Bridge.rebindExit(
       labels.select(col("id").as(aCol), col("label").as("cluster")),
       pairs.sparkSession)
   }

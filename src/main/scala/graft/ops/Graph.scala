@@ -434,8 +434,14 @@ object Graph {
     // job. Star contraction also shrinks the edge set every round, so
     // the session-wide default is wrong for the loop's tail even on
     // big inputs; the initial sizing is the conservative upper bound.
+    // keepAqe: this loop's star joins NEED AQE's runtime broadcast
+    // conversion (truncated frames advertise the default sizeInBytes,
+    // so the static planner sort-merges them; r14 A/B: 4.7 -> 9.2 s
+    // with loop AQE off) — unlike duplicateClusters' min-label loop,
+    // whose 1-partition joins plan fine statically.
     val loopSpark =
-      graft.Checkpoints.loopSession(raw.sparkSession, rawCount)
+      graft.Checkpoints.loopSession(raw.sparkSession, rawCount,
+        keepAqe = true)
     val rawT = org.apache.spark.sql.graftext.Bridge.rebind(rawT0, loopSpark)
     org.apache.spark.sql.graftext.Bridge.rebind({
       // Init fused with a PREFIX small-star pass, one materialization:
@@ -618,7 +624,7 @@ object Graph {
     require(converged,
       s"flattenHierarchy: no fixpoint after $maxRounds rounds — a parent " +
         "CYCLE, or depth beyond 2^maxRounds; hierarchies must be acyclic")
-    org.apache.spark.sql.graftext.Bridge.rebind(
+    org.apache.spark.sql.graftext.Bridge.rebindExit(
       state.select(col("id"), col("anc").as("root"), col("depth")),
       nodes.sparkSession)
   }

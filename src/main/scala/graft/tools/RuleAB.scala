@@ -16,16 +16,27 @@ object RuleAB {
     spark.sparkContext.setLogLevel("ERROR")
     val genRule =
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
-    def setLeg(on: Boolean): Unit = {
-      if (on) {
-        if (mode == "gen" || mode == "both")
-          spark.conf.set("spark.sql.optimizer.excludedRules", genRule)
-        if (mode == "constraints" || mode == "both")
-          spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-      } else {
-        spark.conf.unset("spark.sql.optimizer.excludedRules")
-        spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
-      }
+    val conRule =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints"
+    def setLeg(on: Boolean): Unit = mode match {
+      case "gen" =>
+        if (on) spark.conf.set("spark.sql.optimizer.excludedRules", genRule)
+        else spark.conf.unset("spark.sql.optimizer.excludedRules")
+      case "constraints" =>
+        spark.conf.set("spark.sql.constraintPropagation.enabled",
+          (!on).toString)
+      case "infercon" =>
+        // baseline keeps the (default, r14) gen exclusion on BOTH legs;
+        // the test leg additionally excludes InferFiltersFromConstraints
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+          if (on) s"$genRule,$conRule" else genRule)
+      case "loopaqe" =>
+        // baseline = pre-r14 behavior (AQE stays on inside loop
+        // clones); "excluded" = the r14 default (AQE off in the clone)
+        if (on) sys.props.remove("spark.graft.loop.aqe")
+        else sys.props("spark.graft.loop.aqe") = "on"
+        ()
+      case other => sys.error(s"unknown mode $other")
     }
     def sample(name: String): Double = {
       val t0 = System.nanoTime()

@@ -54,6 +54,34 @@ object Bridge {
       target.asInstanceOf[classic.SparkSession], ds.logicalPlan)
   }
 
+  /** [[rebind]] for LOOP EXITS: additionally strips the advertised
+    * outputPartitioning/outputOrdering from every LogicalRDD leaf. A
+    * loop that ran on a right-sized clone ends with its working set
+    * hash-partitioned into very FEW partitions (often 1); truncatedFrame
+    * deliberately preserves that layout so in-loop rounds skip
+    * re-exchanges — but letting it escape to the caller poisons
+    * downstream planning: a join against the 1-partition frame
+    * co-partitions the OTHER side down to 1 (r14, measured in
+    * q_curate_pipeline: the contamination/quality join subtree collapsed
+    * to single-task stages, 6.5 -> 9.1 s, once the non-AQE loop exit
+    * started advertising HashPartitioning(1); AQE loop exits advertised
+    * UnknownPartitioning and never hit this). Stats stay the session
+    * default exactly as truncatedFrame sets them. */
+  def rebindExit(df: DataFrame, target: SparkSession): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
+    import org.apache.spark.sql.execution.LogicalRDD
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val t = target.asInstanceOf[classic.SparkSession]
+    val cleaned = ds.logicalPlan.transform {
+      case l: LogicalRDD =>
+        LogicalRDD(l.output, l.rdd, UnknownPartitioning(0), Nil,
+          l.isStreaming)(
+          t, Some(Statistics(t.sessionState.conf.defaultSizeInBytes)), None)
+    }
+    classic.Dataset.ofRows(t, cleaned)
+  }
+
   /** The frame's executed plan as an InternalRow RDD — the same binary
     * rows `Dataset.checkpoint` materializes. Rows are buffer-reused per
     * partition upstream; callers that persist MUST `.map(_.copy())`
