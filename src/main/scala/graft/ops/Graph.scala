@@ -62,9 +62,16 @@ object Graph {
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull)
         .distinct())
-    val nodes = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct()
-    val n = nodes.count() // bounded driver scalar, like Retrieval.bm25's N
+    // Truncate the node set (r14): `nodes` is re-read every round by
+    // the dangling-node left join, and lazy it re-ran the two-scan
+    // union + distinct exchange per round. NOT truncateCount: its
+    // accumulator count can over-count under task retries, and N here
+    // feeds EXACT arithmetic (init = total div N) — the count below is
+    // a cheap block scan over the materialized frame instead.
+    val nodes = graft.Checkpoints.truncate(
+      e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id"))).distinct())
+    val n = nodes.count() // exact; reads the truncated RDD, no recompute
     if (n == 0L)
       return nodes.select(col("id"), lit(0L).as("rank_scaled"))
     val init = totalScaled / n
@@ -135,7 +142,9 @@ object Graph {
     val nodes = graft.Checkpoints.truncate(
       rawNodes.join(seedIds.withColumn("__s", lit(true)), Seq("id"), "left")
         .select(col("id"), coalesce(col("__s"), lit(false)).as("is_seed")))
-    val nSeeds = nodes.filter(col("is_seed")).count() // bounded driver scalar
+    // exact (feeds init = total div nSeeds): cheap scan of the
+    // truncated RDD, never an accumulator (retries could over-count)
+    val nSeeds = nodes.filter(col("is_seed")).count()
     if (nSeeds == 0L)
       return nodes.select(col("id"), lit(0L).as("rank_scaled"))
     val init = totalScaled / nSeeds
@@ -194,9 +203,15 @@ object Graph {
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u").isNotNull && col("v").isNotNull)
         .distinct())
-    val nodes = e.select(col("u").as("id"))
-      .unionByName(e.select(col("v").as("id"))).distinct()
-    val n = nodes.count() // bounded driver scalar, as in pageRank
+    // Same nodes-truncation as pageRank (r14): `normalized` re-reads
+    // the node set TWICE per iteration — lazy, each read re-ran the
+    // union + distinct. Exact N via a cheap count over the truncated
+    // RDD (accumulator counts can over-count under retries and N feeds
+    // the exact init division).
+    val nodes = graft.Checkpoints.truncate(
+      e.select(col("u").as("id"))
+        .unionByName(e.select(col("v").as("id"))).distinct())
+    val n = nodes.count()
     if (n == 0L)
       return nodes.select(col("id"), lit(0L).as("hub_scaled"),
         lit(0L).as("auth_scaled"))
