@@ -111,6 +111,14 @@ object Checkpoints {
   def reliable(df: DataFrame): Boolean =
     df.sparkSession.conf.get(ReliableConfKey, "false").toBoolean
 
+  /** Session conf key: attach MEASURED statistics (rowCount +
+    * sizeInBytes summed over the materialized UnsafeRows) to truncated
+    * leaves. Default ON — real sizes let the STATIC planner broadcast
+    * small truncated frames (loop label/result frames) without relying
+    * on AQE's runtime rescue. OFF restores the r14 behavior (session
+    * default sizeInBytes) for A/B. */
+  val RealStatsConfKey = "spark.graft.truncate.realStats"
+
   /** Truncate `df`'s lineage eagerly, honoring the session's durability
     * conf. Both paths are eager (the returned frame is materialized), so
     * callers can treat the result as a stable round snapshot.
@@ -131,80 +139,116 @@ object Checkpoints {
     * Instead we materialize the SAME binary InternalRow RDD Spark's own
     * checkpoint materializes (`queryExecution.toRdd`, rows copied out
     * of their reused buffers exactly as `Dataset.checkpoint` does) and
-    * rebuild the frame over it: the new leaf carries the session's
-    * constant default `sizeInBytes`, so per-round stats stay a handful
-    * of small-BigInt multiplies forever, and no Row↔InternalRow
-    * conversion happens at the boundary. The trade: a truncated frame
-    * no longer advertises an accurate size, so STATIC auto-broadcast of
-    * it downstream is off — in-loop joins never want that anyway
-    * (label/edge frames are corpus-scale), AQE still broadcast-converts
-    * at runtime from the ACTUAL shuffle bytes, and known-small frames
-    * here use explicit `broadcast()`. */
+    * rebuild the frame over it. The materialization job doubles as a
+    * sizing pass (r15): the new leaf carries the MEASURED row count and
+    * byte size of the materialized rows themselves — small bounded
+    * numbers re-derived fresh from data each round (immune to the
+    * compounding above, which came from carrying forward ESTIMATES),
+    * and accurate enough that the static planner can broadcast a small
+    * truncated frame without AQE's runtime rescue (the r14 verdict's
+    * connectedComponents finding). `spark.graft.truncate.realStats=false`
+    * restores the default-sized leaves for A/B. */
   def truncate(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftext.Bridge
-    materialize(df, Bridge.internalRdd(df).map(_.copy()))
+    materialize(df, Bridge.internalRdd(df).map(_.copy()), None)._1
   }
 
   /** Truncate + total row count in the same materialization pass —
     * for callers whose next decision needs the materialized size (e.g.
     * choosing a flat vs two-level ranking shape) without paying a
-    * separate count job. Like [[truncateCountTrue]], the accumulator
-    * value can over-count under task retries, never under-count. */
+    * separate count job. The count is EXACT (r15: it comes from the
+    * per-partition sizing sums the materialization job collects — each
+    * partition contributes exactly once regardless of task retries),
+    * so it is safe in exact arithmetic, unlike the accumulator-based
+    * r14 version. */
   def truncateCount(df: DataFrame): (DataFrame, Long) = {
     import org.apache.spark.sql.graftext.Bridge
-    val acc = df.sparkSession.sparkContext.longAccumulator("graft.rowCount")
-    val rdd = Bridge.internalRdd(df).map { r => acc.add(1L); r.copy() }
-    val out = materialize(df, rdd)
-    (out, acc.value)
+    val (out, rows, _) =
+      materialize(df, Bridge.internalRdd(df).map(_.copy()), None)
+    (out, rows)
   }
 
   /** [[truncate]] fused with a fixpoint probe: materialize `df` and, in
-    * the SAME pass, count rows whose boolean `flagCol` is true via an
-    * accumulator. Iterative operators otherwise pay one extra job per
-    * round just to ask "did anything change?" — and the diff
-    * formulation some of them used (`exceptAll(prev).isEmpty`) is an
-    * extra SHUFFLE per round on top of the job. Task retries can
-    * over-count an accumulator, never under-count, so the value is
-    * contractually a fixpoint probe (`== 0` vs `> 0`), not an exact
-    * statistic — which is all convergence needs. NULL flags count as
-    * false. Returns the truncated frame (still carrying `flagCol`; the
-    * caller projects it away) and the observed true-count. */
+    * the SAME pass, count rows whose boolean `flagCol` is true.
+    * Iterative operators otherwise pay one extra job per round just to
+    * ask "did anything change?" — and the diff formulation some of
+    * them used (`exceptAll(prev).isEmpty`) is an extra SHUFFLE per
+    * round on top of the job. The count is exact (per-partition sums
+    * collected from the materialization job — see [[truncateCount]]).
+    * NULL flags count as false. Returns the truncated frame (still
+    * carrying `flagCol`; the caller projects it away) and the
+    * true-count. */
   def truncateCountTrue(df: DataFrame, flagCol: String): (DataFrame, Long) = {
     import org.apache.spark.sql.graftext.Bridge
     val ord = df.schema.fieldIndex(flagCol)
-    val acc = df.sparkSession.sparkContext.longAccumulator("graft.flagTrue")
-    val rdd = Bridge.internalRdd(df).map { r =>
-      if (!r.isNullAt(ord) && r.getBoolean(ord)) acc.add(1L)
-      r.copy()
-    }
-    val out = materialize(df, rdd)
-    (out, acc.value)
+    val (out, _, flags) =
+      materialize(df, Bridge.internalRdd(df).map(_.copy()), Some(ord))
+    (out, flags)
   }
 
+  /** Materialize `rdd` (local or reliable per session conf) and rebuild
+    * `df` over it. ONE job does triple duty: it materializes the
+    * checkpoint blocks (Spark checkpoints the marked parent at the end
+    * of the first job that touches it), sizes the frame for the leaf's
+    * statistics, and counts `flagOrd`-true rows for fixpoint probes.
+    * Returns (truncated frame, exact row count, exact flag-true count).
+    * The per-partition sums arrive via collect(), so every partition
+    * contributes exactly once — task retries cannot skew them. */
   private def materialize(
       df: DataFrame,
       rdd: org.apache.spark.rdd.RDD[
-        org.apache.spark.sql.catalyst.InternalRow]): DataFrame = {
+        org.apache.spark.sql.catalyst.InternalRow],
+      flagOrd: Option[Int]): (DataFrame, Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeRow
     import org.apache.spark.sql.graftext.Bridge
     val spark = df.sparkSession
-    if (reliable(df)) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        throw new IllegalStateException(
-          s"$ReliableConfKey=true but no checkpoint directory is set; " +
-            "call sparkContext.setCheckpointDir(<reliable storage path>) first")
-      // persist first so the checkpoint write doesn't recompute the
-      // round, then drop the cached copy — post-checkpoint reads come
-      // from the checkpoint files, and iterative callers would
-      // otherwise accumulate one corpus-scale cached copy per round
-      // until driver GC notices
-      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.checkpoint()
-      rdd.count()
-      rdd.unpersist(blocking = false)
-    } else {
-      rdd.localCheckpoint()
-      rdd.count()
+    // Fallback per-row width for non-UnsafeRow rows (rare: toRdd yields
+    // UnsafeRow from codegen'd plans) — schema default sizes + row
+    // overhead, same flavor as Spark's own EstimationUtils.
+    val fallbackWidth =
+      8L + df.schema.map(_.dataType.defaultSize.toLong).sum
+    val flag = flagOrd.getOrElse(-1)
+    def sizingJob(): (Long, Long, Long) = {
+      val parts = rdd.mapPartitions { it =>
+        var n = 0L; var b = 0L; var f = 0L
+        it.foreach { r =>
+          n += 1L
+          b += (r match {
+            case u: UnsafeRow => u.getSizeInBytes.toLong
+            case _ => fallbackWidth
+          })
+          if (flag >= 0 && !r.isNullAt(flag) && r.getBoolean(flag)) f += 1L
+        }
+        Iterator.single((n, b, f))
+      }.collect()
+      parts.foldLeft((0L, 0L, 0L)) { case ((n, b, f), (pn, pb, pf)) =>
+        (n + pn, b + pb, f + pf)
+      }
     }
-    Bridge.truncatedFrame(df, rdd)
+    val measured =
+      if (reliable(df)) {
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          throw new IllegalStateException(
+            s"$ReliableConfKey=true but no checkpoint directory is set; " +
+              "call sparkContext.setCheckpointDir(<reliable storage path>) first")
+        // persist first so the checkpoint write doesn't recompute the
+        // round, then drop the cached copy — post-checkpoint reads come
+        // from the checkpoint files, and iterative callers would
+        // otherwise accumulate one corpus-scale cached copy per round
+        // until driver GC notices
+        rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+        val m = sizingJob()
+        rdd.unpersist(blocking = false)
+        m
+      } else {
+        rdd.localCheckpoint()
+        sizingJob()
+      }
+    val realStats =
+      spark.conf.get(RealStatsConfKey, "true").toBoolean
+    val frame = Bridge.truncatedFrame(df, rdd,
+      if (realStats) Some((measured._1, measured._2)) else None)
+    (frame, measured._1, measured._3)
   }
 }

@@ -56,24 +56,50 @@ object CurationPipeline {
     val evalFlag = coalesce(isEval, lit(false))
     val evalSide = df.filter(evalFlag)
     val trainSide = df.filter(!evalFlag)
+    // Eager phases are labeled (guide §1.5) so the UI / StageProbe can
+    // attribute this pipeline's jobs; thread-local, cleared at the end.
+    val sc = df.sparkSession.sparkContext
+    def labeled[T](desc: String)(body: => T): T = {
+      sc.setJobDescription(s"curate: $desc")
+      try body finally sc.setJobDescription(null)
+    }
 
-    // 1. verbatim copies: exact() keeps the smallest id per content hash
-    val exactKept = trainSide.join(
-      Dedup.exact(trainSide, idCol, textCol).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    // 1. verbatim copies: exact() keeps the smallest id per content hash.
+    // Truncated (r15): exactKept feeds BOTH the LSH pair generation
+    // (materialized by the cluster loop's seed truncation) and the
+    // deduped corpus below — uncached it was evaluated twice (full
+    // scan + fingerprint groupBy + semi-join per evaluation, StageProbe
+    // r15). A truncate, not a cache: LogicalRDD leaves canonicalize by
+    // their RDD, so downstream self-referencing subtrees keep AQE
+    // exchange reuse — an InMemoryRelation in the lineage BREAKS reuse
+    // (measured, tools/CurateProbe: the contamination explode+window
+    // exchange executed twice over a cached frame, ReusedExchange over
+    // a truncated one).
+    val exactKept = labeled("materialize exact-deduped corpus")(
+      graft.Checkpoints.truncate(trainSide.join(
+        Dedup.exact(trainSide, idCol, textCol).select(col(idCol)),
+        Seq(idCol), "left_semi")))
 
     // 2. near-dups: LSH pairs → clusters; canonical (smallest) survives.
     // Pairs are computed once and reused for the leak-safe split below,
     // so the split key agrees with the dedup decision.
     val pairs = Dedup.minHashLsh(exactKept, idCol, textCol,
       cfg.shingleN, cfg.numHashes, cfg.bandSize, cfg.maxBucketSize)
-    val clusters = Dedup.duplicateClusters(pairs, "a", "b")
+    val clusters = labeled("cluster near-dups")(
+      Dedup.duplicateClusters(pairs, "a", "b"))
     val nearDropped = clusters.filter(col("a") =!= col("cluster"))
       .select(col("a").as(idCol))
-    // cache: the deduped corpus feeds both the contamination join and
-    // the survivor anti-join below
-    val deduped = exactKept.join(nearDropped, Seq(idCol), "left_anti")
-      .cache()
+    // The deduped corpus feeds both the contamination join and the
+    // survivor anti-join below. Truncated, NOT cached (r15): the
+    // contamination operator explodes `deduped ∪ evalSide` and joins
+    // the exploded frame's train side against its eval side — the two
+    // sides share one shingle exchange ONLY if the subtrees stay
+    // canonically equal, and an InMemoryRelation leaf breaks that
+    // (AQE ran the full explode+window twice, ~1.5 s of the pipeline's
+    // heaviest stage duplicated; tools/CurateProbe A/B/C shapes).
+    val deduped = labeled("materialize near-deduped corpus")(
+      graft.Checkpoints.truncate(
+        exactKept.join(nearDropped, Seq(idCol), "left_anti")))
 
     // 3. decontamination: drop surviving training docs that share
     // >= minShared distinct shingles with any eval doc. The COALESCED
@@ -89,15 +115,24 @@ object CurationPipeline {
     val clean = deduped.join(contaminated, Seq(idCol), "left_anti")
 
     // 4. heuristic quality floor
-    // cache: scored feeds BOTH the split computation (its id list seeds
-    // the cluster bucketing) and the split join below — uncached, the
+    // scored feeds BOTH the split computation (its id list seeds the
+    // cluster bucketing) and the split join below — unmaterialized, the
     // contamination join + quality scan would execute twice inside the
     // withSplit materialization (measured ~1.5-2 s per extra pass at
-    // sf0.1, the pipeline's single largest stage).
-    val scored = clean
-      .withColumn("quality", TextOps.qualityScore(col(textCol)))
-      .filter(col("quality") >= cfg.minQuality)
-      .cache()
+    // sf0.1, the pipeline's single largest stage). Truncated, NOT
+    // cached (r15): a cache defeats AQE inside its own fill — cached
+    // plans execute without adaptive execution (Spark only re-plans
+    // them under canChangeCachedPlanOutputPartitioning), and ONLY AQE's
+    // runtime stage reuse dedupes the contamination operator's two
+    // shingle-exchange sides (the static ReuseExchange rule never
+    // fired on them; StageProbe r15 measured the full explode+window
+    // running twice inside the cache fill, the pipeline's two heaviest
+    // stages). As a top-level truncation job the reuse fires, and
+    // downstream consumers read materialized blocks either way.
+    val scored = labeled("materialize quality-scored corpus")(
+      graft.Checkpoints.truncate(clean
+        .withColumn("quality", TextOps.qualityScore(col(textCol)))
+        .filter(col("quality") >= cfg.minQuality)))
 
     // 5. leakage-safe split on the SAME near-dup clusters (reused — the
     // iterative label propagation runs once, not twice)
@@ -111,13 +146,12 @@ object CurationPipeline {
     // re-execute the dedup/contamination/quality lineage. Durability
     // (fast local vs executor-loss-safe reliable) follows the same
     // session conf as duplicateClusters — see graft.Checkpoints.
-    val withSplit = graft.Checkpoints.truncate(scored.join(split, Seq(idCol)))
-    // The eager truncation above was the caches' last consumer
-    // (everything below reads the materialized withSplit) — release
-    // both now so repeated curate() calls in a long-lived session
-    // (bench reruns, notebooks) don't accumulate cached partitions.
-    deduped.unpersist()
-    scored.unpersist()
+    val withSplit = labeled("materialize split corpus")(
+      graft.Checkpoints.truncate(scored.join(split, Seq(idCol))))
+    // No explicit release needed (r15, no caches left): the truncated
+    // frames' localCheckpoint blocks are dropped by the ContextCleaner
+    // when the frames go unreferenced — the same lifecycle every
+    // iterative operator here already relies on.
 
     // 6. pack the train split into fixed-length sequences
     val packed = Curation.packSequences(

@@ -179,8 +179,15 @@ object Dedup {
     * (max(#files, bytes/maxPartitionBytes) per scan) — `rdd
     * .getNumPartitions` would be exact but forces an RDD plan conversion
     * on every call, a per-query planning tax this runs too often to pay.
-    * Non-file sources (in-memory test frames) estimate conservatively
-    * high, so they are never needlessly shuffled. */
+    * LogicalRDD leaves (Checkpoints.truncate output) carry their RDD
+    * already, so their partition count is exact AND free — and matters
+    * (r15): a truncated frame materialized after AQE coalescing is
+    * often ONE partition, and without the fan-out every downstream
+    * tokenize/minhash chain ran single-task (measured in
+    * q_ingest_pipeline once its seams were truncated: 3 × ~1.2 s
+    * one-task signature stages). Other non-file sources (in-memory test
+    * frames) estimate conservatively high, so they are never
+    * needlessly shuffled. */
   def fanOut(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, FileTable}
@@ -203,6 +210,8 @@ object Dedup {
             ft.fileIndex.sizeInBytes / maxSplit)
         case _ => target.toLong
       }
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getNumPartitions.toLong
       case _ => target.toLong
     }.sum
     if (estSplits * 2 < target) df.repartition(target) else df
@@ -563,20 +572,42 @@ object Dedup {
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh0 = df.select(col(idCol), isEval.as("__is_eval"),
       explode(array_distinct(shingleArray(textCol, n))).as("sh"))
-    // The DF-cap window partitions on sh — the same hash partitioning the
-    // join below needs, so AQE reuses the exchange. (An eval-vocabulary
-    // semi-join prefilter was A/B-measured here: it wins only when the
-    // shingle shuffle dominates; at bench scale the extra stages and the
-    // duplicated explode cost more than the window, and the reused
-    // exchange means the window adds NO extra shuffle over the join.)
+    // The DF-cap window partitions on sh — the same hash partitioning
+    // the per-shingle aggregate below needs, so no second exchange. (An
+    // eval-vocabulary semi-join prefilter was A/B-measured here: it
+    // wins only when the shingle shuffle dominates; at bench scale the
+    // extra stages and the duplicated explode cost more than the
+    // window.)
     val sh = if (maxShingleDf == Int.MaxValue) sh0
              else boundBuckets(sh0, Seq("sh"), maxShingleDf)
-    val evalSide = sh.filter(col("__is_eval"))
-      .select(col("sh"), col(idCol).as(s"eval_$idCol"))
-    val trainSide = sh.filter(!col("__is_eval")).select(col(idCol), col("sh"))
-    trainSide.join(evalSide, Seq("sh"))
+    // ONE aggregate per shingle replaces the train×eval SELF-JOIN the
+    // r14 form used (r15). The self-join's two sides derive from the
+    // same `sh` frame, but after analysis they are never canonically
+    // equal again (DeduplicateRelations re-aliases one side, and
+    // composition-dependent rewrites drift them further), so neither
+    // the static ReuseExchange rule nor AQE's stage cache dedupes them
+    // — measured in q_curate_pipeline, where the WHOLE scan → explode →
+    // window subtree executed twice (its two heaviest stages,
+    // tools/CurateProbe). The aggregate form shares the subtree by
+    // construction: one pass collects each shingle's train and eval id
+    // SETS (collect_set mirrors the old count_distinct semantics under
+    // duplicate input rows), pairs fan out from the sets, and the pair
+    // count per (train, eval) is exact because each shingle contributes
+    // each pair at most once. Set sizes are bounded by `maxShingleDf`
+    // when capped; uncapped, a hot shingle's set is O(its document
+    // frequency) — linear in what the old join already streamed
+    // quadratically. NULL `isEval` rows belong to neither side (when()
+    // yields NULL, collect_set skips it), exactly as the old two-sided
+    // filters dropped them.
+    sh.groupBy(col("sh"))
+      .agg(
+        collect_set(when(!col("__is_eval"), col(idCol))).as("__tids"),
+        collect_set(when(col("__is_eval"), col(idCol))).as("__eids"))
+      .filter(size(col("__tids")) > 0 && size(col("__eids")) > 0)
+      .select(explode(col("__tids")).as(idCol), col("__eids"))
+      .select(col(idCol), explode(col("__eids")).as(s"eval_$idCol"))
       .groupBy(col(idCol), col(s"eval_$idCol"))
-      .agg(count_distinct(col("sh")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

@@ -449,14 +449,17 @@ object Graph {
     // job. Star contraction also shrinks the edge set every round, so
     // the session-wide default is wrong for the loop's tail even on
     // big inputs; the initial sizing is the conservative upper bound.
-    // keepAqe: this loop's star joins NEED AQE's runtime broadcast
-    // conversion (truncated frames advertise the default sizeInBytes,
-    // so the static planner sort-merges them; r14 A/B: 4.7 -> 9.2 s
-    // with loop AQE off) — unlike duplicateClusters' min-label loop,
-    // whose 1-partition joins plan fine statically.
+    // keepAqe (conf-gated, default true): this loop's star joins need
+    // broadcast conversion every round. In r14 only AQE's RUNTIME stats
+    // could provide it (truncated frames advertised the default
+    // sizeInBytes; static planner sort-merged; 4.7 -> 9.2 s with loop
+    // AQE off). r15's measured leaf statistics let the STATIC planner
+    // broadcast too — spark.graft.cc.keepAqe=false drops the per-stage
+    // AQE job tax and relies on them (A/B'd; see OPTIMIZATION_r15.md).
     val loopSpark =
       graft.Checkpoints.loopSession(raw.sparkSession, rawCount,
-        keepAqe = true)
+        keepAqe = raw.sparkSession.conf
+          .get("spark.graft.cc.keepAqe", "true").toBoolean)
     val rawT = org.apache.spark.sql.graftext.Bridge.rebind(rawT0, loopSpark)
     org.apache.spark.sql.graftext.Bridge.rebind({
       // Init fused with a PREFIX small-star pass, one materialization:

@@ -55,6 +55,24 @@ object IngestPipeline {
       shingleSize: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
       minEstimate: Double = 0.5, spanW: Int = 5,
       numBuckets: Int = 4096, minLogit: Double = 0.0): DataFrame = {
+    // Eager phases are labeled (guide §1.5); lineage is TRUNCATED at
+    // the three widest seams (r15, guide §5 "very large query plans" /
+    // §3.3): `marked`, `near`, and `cleaned` each feed BOTH the next
+    // funnel stage AND the final status recombination, so fully-lazy
+    // composition embedded every upstream stage once per consumer — a
+    // 9,495-line physical plan whose planning/serialization showed up
+    // as "Broadcasting large task binary ... 2.2 MiB" warnings and
+    // per-job driver tax. The truncated seams are all BATCH-sized (a
+    // crawl batch, not the corpus — the corpus-side fingerprint/
+    // signature tables stay lazy and are read once each), so the
+    // materialization is safe at any scale, and the truncated leaves
+    // carry measured statistics the recombination joins can broadcast
+    // from.
+    val sc = newBatch.sparkSession.sparkContext
+    def labeled[T](desc: String)(body: => T): T = {
+      sc.setJobDescription(s"ingest: $desc")
+      try body finally sc.setJobDescription(null)
+    }
     val batch = newBatch.select(col(idCol), col(textCol))
       .withColumn("__idrn", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col(textCol).asc_nulls_last)))
@@ -71,30 +89,38 @@ object IngestPipeline {
     val fp = batch.withColumn("__fp", TextOps.fingerprint(col(textCol)))
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(col(idCol))))
-    val marked = fp.join(
-      corpusFps.select(col("fingerprint").as("__fp"),
-        lit(true).as("__hit")).distinct(),
-      Seq("__fp"), "left")
-      .withColumn("__exactDup",
-        col("__hit").isNotNull || (col("__fp").isNotNull && col("__rn") > 1))
+    val marked = labeled("exact-dup mark vs corpus fingerprints")(
+      graft.Checkpoints.truncate(fp.join(
+        corpusFps.select(col("fingerprint").as("__fp"),
+          lit(true).as("__hit")).distinct(),
+        Seq("__fp"), "left")
+        .withColumn("__exactDup",
+          col("__hit").isNotNull || (col("__fp").isNotNull && col("__rn") > 1))))
     val exactSurvivors = marked.filter(!col("__exactDup"))
       .select(col(idCol), col(textCol))
 
     // 2. near-dup vs the corpus signature index
-    val near = Dedup.incrementalNearDup(
-      exactSurvivors, corpusSigs, idCol, textCol,
-      shingleSize, numHashes, bandSize, minEstimate)
+    val near = labeled("near-dup mark vs corpus signatures")(
+      graft.Checkpoints.truncate(Dedup.incrementalNearDup(
+        exactSurvivors, corpusSigs, idCol, textCol,
+        shingleSize, numHashes, bandSize, minEstimate)))
     val nearSurvivors = exactSurvivors.join(
       near.filter(col("matched")).select(col(idCol)), Seq(idCol),
       "left_anti")
 
-    // 3. intra-batch span cleaning (keep-first) over the survivors
-    val cleaned = Dedup.removeDuplicateSpans(
-      nearSurvivors, idCol, textCol, spanW)
+    // 3. intra-batch span cleaning (keep-first) over the survivors.
+    // fanOut: the survivors frame descends from 1-partition truncated
+    // leaves (AQE coalesces the tiny batch-sized seams), and the span
+    // machinery is CPU-heavy per row (posexplode of every w-window) —
+    // without the fan-out it ran as one ~1.1 s single-task stage.
+    val cleaned = labeled("span-clean batch survivors")(
+      graft.Checkpoints.truncate(Dedup.removeDuplicateSpans(
+        Dedup.fanOut(nearSurvivors), idCol, textCol, spanW)))
 
-    // 4. quality gate over the CLEANED text
+    // 4. quality gate over the CLEANED text (fanOut: same 1-partition
+    // truncated-leaf input, hashed-feature extraction is per-token work)
     val scored = QualityModel.score(
-      cleaned.select(col(idCol), col("text_clean").as(textCol)),
+      Dedup.fanOut(cleaned.select(col(idCol), col("text_clean").as(textCol))),
       idCol, textCol, weights, numBuckets)
     val accepted = scored
       .withColumn("__ok",

@@ -36,6 +36,16 @@ object RuleAB {
         if (on) sys.props.remove("spark.graft.loop.aqe")
         else sys.props("spark.graft.loop.aqe") = "on"
         ()
+      case "realstats" =>
+        // baseline = r14 behavior (truncated leaves carry the default
+        // sizeInBytes); test = r15 measured statistics
+        spark.conf.set(graft.Checkpoints.RealStatsConfKey, on.toString)
+      case "ccaqe" =>
+        // baseline = r14 behavior (connectedComponents keeps AQE in its
+        // loop clone); test = AQE off, static broadcasts from the r15
+        // measured stats carrying the star joins. Both legs keep
+        // realStats at its default (on).
+        spark.conf.set("spark.graft.cc.keepAqe", (!on).toString)
       case other => sys.error(s"unknown mode $other")
     }
     def sample(name: String): Double = {

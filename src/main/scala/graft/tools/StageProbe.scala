@@ -26,9 +26,18 @@ object StageProbe {
     val stages = mutable.ArrayBuffer.empty[St]
     val jobs = mutable.ArrayBuffer.empty[(Int, Long)]
     val jobStart = mutable.Map.empty[Int, Long]
+    // stageId -> the setJobDescription label of the job that ran it
+    // (operators label their eager phases per guide §1.5; stages with
+    // no label print "-")
+    val stageDesc = mutable.Map.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobStart(j.jobId) = j.time
+        val d = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("-")
+        j.stageIds.foreach(sid => stageDesc(sid) = d)
+      }
       override def onJobEnd(j: SparkListenerJobEnd): Unit =
         jobStart.remove(j.jobId).foreach(t0 => jobs += ((j.jobId, j.time - t0)))
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
@@ -36,7 +45,9 @@ object StageProbe {
         val wall = (for {a <- i.completionTime; b <- i.submissionTime}
           yield a - b).getOrElse(0L)
         val m = i.taskMetrics
-        stages += St(i.name.takeWhile(_ != '\n'), wall, m.executorRunTime,
+        val desc = stageDesc.getOrElse(i.stageId, "-")
+        stages += St(desc.take(40) + " | " + i.name.takeWhile(_ != '\n'),
+          wall, m.executorRunTime,
           i.numTasks, m.shuffleReadMetrics.totalBytesRead,
           m.shuffleWriteMetrics.bytesWritten, m.inputMetrics.bytesRead)
       }
@@ -46,7 +57,7 @@ object StageProbe {
       val fn = graft.SparkEntry.queries(name)
       fn(spark, dir).count() // warm
       Thread.sleep(400)
-      stages.clear(); jobs.clear(); jobStart.clear()
+      stages.clear(); jobs.clear(); jobStart.clear(); stageDesc.clear()
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       val sec = (System.nanoTime() - t0) / 1e9

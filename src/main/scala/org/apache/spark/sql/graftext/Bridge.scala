@@ -65,10 +65,13 @@ object Bridge {
     * q_curate_pipeline: the contamination/quality join subtree collapsed
     * to single-task stages, 6.5 -> 9.1 s, once the non-AQE loop exit
     * started advertising HashPartitioning(1); AQE loop exits advertised
-    * UnknownPartitioning and never hit this). Stats stay the session
-    * default exactly as truncatedFrame sets them. */
+    * UnknownPartitioning and never hit this). Statistics are PRESERVED
+    * (r15): a truncated leaf now carries its measured rowCount/
+    * sizeInBytes (see [[truncatedFrame]]), and the caller's planner
+    * should see them — a loop result small enough to broadcast into the
+    * caller's downstream joins statically is exactly the point of
+    * measuring. */
   def rebindExit(df: DataFrame, target: SparkSession): DataFrame = {
-    import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
     import org.apache.spark.sql.execution.LogicalRDD
     val ds = df.asInstanceOf[classic.Dataset[_]]
@@ -76,8 +79,7 @@ object Bridge {
     val cleaned = ds.logicalPlan.transform {
       case l: LogicalRDD =>
         LogicalRDD(l.output, l.rdd, UnknownPartitioning(0), Nil,
-          l.isStreaming)(
-          t, Some(Statistics(t.sessionState.conf.defaultSizeInBytes)), None)
+          l.isStreaming)(t, Some(l.computeStats()), None)
     }
     classic.Dataset.ofRows(t, cleaned)
   }
@@ -95,12 +97,23 @@ object Bridge {
     * `outputPartitioning` (first leaf of any PartitioningCollection,
     * Spark's own rule) and `outputOrdering` are preserved — so a loop
     * round that ends hash-partitioned on its join key does NOT pay a
-    * fresh Exchange next round — while the size statistic is pinned to
-    * the session default instead of the origin plan's eagerly-computed
-    * one, whose BigInt compounds across iterative rounds (see
-    * graft.Checkpoints.truncate). Constraints are dropped with the
-    * stats: both derive from the origin plan walk we must avoid. */
-  def truncatedFrame(df: DataFrame, rdd: RDD[InternalRow]): DataFrame = {
+    * fresh Exchange next round — while the statistics are pinned to the
+    * MEASURED (rows, bytes) of the materialized RDD itself when the
+    * caller has them (graft.Checkpoints sizes the RDD in the same pass
+    * that materializes it), else the session default. Never the origin
+    * plan's eagerly-computed estimate, whose BigInt compounds across
+    * iterative rounds (see graft.Checkpoints.truncate) — measured
+    * values are re-derived fresh from actual data each round, so their
+    * digit count is bounded by the data, structurally immune to the
+    * compounding. Real sizes are what let the STATIC planner broadcast
+    * a small truncated frame (r14 verdict: connectedComponents' star
+    * joins only broadcast because AQE's runtime stats rescued
+    * default-sized leaves — a silent sort-merge degradation anywhere
+    * AQE is off or thresholds differ). Constraints are dropped with the
+    * origin stats: both derive from the origin plan walk we must
+    * avoid. */
+  def truncatedFrame(df: DataFrame, rdd: RDD[InternalRow],
+      measured: Option[(Long, Long)] = None): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
     import org.apache.spark.sql.execution.LogicalRDD
@@ -111,15 +124,21 @@ object Bridge {
       case c: PartitioningCollection => firstLeafPartitioning(c.partitionings.head)
       case other => other
     }
+    val stats = measured match {
+      case Some((rows, bytes)) =>
+        // sizeInBytes >= 1: Spark treats 0 as "empty relation" in some
+        // pruning paths; a 0-row frame still planning as a (tiny)
+        // broadcast side is the behavior we want.
+        Statistics(sizeInBytes = BigInt(math.max(bytes, 1L)),
+          rowCount = Some(BigInt(rows)))
+      case None => Statistics(session.sessionState.conf.defaultSizeInBytes)
+    }
     val executed = ds.queryExecution.executedPlan
     val plan = LogicalRDD(
       ds.logicalPlan.output, rdd,
       firstLeafPartitioning(executed.outputPartitioning),
       executed.outputOrdering,
-      isStreaming = false)(
-      session,
-      Some(Statistics(session.sessionState.conf.defaultSizeInBytes)),
-      None)
+      isStreaming = false)(session, Some(stats), None)
     classic.Dataset.ofRows(session, plan)
   }
 

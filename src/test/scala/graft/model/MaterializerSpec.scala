@@ -262,18 +262,32 @@ class MaterializerSpec extends SparkSpec {
 
   test("auto file sizing survives frames without real stats (truncated)") {
     import spark.implicits._
-    // Checkpoints.truncate deliberately leaves the defaultSizeInBytes
-    // sentinel on the new leaf; resolveNumFiles must NOT divide the
-    // sentinel by the byte target (that hits the 2^20 cap -> a
-    // million-file write) but fall back to rows x schema width.
+    // r15: truncated frames now carry MEASURED statistics by default
+    // (rows + summed UnsafeRow bytes), so file sizing reads the real
+    // estimate directly.
     val df = graft.Checkpoints.truncate(
       (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"))
-    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes <
       spark.sessionState.conf.defaultSizeInBytes,
-      "precondition: truncated frame must carry the stats sentinel")
+      "truncated frame must carry measured (non-sentinel) stats")
     val n = Warehouse.resolveNumFiles(df, numFiles = 0,
       targetFileBytes = Warehouse.DefaultTargetFileBytes)
     assert(n >= 1 && n <= 4, s"tiny truncated frame sized to $n files")
+    // The legacy sentinel path (spark.graft.truncate.realStats=false)
+    // must STILL not divide the defaultSizeInBytes sentinel by the byte
+    // target (that hits the 2^20 cap -> a million-file write) but fall
+    // back to rows x schema width.
+    spark.conf.set(graft.Checkpoints.RealStatsConfKey, "false")
+    try {
+      val legacy = graft.Checkpoints.truncate(
+        (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "payload"))
+      assert(legacy.queryExecution.optimizedPlan.stats.sizeInBytes >=
+        spark.sessionState.conf.defaultSizeInBytes,
+        "precondition: legacy truncated frame must carry the stats sentinel")
+      val l = Warehouse.resolveNumFiles(legacy, numFiles = 0,
+        targetFileBytes = Warehouse.DefaultTargetFileBytes)
+      assert(l >= 1 && l <= 4, s"tiny sentinel-stats frame sized to $l files")
+    } finally spark.conf.unset(graft.Checkpoints.RealStatsConfKey)
     // and a frame WITH real stats still sizes from the plan estimate
     val plain = (0 until 1000).map(i => (i.toLong, s"p$i")).toDF("id", "p")
     val m = Warehouse.resolveNumFiles(plain, 0, Warehouse.DefaultTargetFileBytes)

@@ -894,6 +894,43 @@ class OpsSpec extends SparkSpec {
     assert(hot.length == 1 && hot.head.getAs[Long]("bucket_n") == 100L)
   }
 
+  test("contaminationPairs aggregate form ≡ reference self-join " +
+      "(duplicate rows, NULL eval flags)") {
+    import spark.implicits._
+    // r15 replaced the train×eval self-join with one per-shingle
+    // aggregate (self-join sides are never canonically equal after
+    // DeduplicateRelations, so exchange reuse can't dedupe them). This
+    // pins the equivalence ON THE EDGE CASES the rewrite argued about:
+    // a duplicated input row (must not double-count a shared shingle —
+    // collect_set mirrors the old count_distinct) and a NULL eval flag
+    // (must belong to NEITHER side).
+    val leak = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val rows = Seq[(java.lang.Long, String, java.lang.Boolean)](
+      (1L, s"one two three $leak", false),
+      (1L, s"one two three $leak", false), // duplicate train row
+      (2L, s"four five six $leak", true),
+      (3L, s"$leak seven eight nine", null), // NULL flag: neither side
+      (4L, "no overlap here at all ten eleven twelve thirteen", false))
+      .toDF("doc_id", "text", "is_eval")
+    val out = Dedup.contaminationPairs(
+        rows, "doc_id", "text", 7, col("is_eval"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Reference (old join form) computed inline:
+    val sh = rows.select(col("doc_id"), col("is_eval"),
+      explode(array_distinct(Dedup.shingleArray("text", 7))).as("sh"))
+    val ref = sh.filter(!col("is_eval")).select(col("doc_id"), col("sh"))
+      .join(sh.filter(col("is_eval"))
+        .select(col("sh"), col("doc_id").as("eval_doc_id")), Seq("sh"))
+      .groupBy(col("doc_id"), col("eval_doc_id"))
+      .agg(count_distinct(col("sh")).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.sorted == ref.sorted)
+    // and the planted leak is what both report: doc 1 × eval 2 share
+    // the 3 7-gram shingles of the 9-token leak sentence, counted ONCE
+    // despite doc 1's duplicated row; doc 3 (NULL flag) appears nowhere
+    assert(out.sorted == Seq((1L, 2L, 3L)))
+  }
+
   // ------- C93: priority sampling (weighted w/o replacement + estimator)
 
   test("prioritySample: selection order, threshold estimator, exclusions") {
