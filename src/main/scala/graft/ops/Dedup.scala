@@ -966,6 +966,26 @@ object Dedup {
       simHash(df, idCol, textCol), idCol, numBands, maxBucketSize)
     val t = df.select(col(idCol), TextOps.normalized(col(textCol)).as("__t"))
     cands
+      // Explicit-width repartition of the CANDIDATES, before the text
+      // joins (r15, the same byte-based-AQE-coalescing hazard as the
+      // simjoin verify tail): the candidate pairs are small in BYTES,
+      // so AQE coalesced their read to ONE partition, the text joins
+      // broadcast onto it, and every per-pair O(len·maxDist)
+      // levenshtein ran on a single task (StageProbe: a 0.8 s one-task
+      // stage holding 95% of the query's task time). Pair count, not
+      // byte count, is this stage's cost model. Placed BEFORE the
+      // joins on purpose: placed after them, projection pushdown sinks
+      // the levenshtein below the new exchange right back into the
+      // 1-partition stage (measured); here the DP's text inputs don't
+      // exist below the exchange, so nothing can sink. Keyed on `a`
+      // ALONE on purpose: keyed (a, b) it matches the candidate
+      // distinct's child partitioning exactly and EnsureRequirements
+      // elides the exchange (measured — the plan lost it and the DP
+      // collapsed back to one task). A REPARTITION_BY_NUM exchange is
+      // exempt from both AQE coalescing and local-read conversion, so
+      // the width sticks.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism,
+        col("a"))
       .join(t.select(col(idCol).as("a"), col("__t").as("__ta")), Seq("a"))
       .join(t.select(col(idCol).as("b"), col("__t").as("__tb")), Seq("b"))
       .select(col("a"), col("b"),
